@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * A named family of driver-checkable queries. Each entry in [[queries]]
+ * builds a DataFrame from the parquet tables under `dir` (one of the
+ * `/root/testdata/sf*` dirs); each entry in [[oracleSql]] is equivalent
+ * ANSI SQL the driver runs in DuckDB over the same tables. Keys of
+ * `oracleSql` must be a subset of `queries` keys; queries without oracle
+ * SQL get a weaker rows-only check.
+ *
+ * Determinism contract (see SURVEY.md §7.3): every query that emits
+ * floating-point derived values rounds them identically on both sides, uses
+ * exact decimal arithmetic for money aggregates, orders output by a unique
+ * key, and breaks score ties by id.
+ */
+trait QueryPack {
+  type Q = (SparkSession, String) => DataFrame
+  def queries: Map[String, Q]
+  def oracleSql: Map[String, String]
+
+  /** Load one test table from the scale-factor directory. */
+  protected def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /**
+   * Engine-portable 6-dp rounding: floor(x*1e6 + 0.5)/1e6 in pure IEEE
+   * double ops, bit-identical on any engine that evaluates the same
+   * formula (DuckDB oracle uses the SQL spelling [[QueryPack.Round6Sql]]).
+   * Spark's round() rounds the double's shortest decimal repr (BigDecimal
+   * HALF_UP) while DuckDB rounds the binary value — they disagree near
+   * .xxxxx5 boundaries, so round() is banned in oracle-checked queries.
+   * Only valid for |x| < 2^53/1e6 (fine for similarity scores and ratios).
+   */
+  protected def round6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{floor, lit}
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  }
+}
+
+object QueryPack {
+  /** SQL spelling of [[QueryPack.round6]] for DuckDB oracle queries. */
+  def round6Sql(expr: String): String =
+    s"floor(($expr) * 1000000.0 + 0.5) / 1000000.0"
+}

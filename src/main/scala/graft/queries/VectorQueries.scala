@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.functions.VectorFunctions.cosineSim
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The reference's flagship query surface: exact cosine kNN
+ * (`GetNearestMatchesAsync`, /root/reference/src/Connectors.Memory.Merkon/
+ * MerkonMemoryStore.cs:117-150) re-expressed as declarative DataFrame plans.
+ *
+ * Scale design: the query vector is a one-row dimension table joined in with
+ * an explicit `broadcast()` (never `collect()`), so the scan side streams —
+ * at 100 TB the plan is scan → codegen'd score → TakeOrderedAndProject
+ * (per-partition top-k, only k rows per partition reach the driver). Catalyst
+ * rewrites orderBy+limit to exactly that; no full sort, no full shuffle.
+ *
+ * Determinism: scores rounded to 6 dp on both engines, ties broken by vec_id
+ * (the reference tie-breaks by insertion order, MerkonMemoryStore.cs:146 —
+ * not reproducible across partitions, so we pin a total order; SURVEY §7.3).
+ */
+object VectorQueries extends QueryPack {
+
+  /** Scan side joined with the single-row query-vector dim table. */
+  private def scored(s: SparkSession, dir: String, queryId: Long): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round6(cosineSim(col("embedding"), col("q_emb"))).as("score"))
+  }
+
+  private def oracleScored(queryId: Long): String = {
+    val cos = "list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+      s"(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = $queryId))"
+    s"""SELECT vec_id, ${graft.QueryPack.round6Sql(cos)} AS score
+       |FROM embeddings""".stripMargin
+  }
+
+  override def queries: Map[String, Q] = Map(
+    // B8: top-k by cosine with min-score filter (>= semantics per
+    // MerkonMemoryStore.cs:138; default minRelevanceScore=0 per :121).
+    "knn_topk" -> ((s, dir) =>
+      scored(s, dir, 0)
+        .filter(col("score") >= 0.0)
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)),
+
+    // B9: top-1 (GetNearestMatchAsync = B8 with limit 1).
+    "knn_top1" -> ((s, dir) =>
+      scored(s, dir, 7)
+        .filter(col("score") >= 0.0)
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(1)),
+
+    // B8 threshold-only variant: all rows above a relevance floor, no limit.
+    "knn_threshold" -> ((s, dir) =>
+      scored(s, dir, 3)
+        .filter(col("score") >= 0.2)
+        .orderBy(col("score").desc, col("vec_id").asc))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "knn_topk" ->
+      s"""WITH scored AS (${oracleScored(0)})
+         |SELECT vec_id, score FROM scored WHERE score >= 0.0
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "knn_top1" ->
+      s"""WITH scored AS (${oracleScored(7)})
+         |SELECT vec_id, score FROM scored WHERE score >= 0.0
+         |ORDER BY score DESC, vec_id LIMIT 1""".stripMargin,
+    "knn_threshold" ->
+      s"""WITH scored AS (${oracleScored(3)})
+         |SELECT vec_id, score FROM scored WHERE score >= 0.2
+         |ORDER BY score DESC, vec_id""".stripMargin
+  )
+}

@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-case semantics pinned by FIXTURES.md §B / SURVEY.md §5:
+  * identical => 1.0, orthogonal => 0.0, anti-parallel => -1.0,
+  * zero vector => NaN (TensorPrimitives 0/0 semantics), null => null. */
+class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
+  import VectorFunctions._
+
+  private val schema = StructType(Seq(
+    StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
+
+  private def df(a: Seq[Float], b: Seq[Float]) =
+    spark.createDataFrame(
+      java.util.List.of(Row(a, b)), schema)
+
+  private def score(a: Seq[Float], b: Seq[Float]): Double =
+    df(a, b).select(cosineSim(col("a"), col("b"))).head.getDouble(0)
+
+  test("cosine of identical vectors is 1.0") {
+    assert(math.abs(score(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)) - 1.0) < 1e-12)
+  }
+
+  test("cosine of orthogonal vectors is 0.0") {
+    assert(score(Seq(1f, 0f), Seq(0f, 1f)) == 0.0)
+  }
+
+  test("cosine of anti-parallel vectors is -1.0") {
+    assert(math.abs(score(Seq(1f, 2f), Seq(-1f, -2f)) + 1.0) < 1e-12)
+  }
+
+  test("cosine with zero vector is NaN") {
+    assert(score(Seq(0f, 0f), Seq(1f, 2f)).isNaN)
+  }
+
+  test("cosine scale invariance: cos(av, bw) == cos(v, w) for a,b > 0") {
+    val base = score(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))
+    val scaled = score(Seq(2f, 4f, 6f), Seq(12f, 15f, 18f))
+    assert(math.abs(base - scaled) < 1e-9)
+  }
+
+  test("null input yields null (nullIntolerant)") {
+    val r = df(Seq(1f, 2f), null)
+      .select(cosineSim(col("a"), col("b"))).head
+    assert(r.isNullAt(0))
+  }
+
+  test("interpreted eval path (nullSafeEval) matches codegen") {
+    val lit = (xs: Seq[Float]) => Literal.create(xs, ArrayType(FloatType))
+    val v = CosineSimilarity(lit(Seq(1f, 2f, 3f)), lit(Seq(4f, 5f, 6f)))
+      .eval(null).asInstanceOf[Double]
+    assert(math.abs(v - score(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))) < 1e-15)
+  }
+
+  test("dot product and norms") {
+    val d = df(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)).select(
+      dotProduct(col("a"), col("b")).as("dot"),
+      l2Norm(col("a")).as("na"),
+      l2Distance(col("a"), col("b")).as("dist")).head
+    assert(d.getDouble(0) == 32.0)
+    assert(math.abs(d.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    assert(math.abs(d.getDouble(2) - math.sqrt(27.0)) < 1e-12)
+  }
+
+  test("SQL registration works") {
+    VectorFunctions.register(spark)
+    df(Seq(1f, 0f), Seq(1f, 0f)).createOrReplaceTempView("vf_test")
+    val v = spark.sql("SELECT cosine_similarity(a, b) FROM vf_test").head.getDouble(0)
+    assert(v == 1.0)
+  }
+}
