@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.functions.VectorFunctions.l2Norm
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Driver-checkable queries exercising each storage/query operator of the
+ * reference (SURVEY.md §2.A/§2.B) as the exact plan shapes
+ * [[graft.store.MerkonStore]] produces, expressed over the shared test
+ * tables so the DuckDB oracle can replicate them:
+ *
+ *  - A2/B5 point get + embedding projection   -> store_point_get
+ *  - B6 batch get (semi-join)                 -> store_batch_get
+ *  - B7 batch remove (anti-join)              -> store_remove_batch
+ *  - A9/B3/B4 upsert keep-latest (window)     -> store_upsert_keep_latest
+ *  - A8 empty-key purge                       -> store_empty_key_purge
+ *  - A4/B10 full scan + decode + projection   -> store_scan_project
+ *  - B11 timestamp "u"-format codec           -> store_timestamp_codec
+ *
+ * Scale notes: point get and batch get push key predicates into the parquet
+ * scan (row-group min/max + dictionary skip); semi/anti joins broadcast the
+ * key set (a key list is always tiny relative to the collection); the upsert
+ * window shuffles once on key — at 100 TB that single hash partitioning is
+ * the unavoidable cost of global last-writer-wins and is reused by the
+ * row_number.
+ */
+object StoreQueries extends QueryPack {
+
+  /** The embeddings table viewed as a Merkon collection: key = vec_id. */
+  private def coll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id").cast("string").as("key"), col("embedding"), col("label"))
+
+  private val batchKeys = Seq("7", "19", "23", "111", "9999")
+  private def batchKeysSql = batchKeys.map(k => s"'$k'").mkString(", ")
+
+  override def queries: Map[String, Q] = Map(
+    "store_point_get" -> ((s, dir) =>
+      coll(s, dir).filter(col("key") === "42").select(col("key"), col("label"))),
+
+    "store_batch_get" -> ((s, dir) => {
+      import s.implicits._
+      val keyDf = batchKeys.toDF("key")
+      coll(s, dir)
+        .join(broadcast(keyDf), Seq("key"), "left_semi")
+        .select(col("key"), col("label"), round6(l2Norm(col("embedding"))).as("emb_norm"))
+    }),
+
+    "store_remove_batch" -> ((s, dir) => {
+      import s.implicits._
+      val keyDf = batchKeys.toDF("key")
+      coll(s, dir)
+        .join(broadcast(keyDf), Seq("key"), "left_anti")
+        .agg(count(lit(1)).as("n_remaining"), sum(col("label")).as("label_sum"))
+    }),
+
+    "store_upsert_keep_latest" -> ((s, dir) => {
+      val base = coll(s, dir).withColumn("_seq", lit(0L))
+      val updates = coll(s, dir)
+        .filter(col("key").cast("long") % 10 === 0)
+        .withColumn("label", col("label") + 1000)
+        .withColumn("_seq", lit(1L))
+      val w = Window.partitionBy("key").orderBy(col("_seq").desc)
+      base.unionByName(updates)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("key"), col("label"))
+    }),
+
+    "store_empty_key_purge" -> ((s, dir) =>
+      coll(s, dir)
+        .withColumn("key",
+          when(col("key").cast("long") % 97 === 0, lit("")).otherwise(col("key")))
+        .filter(length(coalesce(col("key"), lit(""))) > 0)
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))),
+
+    "store_scan_project" -> ((s, dir) =>
+      coll(s, dir)
+        .select(col("key"), col("label"), round6(l2Norm(col("embedding"))).as("emb_norm"))),
+
+    "store_timestamp_codec" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_id") < 50)
+        .select(
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss'Z'").as("ts_u"),
+          to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss'Z'"),
+            "yyyy-MM-dd HH:mm:ss'Z'").cast("long").as("ts_roundtrip_epoch")))
+  )
+
+  private val l2NormSql =
+    "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))"
+
+  override def oracleSql: Map[String, String] = Map(
+    "store_point_get" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS key, label
+        |FROM embeddings WHERE CAST(vec_id AS VARCHAR) = '42'""".stripMargin,
+    "store_batch_get" ->
+      s"""SELECT CAST(vec_id AS VARCHAR) AS key, label,
+         |  ${QueryPack.round6Sql(l2NormSql)} AS emb_norm
+         |FROM embeddings WHERE CAST(vec_id AS VARCHAR) IN ($batchKeysSql)""".stripMargin,
+    "store_remove_batch" ->
+      s"""SELECT count(*) AS n_remaining, sum(label) AS label_sum
+         |FROM embeddings WHERE CAST(vec_id AS VARCHAR) NOT IN ($batchKeysSql)""".stripMargin,
+    "store_upsert_keep_latest" ->
+      """WITH unioned AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS key, label, 0 AS _seq FROM embeddings
+        |  UNION ALL
+        |  SELECT CAST(vec_id AS VARCHAR) AS key, label + 1000 AS label, 1 AS _seq
+        |  FROM embeddings WHERE vec_id % 10 = 0
+        |), ranked AS (
+        |  SELECT key, label, row_number() OVER (PARTITION BY key ORDER BY _seq DESC) AS rn
+        |  FROM unioned
+        |)
+        |SELECT key, label FROM ranked WHERE rn = 1""".stripMargin,
+    "store_empty_key_purge" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN vec_id % 97 = 0 THEN '' ELSE CAST(vec_id AS VARCHAR) END AS key, label
+        |  FROM embeddings
+        |)
+        |SELECT label, count(*) AS n FROM keyed
+        |WHERE length(coalesce(key, '')) > 0 GROUP BY label""".stripMargin,
+    "store_scan_project" ->
+      s"""SELECT CAST(vec_id AS VARCHAR) AS key, label,
+         |  ${QueryPack.round6Sql(l2NormSql)} AS emb_norm
+         |FROM embeddings""".stripMargin,
+    "store_timestamp_codec" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%SZ') AS ts_u,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_roundtrip_epoch
+        |FROM events WHERE event_id < 50""".stripMargin
+  )
+}

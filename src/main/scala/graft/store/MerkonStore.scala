@@ -1,0 +1,265 @@
+package graft.store
+
+import graft.functions.VectorFunctions.cosineSim
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import scala.collection.mutable
+
+/**
+ * Spark-native rebuild of the reference's complete public API surface:
+ * `MerkonDatabase` (storage ops A1-A19, /root/reference/src/MerkonDB/
+ * MerkonDatabase.cs) + `MerkonMemoryStore` (query ops B1-B12,
+ * /root/reference/src/Connectors.Memory.Merkon/MerkonMemoryStore.cs).
+ *
+ * Architecture (deliberately NOT a translation of the reference's
+ * dict-of-lists heap store):
+ *  - a collection is an immutable `DataFrame` with the fixed record schema
+ *    [[MerkonStore.recordSchema]]; the store is a name -> DataFrame catalog,
+ *  - mutations are declarative plan rewrites (union / anti-join / window
+ *    keep-latest), so every operation distributes: nothing ever collects
+ *    rows to the driver,
+ *  - upserts carry a store-assigned monotonic `_seq` column; "last writer
+ *    wins" is `row_number() over (partition by key order by _seq desc) = 1`
+ *    — the reference's in-place list update (MerkonDatabase.cs:93-103) has
+ *    call-order semantics, `_seq` is that call order made explicit and
+ *    shuffle-safe,
+ *  - persistence is one parquet directory per collection ([[save]]/[[load]])
+ *    instead of the reference's whole-database MessagePack blob rewritten on
+ *    every mutation (MerkonDatabase.cs:149-162, its biggest non-scalability);
+ *    at 100 TB a collection is a partitioned parquet table and [[compact]]
+ *    is the periodic keep-latest materialization job.
+ *
+ * Deliberate semantic deviations (documented per SURVEY.md §7.2):
+ *  - `getBatch` does NOT reproduce the reference's truncate-on-first-missing
+ *    -key bug (MerkonMemoryStore.cs:97-100) — missing keys are just absent,
+ *  - no Save-per-mutation, no double-write upsert (MerkonMemoryStore.cs:
+ *    242-260) — one logical upsert per call,
+ *  - kNN ties break by key ascending (the reference's insertion-order tie
+ *    break, MerkonMemoryStore.cs:146, is not reproducible across partitions).
+ */
+class MerkonStore(spark: SparkSession) {
+  import MerkonStore._
+
+  // Invariant: every stored DataFrame has recordSchema and is already
+  // deduplicated by key (keep-latest applied at upsert time).
+  private val collections = mutable.LinkedHashMap.empty[String, DataFrame]
+
+  private def emptyCollection: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], recordSchema)
+
+  // ---- Collection DDL (A1, A3, A5, A6 / B2) ----
+
+  /** A1 `AddCollection` — idempotent create. */
+  def createCollection(name: String): Unit =
+    if (!collections.contains(name)) collections(name) = emptyCollection
+
+  /** A5 `IsCollectionExists`. */
+  def doesCollectionExist(name: String): Boolean = collections.contains(name)
+
+  /** A3 `GetCollections`. */
+  def getCollections: Seq[String] = collections.keys.toSeq
+
+  /** A6 `RemoveCollection`. */
+  def deleteCollection(name: String): Boolean = collections.remove(name).isDefined
+
+  // ---- Upsert (A9 / B3, B4) ----
+
+  /**
+   * B4 `UpsertBatchAsync` — one distributed upsert for the whole batch
+   * (the reference loops per record, MerkonMemoryStore.cs:71-78).
+   * Key is forced to `metadata.id` (MerkonMemoryStore.cs:240); rows whose
+   * metadata.id is null keep their provided key.
+   */
+  def upsertBatch(name: String, records: DataFrame): Unit = {
+    createCollection(name)
+    // Stored state is pre-deduped, so a two-level seq (old=0, new=1) fully
+    // encodes "last writer wins". Within-batch duplicate keys resolve
+    // arbitrarily (the reference's within-batch iteration order has no
+    // distributed equivalent; callers should key batches uniquely).
+    val incoming = conform(records)
+      .withColumn("key", coalesce(col("metadata.id"), col("key")))
+      .withColumn(SeqCol, lit(1L))
+    val old = collections(name).withColumn(SeqCol, lit(0L))
+    collections(name) = keepLatest(old.unionByName(incoming))
+  }
+
+  /** B3 `UpsertAsync` — single-record convenience over [[upsertBatch]]. */
+  def upsert(name: String, record: MemoryRecord): String = {
+    import spark.implicits._
+    val key = Option(record.metadata).flatMap(m => Option(m.id)).getOrElse(record.key)
+    upsertBatch(name, Seq(record.copy(key = key)).toDF())
+    key
+  }
+
+  // ---- Reads (A2, A4 / B5, B6, B10) ----
+
+  /** A4 / B10 `GetCollection`/`GetAllAsync` — full scan with the lazy
+    * empty-key purge the reference applies before every scan
+    * (MerkonMemoryStore.cs:226, MerkonDatabase.cs:72-88). */
+  def getAll(name: String, withEmbeddings: Boolean = true): DataFrame =
+    project(purgeEmptyKeys(current(name)), withEmbeddings)
+
+  /** A2 / B5 `GetAsync` — point read; embedding projected away unless
+    * `withEmbedding` (MerkonMemoryStore.cs:275-288). */
+  def get(name: String, key: String, withEmbedding: Boolean = false): DataFrame =
+    project(current(name).filter(col("key") === key), withEmbedding).limit(1)
+
+  /** B6 `GetBatchAsync` — distributed semi-join against the key set
+    * (no truncation-on-missing bug). */
+  def getBatch(name: String, keys: Seq[String], withEmbeddings: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val keyDf = keys.toDF("key")
+    project(current(name).join(broadcast(keyDf), Seq("key"), "left_semi"), withEmbeddings)
+  }
+
+  // ---- Deletes (A7, A8 / B7) ----
+
+  /** B7 `RemoveBatchAsync` — anti-join rewrite. */
+  def removeBatch(name: String, keys: Seq[String]): Unit = {
+    import spark.implicits._
+    if (collections.contains(name)) {
+      val keyDf = keys.toDF("key")
+      collections(name) = current(name).join(broadcast(keyDf), Seq("key"), "left_anti")
+    }
+  }
+
+  /** A7 `RemoveItem` / B7 `RemoveAsync`. */
+  def remove(name: String, key: String): Unit = removeBatch(name, Seq(key))
+
+  /** A8 `RemoveEmptyKeys` — persisted purge (the scan-time purge happens in
+    * [[getAll]] regardless, matching the reference's lazy behavior). */
+  def removeEmptyKeys(name: String): Unit =
+    if (collections.contains(name))
+      collections(name) = purgeEmptyKeys(collections(name))
+
+  // ---- kNN (B8, B9) ----
+
+  /**
+   * B8 `GetNearestMatchesAsync` — the flagship exact-kNN query
+   * (MerkonMemoryStore.cs:117-150): cosine score, `>= minRelevanceScore`
+   * filter (:138), descending top-k (:146). Plans as scan -> codegen'd
+   * score -> TakeOrderedAndProject: per-partition top-k, only k rows per
+   * partition cross the shuffle at any scale.
+   */
+  def getNearestMatches(
+      name: String,
+      queryVector: Array[Float],
+      limit: Int,
+      minRelevanceScore: Double = 0.0,
+      withEmbeddings: Boolean = false): DataFrame = {
+    val base = project(
+      purgeEmptyKeys(current(name))
+        .withColumn("score", cosineSim(col("embedding"), lit(queryVector))),
+      withEmbeddings)
+    // limit <= 0 -> empty, matching MerkonMemoryStore.cs:125-128.
+    if (limit <= 0) base.limit(0)
+    else base
+      .filter(col("score") >= minRelevanceScore)
+      .orderBy(col("score").desc, col("key").asc)
+      .limit(limit)
+  }
+
+  /** B9 `GetNearestMatchAsync` — top-1. */
+  def getNearestMatch(
+      name: String,
+      queryVector: Array[Float],
+      minRelevanceScore: Double = 0.0,
+      withEmbedding: Boolean = false): DataFrame =
+    getNearestMatches(name, queryVector, 1, minRelevanceScore, withEmbedding)
+
+  // ---- Persistence (A10, A11 / B12) ----
+
+  /** A11 `Save` — one parquet dir per collection + a `_collections` name
+    * manifest (explicit checkpoint; never per-mutation). */
+  def save(dir: String): Unit = {
+    import spark.implicits._
+    collections.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$name")
+    }
+    collections.keys.toSeq.toDF("name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_collections")
+  }
+
+  /** A10 `Load`. */
+  def load(dir: String): Unit = {
+    collections.clear()
+    val names = spark.read.parquet(s"$dir/_collections")
+      .collect().map(_.getString(0))
+    names.foreach { n => collections(n) = spark.read.parquet(s"$dir/$n") }
+  }
+
+  /** Truncate the union-of-upserts plan lineage without moving data to the
+    * driver (the 100 TB analog is a periodic compaction job rewriting the
+    * partitioned parquet table). */
+  def compact(name: String): Unit =
+    if (collections.contains(name))
+      collections(name) = collections(name).localCheckpoint()
+
+  // ---- internals ----
+
+  private def current(name: String): DataFrame =
+    collections.getOrElse(name, emptyCollection)
+
+  private def conform(df: DataFrame): DataFrame = {
+    val cols = recordSchema.fields.map { f =>
+      (if (df.columns.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  private def keepLatest(df: DataFrame): DataFrame = {
+    val withSeq = if (df.columns.contains(SeqCol)) df
+                  else df.withColumn(SeqCol, lit(0L))
+    val w = Window.partitionBy("key").orderBy(col(SeqCol).desc)
+    withSeq
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", SeqCol)
+  }
+
+  private def purgeEmptyKeys(df: DataFrame): DataFrame =
+    df.filter(length(coalesce(col("key"), lit(""))) > 0)
+
+  private def project(df: DataFrame, withEmbeddings: Boolean): DataFrame =
+    if (withEmbeddings) df else df.drop("embedding")
+}
+
+object MerkonStore {
+  private val SeqCol = "_seq"
+
+  /** The reference's `MemoryRecordMetadata` JSON shape
+    * (MerkonMemoryStore.cs:232,247) as a typed struct. */
+  val metadataSchema: StructType = StructType(Seq(
+    StructField("is_reference", BooleanType),
+    StructField("external_source_name", StringType),
+    StructField("id", StringType),
+    StructField("description", StringType),
+    StructField("text", StringType),
+    StructField("additional_metadata", StringType)))
+
+  /** `DatabaseEntry` (MerkonDatabase.cs:243-254) with native types instead
+    * of the reference's all-string fields. */
+  val recordSchema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("metadata", metadataSchema),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("timestamp", TimestampType)))
+}
+
+case class MemoryMetadata(
+    is_reference: Boolean = false,
+    external_source_name: String = null,
+    id: String = null,
+    description: String = null,
+    text: String = null,
+    additional_metadata: String = null)
+
+case class MemoryRecord(
+    key: String,
+    metadata: MemoryMetadata,
+    embedding: Array[Float],
+    timestamp: java.sql.Timestamp = null)
