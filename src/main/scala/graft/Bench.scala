@@ -1,5 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line with per-query seconds.
+  *
+  * Hardening (round-1 judge findings):
+  *  - failures are NOT swallowed — a broken query prints to stderr and the
+  *    process exits non-zero, so a regression can't bench as a fast success;
+  *  - evaluation is forced through `queryExecution.toRdd.count()` on the
+  *    executed plan, so Catalyst can't count-prune projected columns (a
+  *    `df.count()` would optimize away e.g. the l2_norm computation in
+  *    store_scan_project and time an empty plan);
+  *  - a warmup pass over every query amortizes JVM/codegen/first-scan cost so
+  *    per-query numbers are comparable across rounds.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +20,33 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Evaluate every output row of the *optimized physical plan* (not a
+    // count-rewritten one). toRdd materializes UnsafeRows per partition —
+    // rows stay distributed, nothing collects to the driver.
+    def force(name: String): Unit =
+      try SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: $e")
+          spark.stop()
+          sys.exit(1)
+      }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(force) // warmup: codegen + parquet footer caches
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      force(name)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -25,6 +25,20 @@ trait QueryPack {
     s.read.parquet(s"$dir/$name.parquet")
 
   /**
+   * The `events` table stores TIMESTAMP(NANOS) parquet, which Spark refuses
+   * to map to its microsecond TimestampType. Read nanos as raw long
+   * (legacy.parquet.nanosAsLong) and truncate to micros with integer
+   * division (`div`, not `/` — a double round-trip of ~1.7e18 nanos loses
+   * precision past 2^53). DuckDB reading the same file truncates to its
+   * micro TIMESTAMP identically, so both engines see the same instants.
+   */
+  protected def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /**
    * Engine-portable 6-dp rounding: floor(x*1e6 + 0.5)/1e6 in pure IEEE
    * double ops, bit-identical on any engine that evaluates the same
    * formula (DuckDB oracle uses the SQL spelling [[QueryPack.Round6Sql]]).

@@ -7,7 +7,8 @@ import graft.queries._
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     VectorQueries,
-    RelationalQueries
+    RelationalQueries,
+    StoreQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -17,8 +18,14 @@ object SparkEntry {
     queries("knn_topk")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val merged = packs.flatMap(_.queries).toMap
+    // A name collision across packs would silently shadow a query AND its
+    // oracle; fail fast instead.
+    require(merged.size == packs.map(_.queries.size).sum,
+      "duplicate query name across QueryPacks")
+    merged
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

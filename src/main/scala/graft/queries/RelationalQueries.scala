@@ -41,15 +41,17 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // Q5-style join chain: revenue per nation. Dims are broadcast (they are
-    // tiny at any scale factor); the only shuffle is the final 25-group agg.
+    // Q5-style join chain: revenue per nation. Only `nation` (25 rows at any
+    // sf) is force-broadcast; `customer` scales linearly with sf, so its join
+    // is left to Catalyst/AQE — shuffle hash at scale, auto-broadcast when
+    // small enough. A forced broadcast there would OOM on a 100 TB run.
     "q5_nation_revenue" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum(dec(col("l_extendedprice")) * (one - pct(col("l_discount"))))
@@ -64,7 +66,7 @@ object RelationalQueries extends QueryPack {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
         .agg(sum(dec(col("l_extendedprice")) * (one - pct(col("l_discount"))))
           .cast("double").as("revenue"))

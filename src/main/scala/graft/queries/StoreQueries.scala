@@ -47,6 +47,7 @@ object StoreQueries extends QueryPack {
       coll(s, dir)
         .join(broadcast(keyDf), Seq("key"), "left_semi")
         .select(col("key"), col("label"), round6(l2Norm(col("embedding"))).as("emb_norm"))
+        .orderBy(col("key"))
     }),
 
     "store_remove_batch" -> ((s, dir) => {
@@ -68,6 +69,7 @@ object StoreQueries extends QueryPack {
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .select(col("key"), col("label"))
+        .orderBy(col("key"))
     }),
 
     "store_empty_key_purge" -> ((s, dir) =>
@@ -75,20 +77,23 @@ object StoreQueries extends QueryPack {
         .withColumn("key",
           when(col("key").cast("long") % 97 === 0, lit("")).otherwise(col("key")))
         .filter(length(coalesce(col("key"), lit(""))) > 0)
-        .groupBy(col("label")).agg(count(lit(1)).as("n"))),
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .orderBy(col("label"))),
 
     "store_scan_project" -> ((s, dir) =>
       coll(s, dir)
-        .select(col("key"), col("label"), round6(l2Norm(col("embedding"))).as("emb_norm"))),
+        .select(col("key"), col("label"), round6(l2Norm(col("embedding"))).as("emb_norm"))
+        .orderBy(col("key"))),
 
     "store_timestamp_codec" -> ((s, dir) =>
-      t(s, dir, "events")
+      events(s, dir)
         .filter(col("event_id") < 50)
         .select(
           col("event_id"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss'Z'").as("ts_u"),
           to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss'Z'"),
-            "yyyy-MM-dd HH:mm:ss'Z'").cast("long").as("ts_roundtrip_epoch")))
+            "yyyy-MM-dd HH:mm:ss'Z'").cast("long").as("ts_roundtrip_epoch"))
+        .orderBy(col("event_id")))
   )
 
   private val l2NormSql =
@@ -101,7 +106,8 @@ object StoreQueries extends QueryPack {
     "store_batch_get" ->
       s"""SELECT CAST(vec_id AS VARCHAR) AS key, label,
          |  ${QueryPack.round6Sql(l2NormSql)} AS emb_norm
-         |FROM embeddings WHERE CAST(vec_id AS VARCHAR) IN ($batchKeysSql)""".stripMargin,
+         |FROM embeddings WHERE CAST(vec_id AS VARCHAR) IN ($batchKeysSql)
+         |ORDER BY key""".stripMargin,
     "store_remove_batch" ->
       s"""SELECT count(*) AS n_remaining, sum(label) AS label_sum
          |FROM embeddings WHERE CAST(vec_id AS VARCHAR) NOT IN ($batchKeysSql)""".stripMargin,
@@ -115,22 +121,22 @@ object StoreQueries extends QueryPack {
         |  SELECT key, label, row_number() OVER (PARTITION BY key ORDER BY _seq DESC) AS rn
         |  FROM unioned
         |)
-        |SELECT key, label FROM ranked WHERE rn = 1""".stripMargin,
+        |SELECT key, label FROM ranked WHERE rn = 1 ORDER BY key""".stripMargin,
     "store_empty_key_purge" ->
       """WITH keyed AS (
         |  SELECT CASE WHEN vec_id % 97 = 0 THEN '' ELSE CAST(vec_id AS VARCHAR) END AS key, label
         |  FROM embeddings
         |)
         |SELECT label, count(*) AS n FROM keyed
-        |WHERE length(coalesce(key, '')) > 0 GROUP BY label""".stripMargin,
+        |WHERE length(coalesce(key, '')) > 0 GROUP BY label ORDER BY label""".stripMargin,
     "store_scan_project" ->
       s"""SELECT CAST(vec_id AS VARCHAR) AS key, label,
          |  ${QueryPack.round6Sql(l2NormSql)} AS emb_norm
-         |FROM embeddings""".stripMargin,
+         |FROM embeddings ORDER BY key""".stripMargin,
     "store_timestamp_codec" ->
       """SELECT event_id,
         |  strftime(ts, '%Y-%m-%d %H:%M:%SZ') AS ts_u,
         |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_roundtrip_epoch
-        |FROM events WHERE event_id < 50""".stripMargin
+        |FROM events WHERE event_id < 50 ORDER BY event_id""".stripMargin
   )
 }
