@@ -173,11 +173,14 @@ class MerkonStore(spark: SparkSession) {
   // ---- Persistence (A10, A11 / B12) ----
 
   /** A11 `Save` — one parquet dir per collection + a `_collections` name
-    * manifest (explicit checkpoint; never per-mutation). */
+    * manifest (explicit checkpoint; never per-mutation). Collection data
+    * lives under `$dir/collections/<urlencoded-name>` so arbitrary names
+    * (including "_collections" or names with path separators) can never
+    * collide with the manifest or escape the directory. */
   def save(dir: String): Unit = {
     import spark.implicits._
     collections.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/$name")
+      df.write.mode("overwrite").parquet(s"$dir/collections/${pathSafe(name)}")
     }
     collections.keys.toSeq.toDF("name")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_collections")
@@ -188,7 +191,9 @@ class MerkonStore(spark: SparkSession) {
     collections.clear()
     val names = spark.read.parquet(s"$dir/_collections")
       .collect().map(_.getString(0))
-    names.foreach { n => collections(n) = spark.read.parquet(s"$dir/$n") }
+    names.foreach { n =>
+      collections(n) = spark.read.parquet(s"$dir/collections/${pathSafe(n)}")
+    }
   }
 
   /** Truncate the union-of-upserts plan lineage without moving data to the
@@ -230,6 +235,11 @@ class MerkonStore(spark: SparkSession) {
 
 object MerkonStore {
   private val SeqCol = "_seq"
+
+  /** Bijective path-safe encoding of a collection name (URL-encoding keeps
+    * '/', '..', and reserved names inert). */
+  private[store] def pathSafe(name: String): String =
+    java.net.URLEncoder.encode(name, "UTF-8")
 
   /** The reference's `MemoryRecordMetadata` JSON shape
     * (MerkonMemoryStore.cs:232,247) as a typed struct. */

@@ -1,0 +1,184 @@
+package graft.store
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Pins the reference's behavioral contract onto the Spark façade:
+ *  - key <- metadata.id on upsert       (MerkonMemoryStore.cs:240)
+ *  - last-writer-wins upsert            (MerkonDatabase.cs:89-104)
+ *  - limit <= 0 -> empty kNN result     (MerkonMemoryStore.cs:125-128)
+ *  - withEmbeddings projection flag     (MerkonMemoryStore.cs:140,275-288)
+ *  - empty-key purge before scans       (MerkonDatabase.cs:72-88)
+ *  - `>=` min-relevance semantics       (MerkonMemoryStore.cs:138)
+ *  - save/load round-trip               (MerkonDatabase.cs:128-162)
+ */
+class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
+
+  private def rec(
+      key: String,
+      id: String = null,
+      text: String = null,
+      emb: Array[Float] = Array(1f, 0f)): MemoryRecord =
+    MemoryRecord(key, MemoryMetadata(id = id, text = text), emb)
+
+  private def newStore = new MerkonStore(spark)
+
+  test("collection DDL: create / exists / list / delete are idempotent") {
+    val st = newStore
+    assert(!st.doesCollectionExist("a"))
+    st.createCollection("a")
+    st.createCollection("a") // idempotent (AddCollection, MerkonDatabase.cs:18-24)
+    st.createCollection("b")
+    assert(st.doesCollectionExist("a"))
+    assert(st.getCollections == Seq("a", "b"))
+    assert(st.deleteCollection("a"))
+    assert(!st.deleteCollection("a"))
+    assert(st.getCollections == Seq("b"))
+  }
+
+  test("upsert forces key <- metadata.id when present") {
+    val st = newStore
+    val returned = st.upsert("c", rec(key = "provided", id = "meta-id"))
+    assert(returned == "meta-id")
+    assert(st.get("c", "meta-id").count() == 1)
+    assert(st.get("c", "provided").count() == 0)
+  }
+
+  test("upsert keeps provided key when metadata.id is null") {
+    val st = newStore
+    assert(st.upsert("c", rec(key = "k1")) == "k1")
+    assert(st.get("c", "k1").count() == 1)
+  }
+
+  test("upsert is last-writer-wins per key") {
+    val st = newStore
+    st.upsert("c", rec(key = null, id = "k", text = "v1"))
+    st.upsert("c", rec(key = null, id = "k", text = "v2"))
+    st.upsert("c", rec(key = null, id = "k", text = "v3"))
+    val rows = st.getAll("c").select("metadata.text").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "v3")
+  }
+
+  test("upsertBatch upserts the whole batch distributively") {
+    val st = newStore
+    import spark.implicits._
+    st.upsertBatch("c", Seq(
+      rec("a", text = "old-a"), rec("b", text = "old-b")).toDF())
+    st.upsertBatch("c", Seq(
+      rec("b", text = "new-b"), rec("d", text = "new-d")).toDF())
+    val byKey = st.getAll("c").select("key", "metadata.text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byKey == Map("a" -> "old-a", "b" -> "new-b", "d" -> "new-d"))
+  }
+
+  test("get projects embedding away unless withEmbedding") {
+    val st = newStore
+    st.upsert("c", rec("k"))
+    assert(!st.get("c", "k").columns.contains("embedding"))
+    assert(st.get("c", "k", withEmbedding = true).columns.contains("embedding"))
+  }
+
+  test("getBatch is a semi-join; missing keys are absent, not truncating") {
+    val st = newStore
+    import spark.implicits._
+    st.upsertBatch("c", Seq(rec("a"), rec("b"), rec("z")).toDF())
+    // Reference yields a then STOPS at missing "q" (MerkonMemoryStore.cs:
+    // 97-100) — we deliberately return every present key instead.
+    val got = st.getBatch("c", Seq("a", "q", "z")).select("key")
+      .collect().map(_.getString(0)).sorted
+    assert(got.sameElements(Array("a", "z")))
+  }
+
+  test("remove / removeBatch delete by key") {
+    val st = newStore
+    import spark.implicits._
+    st.upsertBatch("c", Seq(rec("a"), rec("b"), rec("d")).toDF())
+    st.remove("c", "a")
+    st.removeBatch("c", Seq("b", "nonexistent"))
+    assert(st.getAll("c").select("key").collect().map(_.getString(0)).toSeq == Seq("d"))
+  }
+
+  test("empty keys are purged from scans and by removeEmptyKeys") {
+    val st = newStore
+    import spark.implicits._
+    st.upsertBatch("c", Seq(rec(""), rec("x")).toDF())
+    assert(st.getAll("c").count() == 1) // lazy purge on scan
+    st.removeEmptyKeys("c")
+    assert(st.getAll("c").count() == 1)
+  }
+
+  test("kNN: limit <= 0 returns empty") {
+    val st = newStore
+    st.upsert("c", rec("k"))
+    assert(st.getNearestMatches("c", Array(1f, 0f), limit = 0).count() == 0)
+    assert(st.getNearestMatches("c", Array(1f, 0f), limit = -3).count() == 0)
+  }
+
+  test("kNN: >= threshold, descending order, top-k, score column") {
+    val st = newStore
+    import spark.implicits._
+    st.upsertBatch("c", Seq(
+      rec("east", emb = Array(1f, 0f)),
+      rec("northeast", emb = Array(1f, 1f)),
+      rec("north", emb = Array(0f, 1f)),
+      rec("west", emb = Array(-1f, 0f))).toDF())
+    val top = st.getNearestMatches("c", Array(1f, 0f), limit = 3, minRelevanceScore = 0.0)
+      .select("key").collect().map(_.getString(0))
+    // west has score -1 < 0 -> excluded by the default >= 0 semantics;
+    // north has score exactly 0 -> included (>= is inclusive).
+    assert(top.sameElements(Array("east", "northeast", "north")))
+    val one = st.getNearestMatch("c", Array(1f, 0f))
+      .select("key", "score").collect()
+    assert(one.length == 1 && one.head.getString(0) == "east")
+    assert(math.abs(one.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("kNN: withEmbeddings controls embedding column in results") {
+    val st = newStore
+    st.upsert("c", rec("k"))
+    assert(!st.getNearestMatches("c", Array(1f, 0f), 1).columns.contains("embedding"))
+    assert(st.getNearestMatches("c", Array(1f, 0f), 1, withEmbeddings = true)
+      .columns.contains("embedding"))
+  }
+
+  test("save / load round-trip preserves collections and rows") {
+    val st = newStore
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("merkon-store").toString
+    st.upsertBatch("c1", Seq(rec("a", text = "ta"), rec("b", text = "tb")).toDF())
+    st.upsertBatch("c2", Seq(rec("x")).toDF())
+    st.save(dir)
+    val st2 = new MerkonStore(spark)
+    st2.load(dir)
+    assert(st2.getCollections.toSet == Set("c1", "c2"))
+    assert(st2.getAll("c1").count() == 2)
+    assert(st2.get("c1", "a", withEmbedding = true).select("metadata.text")
+      .collect().head.getString(0) == "ta")
+  }
+
+  test("collection named _collections (or with slashes) survives save/load") {
+    val st = newStore
+    st.upsert("_collections", rec("k", text = "manifest-clash"))
+    st.upsert("a/b", rec("k2"))
+    val dir = java.nio.file.Files.createTempDirectory("merkon-store-clash").toString
+    st.save(dir)
+    val st2 = new MerkonStore(spark)
+    st2.load(dir)
+    assert(st2.getCollections.toSet == Set("_collections", "a/b"))
+    assert(st2.get("_collections", "k").count() == 1)
+    assert(st2.get("a/b", "k2").count() == 1)
+  }
+
+  test("compact preserves contents") {
+    val st = newStore
+    import spark.implicits._
+    st.upsertBatch("c", Seq(rec("a"), rec("b")).toDF())
+    st.upsert("c", rec("a", text = "updated"))
+    st.compact("c")
+    val byKey = st.getAll("c").select("key", "metadata.text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byKey == Map("a" -> "updated", "b" -> null))
+  }
+}
