@@ -8,7 +8,8 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     VectorQueries,
     RelationalQueries,
-    StoreQueries
+    StoreQueries,
+    SimilarityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.functions.VectorFunctions.cosineSim
+import graft.functions.TopKByScore
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Similarity-search operators beyond the reference's single-vector kNN
+ * (MerkonMemoryStore.cs:117-150): the batch kNN *join* (every query vector
+ * gets its own top-k) and the label-centroid aggregation — the two
+ * primitives an embedding-pipeline runs at 100 TB.
+ *
+ * Scale design:
+ *  - `knn_join`: the query set is broadcast (it is the small side by
+ *    definition); scoring streams over the corpus scan; per-query top-k is
+ *    a bounded [[TopKByScore]] typed UDAF, so partial aggregation reduces
+ *    each partition to k hits per query before the shuffle — the shuffle
+ *    carries O(partitions × |Q| × k) rows, never O(|corpus| × |Q|). A
+ *    row_number window here would shuffle every scored pair.
+ *  - `label_centroid`: per-dimension means computed as exact DECIMAL sums
+ *    (order-independent — double summation order differs between engines
+ *    and partitionings) divided by exact counts at the end.
+ */
+object SimilarityQueries extends QueryPack {
+
+  private val K = 3
+  private val NQ = 20
+  private val Dim = 64
+
+  override def queries: Map[String, Q] = Map(
+    // Batch kNN join: corpus × 20 query vectors -> top-3 each.
+    "knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = emb.crossJoin(broadcast(q))
+        .select(col("q_id"), col("vec_id"),
+          round6(cosineSim(col("embedding"), col("q_emb"))).as("score"))
+      scored.groupBy(col("q_id"))
+        .agg(TopKByScore(K)(col("score"), col("vec_id")).as("hits"))
+        .select(col("q_id"), posexplode(col("hits")))
+        .select(col("q_id"), (col("pos") + 1).as("rank"),
+          col("col.id").as("neighbor_id"), col("col.score").as("score"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Per-label centroid: mean embedding per label, one row per (label, dim).
+    "label_centroid" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      emb.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(
+          (sum(col("v").cast(DecimalType(27, 9))).cast("double") /
+            count(lit(1))).as("centroid_raw"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("dim"),
+          round6(col("centroid_raw")).as("centroid"), col("n"))
+        .orderBy(col("label"), col("dim"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "knn_join" -> {
+      val cos = "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb)"
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+         |  FROM embeddings WHERE vec_id < $NQ
+         |), scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ${graft.QueryPack.round6Sql(cos)} AS score
+         |  FROM embeddings e CROSS JOIN q
+         |), ranked AS (
+         |  SELECT q_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT q_id, rank, vec_id AS neighbor_id, score
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY q_id, rank""".stripMargin
+    },
+    "label_centroid" ->
+      s"""WITH flat AS (
+         |  SELECT label,
+         |    unnest(range($Dim)) AS dim,
+         |    unnest(CAST(embedding AS DOUBLE[])) AS v
+         |  FROM embeddings
+         |)
+         |SELECT label, dim,
+         |  ${graft.QueryPack.round6Sql(
+             "CAST(sum(CAST(v AS DECIMAL(27,9))) AS DOUBLE) / count(*)")} AS centroid,
+         |  count(*) AS n
+         |FROM flat
+         |GROUP BY label, dim
+         |ORDER BY label, dim""".stripMargin
+  )
+}

@@ -1,0 +1,46 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKByScoreSpec extends AnyFunSuite with SparkTestBase {
+
+  private val agg = new TopKByScore(3)
+
+  test("reduce keeps top-k sorted by (score desc, id asc)") {
+    val buf = Seq((0.5, 10L), (0.9, 2L), (0.1, 7L), (0.7, 1L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(buf == Vector(Hit(0.9, 2), Hit(0.7, 1), Hit(0.5, 10)))
+  }
+
+  test("ties break by lower id") {
+    val buf = Seq((0.5, 9L), (0.5, 3L), (0.5, 6L), (0.5, 1L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(buf == Vector(Hit(0.5, 1), Hit(0.5, 3), Hit(0.5, 6)))
+  }
+
+  test("merge equals reduce over the concatenation (partitioning-independent)") {
+    val xs = Seq((0.3, 1L), (0.8, 2L), (0.8, 9L), (0.1, 3L), (0.95, 4L), (0.8, 5L))
+    for (split <- 0 to xs.size) {
+      val (l, r) = xs.splitAt(split)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == xs.foldLeft(agg.zero)(agg.reduce), s"split=$split")
+    }
+  }
+
+  test("distributed agg matches a local sort at any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 200L).map(i => (i % 7, (i * 37 % 100) / 100.0, i))
+      .toDF("g", "score", "id").repartition(8)
+    val got = df.groupBy("g").agg(TopKByScore(3)($"score", $"id").as("hits"))
+      .select($"g", explode($"hits").as("h")).select($"g", $"h.score", $"h.id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val want = (1L to 200L).map(i => (i % 7, (i * 37 % 100) / 100.0, i))
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._2, t._3)).take(3)
+      }.toSet
+    assert(got == want)
+  }
+}
