@@ -9,7 +9,8 @@ object SparkEntry {
     VectorQueries,
     RelationalQueries,
     StoreQueries,
-    SimilarityQueries
+    SimilarityQueries,
+    EventQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.QueryPack
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Event-stream operators over the `events` table: tumbling / sliding /
+ * session time windows and schemaless JSON property access — the batch
+ * forms of the Structured Streaming ops in [[graft.streaming]] (same
+ * `window()` / `session_window()` calls work on readStream inputs; the
+ * reference stores timestamps but never queries them, SURVEY §2.D).
+ *
+ * Scale design: tumbling/sliding windows are plain hash aggregations on
+ * (bucket, key) — partial-agg friendly, one shuffle. The session window
+ * shuffles once on user_id (Spark plans session_window as a single
+ * partial-merge agg over the session keys); skewed users would be the
+ * thing to watch at 100 TB, mitigable with AQE skew handling since it is
+ * an agg, not a join. JSON extraction is a codegen'd path expression —
+ * no UDF, stays inside WholeStageCodegen.
+ *
+ * Determinism: sums of the double `value` go through exact DECIMAL;
+ * session bounds use min/max aggregates (not Spark's synthetic
+ * window.end = last+gap, which no other engine reproduces).
+ */
+object EventQueries extends QueryPack {
+
+  override def queries: Map[String, Q] = Map(
+    // Tumbling 1-hour counts per event type.
+    "events_tumbling_1h" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 3))).cast("double").as("total_value"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("w_start"), col("event_type"))),
+
+    // Sliding windows: 1-hour duration every 30 minutes (each event lands
+    // in exactly 2 windows).
+    "events_sliding_1h_30m" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("n"))
+        .orderBy(col("w_start"))),
+
+    // Session windows per user with a 2-hour inactivity gap. Bounds are
+    // reported as min/max event time so the oracle can reproduce them.
+    "events_session_2h" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "2 hours").as("w"), col("user_id"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_last"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_start"), col("session_last"), col("n"))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // Schemaless metadata: extract props.k (arbitrary JSON, the analog of
+    // the reference's additional_metadata JSON, MerkonMemoryStore.cs:232).
+    "events_json_props" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("k_sum"), count(col("k")).as("n_with_k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")))
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "events_tumbling_1h" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sliding_1h_30m" ->
+      """WITH b AS (
+        |  SELECT ts, date_trunc('hour', ts)
+        |    + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+        |           ELSE INTERVAL 0 MINUTE END AS bucket
+        |  FROM events
+        |), cand AS (
+        |  SELECT ts, unnest([bucket, bucket - INTERVAL 30 MINUTE]) AS w_start FROM b
+        |)
+        |SELECT w_start, count(*) AS n FROM cand
+        |WHERE ts >= w_start AND ts < w_start + INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_session_2h" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_last,
+        |  count(*) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "events_json_props" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
