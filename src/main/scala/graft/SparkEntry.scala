@@ -10,7 +10,8 @@ object SparkEntry {
     RelationalQueries,
     StoreQueries,
     SimilarityQueries,
-    EventQueries
+    EventQueries,
+    TextQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.QueryPack
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Text-analysis operators a training-data pipeline runs over raw documents:
+ * tokenization stats, composite quality scoring, n-gram language-ID
+ * scoring, and content fingerprinting (exact hash + min-shingle rolling
+ * fingerprint, the 1-permutation core of MinHash).
+ *
+ * All expressions are built-in codegen'd functions (split / filter /
+ * transform / md5 — no UDFs), so they stay inside WholeStageCodegen and
+ * scale as pure map-side work: no shuffle at all for the per-document
+ * queries, one partial-agg shuffle for the corpus rollup.
+ *
+ * Note: the synthetic corpus draws the same vocabulary for every `lang`
+ * label, so the language-ID heuristic cannot actually discriminate here —
+ * the query pins the *mechanism* (per-language marker-token profiles,
+ * ratio scoring, deterministic argmax) against the oracle.
+ *
+ * Determinism: token splitting is a fixed regex on trimmed text; ratios
+ * are IEEE double ops in identical shapes on both engines, rounded via
+ * round6; md5 is byte-identical everywhere.
+ */
+object TextQueries extends QueryPack {
+
+  private def toks: Column = split(trim(col("text")), "\\s+")
+
+  private val enStops = Seq("the", "a", "and", "of", "to", "in")
+  private val deStops = Seq("der", "die", "das", "und", "ist")
+  private val frStops = Seq("le", "la", "et", "les", "des")
+  private val esStops = Seq("el", "lo", "y", "una", "los")
+
+  private def hits(words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+
+  override def queries: Map[String, Q] = Map(
+    // Per-document token statistics.
+    "text_token_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(toks).as("n_tokens"),
+          length(col("text")).as("n_chars"),
+          round6(length(array_join(toks, "")).cast("double") / size(toks))
+            .as("avg_token_len"))
+        .orderBy(col("doc_id"))),
+
+    // Composite quality score: length, stopword density, token shape.
+    "text_quality_score" -> ((s, dir) => {
+      val nTokens = size(toks).cast("double")
+      val stopRatio = hits(enStops).cast("double") / nTokens
+      val meanLen = length(array_join(toks, "")).cast("double") / nTokens
+      val score = least(nTokens / 200.0, lit(1.0)) * 0.5 +
+        least(stopRatio * 5.0, lit(1.0)) * 0.3 +
+        least(meanLen / 8.0, lit(1.0)) * 0.2
+      docs(s, dir)
+        .select(col("doc_id"),
+          round6(stopRatio).as("stop_ratio"),
+          round6(score).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID: marker-token profile scoring, deterministic argmax
+    // (tie preference en > de > fr > es, 'und' = undetermined when all 0).
+    "text_langid" -> ((s, dir) => {
+      val n = size(toks).cast("double")
+      val (en, de, fr, es) = (hits(enStops).cast("double") / n,
+        hits(deStops).cast("double") / n,
+        hits(frStops).cast("double") / n,
+        hits(esStops).cast("double") / n)
+      val best = greatest(en, de, fr, es)
+      val guess = when(best === 0.0, lit("und"))
+        .when(en === best, lit("en"))
+        .when(de === best, lit("de"))
+        .when(fr === best, lit("fr"))
+        .otherwise(lit("es"))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          round6(en).as("score_en"), guess.as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fingerprints: exact-content md5 + min 5-token-shingle hash (the
+    // single-permutation core of MinHash; full MinHash/LSH in DedupQueries).
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          md5(trim(col("text")).cast("binary")).as("content_fp"),
+          when(size(toks) >= 5,
+            array_min(transform(
+              sequence(lit(1), size(toks) - 4),
+              i => md5(concat_ws(" ", slice(toks, i, lit(5))).cast("binary")))))
+            .as("min_shingle_fp"))
+        .orderBy(col("doc_id"))),
+
+    // Corpus rollup per (lang, source): partial-agg friendly single shuffle.
+    "text_corpus_stats" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), col("source"), size(toks).as("n_tokens"),
+          col("n_chars"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          (sum(col("n_chars").cast(DecimalType(18, 0))).cast("double") /
+            count(lit(1))).as("avg_chars_raw"))
+        .select(col("lang"), col("source"), col("n_docs"), col("total_tokens"),
+          round6(col("avg_chars_raw")).as("avg_chars"))
+        .orderBy(col("lang"), col("source")))
+  )
+
+  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  override def oracleSql: Map[String, String] = Map(
+    "text_token_stats" ->
+      s"""SELECT doc_id, lang,
+         |  len($toksSql) AS n_tokens,
+         |  length(text) AS n_chars,
+         |  ${graft.QueryPack.round6Sql(
+            s"CAST(length(array_to_string($toksSql, '')) AS DOUBLE) / len($toksSql)")} AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality_score" -> {
+      val n = s"CAST(len($toksSql) AS DOUBLE)"
+      val stopRatio = s"(CAST(${hitsSql(enStops)} AS DOUBLE) / $n)"
+      val meanLen = s"(CAST(length(array_to_string($toksSql, '')) AS DOUBLE) / $n)"
+      val score = s"least($n / 200.0, 1.0) * 0.5 + least($stopRatio * 5.0, 1.0) * 0.3 + " +
+        s"least($meanLen / 8.0, 1.0) * 0.2"
+      s"""SELECT doc_id,
+         |  ${graft.QueryPack.round6Sql(stopRatio)} AS stop_ratio,
+         |  ${graft.QueryPack.round6Sql(score)} AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "text_langid" -> {
+      val n = s"CAST(len($toksSql) AS DOUBLE)"
+      def r(ws: Seq[String]) = s"(CAST(${hitsSql(ws)} AS DOUBLE) / $n)"
+      val (en, de, fr, es) = (r(enStops), r(deStops), r(frStops), r(esStops))
+      val best = s"greatest($en, $de, $fr, $es)"
+      s"""SELECT doc_id, lang,
+         |  ${graft.QueryPack.round6Sql(en)} AS score_en,
+         |  CASE WHEN $best = 0.0 THEN 'und'
+         |       WHEN $en = $best THEN 'en'
+         |       WHEN $de = $best THEN 'de'
+         |       WHEN $fr = $best THEN 'fr'
+         |       ELSE 'es' END AS lang_guess
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "text_fingerprint" ->
+      s"""WITH tok AS (SELECT doc_id, trim(text) AS txt, $toksSql AS toks FROM documents)
+         |SELECT doc_id, md5(txt) AS content_fp,
+         |  CASE WHEN len(toks) >= 5 THEN
+         |    list_min(list_transform(range(1, len(toks) - 3),
+         |      i -> md5(array_to_string(toks[i:i+4], ' '))))
+         |  ELSE NULL END AS min_shingle_fp
+         |FROM tok ORDER BY doc_id""".stripMargin,
+    "text_corpus_stats" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         |  sum(len($toksSql)) AS total_tokens,
+         |  ${graft.QueryPack.round6Sql(
+            "CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / count(*)")} AS avg_chars
+         |FROM documents
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  )
+}
