@@ -11,7 +11,8 @@ object SparkEntry {
     StoreQueries,
     SimilarityQueries,
     EventQueries,
-    TextQueries
+    TextQueries,
+    DedupQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

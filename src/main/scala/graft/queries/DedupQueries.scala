@@ -1,0 +1,234 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.functions.TopKByScore
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators over `documents` — the core LLM-training-data
+ * pipeline family: exact dedup, MinHash+LSH near-dup, SimHash, n-gram
+ * Jaccard similarity search, and embedding-cosine near-dup.
+ *
+ * The corpus has no real duplicates, so the exact/near-dup queries build
+ * a deterministic duplicated corpus *from the data itself*: exact copies
+ * (dedup_exact) and drop-first-token variants (dedup_near_minhash) are
+ * unioned in with offset ids — the operator then has real work to find.
+ *
+ * Scale design (the part that matters at 100 TB):
+ *  - dedup_exact is a single hash aggregation on a 128-bit content hash —
+ *    partial-agg friendly, one shuffle, no pairwise work;
+ *  - dedup_near_minhash NEVER forms the O(N^2) pair space: MinHash
+ *    signatures (8 sigs from portable md5-seeded shingle hashes) are
+ *    banded (4 bands x 2 rows) and only documents sharing a band key are
+ *    joined, then verified with exact Jaccard. This is the textbook
+ *    LSH-banding plan; the band join is an equi-join Spark shuffles on
+ *    band key. (MLlib's MinHashLSH in graft.ml is the library variant;
+ *    this one is expressed in pure SQL so the oracle can replicate it.)
+ *  - dedup_simhash is map-only per document;
+ *  - dedup_jaccard_topk bounds pairwise work by blocking (same lang) and
+ *    keeps top-k via the bounded TopKByScore partial aggregate;
+ *  - dedup_embedding_pairs is the brute-force baseline kept for oracle
+ *    verification; its scale path is the LSH/IVF module in graft.ml.
+ */
+object DedupQueries extends QueryPack {
+
+  private def toksOf(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct md5'd 3-token shingles of a text column. */
+  private def shinglesOf(txt: Column): Column = {
+    val tk = toksOf(txt)
+    array_distinct(transform(
+      sequence(lit(1), size(tk) - 2),
+      i => md5(concat_ws(" ", slice(tk, i, lit(3))).cast("binary"))))
+  }
+
+  /** Portable seeded shingle-set MinHash signature j. */
+  private def minhash(shingles: Column, j: Int): Column =
+    array_min(transform(shingles, s => md5(concat(lit(s"$j:"), s).cast("binary"))))
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_distinct(concat(a, b)))
+
+  override def queries: Map[String, Q] = Map(
+    // Exact dedup: normalized-content hash -> group -> canonical id + copies.
+    "dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val corpus = d.select(col("doc_id"), norm.as("txt"))
+        .unionByName(d.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 100000).as("doc_id"), norm.as("txt")))
+      corpus
+        .select(col("doc_id"), md5(col("txt").cast("binary")).as("content_fp"))
+        .groupBy(col("content_fp"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("content_fp"))
+    }),
+
+    // MinHash + LSH banding near-dup: candidates via band join, verified
+    // with exact Jaccard >= 0.5.
+    "dedup_near_minhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tk = toksOf(col("text"))
+      val corpus = d.select(col("doc_id"), trim(col("text")).as("txt"))
+        .unionByName(d.select((col("doc_id") + 100000).as("doc_id"),
+          concat_ws(" ", slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))).as("txt")))
+      val sh = corpus.select(col("doc_id"), shinglesOf(col("txt")).as("shingles"))
+      val withBands = sh.select(col("doc_id"), col("shingles"),
+        posexplode(array((0 until 4).map(b =>
+          md5(concat(minhash(col("shingles"), 2 * b),
+            minhash(col("shingles"), 2 * b + 1)).cast("binary"))): _*))
+          .as(Seq("band_id", "band_key")))
+      val a = withBands.select(col("band_id"), col("band_key"), col("doc_id").as("a_id"))
+      val b = withBands.select(col("band_id"), col("band_key"), col("doc_id").as("b_id"))
+      val cand = a.join(b, Seq("band_id", "band_key"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      val sa = sh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a"))
+      val sb = sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b"))
+      cand.join(sa, "a_id").join(sb, "b_id")
+        .select(col("a_id"), col("b_id"),
+          round6(jaccard(col("sh_a"), col("sh_b"))).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // 16-bit SimHash per document from token-md5 nibble MSBs (majority
+    // vote per bit position, token multiplicity preserved).
+    "dedup_simhash" -> ((s, dir) => {
+      val hashes = transform(toksOf(col("text")), tk => md5(tk.cast("binary")))
+      val highNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      val bits = (1 to 16).map { p =>
+        when(size(filter(hashes, h => substring(h, p, 1).isInCollection(highNibbles)))
+          * 2 > size(hashes), lit("1")).otherwise(lit("0"))
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(bits: _*).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // n-gram Jaccard similarity search: for each probe doc, top-3 most
+    // similar same-lang docs (blocked pairwise + bounded top-k aggregate).
+    "dedup_jaccard_topk" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sh = d.select(col("doc_id"), col("lang"), shinglesOf(col("text")).as("shingles"))
+      val probes = sh.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("q_id"), col("lang"),
+          col("shingles").as("q_shingles"))
+      sh.join(broadcast(probes), Seq("lang"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .select(col("q_id"), col("doc_id"),
+          round6(jaccard(col("shingles"), col("q_shingles"))).as("jac"))
+        .groupBy(col("q_id"))
+        .agg(TopKByScore(3)(col("jac"), col("doc_id")).as("hits"))
+        .select(col("q_id"), posexplode(col("hits")))
+        .select(col("q_id"), (col("pos") + 1).as("rank"),
+          col("col.id").as("doc_id"), col("col.score").as("jac"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Embedding-cosine near-dup pairs (brute-force oracle baseline; the
+    // bucketed scale path lives in graft.ml LSH/IVF).
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("emb_b"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round6(graft.functions.VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+            .as("score"))
+        .filter(col("score") >= 0.4)
+        .orderBy(col("a_id"), col("b_id"))
+    })
+  )
+
+  private val round6 = graft.QueryPack.round6Sql _
+
+  override def oracleSql: Map[String, String] = {
+    val toksSql = "string_split_regex(trim(txt), '\\s+')"
+    val shExpr = s"list_distinct(list_transform(range(1, len($toksSql) - 1), " +
+      s"i -> md5(array_to_string($toksSql[i:i+2], ' '))))"
+    def mh(j: Int) = s"list_min(list_transform(shingles, s -> md5('$j:' || s)))"
+    val sigBands = (0 until 4).map(b => s"md5(${mh(2 * b)} || ${mh(2 * b + 1)}) AS band$b")
+      .mkString(", ")
+    val jacSql = "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / " +
+      "len(list_distinct(sa.shingles || sb.shingles))"
+
+    Map(
+      "dedup_exact" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS txt
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+          |  FROM documents WHERE doc_id < 100
+          |)
+          |SELECT md5(txt) AS content_fp, min(doc_id) AS canonical_id,
+          |  count(*) AS n_copies
+          |FROM corpus GROUP BY content_fp ORDER BY content_fp""".stripMargin,
+      "dedup_near_minhash" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, trim(text) AS txt FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000,
+           |    array_to_string(string_split_regex(trim(text),'\\s+')[2:], ' ')
+           |  FROM documents
+           |), sh AS (
+           |  SELECT doc_id, $shExpr AS shingles FROM corpus
+           |), bands AS (
+           |  SELECT doc_id, shingles, $sigBands FROM sh
+           |), melted AS (
+           |  SELECT doc_id, unnest(range(4)) AS band_id,
+           |    unnest([band0, band1, band2, band3]) AS band_key
+           |  FROM bands
+           |), cand AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM melted a JOIN melted b
+           |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+           |   AND a.doc_id < b.doc_id
+           |)
+           |SELECT c.a_id, c.b_id, ${round6(jacSql)} AS jac
+           |FROM cand c
+           |JOIN sh sa ON sa.doc_id = c.a_id
+           |JOIN sh sb ON sb.doc_id = c.b_id
+           |WHERE ${round6(jacSql)} >= 0.5
+           |ORDER BY a_id, b_id""".stripMargin,
+      "dedup_simhash" -> {
+        val hashes = "list_transform(string_split_regex(trim(text), '\\s+'), t -> md5(t))"
+        val bits = (1 to 16).map { p =>
+          s"CASE WHEN 2 * len(list_filter(h, x -> substr(x, $p, 1) IN " +
+            s"('8','9','a','b','c','d','e','f'))) > len(h) THEN '1' ELSE '0' END"
+        }.mkString(" || ")
+        s"""WITH hs AS (SELECT doc_id, $hashes AS h FROM documents)
+           |SELECT doc_id, $bits AS simhash FROM hs ORDER BY doc_id""".stripMargin
+      },
+      "dedup_jaccard_topk" -> {
+        val shDoc = shExpr.replace("txt", "text")
+        s"""WITH sh AS (
+           |  SELECT doc_id, lang, $shDoc AS shingles FROM documents
+           |), scored AS (
+           |  SELECT p.doc_id AS q_id, d.doc_id,
+           |    ${round6(("CAST(len(list_intersect(d.shingles, p.shingles)) AS DOUBLE) / " +
+                "len(list_distinct(d.shingles || p.shingles))"))} AS jac
+           |  FROM sh p JOIN sh d ON p.lang = d.lang AND d.doc_id <> p.doc_id
+           |  WHERE p.doc_id < 20
+           |), ranked AS (
+           |  SELECT q_id, doc_id, jac,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY jac DESC, doc_id) AS rank
+           |  FROM scored
+           |)
+           |SELECT q_id, rank, doc_id, jac FROM ranked WHERE rank <= 3
+           |ORDER BY q_id, rank""".stripMargin
+      },
+      "dedup_embedding_pairs" -> {
+        val cos = "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+          "CAST(b.embedding AS DOUBLE[]))"
+        s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${round6(cos)} AS score
+           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |WHERE ${round6(cos)} >= 0.4
+           |ORDER BY a_id, b_id""".stripMargin
+      }
+    )
+  }
+}
