@@ -12,7 +12,8 @@ object SparkEntry {
     SimilarityQueries,
     EventQueries,
     TextQueries,
-    DedupQueries
+    DedupQueries,
+    AnnQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

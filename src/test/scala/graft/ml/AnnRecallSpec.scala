@@ -1,0 +1,83 @@
+package graft.ml
+
+import graft.SparkTestBase
+import graft.functions.VectorFunctions.cosineSim
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall of the approximate paths against exact brute force — the
+  * correctness contract for results with no SQL oracle. */
+class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
+
+  private def emb: DataFrame = spark.read.parquet(s"$sf0_001/embeddings.parquet")
+
+  private lazy val exactPairs: Set[(Long, Long)] = {
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("emb_b"))
+    a.join(b, col("a_id") < col("b_id"))
+      .filter(cosineSim(col("emb_a"), col("emb_b")) >= 0.4)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private lazy val exactTop3: Set[(Long, Long)] = {
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    emb.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"), cosineSim(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("LSH similarPairs recall >= 0.9 vs exact cosine pairs") {
+    val approx = new CosineLsh().similarPairs(emb, "vec_id", "embedding", 0.4)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty)
+    val recall = (approx & exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"LSH pair recall $recall over ${exactPairs.size} exact pairs")
+    // no false positives: every reported pair truly clears the threshold
+    // (LSH only prunes candidates; scoring is exact)
+    assert((approx -- allPairsAtLeast(0.4 - 1e-9)).isEmpty)
+  }
+
+  private def allPairsAtLeast(t: Double): Set[(Long, Long)] = {
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("emb_b"))
+    a.join(b, col("a_id") < col("b_id"))
+      .filter(cosineSim(col("emb_a"), col("emb_b")) >= t)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("LSH knnJoin recall >= 0.9 vs exact top-3") {
+    val approx = new CosineLsh()
+      .knnJoin(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 3)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exactTop3).size.toDouble / exactTop3.size
+    assert(recall >= 0.9, s"LSH knn recall $recall")
+  }
+
+  test("IVF search recall >= 0.9 vs exact top-3") {
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
+    val built = ivf.build(spark, emb, "vec_id", "embedding")
+    val approx = ivf.search(built, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 3)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exactTop3).size.toDouble / exactTop3.size
+    assert(recall >= 0.9, s"IVF recall $recall")
+  }
+
+  test("IVF self-query returns itself as rank 1 (sanity)") {
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 2)
+    val built = ivf.build(spark, emb, "vec_id", "embedding")
+    val r1 = ivf.search(built, emb.filter(col("vec_id") === 5), "vec_id", "embedding", 1)
+      .select("q_id", "neighbor_id", "rank").collect()
+    assert(r1.length == 1 && r1.head.getLong(1) == 5L)
+  }
+}
