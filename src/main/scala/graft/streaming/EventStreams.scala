@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Typed event row for the stateful operators. */
+case class Event(
+    event_id: Long,
+    ts: java.sql.Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+    props: String)
+
+/** Running per-user aggregate maintained by [[EventStreams.userRunningTotals]]. */
+case class UserTotals(user_id: Long, n_events: Long, total_value: Double, last_ts: Long)
+
+/**
+ * Structured Streaming forms of the event operators. Every transform here
+ * is written against a plain DataFrame, so the SAME code path serves
+ * `spark.read` (batch — what the DuckDB oracle checks via EventQueries)
+ * and `spark.readStream` (incremental) — Spark's unified Dataset API is
+ * the point: correctness is proven on the batch side, and the streaming
+ * side only adds watermarking/output-mode concerns, pinned by
+ * EventStreamsSpec.
+ *
+ * Scale notes: windowed aggregations shuffle once on (window, key) with
+ * partial aggregation; state store size is bounded by the watermark
+ * horizon (late data beyond `watermark` is dropped), which is what keeps
+ * a 100 TB/day stream's state finite. The mapGroupsWithState operator
+ * keys state by user_id — state volume is O(distinct users), and the
+ * timeout conf is where production would expire idle users.
+ */
+object EventStreams {
+
+  /** Tumbling windowed counts per event type (streaming analog of the
+    * oracle-checked `events_tumbling_1h`). */
+  def tumblingCounts(events: DataFrame, window: String = "1 hour",
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    src.groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 3))).cast("double").as("total_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Per-user session windows with an inactivity gap (streaming analog of
+    * `events_session_2h`; watermark required by Spark in append mode). */
+  def sessionCounts(events: DataFrame, gap: String = "2 hours",
+      watermark: String = "1 minute"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_last"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_start"), col("session_last"), col("n"))
+
+  /** Custom streaming state: running per-user totals via
+    * mapGroupsWithState — the arbitrary-state API the built-in windows
+    * can't express (cumulative, not windowed). Emits the updated totals
+    * for each user touched in a micro-batch. */
+  def userRunningTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0.0, Long.MinValue))
+          // deterministic fold: micro-batch rows reduced by (n, sum, max-ts)
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserTotals(userId, acc.n_events + 1, acc.total_value + e.value,
+              math.max(acc.last_ts, e.ts.getTime))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Batch reference for [[userRunningTotals]]' final state. */
+  def userTotalsBatch(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"),
+        max(unix_millis(col("ts"))).as("last_ts"))
+}
