@@ -13,7 +13,8 @@ object SparkEntry {
     EventQueries,
     TextQueries,
     DedupQueries,
-    AnnQueries
+    AnnQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
