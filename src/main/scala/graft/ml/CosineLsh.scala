@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
  * re-runs registered ANN queries and row counts must not flap).
  */
 class CosineLsh(
-    numHashTables: Int = 8,
+    numHashTables: Int = 5,
     bucketLength: Double = 1.0,
     seed: Long = 42L) {
 

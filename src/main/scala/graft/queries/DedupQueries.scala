@@ -35,17 +35,24 @@ object DedupQueries extends QueryPack {
 
   private def toksOf(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Distinct md5'd 3-token shingles of a text column. */
-  private def shinglesOf(txt: Column): Column = {
-    val tk = toksOf(txt)
+  /** Distinct md5'd 3-token shingles over an already-materialized token
+    * array column. The tokens MUST be a real column, not an inline
+    * split(): HOF lambdas are interpreted and re-evaluate nested subtrees
+    * per element, so an inlined split would re-split the text once per
+    * shingle (measured 2-3x slowdown on the bench corpus). */
+  private def shinglesFromToks(tk: Column): Column =
     array_distinct(transform(
       sequence(lit(1), size(tk) - 2),
       i => md5(concat_ws(" ", slice(tk, i, lit(3))).cast("binary"))))
-  }
 
-  /** Portable seeded shingle-set MinHash signature j. */
+  /** Portable shingle-set MinHash signature j: min over shingles of the
+    * j-th 4-hex-char (16-bit) chunk of the shingle's md5. The 8 chunks of
+    * one md5 are independent uniform hashes of the shingle, so this gives
+    * 8 MinHash permutations for the price of the one md5 already computed
+    * per shingle (a seeded-md5-per-signature variant costs 8x the hashing
+    * and benched 50% slower). */
   private def minhash(shingles: Column, j: Int): Column =
-    array_min(transform(shingles, s => md5(concat(lit(s"$j:"), s).cast("binary"))))
+    array_min(transform(shingles, s => substring(s, 4 * j + 1, 4)))
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -74,11 +81,21 @@ object DedupQueries extends QueryPack {
       val corpus = d.select(col("doc_id"), trim(col("text")).as("txt"))
         .unionByName(d.select((col("doc_id") + 100000).as("doc_id"),
           concat_ws(" ", slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))).as("txt")))
-      val sh = corpus.select(col("doc_id"), shinglesOf(col("txt")).as("shingles"))
+      // Materialize the signature table once and cut its lineage: it is
+      // consumed three times (band melt + both verification sides), and at
+      // 100 TB it would be a persisted table built by the index job —
+      // localCheckpoint is the single-job analog of that design.
+      val sh = corpus
+        // CPU-bound shingle/md5 work over a byte-small scan: spread it
+        // across all cores before computing, not after
+        .repartition(col("doc_id"))
+        .withColumn("toks", toksOf(col("txt")))
+        .select(col("doc_id"), shinglesFromToks(col("toks")).as("shingles"))
+        .localCheckpoint()
       val withBands = sh.select(col("doc_id"), col("shingles"),
         posexplode(array((0 until 4).map(b =>
-          md5(concat(minhash(col("shingles"), 2 * b),
-            minhash(col("shingles"), 2 * b + 1)).cast("binary"))): _*))
+          concat(minhash(col("shingles"), 2 * b),
+            minhash(col("shingles"), 2 * b + 1))): _*))
           .as(Seq("band_id", "band_key")))
       val a = withBands.select(col("band_id"), col("band_key"), col("doc_id").as("a_id"))
       val b = withBands.select(col("band_id"), col("band_key"), col("doc_id").as("b_id"))
@@ -97,13 +114,19 @@ object DedupQueries extends QueryPack {
     // 16-bit SimHash per document from token-md5 nibble MSBs (majority
     // vote per bit position, token multiplicity preserved).
     "dedup_simhash" -> ((s, dir) => {
-      val hashes = transform(toksOf(col("text")), tk => md5(tk.cast("binary")))
       val highNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      // token-hash array + its size materialized once ("h"/"nt"): the 16
+      // bit expressions reference them 32 times — inlined, the md5s would
+      // be recomputed per bit position.
       val bits = (1 to 16).map { p =>
-        when(size(filter(hashes, h => substring(h, p, 1).isInCollection(highNibbles)))
-          * 2 > size(hashes), lit("1")).otherwise(lit("0"))
+        when(size(filter(col("h"), x => substring(x, p, 1).isInCollection(highNibbles)))
+          * 2 > col("nt"), lit("1")).otherwise(lit("0"))
       }
       t(s, dir, "documents")
+        .repartition(col("doc_id"))
+        .withColumn("toks", toksOf(col("text")))
+        .withColumn("h", transform(col("toks"), tk => md5(tk.cast("binary"))))
+        .withColumn("nt", size(col("h")))
         .select(col("doc_id"), concat(bits: _*).as("simhash"))
         .orderBy(col("doc_id"))
     }),
@@ -112,7 +135,10 @@ object DedupQueries extends QueryPack {
     // similar same-lang docs (blocked pairwise + bounded top-k aggregate).
     "dedup_jaccard_topk" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val sh = d.select(col("doc_id"), col("lang"), shinglesOf(col("text")).as("shingles"))
+      val sh = d.repartition(col("doc_id"))
+        .withColumn("toks", toksOf(col("text")))
+        .select(col("doc_id"), col("lang"), shinglesFromToks(col("toks")).as("shingles"))
+        .localCheckpoint()
       val probes = sh.filter(col("doc_id") < 20)
         .select(col("doc_id").as("q_id"), col("lang"),
           col("shingles").as("q_shingles"))
@@ -149,8 +175,8 @@ object DedupQueries extends QueryPack {
     val toksSql = "string_split_regex(trim(txt), '\\s+')"
     val shExpr = s"list_distinct(list_transform(range(1, len($toksSql) - 1), " +
       s"i -> md5(array_to_string($toksSql[i:i+2], ' '))))"
-    def mh(j: Int) = s"list_min(list_transform(shingles, s -> md5('$j:' || s)))"
-    val sigBands = (0 until 4).map(b => s"md5(${mh(2 * b)} || ${mh(2 * b + 1)}) AS band$b")
+    def mh(j: Int) = s"list_min(list_transform(shingles, s -> substr(s, ${4 * j + 1}, 4)))"
+    val sigBands = (0 until 4).map(b => s"${mh(2 * b)} || ${mh(2 * b + 1)} AS band$b")
       .mkString(", ")
     val jacSql = "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / " +
       "len(list_distinct(sa.shingles || sb.shingles))"

@@ -27,7 +27,16 @@ import org.apache.spark.sql.types.DecimalType
  */
 object TextQueries extends QueryPack {
 
-  private def toks: Column = split(trim(col("text")), "\\s+")
+  // Token array is materialized as a real column ("toks") before any
+  // higher-order function touches it: HOF lambdas are interpreted and
+  // re-evaluate nested subtrees per element, so a split() inlined inside
+  // transform/filter would re-split the text once per token. As a column
+  // it is computed once per row (CollapseProject never inlines a
+  // non-cheap alias with multiple uses), and lambdas see an attribute.
+  private def toks: Column = col("toks")
+
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(trim(col("text")), "\\s+"))
 
   private val enStops = Seq("the", "a", "and", "of", "to", "in")
   private val deStops = Seq("der", "die", "das", "und", "ist")
@@ -37,7 +46,12 @@ object TextQueries extends QueryPack {
   private def hits(words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
-  private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+  // The raw documents file is small in bytes but the derived work (regex
+  // split + per-token hashing) is CPU-bound, so the byte-sized scan
+  // partitioning (1-2 tasks) starves the cluster; repartition by doc_id
+  // BEFORE the heavy projections to use every core.
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    withToks(t(s, dir, "documents").repartition(col("doc_id")))
 
   override def queries: Map[String, Q] = Map(
     // Per-document token statistics.
