@@ -1,0 +1,38 @@
+package graft
+
+import graft.functions.{CosineSimilarity, DotProduct, L2Distance, L2Norm}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * Spark-native installation point for the library: add
+ * `spark.sql.extensions=graft.GraftExtensions` to any session conf
+ * (spark-submit, Thrift server, notebook) and the vector kernel family is
+ * available as SQL functions in every session of that application — no
+ * per-session `register()` call, no driver code.
+ *
+ * This is the idiomatic way a Spark library ships Catalyst additions
+ * (functions today; a custom rule/strategy would be injected from the
+ * same hook if an operator ever needs one — per SURVEY §4, none does).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine similarity of two ARRAY<FLOAT>"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two ARRAY<FLOAT>"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("l2_distance"),
+      info("l2_distance", "l2_distance(a, b) - Euclidean distance of two ARRAY<FLOAT>"),
+      (es: Seq[Expression]) => L2Distance(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("l2_norm"),
+      info("l2_norm", "l2_norm(a) - Euclidean norm of an ARRAY<FLOAT>"),
+      (es: Seq[Expression]) => L2Norm(es.head)))
+  }
+}

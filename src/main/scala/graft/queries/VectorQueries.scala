@@ -58,7 +58,41 @@ object VectorQueries extends QueryPack {
     "knn_threshold" -> ((s, dir) =>
       scored(s, dir, 3)
         .filter(col("score") >= 0.2)
-        .orderBy(col("score").desc, col("vec_id").asc))
+        .orderBy(col("score").desc, col("vec_id").asc)),
+
+    // §2.C complete kernel surface: dot / l2_distance / l2_norm alongside
+    // cosine, oracle-checked per row (these back the SQL functions
+    // registered by GraftExtensions).
+    "vector_kernels" -> ((s, dir) => {
+      import graft.functions.VectorFunctions._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 11).select(col("embedding").as("q_emb"))
+      emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round6(dotProduct(col("embedding"), col("q_emb"))).as("dot"),
+          round6(l2Distance(col("embedding"), col("q_emb"))).as("l2_dist"),
+          round6(l2Norm(col("embedding"))).as("norm"),
+          round6(cosineSim(col("embedding"), col("q_emb"))).as("cos"))
+        .filter(col("vec_id") < 100)
+        .orderBy(col("vec_id"))
+    }),
+
+    // The same flagship kNN expressed through the SQL surface (the
+    // session extension / register() path) — proves the library is usable
+    // from pure SQL, not just the Scala DSL.
+    "knn_topk_sql" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+      s.sql("""
+        WITH q AS (SELECT embedding AS q_emb FROM graft_embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+            floor(cosine_similarity(embedding, q_emb) * 1e6 + 0.5) / 1e6 AS score
+          FROM graft_embeddings CROSS JOIN q
+        )
+        SELECT vec_id, score FROM scored WHERE score >= 0.0
+        ORDER BY score DESC, vec_id LIMIT 5""")
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -73,6 +107,20 @@ object VectorQueries extends QueryPack {
     "knn_threshold" ->
       s"""WITH scored AS (${oracleScored(3)})
          |SELECT vec_id, score FROM scored WHERE score >= 0.2
-         |ORDER BY score DESC, vec_id""".stripMargin
+         |ORDER BY score DESC, vec_id""".stripMargin,
+    "vector_kernels" -> {
+      val d = "CAST(embedding AS DOUBLE[])"
+      val qd = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 11)"
+      s"""SELECT vec_id,
+         |  ${graft.QueryPack.round6Sql(s"list_dot_product($d, $qd)")} AS dot,
+         |  ${graft.QueryPack.round6Sql(s"list_distance($d, $qd)")} AS l2_dist,
+         |  ${graft.QueryPack.round6Sql(s"sqrt(list_sum(list_transform($d, x -> x * x)))")} AS norm,
+         |  ${graft.QueryPack.round6Sql(s"list_cosine_similarity($d, $qd)")} AS cos
+         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
+    },
+    "knn_topk_sql" ->
+      s"""WITH scored AS (${oracleScored(0)})
+         |SELECT vec_id, score FROM scored WHERE score >= 0.0
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
   )
 }

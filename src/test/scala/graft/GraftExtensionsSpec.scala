@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions class must make the SQL functions available in a session
+  * built with spark.sql.extensions=graft.GraftExtensions. */
+class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("session built with GraftExtensions resolves the vector functions from SQL") {
+    // force the shared session to exist first so we restore it afterwards.
+    // spark.sql.extensions is a STATIC conf read from the SparkContext at
+    // first-session build, so in this shared-context test JVM the
+    // config-string path can't be exercised; withExtensions() is the same
+    // injection entry point via the public builder API.
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(new GraftExtensions())
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val row = ext.sql(
+        """SELECT
+          |  cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+          |  dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+          |  l2_distance(array(0.0F, 0.0F), array(3.0F, 4.0F)) AS e,
+          |  l2_norm(array(3.0F, 4.0F)) AS n""".stripMargin).head()
+      assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+      assert(math.abs(row.getDouble(1) - 11.0) < 1e-12)
+      assert(math.abs(row.getDouble(2) - 5.0) < 1e-12)
+      assert(math.abs(row.getDouble(3) - 5.0) < 1e-12)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}
