@@ -136,7 +136,11 @@ case class L2Distance(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val d = x.getFloat(i) - y.getFloat(i); acc += d * d; i += 1
+      // widen BEFORE subtract/multiply — float math here would round each
+      // squared term to float32 and diverge from the codegen path (caught
+      // by the norm==dist(v,0) scalacheck property)
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d; i += 1
     }
     math.sqrt(acc)
   }
