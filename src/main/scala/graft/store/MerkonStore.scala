@@ -65,6 +65,15 @@ class MerkonStore(spark: SparkSession) {
   /** A6 `RemoveCollection`. */
   def deleteCollection(name: String): Boolean = collections.remove(name).isDefined
 
+  /** Expose every collection as a temp view (`prefix<name>`) so the whole
+    * store is queryable from pure SQL alongside the GraftExtensions
+    * functions — the Spark-native reading of SURVEY §1.3's "collection
+    * catalog = spark.catalog temp views". */
+  def registerViews(prefix: String = "merkon_"): Unit =
+    collections.foreach { case (name, df) =>
+      df.createOrReplaceTempView(prefix + name.replaceAll("[^A-Za-z0-9_]", "_"))
+    }
+
   // ---- Upsert (A9 / B3, B4) ----
 
   /**
@@ -177,22 +186,26 @@ class MerkonStore(spark: SparkSession) {
     * lives under `$dir/collections/<urlencoded-name>` so arbitrary names
     * (including "_collections" or names with path separators) can never
     * collide with the manifest or escape the directory. */
-  def save(dir: String): Unit = {
+  def save(dir: String, format: String = "parquet"): Unit = {
     import spark.implicits._
     collections.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/collections/${pathSafe(name)}")
+      df.write.mode("overwrite").format(format)
+        .save(s"$dir/collections/${pathSafe(name)}")
     }
     collections.keys.toSeq.toDF("name")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_collections")
   }
 
-  /** A10 `Load`. */
-  def load(dir: String): Unit = {
+  /** A10 `Load`. Format must match the one used by [[save]]; json/csv need
+    * the schema re-imposed since those formats don't carry types. */
+  def load(dir: String, format: String = "parquet"): Unit = {
     collections.clear()
     val names = spark.read.parquet(s"$dir/_collections")
       .collect().map(_.getString(0))
     names.foreach { n =>
-      collections(n) = spark.read.parquet(s"$dir/collections/${pathSafe(n)}")
+      val reader = spark.read.format(format)
+      val typed = if (format == "parquet") reader else reader.schema(recordSchema)
+      collections(n) = typed.load(s"$dir/collections/${pathSafe(n)}")
     }
   }
 

@@ -171,6 +171,29 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(st2.get("a/b", "k2").count() == 1)
   }
 
+  test("save / load round-trip through json (schema re-imposed)") {
+    val st = newStore
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("merkon-store-json").toString
+    st.upsertBatch("c", Seq(rec("a", text = "ta", emb = Array(0.5f, -1f))).toDF())
+    st.save(dir, format = "json")
+    val st2 = new MerkonStore(spark)
+    st2.load(dir, format = "json")
+    val row = st2.getAll("c", withEmbeddings = true)
+      .select("key", "metadata.text", "embedding").collect().head
+    assert(row.getString(0) == "a" && row.getString(1) == "ta")
+    assert(row.getSeq[Float](2) == Seq(0.5f, -1f))
+  }
+
+  test("registerViews exposes collections to SQL") {
+    val st = newStore
+    st.upsert("sql-coll", rec("k", text = "via-sql"))
+    st.registerViews()
+    val got = spark.sql("SELECT metadata.text FROM merkon_sql_coll WHERE key = 'k'")
+      .collect().head.getString(0)
+    assert(got == "via-sql")
+  }
+
   test("compact preserves contents") {
     val st = newStore
     import spark.implicits._
