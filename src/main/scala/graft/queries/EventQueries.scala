@@ -55,6 +55,29 @@ object EventQueries extends QueryPack {
         .select(col("user_id"), col("session_start"), col("session_last"), col("n"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // As-of join: each click paired with the most recent error (same
+    // user) at or before it. Expressed as union + running last_value over
+    // one user_id window — a single shuffle and zero pairwise work, the
+    // scale-safe as-of shape (a range join would explode; DuckDB's native
+    // ASOF JOIN is the oracle).
+    "events_asof_error" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).filter(col("event_type").isin("click", "error"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          when(col("event_type") === "error", col("event_id")).as("err_id_src"),
+          when(col("event_type") === "error", col("ts")).as("err_ts_src"),
+          // at an identical timestamp the error must sort before the
+          // click so `ts >= err_ts` includes same-instant matches
+          when(col("event_type") === "error", 0).otherwise(1).as("tag_order"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag_order"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("err_id", last(col("err_id_src"), ignoreNulls = true).over(w))
+        .withColumn("err_ts", last(col("err_ts_src"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("err_id"), col("err_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     // Schemaless metadata: extract props.k (arbitrary JSON, the analog of
     // the reference's additional_metadata JSON, MerkonMemoryStore.cs:232).
     "events_json_props" -> ((s, dir) =>
@@ -103,6 +126,17 @@ object EventQueries extends QueryPack {
         |  count(*) AS n
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "events_asof_error" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), errors AS (
+        |  SELECT event_id AS err_id, user_id, ts AS err_ts
+        |  FROM events WHERE event_type = 'error'
+        |)
+        |SELECT c.event_id, c.user_id, c.ts, e.err_id, e.err_ts
+        |FROM clicks c ASOF LEFT JOIN errors e
+        |  ON c.user_id = e.user_id AND c.ts >= e.err_ts
+        |ORDER BY c.event_id""".stripMargin,
     "events_json_props" ->
       """SELECT event_type,
         |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
