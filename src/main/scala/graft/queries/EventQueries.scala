@@ -78,6 +78,44 @@ object EventQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Range join: clicks within 10 minutes AFTER a same-user error.
+    // Scale shape: candidates are blocked by a 10-minute time bucket —
+    // the click side probes (bucket, bucket+1) so every true pair shares
+    // a key, then the exact range predicate filters. The join is a plain
+    // equi-join on (user_id, bucket): no unbounded theta-join, candidate
+    // volume bounded by bucket occupancy.
+    "events_range_join" -> ((s, dir) => {
+      val gap = 600L // seconds
+      val ev = events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"),
+          floor(unix_timestamp(col("ts")) / gap).as("bucket"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("click_ts"))
+        .withColumn("bucket",
+          explode(array(floor(unix_timestamp(col("click_ts")) / gap),
+            floor(unix_timestamp(col("click_ts")) / gap) - 1)))
+      errors.join(clicks,
+          errors("user_id") === clicks("c_user") && errors("bucket") === clicks("bucket"))
+        .filter(col("click_ts") > col("err_ts") &&
+          col("click_ts") <= col("err_ts") + expr(s"INTERVAL $gap SECOND"))
+        .select(col("err_id"), col("click_id"), col("user_id"),
+          col("err_ts"), col("click_ts"))
+        .orderBy(col("err_id"), col("click_id"))
+    }),
+
+    // Exact interpolated quantiles of value per event type (continuous
+    // definition, identical in DuckDB's quantile_cont).
+    "events_value_quantiles" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round6(expr("percentile(value, 0.5)")).as("p50"),
+          round6(expr("percentile(value, 0.9)")).as("p90"),
+          round6(expr("percentile(value, 0.99)")).as("p99"))
+        .orderBy(col("event_type"))),
+
     // Schemaless metadata: extract props.k (arbitrary JSON, the analog of
     // the reference's additional_metadata JSON, MerkonMemoryStore.cs:232).
     "events_json_props" -> ((s, dir) =>
@@ -137,6 +175,26 @@ object EventQueries extends QueryPack {
         |FROM clicks c ASOF LEFT JOIN errors e
         |  ON c.user_id = e.user_id AND c.ts >= e.err_ts
         |ORDER BY c.event_id""".stripMargin,
+    "events_range_join" ->
+      """WITH errors AS (
+        |  SELECT event_id AS err_id, user_id, ts AS err_ts
+        |  FROM events WHERE event_type = 'error'
+        |), clicks AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT e.err_id, c.click_id, e.user_id, e.err_ts, c.click_ts
+        |FROM errors e JOIN clicks c
+        |  ON e.user_id = c.user_id
+        | AND c.click_ts > e.err_ts
+        | AND c.click_ts <= e.err_ts + INTERVAL 600 SECOND
+        |ORDER BY err_id, click_id""".stripMargin,
+    "events_value_quantiles" -> {
+      def q(p: String, name: String) =
+        s"${graft.QueryPack.round6Sql(s"quantile_cont(value, $p)")} AS $name"
+      s"""SELECT event_type, ${q("0.5", "p50")}, ${q("0.9", "p90")}, ${q("0.99", "p99")}
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
     "events_json_props" ->
       """SELECT event_type,
         |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
