@@ -14,7 +14,8 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     AnnQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    ScaleQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
