@@ -39,6 +39,19 @@ trait QueryPack {
   }
 
   /**
+   * Spread a CPU-heavy derivation (regex split, per-token hashing) across
+   * all cores when the scan planned fewer partitions than the cluster has
+   * slots — byte-small parquet plans 1-2 tasks and starves the cluster.
+   * A no-op when the scan is already parallel: at real scale file splits
+   * parallelize the read and the extra full shuffle would be pure waste.
+   */
+  protected def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val slots = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= slots) df
+    else df.repartition(org.apache.spark.sql.functions.col(key))
+  }
+
+  /**
    * Engine-portable 6-dp rounding: floor(x*1e6 + 0.5)/1e6 in pure IEEE
    * double ops, bit-identical on any engine that evaluates the same
    * formula (DuckDB oracle uses the SQL spelling [[QueryPack.Round6Sql]]).

@@ -39,11 +39,18 @@ object DedupQueries extends QueryPack {
     * array column. The tokens MUST be a real column, not an inline
     * split(): HOF lambdas are interpreted and re-evaluate nested subtrees
     * per element, so an inlined split would re-split the text once per
-    * shingle (measured 2-3x slowdown on the bench corpus). */
+    * shingle (measured 2-3x slowdown on the bench corpus).
+    *
+    * Guarded for short documents: sequence(1, size-2) DESCENDS when
+    * size < 3 (sequence(1, 0) = [1, 0]) and slice would then throw, so
+    * docs with fewer than 3 tokens yield an empty shingle set — matching
+    * the oracle's range(1, len-1), which is empty for len < 3. */
   private def shinglesFromToks(tk: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), size(tk) - 2),
-      i => md5(concat_ws(" ", slice(tk, i, lit(3))).cast("binary"))))
+    when(size(tk) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(tk) - 2),
+        i => md5(concat_ws(" ", slice(tk, i, lit(3))).cast("binary")))))
+      .otherwise(array().cast("array<string>"))
 
   /** Portable shingle-set MinHash signature j: min over shingles of the
     * j-th 4-hex-char (16-bit) chunk of the shingle's md5. The 8 chunks of
@@ -54,9 +61,14 @@ object DedupQueries extends QueryPack {
   private def minhash(shingles: Column, j: Int): Column =
     array_min(transform(shingles, s => substring(s, 4 * j + 1, 4)))
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_distinct(concat(a, b)))
+  /** Exact Jaccard; two empty sets score 0.0 (not a divide-by-zero) so
+    * shingle-less short docs pair with nothing. Same guard in the oracle
+    * (coalesce + nullif) keeps engine parity on any corpus. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val denom = size(array_distinct(concat(a, b)))
+    when(denom === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / denom)
+  }
 
   override def queries: Map[String, Q] = Map(
     // Exact dedup: normalized-content hash -> group -> canonical id + copies.
@@ -85,10 +97,7 @@ object DedupQueries extends QueryPack {
       // consumed three times (band melt + both verification sides), and at
       // 100 TB it would be a persisted table built by the index job —
       // localCheckpoint is the single-job analog of that design.
-      val sh = corpus
-        // CPU-bound shingle/md5 work over a byte-small scan: spread it
-        // across all cores before computing, not after
-        .repartition(col("doc_id"))
+      val sh = spread(s, corpus, "doc_id")
         .withColumn("toks", toksOf(col("txt")))
         .select(col("doc_id"), shinglesFromToks(col("toks")).as("shingles"))
         .localCheckpoint()
@@ -122,8 +131,7 @@ object DedupQueries extends QueryPack {
         when(size(filter(col("h"), x => substring(x, p, 1).isInCollection(highNibbles)))
           * 2 > col("nt"), lit("1")).otherwise(lit("0"))
       }
-      t(s, dir, "documents")
-        .repartition(col("doc_id"))
+      spread(s, t(s, dir, "documents"), "doc_id")
         .withColumn("toks", toksOf(col("text")))
         .withColumn("h", transform(col("toks"), tk => md5(tk.cast("binary"))))
         .withColumn("nt", size(col("h")))
@@ -135,7 +143,7 @@ object DedupQueries extends QueryPack {
     // similar same-lang docs (blocked pairwise + bounded top-k aggregate).
     "dedup_jaccard_topk" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val sh = d.repartition(col("doc_id"))
+      val sh = spread(s, d, "doc_id")
         .withColumn("toks", toksOf(col("text")))
         .select(col("doc_id"), col("lang"), shinglesFromToks(col("toks")).as("shingles"))
         .localCheckpoint()
@@ -178,8 +186,8 @@ object DedupQueries extends QueryPack {
     def mh(j: Int) = s"list_min(list_transform(shingles, s -> substr(s, ${4 * j + 1}, 4)))"
     val sigBands = (0 until 4).map(b => s"${mh(2 * b)} || ${mh(2 * b + 1)} AS band$b")
       .mkString(", ")
-    val jacSql = "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / " +
-      "len(list_distinct(sa.shingles || sb.shingles))"
+    val jacSql = "coalesce(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / " +
+      "nullif(len(list_distinct(sa.shingles || sb.shingles)), 0), 0.0)"
 
     Map(
       "dedup_exact" ->
@@ -235,8 +243,8 @@ object DedupQueries extends QueryPack {
            |  SELECT doc_id, lang, $shDoc AS shingles FROM documents
            |), scored AS (
            |  SELECT p.doc_id AS q_id, d.doc_id,
-           |    ${round6(("CAST(len(list_intersect(d.shingles, p.shingles)) AS DOUBLE) / " +
-                "len(list_distinct(d.shingles || p.shingles))"))} AS jac
+           |    ${round6(("coalesce(CAST(len(list_intersect(d.shingles, p.shingles)) AS DOUBLE) / " +
+                "nullif(len(list_distinct(d.shingles || p.shingles)), 0), 0.0)"))} AS jac
            |  FROM sh p JOIN sh d ON p.lang = d.lang AND d.doc_id <> p.doc_id
            |  WHERE p.doc_id < 20
            |), ranked AS (

@@ -151,7 +151,7 @@ object EventQueries extends QueryPack {
       """WITH o AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s
+        |           OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         |), s AS (
@@ -197,7 +197,7 @@ object EventQueries extends QueryPack {
     },
     "events_json_props" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
         |  count(*) AS n
         |FROM events

@@ -109,7 +109,7 @@ object StoreQueries extends QueryPack {
          |FROM embeddings WHERE CAST(vec_id AS VARCHAR) IN ($batchKeysSql)
          |ORDER BY key""".stripMargin,
     "store_remove_batch" ->
-      s"""SELECT count(*) AS n_remaining, sum(label) AS label_sum
+      s"""SELECT count(*) AS n_remaining, CAST(sum(label) AS BIGINT) AS label_sum
          |FROM embeddings WHERE CAST(vec_id AS VARCHAR) NOT IN ($batchKeysSql)""".stripMargin,
     "store_upsert_keep_latest" ->
       """WITH unioned AS (

@@ -47,11 +47,11 @@ object TextQueries extends QueryPack {
     size(filter(toks, t => t.isInCollection(words)))
 
   // The raw documents file is small in bytes but the derived work (regex
-  // split + per-token hashing) is CPU-bound, so the byte-sized scan
-  // partitioning (1-2 tasks) starves the cluster; repartition by doc_id
-  // BEFORE the heavy projections to use every core.
+  // split + per-token hashing) is CPU-bound, so a byte-sized scan
+  // partitioning (1-2 tasks) starves the cluster; spread() repartitions
+  // BEFORE the heavy projections only when the scan is under-parallel.
   private def docs(s: SparkSession, dir: String): DataFrame =
-    withToks(t(s, dir, "documents").repartition(col("doc_id")))
+    withToks(spread(s, t(s, dir, "documents"), "doc_id"))
 
   override def queries: Map[String, Q] = Map(
     // Per-document token statistics.
@@ -174,7 +174,7 @@ object TextQueries extends QueryPack {
          |FROM tok ORDER BY doc_id""".stripMargin,
     "text_corpus_stats" ->
       s"""SELECT lang, source, count(*) AS n_docs,
-         |  sum(len($toksSql)) AS total_tokens,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
          |  ${graft.QueryPack.round6Sql(
             "CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / count(*)")} AS avg_chars
          |FROM documents

@@ -71,7 +71,7 @@ class MerkonStore(spark: SparkSession) {
     * catalog = spark.catalog temp views". */
   def registerViews(prefix: String = "merkon_"): Unit =
     collections.foreach { case (name, df) =>
-      df.createOrReplaceTempView(prefix + name.replaceAll("[^A-Za-z0-9_]", "_"))
+      df.createOrReplaceTempView(prefix + viewSafe(name))
     }
 
   // ---- Upsert (A9 / B3, B4) ----
@@ -249,10 +249,24 @@ class MerkonStore(spark: SparkSession) {
 object MerkonStore {
   private val SeqCol = "_seq"
 
-  /** Bijective path-safe encoding of a collection name (URL-encoding keeps
-    * '/', '..', and reserved names inert). */
+  /** Bijective path-safe encoding of a collection name. URL-encoding keeps
+    * '/' and reserved characters inert, but does NOT encode dots — a bare
+    * "." or ".." would resolve upward and clobber the store root — so every
+    * encoded name carries a fixed "c-" prefix: the result can never equal
+    * ".", "..", or any other special path component, and bijectivity is
+    * preserved (fixed prefix + injective encode). */
   private[store] def pathSafe(name: String): String =
-    java.net.URLEncoder.encode(name, "UTF-8")
+    "c-" + java.net.URLEncoder.encode(name, "UTF-8")
+
+  /** Bijective SQL-identifier encoding: alphanumerics pass through, every
+    * other character becomes `_<hex>_`. Distinct collection names can never
+    * collide ('_' itself is escaped to `_5f_`), unlike a lossy mangle-to-'_'
+    * which silently shadows one view with another. */
+  private[store] def viewSafe(name: String): String =
+    name.map {
+      case c if c.isLetterOrDigit && c < 128 => c.toString
+      case c => "_" + Integer.toHexString(c.toInt) + "_"
+    }.mkString
 
   /** The reference's `MemoryRecordMetadata` JSON shape
     * (MerkonMemoryStore.cs:232,247) as a typed struct. */

@@ -189,9 +189,39 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
     val st = newStore
     st.upsert("sql-coll", rec("k", text = "via-sql"))
     st.registerViews()
-    val got = spark.sql("SELECT metadata.text FROM merkon_sql_coll WHERE key = 'k'")
+    // '-' (0x2d) encodes bijectively as _2d_
+    val got = spark.sql("SELECT metadata.text FROM merkon_sql_2d_coll WHERE key = 'k'")
       .collect().head.getString(0)
     assert(got == "via-sql")
+  }
+
+  test("registerViews never collides distinct collection names") {
+    val st = newStore
+    // lossy mangling would map all three to the same view name merkon_a_b
+    st.upsert("a/b", rec("k", text = "slash"))
+    st.upsert("a.b", rec("k", text = "dot"))
+    st.upsert("a_b", rec("k", text = "underscore"))
+    st.registerViews()
+    def read(view: String) =
+      spark.sql(s"SELECT metadata.text FROM $view").collect().head.getString(0)
+    assert(read("merkon_a_2f_b") == "slash")
+    assert(read("merkon_a_2e_b") == "dot")
+    assert(read("merkon_a_5f_b") == "underscore")
+  }
+
+  test("collections named '.' and '..' cannot escape the store directory") {
+    val st = newStore
+    st.upsert(".", rec("k1", text = "dot"))
+    st.upsert("..", rec("k2", text = "dotdot"))
+    st.upsert("normal", rec("k3", text = "plain"))
+    val dir = java.nio.file.Files.createTempDirectory("merkon-store-dots").toString
+    st.save(dir)
+    val st2 = new MerkonStore(spark)
+    st2.load(dir) // a clobbered manifest would fail here
+    assert(st2.getCollections.toSet == Set(".", "..", "normal"))
+    assert(st2.get(".", "k1").count() == 1)
+    assert(st2.get("..", "k2").count() == 1)
+    assert(st2.get("normal", "k3").count() == 1)
   }
 
   test("compact preserves contents") {

@@ -5,8 +5,10 @@ Usage:  python3 tools/check_oracle.py <verify_out_dir> [sf_dir]
 
 Reads every <name>/ parquet dump produced by `graft.Verify`, runs the
 matching SQL from oracle_sql.json in DuckDB against the sf parquet tables,
-and compares: columns sorted by name, rows sorted by all columns, exact
-value match (NaN == NaN). Exit code = number of failing queries.
+and compares: columns sorted by name, dtypes (the driver hashes physical
+values, so an INT64-vs-HUGEINT drift fails there even when str(values)
+match — catch it locally), rows sorted by all columns, exact value match
+(NaN == NaN). Exit code = number of failing queries.
 """
 import json, math, sys, glob
 import duckdb
@@ -69,6 +71,24 @@ def main():
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}")
+            fails += 1
+            continue
+        # dtype gate: widths within a numeric family are benign (int32 vs
+        # int64 values hash equal driver-side), as are timestamp
+        # resolutions; cross-family drift — e.g. DuckDB HUGEINT surfacing
+        # as float64 against Spark's int64 — is the class of bug the
+        # driver's hash compare fails on even when str(values) match.
+        def dt(d):
+            s = str(d)
+            for fam in ("datetime64", "uint", "int", "float"):
+                if s.startswith(fam):
+                    return "int" if fam == "uint" else fam
+            return s
+        badtype = [(c, got[c].dtype, want[c].dtype) for c in got.columns
+                   if dt(got[c].dtype) != dt(want[c].dtype)]
+        if badtype:
+            c, g, w = badtype[0]
+            print(f"FAIL {name}: dtype col {c}: spark={g} duckdb={w}")
             fails += 1
             continue
         bad = None
