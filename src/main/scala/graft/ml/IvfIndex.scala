@@ -2,7 +2,7 @@ package graft.ml
 
 import graft.functions.VectorFunctions.{cosineSim, l2Norm}
 import graft.functions.TopKByScore
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -28,6 +28,9 @@ import org.apache.spark.sql.functions._
 class IvfIndex(nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L) {
   require(nProbe <= nCentroids)
 
+  /** Cache key of the build-time params (nProbe is search-time only). */
+  private[ml] def fingerprint: String = s"k$nCentroids-s$seed"
+
   /** id + original embedding + unit `features` vector (zero vectors dropped). */
   private def prepare(df: DataFrame, idCol: String, embCol: String): DataFrame = {
     val norm = l2Norm(col(embCol))
@@ -36,10 +39,7 @@ class IvfIndex(nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L) {
         array_to_vector(transform(col(embCol), x => x / norm)).as("features"))
   }
 
-  /** Built index: the fitted quantizer + the cell-assigned corpus. */
-  case class Built(model: KMeansModel, assigned: DataFrame, centroids: DataFrame)
-
-  def build(spark: SparkSession, corpus: DataFrame, idCol: String, embCol: String): Built = {
+  def build(spark: SparkSession, corpus: DataFrame, idCol: String, embCol: String): IvfIndex.Built = {
     val prepared = prepare(corpus, idCol, embCol)
     val model = new KMeans()
       .setK(nCentroids).setSeed(seed)
@@ -54,12 +54,12 @@ class IvfIndex(nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L) {
     val centroids = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
       .toDF("cell", "centroid")
-    Built(model, assigned, centroids)
+    IvfIndex.Built(assigned, centroids)
   }
 
   /** Top-k corpus neighbors by exact cosine for every query row, probing
     * nProbe cells per query. */
-  def search(built: Built, queries: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+  def search(built: IvfIndex.Built, queries: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
     val q = prepare(queries, idCol, embCol)
       .select(col("id").as("q_id"), col("emb").as("q_emb"))
     // route: query × broadcast(centroids) -> nProbe nearest cells per query
@@ -78,5 +78,63 @@ class IvfIndex(nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L) {
       .select(col("q_id"), posexplode(col("hits")))
       .select(col("q_id"), (col("pos") + 1).as("rank"),
         col("col.id").as("neighbor_id"), col("col.score").as("cos"))
+  }
+}
+
+object IvfIndex {
+
+  /** A built index: the cell-assigned corpus + the centroid routing table.
+    * Searchable whether just built or loaded from disk — the fitted KMeans
+    * model is build-time-only state and is NOT part of the searchable
+    * index (routing uses the centroid table). */
+  case class Built(assigned: DataFrame, centroids: DataFrame)
+
+  /** Persist a built index: the assigned corpus is written PARTITIONED BY
+    * cell — the on-disk analog of a bucketed index table, so a search
+    * probing nProbe cells prunes to those cell directories at scan time —
+    * plus the tiny centroid routing table. */
+  def save(built: Built, path: String): Unit = {
+    built.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    built.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+  }
+
+  def load(spark: SparkSession, path: String): Built =
+    Built(spark.read.parquet(s"$path/assigned"),
+      spark.read.parquet(s"$path/centroids"))
+
+  /**
+   * The index lifecycle a query path must use: load the prebuilt index
+   * for `sourcePath` if one exists, else build + persist it once.
+   * An iterative KMeans fit inside a registered query would re-run per
+   * execution — a scale-killer at 100 TB, where the index is maintained
+   * by an explicit index job and queries only ever read it.
+   *
+   * Staleness is keyed on a fingerprint of the source parquet files
+   * (name + length + mtime) and the quantizer params, so a regenerated
+   * corpus or changed index shape rebuilds instead of serving stale cells.
+   */
+  def openOrBuild(
+      spark: SparkSession,
+      ivf: IvfIndex,
+      sourcePath: String,
+      idCol: String,
+      embCol: String,
+      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf"): Built = {
+    val dir = new java.io.File(sourcePath)
+    val files = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq(dir))
+      .filter(_.isFile).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest((sourcePath +: files).mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val path = s"$cacheRoot/$key-${ivf.fingerprint}"
+    if (new java.io.File(s"$path/assigned/_SUCCESS").isFile) load(spark, path)
+    else {
+      val built = ivf.build(spark, spark.read.parquet(sourcePath), idCol, embCol)
+      save(built, path)
+      load(spark, path)
+    }
   }
 }

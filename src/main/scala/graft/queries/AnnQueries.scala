@@ -39,14 +39,49 @@ object AnnQueries extends QueryPack {
     // is uniform random (worst case for IVF — no cluster structure), so a
     // high probe fraction is needed for recall 0.9; real embedding corpora
     // cluster and probe far fewer cells.
+    //
+    // The KMeans fit NEVER runs in the query path: openOrBuild loads the
+    // prebuilt cell-partitioned index for this corpus (building and
+    // persisting it once on first use — the single-node analog of the
+    // explicit index job that maintains the IVF table at 100 TB).
     "ann_ivf_knn" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
       val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
-      val built = ivf.build(s, emb, "vec_id", "embedding")
-      ivf.search(built, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 3)
+      val built = IvfIndex.openOrBuild(s, ivf, s"$dir/embeddings.parquet",
+        "vec_id", "embedding")
+      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 20)
+      ivf.search(built, queries, "vec_id", "embedding", k = 3)
         .select(col("q_id"), col("rank"), col("neighbor_id"),
           round6(col("cos")).as("score"))
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Driver-visible ANN correctness: per-query recall of the LSH kNN join
+    // against the exact in-Spark top-k (same contract AnnRecallSpec pins
+    // in sbt). A recall regression flips `pass` to false in the dumped
+    // rows — reviewable without a SQL-expressible LSH oracle.
+    "ann_recall_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      val k = 3
+      val approx = new CosineLsh()
+        .knnJoin(corpus = emb, queries = q, idCol = "vec_id",
+          embCol = "embedding", k = k)
+        .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+      val qd = q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+      val exact = emb.crossJoin(broadcast(qd))
+        .select(col("q_id"), col("vec_id"),
+          graft.functions.VectorFunctions.cosineSim(col("embedding"), col("q_emb")).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+        .groupBy(col("q_id"))
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
+          .as("recall"))
+        .select(col("q_id"), round6(col("recall")).as("recall"),
+          (col("recall") >= 2.0 / k - 1e-9).as("pass"))
+        .orderBy(col("q_id"))
     })
   )
 

@@ -80,4 +80,32 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
       .select("q_id", "neighbor_id", "rank").collect()
     assert(r1.length == 1 && r1.head.getLong(1) == 5L)
   }
+
+  test("IVF persisted index searches identically to the freshly built one") {
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
+    val built = ivf.build(spark, emb, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rt").toString
+    IvfIndex.save(built, dir)
+    val loaded = IvfIndex.load(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    def res(b: IvfIndex.Built) =
+      ivf.search(b, q, "vec_id", "embedding", 3)
+        .select("q_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(res(loaded) == res(built))
+  }
+
+  test("IVF openOrBuild builds once, then loads the cached index") {
+    val cacheRoot = java.nio.file.Files.createTempDirectory("graft-ivf-cache").toString
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
+    val src = s"$sf0_001/embeddings.parquet"
+    IvfIndex.openOrBuild(spark, ivf, src, "vec_id", "embedding", cacheRoot)
+    val indexDirs = new java.io.File(cacheRoot).listFiles()
+    assert(indexDirs.length == 1)
+    val marker = new java.io.File(indexDirs.head, "assigned/_SUCCESS")
+    val stamp = marker.lastModified()
+    val again = IvfIndex.openOrBuild(spark, ivf, src, "vec_id", "embedding", cacheRoot)
+    assert(marker.lastModified() == stamp) // not rebuilt
+    assert(again.assigned.count() == emb.count())
+  }
 }
