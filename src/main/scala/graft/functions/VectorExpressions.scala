@@ -209,8 +209,15 @@ object VectorFunctions {
   def l2Distance(a: Column, b: Column): Column = c(L2Distance(e(a), e(b)))
   def l2Norm(a: Column): Column = c(L2Norm(e(a)))
 
-  /** Register as SQL functions (idempotent, per session). */
-  def register(spark: SparkSession): Unit = {
+  // once-per-session guard: createOrReplaceTempFunction on an already-
+  // registered name logs a "function replaced" warning per call, which
+  // turns repeated query execution (bench loops) into log noise
+  private val registeredSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register as SQL functions (idempotent, once per session). */
+  def register(spark: SparkSession): Unit = if (registeredSessions.add(spark)) {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "cosine_similarity", es => CosineSimilarity(es(0), es(1)), "built-in")

@@ -25,20 +25,72 @@ case class MediaFeatures(
 case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
 /**
- * ====== STUB CODECS ======
- * This container has no image/audio/video libraries, so the *decode*
- * step is a clearly-marked deterministic fake: where a real pipeline
- * would call an image decoder / resampler / frame demuxer, these
- * functions derive features from raw bytes. Everything AROUND the stub —
- * schema, binary columns, per-partition batch shape, explode plumbing,
- * partition-by-modality — is the real Spark design and is what the
- * specs test. Swapping in a real codec changes only these function
- * bodies.
+ * ====== CODECS ======
+ * The IMAGE path is real: PNG encode/decode through the JDK's
+ * `javax.imageio` (no external libraries), with features computed from
+ * actual decoded pixels. AUDIO and VIDEO remain clearly-marked
+ * deterministic stubs — this container has no resampler/demuxer
+ * libraries — deriving features from raw bytes where a real pipeline
+ * would decode. Everything AROUND the codecs — schema, binary columns,
+ * per-partition batch shape, explode plumbing, partition-by-modality —
+ * is the real Spark design and is what the specs test; swapping in a
+ * real audio/video codec changes only the stub bodies.
  */
 object MediaCodecs {
-  /** STUB for image/audio decode + feature extraction: a 16-bin byte
+  // raster-only AWT work; never touch a display
+  System.setProperty("java.awt.headless", "true")
+
+  /** Deterministic synthetic PNG: pixel (x, y) of media `id` is a fixed
+    * arithmetic function of (id, x, y), encoded through the real JDK PNG
+    * writer. Gives the image modality true decodable payloads without any
+    * media files in the container. */
+  def encodePng(id: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((id * 5 + x * 2 + y * 23) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL image decode (javax.imageio: PNG/BMP/JPEG/GIF) + feature
+    * extraction: a 16-bin luminance histogram over the decoded pixels,
+    * normalized by pixel count. Throws on undecodable bytes — an image
+    * row with a corrupt payload is a data error, not a feature. */
+  def decodeImageFeatures(bytes: Array[Byte]): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image payload (${bytes.length} bytes)")
+    val hist = new Array[Float](16)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        hist(lum >> 4) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (img.getWidth.toLong * img.getHeight).toFloat
+    hist.map(_ / n)
+  }
+
+  /** STUB for audio/video decode + feature extraction: a 16-bin byte
     * histogram normalized to a unit-ish vector. Deterministic in input
-    * bytes. A real implementation would decode pixels and run a model. */
+    * bytes. A real implementation would decode samples and run a model. */
   def decodeFeaturesStub(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     var i = 0
@@ -75,9 +127,13 @@ object MediaCodecs {
 object MultimodalOps {
 
   /** Derive a deterministic media table from `documents` (the container
-    * has no real media files; payload bytes are the document text — an
-    * arbitrary-but-real binary source shipped with the test data). */
-  def fromDocuments(docs: DataFrame): DataFrame =
+    * ships no media files). Image rows carry REAL PNG payloads — tiny
+    * synthetic rasters encoded through the JDK PNG writer, decodable by
+    * any image library; audio/video payloads are the document text bytes
+    * (an arbitrary-but-real binary source) consumed by the stub codecs. */
+  def fromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -88,8 +144,19 @@ object MultimodalOps {
       (col("n_chars") % 64 + 16).cast("int").as("width"),
       (col("n_chars") % 48 + 16).cast("int").as("height"),
       (col("n_chars") % 30 + 1).cast("int").as("n_frames"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // PNG encoder state is per-partition; only image rows pay encode
+        rows.map { r =>
+          if (r.modality == "image")
+            r.copy(content = MediaCodecs.encodePng(r.media_id, r.width, r.height))
+          else r
+        }
+      }
+      .toDF()
       // modality-partitioned layout: uniform codec work per partition
       .repartition(col("modality"))
+  }
 
   /** Batch feature extraction over the binary column. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
@@ -100,8 +167,11 @@ object MultimodalOps {
       .mapPartitions { rows =>
         // per-partition setup for a real codec/model would happen HERE, once
         rows.map { r =>
-          MediaFeatures(r.media_id, r.modality, r.content.length.toLong,
-            MediaCodecs.decodeFeaturesStub(r.content))
+          val features = r.modality match {
+            case "image" => MediaCodecs.decodeImageFeatures(r.content)
+            case _       => MediaCodecs.decodeFeaturesStub(r.content)
+          }
+          MediaFeatures(r.media_id, r.modality, r.content.length.toLong, features)
         }
       }
   }

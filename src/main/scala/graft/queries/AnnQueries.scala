@@ -17,7 +17,7 @@ object AnnQueries extends QueryPack {
 
   override def queries: Map[String, Q] = Map(
     // LSH-bucketed embedding near-dup pairs (approx analog of
-    // dedup_embedding_pairs).
+    // dedup_embedding_pairs_bruteforce).
     "ann_cosine_pairs" -> ((s, dir) =>
       new CosineLsh().similarPairs(
           t(s, dir, "embeddings"), "vec_id", "embedding", minCos = 0.4)

@@ -28,8 +28,9 @@ import org.apache.spark.sql.functions._
  *  - dedup_simhash is map-only per document;
  *  - dedup_jaccard_topk bounds pairwise work by blocking (same lang) and
  *    keeps top-k via the bounded TopKByScore partial aggregate;
- *  - dedup_embedding_pairs is the brute-force baseline kept for oracle
- *    verification; its scale path is the LSH/IVF module in graft.ml.
+ *  - dedup_embedding_pairs_bruteforce is the all-pairs baseline kept ONLY
+ *    for oracle verification and is fenced as such — see its scaladoc; the
+ *    scale path is the LSH/IVF module in graft.ml.
  */
 object DedupQueries extends QueryPack {
 
@@ -162,9 +163,13 @@ object DedupQueries extends QueryPack {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // Embedding-cosine near-dup pairs (brute-force oracle baseline; the
-    // bucketed scale path lives in graft.ml LSH/IVF).
-    "dedup_embedding_pairs" -> ((s, dir) => {
+    // ==== FENCED: O(N^2) baseline — never lift into a pipeline. ====
+    // Embedding-cosine near-dup pairs as an all-pairs nested-loop join,
+    // kept ONLY because an exact pair set is DuckDB-oracle-checkable and
+    // anchors the LSH recall specs. The production path at any real scale
+    // is graft.ml.CosineLsh.similarPairs (bucketed, recall-pinned), run
+    // by ann_cosine_pairs. The _bruteforce suffix is the fence.
+    "dedup_embedding_pairs_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("a_id"), col("embedding").as("emb_a"))
       val b = e.select(col("vec_id").as("b_id"), col("embedding").as("emb_b"))
@@ -255,7 +260,7 @@ object DedupQueries extends QueryPack {
            |SELECT q_id, rank, doc_id, jac FROM ranked WHERE rank <= 3
            |ORDER BY q_id, rank""".stripMargin
       },
-      "dedup_embedding_pairs" -> {
+      "dedup_embedding_pairs_bruteforce" -> {
         val cos = "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
           "CAST(b.embedding AS DOUBLE[]))"
         s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${round6(cos)} AS score

@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /**
- * Multimodal pipeline surface (rows-only driver check — the decode step
- * is a documented stub, see [[graft.multimodal.MediaCodecs]], so there is
- * no SQL oracle; component correctness is pinned by MultimodalSpec).
+ * Multimodal pipeline surface (rows-only driver check — image decode is
+ * real javax.imageio pixel work with no SQL-expressible oracle, and the
+ * audio/video decode is a documented stub, see
+ * [[graft.multimodal.MediaCodecs]]; component correctness is pinned by
+ * MultimodalSpec).
  */
 object MultimodalQueries extends QueryPack {
 

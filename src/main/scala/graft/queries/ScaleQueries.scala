@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
  *    reassociable), so the DuckDB oracle is the plain GROUP BY — the
  *    pattern is verified, not just demonstrated. The salt is
  *    deterministic (hash of event_id) so runs are reproducible.
- *  - `events_distinct_users_approx`: HyperLogLog++ distinct counts
- *    (approx_count_distinct) next to exact ones; the spec pins relative
- *    error <= 5% (the configured rsd), and the oracle checks the exact
- *    column — a sketch result has no cross-engine oracle.
+ *  - `events_distinct_users_exact`: exact distinct counts, fully
+ *    oracle-checked (one expand-free distinct aggregation);
+ *  - `events_distinct_users_approx`: the HyperLogLog++ sketch variant
+ *    (approx_count_distinct, the 100 TB path — fixed-size sketch state
+ *    instead of a per-key distinct set). Sketch values are
+ *    engine-specific so the driver check is rows-only; ApproxDistinctSpec
+ *    pins relative error <= 5% (the configured rsd) against the exact
+ *    query.
  */
 object ScaleQueries extends QueryPack {
 
@@ -37,12 +41,16 @@ object ScaleQueries extends QueryPack {
           sum(col("partial_v")).cast("double").as("total_value"))
         .orderBy(col("user_id"))),
 
+    "events_distinct_users_exact" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type"))),
+
     "events_distinct_users_approx" -> ((s, dir) =>
       events(s, dir)
         .groupBy(col("event_type"))
-        .agg(
-          approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"),
-          count_distinct(col("user_id")).as("exact_users"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"))
         .orderBy(col("event_type")))
   )
 
@@ -50,7 +58,10 @@ object ScaleQueries extends QueryPack {
     "events_salted_user_counts" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_distinct_users_exact" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     // events_distinct_users_approx: no oracle (HLL sketch values are
     // engine-specific); ApproxDistinctSpec pins the error bound.
   )

@@ -42,11 +42,57 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val feats = MultimodalOps.extractFeatures(media).collect()
     assert(feats.length == 30)
     assert(feats.forall(_.features.length == 16))
-    // n_bytes matches the payload (text length in bytes)
+    // audio/video n_bytes matches the stub payload (text length in bytes);
+    // image payloads are real PNGs, so n_bytes is the encoded size
     val lens = docs.filter(col("doc_id") < 30)
       .select(col("doc_id"), length(col("text")).cast("long").as("len")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(feats.forall(f => f.n_bytes == lens(f.media_id)))
+    assert(feats.filter(_.modality != "image").forall(f => f.n_bytes == lens(f.media_id)))
+    assert(feats.filter(_.modality == "image").forall(_.n_bytes > 0))
+  }
+
+  test("encodePng produces a real PNG the JDK decoder round-trips") {
+    val bytes = MediaCodecs.encodePng(id = 7, width = 20, height = 12)
+    // PNG magic
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == 20 && img.getHeight == 12)
+    // deterministic: same args -> same bytes
+    assert(bytes.sameElements(MediaCodecs.encodePng(7, 20, 12)))
+  }
+
+  test("decodeImageFeatures computes the histogram of the DECODED pixels") {
+    // 2x1 image: one black pixel (lum 0 -> bin 0), one white (lum 255 -> bin 15)
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000)
+    img.setRGB(1, 0, 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val f = MediaCodecs.decodeImageFeatures(out.toByteArray)
+    assert(f(0) == 0.5f && f(15) == 0.5f)
+    assert(f.sum == 1.0f)
+    // the BYTE histogram of the encoded file would look nothing like this —
+    // proves features come from decoded pixels, not payload bytes
+    assert(!f.sameElements(MediaCodecs.decodeFeaturesStub(out.toByteArray)))
+  }
+
+  test("decodeImageFeatures rejects undecodable payloads") {
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodeImageFeatures("not an image".getBytes("UTF-8"))
+    }
+  }
+
+  test("image rows flow real pixel features through the query path") {
+    val media = MultimodalOps.fromDocuments(docs.filter(col("doc_id") < 9))
+    val imgFeats = MultimodalOps.extractFeatures(media)
+      .filter(_.modality == "image").collect()
+    assert(imgFeats.nonEmpty)
+    val contents = media.filter(col("modality") === "image")
+      .select("media_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    imgFeats.foreach { f =>
+      assert(f.features.sameElements(MediaCodecs.decodeImageFeatures(contents(f.media_id))))
+    }
   }
 
   test("sampleFrames: only video rows, frame_idx dense from 0") {

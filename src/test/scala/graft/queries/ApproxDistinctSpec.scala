@@ -4,17 +4,19 @@ import graft.SparkTestBase
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The HLL sketch has no cross-engine oracle; pin its error bound vs the
-  * exact distinct count instead. */
+  * exact distinct query (which IS oracle-checked) instead. */
 class ApproxDistinctSpec extends AnyFunSuite with SparkTestBase {
   test("approx_count_distinct within 5% of exact per group") {
-    val rows = ScaleQueries.queries("events_distinct_users_approx")(spark, sf0_001)
-      .collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val (approx, exact) = (r.getLong(1), r.getLong(2))
-      assert(exact > 0)
-      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
-        s"${r.getString(0)}: approx=$approx exact=$exact")
+    val exact = ScaleQueries.queries("events_distinct_users_exact")(spark, sf0_001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = ScaleQueries.queries("events_distinct_users_approx")(spark, sf0_001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty && exact.keySet == approx.keySet)
+    exact.foreach { case (group, ex) =>
+      assert(ex > 0)
+      val ap = approx(group)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05,
+        s"$group: approx=$ap exact=$ex")
     }
   }
 }

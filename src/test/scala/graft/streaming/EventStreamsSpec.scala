@@ -69,6 +69,39 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       s"only ${streamed.size} of ${batch.size} sessions emitted")
   }
 
+  test("watermark drops events older than the horizon in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, ts: String) =
+      Event(id, java.sql.Timestamp.valueOf(ts), user_id = 1L, "click", 1.0, "{}")
+
+    val input = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(input.toDS().toDF(),
+        window = "1 hour", watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("wm_drop")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: window 10:00 gets one event; 12:30 advances the
+      // watermark to 12:20, past 11:00, so window 10:00 closes with n=1
+      input.addData(ev(1, "2026-01-01 10:05:00"), ev(2, "2026-01-01 12:30:00"))
+      q.processAllAvailable()
+      // batch 2: event 3 is BEHIND the 12:20 watermark -> must be dropped;
+      // event 4 is on time for the open 12:00 window; event 5 advances the
+      // watermark to 13:50, closing window 12:00 with n=2 (events 2+4)
+      input.addData(ev(3, "2026-01-01 10:10:00"), ev(4, "2026-01-01 12:40:00"),
+        ev(5, "2026-01-01 14:00:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val emitted = spark.table("wm_drop")
+      .select(date_format(col("w_start"), "HH:mm").as("w"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the late event changed nothing: 10:00 emitted once with n=1, and the
+    // on-time batch-2 event DID count (12:00 has n=2), so the late drop is
+    // the watermark, not a stalled batch
+    assert(emitted == Map("10:00" -> 1L, "12:00" -> 2L))
+  }
+
   test("userRunningTotals: final mapGroupsWithState state == batch totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
