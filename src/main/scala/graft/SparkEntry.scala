@@ -15,7 +15,8 @@ object SparkEntry {
     DedupQueries,
     AnnQueries,
     MultimodalQueries,
-    ScaleQueries
+    ScaleQueries,
+    CurationQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

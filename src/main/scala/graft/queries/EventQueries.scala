@@ -116,6 +116,19 @@ object EventQueries extends QueryPack {
           round6(expr("percentile(value, 0.99)")).as("p99"))
         .orderBy(col("event_type"))),
 
+    // Pivot: per-user event-type counts as columns. The value list is
+    // explicit (the 5 known event types), so Spark skips the extra
+    // distinct-values job a blind pivot() would run — at 100 TB that
+    // pre-pass is a full shuffle you never want implicitly.
+    "events_pivot_user_type" -> ((s, dir) =>
+      events(s, dir)
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))),
+
     // Schemaless metadata: extract props.k (arbitrary JSON, the analog of
     // the reference's additional_metadata JSON, MerkonMemoryStore.cs:232).
     "events_json_props" -> ((s, dir) =>
@@ -195,6 +208,15 @@ object EventQueries extends QueryPack {
       s"""SELECT event_type, ${q("0.5", "p50")}, ${q("0.9", "p90")}, ${q("0.99", "p99")}
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+    "events_pivot_user_type" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events WHERE user_id < 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_json_props" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

@@ -83,6 +83,16 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // CUBE: all 2^2 grouping-set combinations in one pass (ROLLUP's
+    // superset — adds the linestatus-only marginals). Same partial-agg
+    // shape; Spark expands the grouping sets before the single shuffle.
+    "q_cube_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
     // Running window aggregate: per-customer cumulative order total in
     // date order. One shuffle on the partition key; the frame is the
     // default UNBOUNDED PRECEDING..CURRENT ROW.
@@ -147,6 +157,13 @@ object RelationalQueries extends QueryPack {
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_running_order_total" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,

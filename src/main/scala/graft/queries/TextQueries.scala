@@ -112,6 +112,43 @@ object TextQueries extends QueryPack {
             .as("min_shingle_fp"))
         .orderBy(col("doc_id"))),
 
+    // PII scrubbing: redact emails and phone-shaped digit runs, count
+    // redactions, fingerprint the scrubbed text. The corpus is synthetic
+    // (no real PII), so each doc is deterministically augmented with one
+    // email and one phone BEFORE scrubbing — the operator then provably
+    // finds and removes them. Map-only regex work, no UDFs; patterns stay
+    // in the Java/RE2 common subset (no lookahead/backrefs) so the oracle
+    // evaluates them identically.
+    "text_pii_scrub" -> ((s, dir) => {
+      val aug = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 555-123-"), col("doc_id"))
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "[0-9]{3}-[0-9]{3}-[0-9]+"
+      t(s, dir, "documents")
+        .withColumn("aug", aug)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("aug"), lit(email), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(phone), lit(0))).as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("aug"), email, "<EMAIL>"),
+            phone, "<PHONE>").cast("binary")).as("scrubbed_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE-ish subword counting: a GPT-2-style pre-tokenizer regex
+    // (letter runs | single digits | punctuation runs), restricted to the
+    // Java/RE2 common subset. chars-per-token is the compression-ratio
+    // proxy quality filters threshold on.
+    "text_bpe_token_count" -> ((s, dir) => {
+      val bpe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+      val n = size(regexp_extract_all(trim(col("text")), lit(bpe), lit(0)))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          n.as("n_bpe_tokens"),
+          round6(when(n === 0, 0.0)
+            .otherwise(length(col("text")).cast("double") / n)).as("chars_per_token"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus rollup per (lang, source): partial-agg friendly single shuffle.
     "text_corpus_stats" -> ((s, dir) =>
       docs(s, dir)
@@ -172,6 +209,27 @@ object TextQueries extends QueryPack {
          |      i -> md5(array_to_string(toks[i:i+4], ' '))))
          |  ELSE NULL END AS min_shingle_fp
          |FROM tok ORDER BY doc_id""".stripMargin,
+    "text_pii_scrub" -> {
+      val aug = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com or 555-123-' || CAST(doc_id AS VARCHAR)"
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "[0-9]{3}-[0-9]{3}-[0-9]+"
+      s"""WITH a AS (SELECT doc_id, $aug AS aug FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(aug, '$email')) AS n_emails,
+         |  len(regexp_extract_all(aug, '$phone')) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(aug, '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g')) AS scrubbed_fp
+         |FROM a ORDER BY doc_id""".stripMargin
+    },
+    "text_bpe_token_count" -> {
+      val n = "len(regexp_extract_all(trim(text), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+'))"
+      s"""SELECT doc_id,
+         |  $n AS n_bpe_tokens,
+         |  ${graft.QueryPack.round6Sql(
+          s"CASE WHEN $n = 0 THEN 0.0 ELSE CAST(length(text) AS DOUBLE) / $n END")} AS chars_per_token
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "text_corpus_stats" ->
       s"""SELECT lang, source, count(*) AS n_docs,
          |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,

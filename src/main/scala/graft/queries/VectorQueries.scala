@@ -77,6 +77,28 @@ object VectorQueries extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // Scalar int8 quantization — the embedding-compression step a 100 TB
+    // vector store runs before indexing (4x smaller, dot products in
+    // int8). Per-vector symmetric scale (127/max|x|), round-half-up,
+    // clamp; emits the quantized checksum and the max reconstruction
+    // error. All codegen'd HOFs over materialized columns (each array is
+    // computed once per row, not once per lambda element).
+    "embedding_quantize_int8" -> ((s, dir) => {
+      val prep = t(s, dir, "embeddings")
+        .withColumn("emb_d", transform(col("embedding"), x => x.cast("double")))
+        .withColumn("maxabs", array_max(transform(col("emb_d"), x => abs(x))))
+        .filter(col("maxabs") > 0)
+        .withColumn("scale", lit(127.0) / col("maxabs"))
+        .withColumn("q", transform(col("emb_d"),
+          x => greatest(lit(-127.0), least(lit(127.0), floor(x * col("scale") + 0.5)))))
+      prep.select(col("vec_id"),
+          round6(col("maxabs")).as("max_abs"),
+          aggregate(col("q"), lit(0.0), (acc, x) => acc + x).cast("long").as("q_sum"),
+          round6(array_max(zip_with(col("emb_d"), col("q"),
+            (a, b) => abs(a - b / col("scale"))))).as("max_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     // The same flagship kNN expressed through the SQL surface (the
     // session extension / register() path) — proves the library is usable
     // from pure SQL, not just the Scala DSL.
@@ -121,6 +143,26 @@ object VectorQueries extends QueryPack {
     "knn_topk_sql" ->
       s"""WITH scored AS (${oracleScored(0)})
          |SELECT vec_id, score FROM scored WHERE score >= 0.0
-         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    "embedding_quantize_int8" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      s"""WITH prep AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |), m AS (
+         |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs
+         |  FROM prep
+         |), sc AS (
+         |  SELECT vec_id, e, maxabs, 127.0 / maxabs AS scale FROM m WHERE maxabs > 0
+         |), qq AS (
+         |  SELECT vec_id, e, maxabs, scale,
+         |    list_transform(e, x -> greatest(-127.0, least(127.0, floor(x * scale + 0.5)))) AS q
+         |  FROM sc
+         |)
+         |SELECT vec_id,
+         |  ${r6("maxabs")} AS max_abs,
+         |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+         |  ${r6("list_max(list_transform(range(1, len(e) + 1), i -> abs(e[i] - q[i] / scale)))")} AS max_err
+         |FROM qq ORDER BY vec_id""".stripMargin
+    }
   )
 }
