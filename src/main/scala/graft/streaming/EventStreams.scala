@@ -77,6 +77,17 @@ object EventStreams {
       }
   }
 
+  /** Streaming exactly-once dedup by event_id: dropDuplicates keyed on id
+    * with the state bounded by the event-time watermark — the streaming
+    * half of the dedup family (at-least-once sources re-deliver; this
+    * collapses re-deliveries inside the watermark horizon while keeping
+    * state finite, the only way streaming dedup survives at 100 TB/day).
+    * Same call works in batch (global dedup) — unified-API parity is
+    * pinned by EventStreamsSpec. */
+  def dedupById(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id", "ts")
+
   /** Batch reference for [[userRunningTotals]]' final state. */
   def userTotalsBatch(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"))

@@ -102,6 +102,36 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(emitted == Map("10:00" -> 1L, "12:00" -> 2L))
   }
 
+  test("dedupById collapses re-deliveries across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, ts: String) =
+      Event(id, java.sql.Timestamp.valueOf(ts), 1L, "click", 1.0, "{}")
+
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupById(input.toDS().toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(ev(1, "2026-01-01 10:00:00"), ev(2, "2026-01-01 10:01:00"),
+        ev(1, "2026-01-01 10:00:00")) // dup within the batch
+      q.processAllAvailable()
+      input.addData(ev(1, "2026-01-01 10:00:00"), // re-delivery across batches
+        ev(3, "2026-01-01 10:02:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = spark.table("dedup_stream").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)))
+
+    // unified API: the same transform on a batch frame is a global dedup
+    val batchDeduped = EventStreams.dedupById(
+      Seq(ev(1, "2026-01-01 10:00:00"), ev(1, "2026-01-01 10:00:00"),
+        ev(2, "2026-01-01 10:01:00")).toDS().toDF())
+    assert(batchDeduped.count() == 2)
+  }
+
   test("userRunningTotals: final mapGroupsWithState state == batch totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
