@@ -116,7 +116,41 @@ object RelationalQueries extends QueryPack {
         .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
-    })
+    }),
+
+    // Set operators: INTERSECT / EXCEPT over two derived key sets (urgent
+    // customers vs customers with returned items). Spark plans both as
+    // hash semi/anti joins after distinct — one shuffle each, no sort.
+    "q_set_ops" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("cust"))
+      val returners = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"))
+      val both = urgent.intersect(returners)
+      val urgentOnly = urgent.except(returners)
+      import s.implicits._
+      both.agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), col("n"))
+        .unionByName(urgentOnly.agg(count(lit(1)).as("n"))
+          .select(lit("except").as("op"), col("n")))
+        .orderBy(col("op"))
+    }),
+
+    // Date dimension math: fiscal rollup by (year, quarter) with day
+    // arithmetic — all codegen'd date intrinsics, no UDFs.
+    "q_orders_by_quarter" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          datediff(to_date(lit("1998-12-31")), col("o_orderdate").cast("date"))
+            .as("days_to_cutoff"),
+          dec(col("o_totalprice")).as("price"))
+        .groupBy(col("yr"), col("qtr"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("days_to_cutoff")).as("total_days"),
+          sum(col("price")).cast("double").as("revenue"))
+        .orderBy(col("yr"), col("qtr")))
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -175,6 +209,27 @@ object RelationalQueries extends QueryPack {
     "q_urgent_customers" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q_set_ops" ->
+      """WITH urgent AS (
+        |  SELECT o_custkey AS cust FROM orders WHERE o_orderpriority = '1-URGENT'
+        |), returners AS (
+        |  SELECT o_custkey AS cust FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |)
+        |SELECT 'intersect' AS op, count(*) AS n FROM
+        |  (SELECT cust FROM urgent INTERSECT SELECT cust FROM returners)
+        |UNION ALL
+        |SELECT 'except' AS op, count(*) AS n FROM
+        |  (SELECT cust FROM urgent EXCEPT SELECT cust FROM returners)
+        |ORDER BY op""".stripMargin,
+    "q_orders_by_quarter" ->
+      """SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+        |  count(*) AS n_orders,
+        |  CAST(sum(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')) AS BIGINT) AS total_days,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY yr, qtr ORDER BY yr, qtr""".stripMargin
   )
 }
