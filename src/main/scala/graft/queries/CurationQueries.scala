@@ -54,6 +54,45 @@ object CurationQueries extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // The composed curation pipeline — the end-to-end shape this library
+    // exists for, as ONE declarative plan Catalyst optimizes whole:
+    //   quality filter -> exact dedup (keep canonical) -> hash-gate
+    //   sample -> per-lang corpus stats.
+    // Everything is map-side until the dedup window's single shuffle on
+    // the content fingerprint, then one partial-agg shuffle for the
+    // rollup. No intermediate materialization: at 100 TB the stages fuse
+    // into two exchanges total.
+    "pipeline_curate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = col("toks")
+      val nTokens = size(tk).cast("double")
+      val stops = Seq("the", "a", "and", "of", "to", "in")
+      val stopRatio = size(filter(tk, t => t.isInCollection(stops))).cast("double") / nTokens
+      val meanLen = length(array_join(tk, "")).cast("double") / nTokens
+      // rounded to 6dp at the row level so the decimal-summed average is
+      // exact and order-independent (avg over raw doubles is neither)
+      val quality = round6(least(nTokens / 200.0, lit(1.0)) * 0.5 +
+        least(stopRatio * 5.0, lit(1.0)) * 0.3 +
+        least(meanLen / 8.0, lit(1.0)) * 0.2)
+      val w = Window.partitionBy("fp").orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .withColumn("quality", quality)
+        .filter(col("quality") >= 0.35)
+        .withColumn("fp",
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1) // canonical copy only
+        .filter(substring(md5(concat(lit("cur"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 1) < "8") // deterministic 50% gate
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast("long")).as("total_tokens"),
+          round6(sum(col("quality").cast(DecimalType(9, 6))).cast("double") /
+            count(lit(1))).as("avg_quality"))
+        .orderBy(col("lang"))
+    }),
+
     // Train/eval contamination: eval = every 10th doc by id; train = the
     // rest PLUS re-keyed copies of every 20th doc (synthesized leakage,
     // same construction as dedup_exact). A train doc leaks iff its
@@ -91,6 +130,38 @@ object CurationQueries extends QueryPack {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents
         |GROUP BY source ORDER BY source""".stripMargin,
+    "pipeline_curate" -> {
+      val toksSql = "string_split_regex(trim(text), '\\s+')"
+      val n = s"CAST(len(toks) AS DOUBLE)"
+      val stopRatio = "(CAST(len(list_filter(toks, t -> t IN " +
+        "('the','a','and','of','to','in'))) AS DOUBLE) / " + n + ")"
+      val meanLen = s"(CAST(length(array_to_string(toks, '')) AS DOUBLE) / $n)"
+      val q = graft.QueryPack.round6Sql(
+        s"least($n / 200.0, 1.0) * 0.5 + least($stopRatio * 5.0, 1.0) * 0.3 + " +
+          s"least($meanLen / 8.0, 1.0) * 0.2")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, $toksSql AS toks,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |    text
+         |  FROM documents
+         |), quality AS (
+         |  SELECT doc_id, lang, toks, fp, $q AS quality FROM scored
+         |), kept AS (
+         |  SELECT * FROM quality WHERE quality >= 0.35
+         |), canon AS (
+         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM kept
+         |), sampled AS (
+         |  SELECT * FROM canon WHERE rn = 1
+         |    AND substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+         |)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+         |  ${graft.QueryPack.round6Sql(
+            "CAST(sum(CAST(quality AS DECIMAL(9,6))) AS DOUBLE) / count(*)")} AS avg_quality
+         |FROM sampled
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "corpus_train_eval_overlap" ->
       """WITH normed AS (
         |  SELECT doc_id, lang,

@@ -116,6 +116,25 @@ object EventQueries extends QueryPack {
           round6(expr("percentile(value, 0.99)")).as("p99"))
         .orderBy(col("event_type"))),
 
+    // Navigation window functions: lag/lead/ntile over each user's event
+    // history — the per-entity sequence features (time-since-last,
+    // next-event lookahead, activity quartile) a behavioral pipeline
+    // derives. One shuffle on user_id shared by all three functions
+    // (same window spec => same Exchange).
+    "events_user_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .filter(col("user_id") < 20)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (unix_timestamp(col("ts")) -
+            unix_timestamp(lag(col("ts"), 1).over(w))).as("secs_since_prev"),
+          lag(col("event_id"), 1).over(w).as("prev_event_id"),
+          lead(col("event_id"), 1).over(w).as("next_event_id"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("event_id"))
+    }),
+
     // Pivot: per-user event-type counts as columns. The value list is
     // explicit (the 5 known event types), so Spark skips the extra
     // distinct-values job a blind pivot() would run — at 100 TB that
@@ -208,6 +227,16 @@ object EventQueries extends QueryPack {
       s"""SELECT event_type, ${q("0.5", "p50")}, ${q("0.9", "p90")}, ${q("0.99", "p99")}
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+    "events_user_lag" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(epoch(date_trunc('second', ts)) -
+        |    epoch(date_trunc('second', lag(ts, 1) OVER w)) AS BIGINT) AS secs_since_prev,
+        |  lag(event_id, 1) OVER w AS prev_event_id,
+        |  lead(event_id, 1) OVER w AS next_event_id,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM events WHERE user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
     "events_pivot_user_type" ->
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,
