@@ -209,6 +209,22 @@ class MerkonStore(spark: SparkSession) {
     }
   }
 
+  /** Continuous ingest: upsert every micro-batch of a streaming source
+    * into the collection (foreachBatch reuses the batch LWW upsert — the
+    * unified-API path, so streaming ingest has exactly the batch
+    * semantics, keyed per micro-batch arrival order). Micro-batches apply
+    * sequentially on the stream execution thread; concurrent driver-side
+    * mutation of the same collection is the caller's hazard, as with any
+    * foreachBatch sink. */
+  def streamingUpsert(
+      name: String,
+      records: DataFrame,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = records.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => upsertBatch(name, batch) }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
+
   /** Truncate the union-of-upserts plan lineage without moving data to the
     * driver (the 100 TB analog is a periodic compaction job rewriting the
     * partitioned parquet table). */

@@ -77,6 +77,31 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each error joined to same-user clicks
+    * landing within `gapSeconds` after it (the streaming form of the
+    * batch `events_range_join`). Both sides carry watermarks and the join
+    * condition bounds event time in both directions, so Spark can expire
+    * join state — the requirement for a stream-stream join to run with
+    * finite memory at 100 TB/day. The same call on batch frames is a
+    * plain inner join with the identical semantics (parity-pinned). */
+  def errorClickJoin(events: DataFrame, gapSeconds: Long = 600,
+      watermark: String = "30 minutes"): DataFrame = {
+    val errors = events.withWatermark("ts", watermark)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+    val clicks = events.withWatermark("ts", watermark)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    errors.join(clicks,
+        col("err_user") === col("click_user") &&
+          col("click_ts") > col("err_ts") &&
+          col("click_ts") <= col("err_ts") + expr(s"INTERVAL $gapSeconds SECOND"))
+      .select(col("err_id"), col("click_id"), col("err_user").as("user_id"),
+        col("err_ts"), col("click_ts"))
+  }
+
   /** Streaming exactly-once dedup by event_id: dropDuplicates keyed on id
     * with the state bounded by the event-time watermark — the streaming
     * half of the dedup family (at-least-once sources re-deliver; this

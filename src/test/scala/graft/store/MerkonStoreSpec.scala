@@ -224,6 +224,23 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(st2.get("normal", "k3").count() == 1)
   }
 
+  test("streamingUpsert ingests micro-batches with LWW semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val st = newStore
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[MemoryRecord]
+    val q = st.streamingUpsert("stream-coll", input.toDS().toDF())
+    try {
+      input.addData(rec("a", text = "v1"), rec("b", text = "b1"))
+      q.processAllAvailable()
+      input.addData(rec("a", text = "v2")) // later micro-batch wins
+      q.processAllAvailable()
+    } finally q.stop()
+    val byKey = st.getAll("stream-coll").select("key", "metadata.text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byKey == Map("a" -> "v2", "b" -> "b1"))
+  }
+
   test("compact preserves contents") {
     val st = newStore
     import spark.implicits._

@@ -102,6 +102,22 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(emitted == Map("10:00" -> 1L, "12:00" -> 2L))
   }
 
+  test("errorClickJoin: stream-stream interval join == batch join") {
+    val q = EventStreams.errorClickJoin(streamEvents)
+      .writeStream.format("memory").queryName("ss_join_parity")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ss_join_parity")
+      .select("err_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val batch = EventStreams.errorClickJoin(batchEvents)
+      .select("err_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("dedupById collapses re-deliveries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
