@@ -56,7 +56,13 @@ class CosineLsh(
    * bucket only. No O(N^2) pair space.
    */
   def similarPairs(df: DataFrame, idCol: String, embCol: String, minCos: Double): DataFrame = {
-    val prepared = prepare(df, idCol, embCol)
+    // materialize the normalized vectors once: the self-join consumes the
+    // prepared table TWICE (probe + build), and without the checkpoint
+    // each side re-normalizes and re-hashes the full corpus — at scale
+    // the prepared+hashed table is a persisted index artifact, and
+    // localCheckpoint is its single-job analog (same reasoning as the
+    // MinHash signature table in DedupQueries)
+    val prepared = prepare(df, idCol, embCol).localCheckpoint()
     val model = fit(prepared)
     model.approxSimilarityJoin(prepared, prepared, distFor(minCos), "dist")
       .select(col("datasetA.id").as("a_id"), col("datasetB.id").as("b_id"),
