@@ -60,7 +60,6 @@ object AnnQueries extends QueryPack {
     // in sbt). A recall regression flips `pass` to false in the dumped
     // rows — reviewable without a SQL-expressible LSH oracle.
     "ann_recall_audit" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 20)
       val k = 3
@@ -69,12 +68,15 @@ object AnnQueries extends QueryPack {
           embCol = "embedding", k = k)
         .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
       val qd = q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+      // exact side via the bounded partial-agg top-k (same tie-break as a
+      // row_number window — score desc, id asc — but only partitions×k
+      // candidate rows per query cross the shuffle, never corpus×|Q|)
       val exact = emb.crossJoin(broadcast(qd))
         .select(col("q_id"), col("vec_id"),
           graft.functions.VectorFunctions.cosineSim(col("embedding"), col("q_emb")).as("cos"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+        .groupBy(col("q_id"))
+        .agg(graft.functions.TopKByScore(k)(col("cos"), col("vec_id")).as("hits"))
+        .select(col("q_id"), explode(col("hits.id")).as("neighbor_id"))
       exact.join(approx, Seq("q_id", "neighbor_id"), "left")
         .groupBy(col("q_id"))
         .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
