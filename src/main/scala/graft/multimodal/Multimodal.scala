@@ -27,14 +27,16 @@ case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 /**
  * ====== CODECS ======
  * The IMAGE path is real: PNG encode/decode through the JDK's
- * `javax.imageio` (no external libraries), with features computed from
- * actual decoded pixels. AUDIO and VIDEO remain clearly-marked
- * deterministic stubs — this container has no resampler/demuxer
- * libraries — deriving features from raw bytes where a real pipeline
- * would decode. Everything AROUND the codecs — schema, binary columns,
- * per-partition batch shape, explode plumbing, partition-by-modality —
- * is the real Spark design and is what the specs test; swapping in a
- * real audio/video codec changes only the stub bodies.
+ * `javax.imageio` (no external libraries), features from actual decoded
+ * pixels. The AUDIO path is real too: WAV (PCM) encode/decode through
+ * the JDK's `javax.sound.sampled`, features from actual decoded samples.
+ * Only VIDEO remains a clearly-marked deterministic stub — the JDK ships
+ * no video demuxer and this container has no codec libraries — deriving
+ * features from raw bytes where a real pipeline would decode. Everything
+ * AROUND the codecs — schema, binary columns, per-partition batch shape,
+ * explode plumbing, partition-by-modality — is the real Spark design and
+ * is what the specs test; swapping in a real video codec changes only
+ * the stub body.
  */
 object MediaCodecs {
   // raster-only AWT work; never touch a display
@@ -88,7 +90,54 @@ object MediaCodecs {
     hist.map(_ / n)
   }
 
-  /** STUB for audio/video decode + feature extraction: a 16-bin byte
+  /** Deterministic synthetic WAV: 16-bit mono PCM at 8 kHz whose sample i
+    * for media `id` is a fixed arithmetic function of (id, i), encoded
+    * through the real JDK WAV writer. */
+  def encodeWav(id: Long, nSamples: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (((id * 131 + i.toLong * 7919) % 65536) - 32768).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode (javax.sound.sampled: WAV/PCM) + feature
+    * extraction: a 16-bin histogram over the decoded 16-bit sample
+    * amplitudes, normalized by sample count. Throws on undecodable
+    * payloads. */
+  def decodeAudioFeatures(bytes: Array[Byte]): Array[Float] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected 16-bit mono PCM, got $fmt")
+      val pcm = in.readAllBytes()
+      val n = pcm.length / 2
+      val hist = new Array[Float](16)
+      var i = 0
+      while (i < n) {
+        val lo = pcm(2 * i) & 0xff
+        val hi = pcm(2 * i + 1).toInt
+        val sample = (hi << 8) | lo // little-endian signed 16-bit
+        hist(((sample + 32768) >> 12) & 0xf) += 1f
+        i += 1
+      }
+      hist.map(_ / math.max(n, 1).toFloat)
+    } finally in.close()
+  }
+
+  /** STUB for video decode + feature extraction: a 16-bin byte
     * histogram normalized to a unit-ish vector. Deterministic in input
     * bytes. A real implementation would decode samples and run a model. */
   def decodeFeaturesStub(bytes: Array[Byte]): Array[Float] = {
@@ -127,10 +176,11 @@ object MediaCodecs {
 object MultimodalOps {
 
   /** Derive a deterministic media table from `documents` (the container
-    * ships no media files). Image rows carry REAL PNG payloads — tiny
-    * synthetic rasters encoded through the JDK PNG writer, decodable by
-    * any image library; audio/video payloads are the document text bytes
-    * (an arbitrary-but-real binary source) consumed by the stub codecs. */
+    * ships no media files). Image rows carry REAL PNG payloads (JDK PNG
+    * writer) and audio rows REAL WAV payloads (JDK WAV writer), both
+    * decodable by any standard library; video payloads are the document
+    * text bytes (an arbitrary-but-real binary source) consumed by the
+    * stub demuxer. */
   def fromDocuments(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -146,11 +196,16 @@ object MultimodalOps {
       (col("n_chars") % 30 + 1).cast("int").as("n_frames"))
       .as[MediaRow]
       .mapPartitions { rows =>
-        // PNG encoder state is per-partition; only image rows pay encode
+        // encoder state is per-partition; each modality pays only its own
         rows.map { r =>
-          if (r.modality == "image")
-            r.copy(content = MediaCodecs.encodePng(r.media_id, r.width, r.height))
-          else r
+          r.modality match {
+            case "image" =>
+              r.copy(content = MediaCodecs.encodePng(r.media_id, r.width, r.height))
+            case "audio" =>
+              r.copy(content =
+                MediaCodecs.encodeWav(r.media_id, 256 + (r.media_id % 512).toInt))
+            case _ => r
+          }
         }
       }
       .toDF()
@@ -169,6 +224,7 @@ object MultimodalOps {
         rows.map { r =>
           val features = r.modality match {
             case "image" => MediaCodecs.decodeImageFeatures(r.content)
+            case "audio" => MediaCodecs.decodeAudioFeatures(r.content)
             case _       => MediaCodecs.decodeFeaturesStub(r.content)
           }
           MediaFeatures(r.media_id, r.modality, r.content.length.toLong, features)

@@ -30,6 +30,9 @@ object MultimodalQueries extends QueryPack {
     }),
 
     // Frame sampling: one row per sampled frame with its byte length.
+    // Oracle-checked: the demuxer BODY is a stub, but its selection
+    // arithmetic (evenly spaced bounded slices) is a pure function of the
+    // payload byte length, so DuckDB replicates the exact output.
     "multimodal_frames" -> ((s, dir) => {
       val media = MultimodalOps.fromDocuments(t(s, dir, "documents"))
       MultimodalOps.sampleFrames(media, frameSize = 32, n = 4).toDF()
@@ -38,5 +41,26 @@ object MultimodalQueries extends QueryPack {
     })
   )
 
-  override def oracleSql: Map[String, String] = Map.empty
+  override def oracleSql: Map[String, String] = Map(
+    // video modality = doc_id % 3 == 2 (fromDocuments' element_at mapping);
+    // payload = text bytes; frameSize 32, up to 4 evenly spaced frames
+    "multimodal_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, strlen(text) AS len FROM documents
+        |  WHERE doc_id % 3 = 2
+        |), f AS (
+        |  SELECT media_id, len,
+        |    greatest(len // 32, 1) AS n_frames,
+        |    least(4, greatest(len // 32, 1)) AS take
+        |  FROM v
+        |), idx AS (
+        |  SELECT media_id, len, n_frames, take,
+        |    unnest(range(take)) AS frame_idx
+        |  FROM f
+        |)
+        |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(least((frame_idx * n_frames // take) * 32 + 32, len)
+        |    - (frame_idx * n_frames // take) * 32 AS INTEGER) AS frame_bytes
+        |FROM idx ORDER BY media_id, frame_idx""".stripMargin
+  )
 }

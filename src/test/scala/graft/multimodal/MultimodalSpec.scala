@@ -42,13 +42,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val feats = MultimodalOps.extractFeatures(media).collect()
     assert(feats.length == 30)
     assert(feats.forall(_.features.length == 16))
-    // audio/video n_bytes matches the stub payload (text length in bytes);
-    // image payloads are real PNGs, so n_bytes is the encoded size
+    // video n_bytes matches the stub payload (text length in bytes);
+    // image/audio payloads are real PNG/WAV, so n_bytes is encoded size
     val lens = docs.filter(col("doc_id") < 30)
       .select(col("doc_id"), length(col("text")).cast("long").as("len")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(feats.filter(_.modality != "image").forall(f => f.n_bytes == lens(f.media_id)))
-    assert(feats.filter(_.modality == "image").forall(_.n_bytes > 0))
+    assert(feats.filter(_.modality == "video").forall(f => f.n_bytes == lens(f.media_id)))
+    assert(feats.filter(_.modality != "video").forall(_.n_bytes > 0))
+  }
+
+  test("encodeWav produces a real WAV the JDK decoder round-trips") {
+    val bytes = MediaCodecs.encodeWav(id = 7, nSamples = 100)
+    assert(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(in.getFrameLength == 100)
+    assert(in.getFormat.getSampleSizeInBits == 16 && in.getFormat.getChannels == 1)
+    assert(bytes.sameElements(MediaCodecs.encodeWav(7, 100)))
+  }
+
+  test("decodeAudioFeatures computes the histogram of the DECODED samples") {
+    // 2 samples: min (-32768 -> bin 0) and max (32767 -> bin 15)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = Array[Byte](0x00, 0x80.toByte, 0xff.toByte, 0x7f) // -32768, 32767 LE
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 2L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val f = MediaCodecs.decodeAudioFeatures(out.toByteArray)
+    assert(f(0) == 0.5f && f(15) == 0.5f && f.sum == 1.0f)
   }
 
   test("encodePng produces a real PNG the JDK decoder round-trips") {
