@@ -181,10 +181,10 @@ object MultimodalOps {
     * decodable by any standard library; video payloads are the document
     * text bytes (an arbitrary-but-real binary source) consumed by the
     * stub demuxer. */
-  def fromDocuments(docs: DataFrame): DataFrame = {
+  def fromDocuments(docs: DataFrame, onlyModality: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(
+    val base = docs.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
@@ -194,6 +194,11 @@ object MultimodalOps {
       (col("n_chars") % 64 + 16).cast("int").as("width"),
       (col("n_chars") % 48 + 16).cast("int").as("height"),
       (col("n_chars") % 30 + 1).cast("int").as("n_frames"))
+    // modality restriction applies BEFORE the encode map: a filter placed
+    // after mapPartitions cannot push through the opaque typed map, so a
+    // frames-only consumer would otherwise pay PNG/WAV encode for every
+    // image/audio row it immediately drops
+    onlyModality.fold(base)(m => base.filter(col("modality") === m))
       .as[MediaRow]
       .mapPartitions { rows =>
         // encoder state is per-partition; each modality pays only its own

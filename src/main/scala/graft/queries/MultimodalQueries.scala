@@ -34,7 +34,8 @@ object MultimodalQueries extends QueryPack {
     // arithmetic (evenly spaced bounded slices) is a pure function of the
     // payload byte length, so DuckDB replicates the exact output.
     "multimodal_frames" -> ((s, dir) => {
-      val media = MultimodalOps.fromDocuments(t(s, dir, "documents"))
+      val media = MultimodalOps.fromDocuments(t(s, dir, "documents"),
+        onlyModality = Some("video"))
       MultimodalOps.sampleFrames(media, frameSize = 32, n = 4).toDF()
         .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
         .orderBy(col("media_id"), col("frame_idx"))
