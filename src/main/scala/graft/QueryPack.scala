@@ -70,4 +70,11 @@ object QueryPack {
   /** SQL spelling of [[QueryPack.round6]] for DuckDB oracle queries. */
   def round6Sql(expr: String): String =
     s"floor(($expr) * 1000000.0 + 0.5) / 1000000.0"
+
+  /** ORACLE RULE for exact-decimal sums surfaced as DOUBLE: DuckDB's
+    * direct DECIMAL->DOUBLE cast is NOT correctly rounded (observed 1-ulp
+    * drift vs Spark's BigDecimal conversion on 2 of 6 TPC-H Q1 groups at
+    * sf0.1), but its VARCHAR->DOUBLE parse IS. Oracle SQL must therefore
+    * spell the conversion `CAST(CAST(sum(...) AS VARCHAR) AS DOUBLE)` —
+    * every money-sum oracle in this repo does. */
 }

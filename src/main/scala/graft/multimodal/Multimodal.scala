@@ -181,10 +181,12 @@ object MultimodalOps {
     * decodable by any standard library; video payloads are the document
     * text bytes (an arbitrary-but-real binary source) consumed by the
     * stub demuxer. */
-  def fromDocuments(docs: DataFrame, onlyModality: Option[String] = None): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val base = docs.select(
+  /** The metadata half of the media derivation: pure columnar arithmetic
+    * (modality/format routing, dimensions), no codec work — consumable by
+    * metadata-only queries without paying encode, and exactly replicable
+    * by a SQL oracle. */
+  def mediaMeta(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
@@ -194,6 +196,11 @@ object MultimodalOps {
       (col("n_chars") % 64 + 16).cast("int").as("width"),
       (col("n_chars") % 48 + 16).cast("int").as("height"),
       (col("n_chars") % 30 + 1).cast("int").as("n_frames"))
+
+  def fromDocuments(docs: DataFrame, onlyModality: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = mediaMeta(docs)
     // modality restriction applies BEFORE the encode map: a filter placed
     // after mapPartitions cannot push through the opaque typed map, so a
     // frames-only consumer would otherwise pay PNG/WAV encode for every

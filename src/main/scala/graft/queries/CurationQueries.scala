@@ -158,7 +158,7 @@ object CurationQueries extends QueryPack {
          |SELECT lang, count(*) AS n_docs,
          |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
          |  ${graft.QueryPack.round6Sql(
-            "CAST(sum(CAST(quality AS DECIMAL(9,6))) AS DOUBLE) / count(*)")} AS avg_quality
+            "CAST(CAST(sum(CAST(quality AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) / count(*)")} AS avg_quality
          |FROM sampled
          |GROUP BY lang ORDER BY lang""".stripMargin
     },

@@ -164,7 +164,7 @@ object EventQueries extends QueryPack {
     "events_tumbling_1h" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
         |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_sliding_1h_30m" ->

@@ -29,6 +29,19 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("modality"))
     }),
 
+    // Metadata-only rollup: counts and dimension stats per (modality,
+    // format) — reads NO payload bytes (the metadata half prunes the
+    // content column entirely; at 100 TB this is the catalog query that
+    // must never touch the binary data).
+    "multimodal_meta_stats" -> ((s, dir) =>
+      MultimodalOps.mediaMeta(t(s, dir, "documents"))
+        .groupBy(col("modality"), col("format"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("width").cast("long")).as("total_width"),
+          max(col("height")).as("max_height"),
+          min(col("n_frames")).as("min_frames"))
+        .orderBy(col("modality"))),
+
     // Frame sampling: one row per sampled frame with its byte length.
     // Oracle-checked: the demuxer BODY is a stub, but its selection
     // arithmetic (evenly spaced bounded slices) is a pure function of the
@@ -43,6 +56,20 @@ object MultimodalQueries extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "multimodal_meta_stats" ->
+      """WITH m AS (
+        |  SELECT
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mkv' END AS format,
+        |    CAST(n_chars % 64 + 16 AS INTEGER) AS width,
+        |    CAST(n_chars % 48 + 16 AS INTEGER) AS height,
+        |    CAST(n_chars % 30 + 1 AS INTEGER) AS n_frames
+        |  FROM documents
+        |)
+        |SELECT modality, format, count(*) AS n_media,
+        |  CAST(sum(width) AS BIGINT) AS total_width,
+        |  max(height) AS max_height, min(n_frames) AS min_frames
+        |FROM m GROUP BY modality, format ORDER BY modality""".stripMargin,
     // video modality = doc_id % 3 == 2 (fromDocuments' element_at mapping);
     // payload = text bytes; frameSize 32, up to 4 evenly spaced frames
     "multimodal_frames" ->

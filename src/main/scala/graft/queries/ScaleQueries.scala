@@ -57,7 +57,7 @@ object ScaleQueries extends QueryPack {
   override def oracleSql: Map[String, String] = Map(
     "events_salted_user_counts" ->
       """SELECT user_id, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS total_value
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_distinct_users_exact" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users

@@ -90,7 +90,7 @@ object SimilarityQueries extends QueryPack {
          |)
          |SELECT label, dim,
          |  ${graft.QueryPack.round6Sql(
-             "CAST(sum(CAST(v AS DECIMAL(27,9))) AS DOUBLE) / count(*)")} AS centroid,
+             "CAST(CAST(sum(CAST(v AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) / count(*)")} AS centroid,
          |  count(*) AS n
          |FROM flat
          |GROUP BY label, dim

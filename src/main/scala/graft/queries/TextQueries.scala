@@ -234,7 +234,7 @@ object TextQueries extends QueryPack {
       s"""SELECT lang, source, count(*) AS n_docs,
          |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
          |  ${graft.QueryPack.round6Sql(
-            "CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / count(*)")} AS avg_chars
+            "CAST(CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE) / count(*)")} AS avg_chars
          |FROM documents
          |GROUP BY lang, source ORDER BY lang, source""".stripMargin
   )
