@@ -54,6 +54,34 @@ object CurationQueries extends QueryPack {
         .orderBy(col("source"))
     }),
 
+    // Exact-quota stratified sampling: exactly N docs per language,
+    // chosen by hash rank (md5 order is a deterministic uniform shuffle;
+    // doc_id tie-break). One shuffle on the stratum key; the quota is a
+    // per-partition row_number cutoff, not a global sort.
+    "corpus_sample_quota" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rank = md5(concat(lit("quota"), col("doc_id").cast("string")).cast("binary"))
+      val w = Window.partitionBy("lang").orderBy(rank, col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 25)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
+    // Vocabulary building: global token frequencies, top 50. The classic
+    // first step of tokenizer training — explode is map-side, the count
+    // is partial-agg (each partition pre-counts its tokens), and the
+    // top-k is TakeOrdered, never a full sort.
+    "corpus_vocab_topk" -> ((s, dir) =>
+      spread(s, t(s, dir, "documents"), "doc_id")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)),
+
     // The composed curation pipeline — the end-to-end shape this library
     // exists for, as ONE declarative plan Catalyst optimizes whole:
     //   quality filter -> exact dedup (keep canonical) -> hash-gate
@@ -130,6 +158,23 @@ object CurationQueries extends QueryPack {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents
         |GROUP BY source ORDER BY source""".stripMargin,
+    "corpus_sample_quota" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('quota' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id FROM ranked
+        |WHERE rk <= 25 ORDER BY lang, rk""".stripMargin,
+    "corpus_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents
+        |)
+        |SELECT token, count(*) AS n FROM toks
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "pipeline_curate" -> {
       val toksSql = "string_split_regex(trim(text), '\\s+')"
       val n = s"CAST(len(toks) AS DOUBLE)"

@@ -116,6 +116,26 @@ object EventQueries extends QueryPack {
           round6(expr("percentile(value, 0.99)")).as("p99"))
         .orderBy(col("event_type"))),
 
+    // Funnel analysis: signup -> first click after signup -> first
+    // purchase after that click, counted per stage. Each stage is one
+    // aggregation + an equi-join on user_id (broadcast when small, AQE
+    // otherwise); no sequence UDF, no per-user sorting — the ordered-
+    // sequence semantics live entirely in the min-after-threshold aggs.
+    "events_funnel" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      val cl = ev.filter(col("event_type") === "click")
+        .join(su, "user_id").filter(col("ts") > col("s_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(cl, "user_id").filter(col("ts") > col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      su.agg(count(lit(1)).as("n_signup")).crossJoin(
+          cl.agg(count(lit(1)).as("n_click_after_signup"))).crossJoin(
+          pu.agg(count(lit(1)).as("n_purchase_after_click")))
+    }),
+
     // Navigation window functions: lag/lead/ntile over each user's event
     // history — the per-entity sequence features (time-since-last,
     // next-event lookahead, activity quartile) a behavioral pipeline
@@ -227,6 +247,24 @@ object EventQueries extends QueryPack {
       s"""SELECT event_type, ${q("0.5", "p50")}, ${q("0.9", "p90")}, ${q("0.99", "p99")}
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+    "events_funnel" ->
+      """WITH su AS (
+        |  SELECT user_id, min(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), cl AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |  JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > su.s_ts
+        |  GROUP BY e.user_id
+        |), pu AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |  JOIN cl ON e.user_id = cl.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > cl.c_ts
+        |  GROUP BY e.user_id
+        |)
+        |SELECT (SELECT count(*) FROM su) AS n_signup,
+        |       (SELECT count(*) FROM cl) AS n_click_after_signup,
+        |       (SELECT count(*) FROM pu) AS n_purchase_after_click""".stripMargin,
     "events_user_lag" ->
       """SELECT event_id, user_id, ts,
         |  CAST(epoch(date_trunc('second', ts)) -
