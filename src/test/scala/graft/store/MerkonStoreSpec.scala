@@ -224,6 +224,24 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(st2.get("normal", "k3").count() == 1)
   }
 
+  test("pure-SQL kNN over a registered store view") {
+    val st = newStore
+    import spark.implicits._
+    st.upsertBatch("sqlknn", Seq(
+      rec("east", emb = Array(1f, 0f)),
+      rec("northeast", emb = Array(1f, 1f)),
+      rec("north", emb = Array(0f, 1f))).toDF())
+    st.registerViews()
+    graft.functions.VectorFunctions.register(spark)
+    // the full reference workflow — collection scan + cosine + top-k —
+    // with zero Scala: a view and the registered SQL functions
+    val rows = spark.sql(
+      """SELECT key, cosine_similarity(embedding, array(1.0F, 0.0F)) AS score
+        |FROM merkon_sqlknn ORDER BY score DESC, key LIMIT 2""".stripMargin).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("east", "northeast"))
+    assert(math.abs(rows.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
   test("streamingUpsert ingests micro-batches with LWW semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
