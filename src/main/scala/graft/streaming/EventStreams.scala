@@ -17,6 +17,12 @@ case class Event(
 /** Running per-user aggregate maintained by [[EventStreams.userRunningTotals]]. */
 case class UserTotals(user_id: Long, n_events: Long, total_value: Double, last_ts: Long)
 
+/** Welford running-variance state for [[EventStreams.anomalies]]. */
+case class ValueStats(user_id: Long, n: Long, mean: Double, m2: Double)
+
+/** One emitted anomaly: an event deviating from its user's running mean. */
+case class Anomaly(user_id: Long, event_id: Long, value: Double, mean_at_detection: Double)
+
 /**
  * Structured Streaming forms of the event operators. Every transform here
  * is written against a plain DataFrame, so the SAME code path serves
@@ -112,6 +118,42 @@ object EventStreams {
   def dedupById(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id", "ts")
+
+  /**
+   * Streaming anomaly detection via flatMapGroupsWithState — the 0..n
+   * outputs-per-group shape mapGroupsWithState cannot express: an event
+   * is emitted iff it deviates from its user's RUNNING mean by more than
+   * `k` standard deviations (Welford state: O(1) per user, exact, no
+   * sample buffer — the only state shape that survives 100 TB/day).
+   * Events inside a micro-batch are processed in (ts, event_id) order so
+   * the emitted set is independent of how the stream is micro-batched
+   * (pinned by the batch-split invariance spec). Warm-up: no verdicts
+   * until a user has `minHistory` observations.
+   */
+  def anomalies(events: Dataset[Event], k: Double = 3.0,
+      minHistory: Int = 5): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ValueStats, Anomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[ValueStats]) =>
+          var st = state.getOption.getOrElse(ValueStats(uid, 0L, 0.0, 0.0))
+          val out = Vector.newBuilder[Anomaly]
+          batch.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (st.n >= minHistory) {
+              val sd = math.sqrt(st.m2 / st.n)
+              if (sd > 0 && math.abs(e.value - st.mean) > k * sd)
+                out += Anomaly(uid, e.event_id, e.value, st.mean)
+            }
+            val n1 = st.n + 1
+            val d = e.value - st.mean
+            val mean1 = st.mean + d / n1
+            st = ValueStats(uid, n1, mean1, st.m2 + d * (e.value - mean1))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 
   /** Batch reference for [[userRunningTotals]]' final state. */
   def userTotalsBatch(events: DataFrame): DataFrame =

@@ -148,6 +148,34 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(batchDeduped.count() == 2)
   }
 
+  test("anomalies: flatMapGroupsWithState flags running-mean outliers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, value: Double) =
+      Event(id, java.sql.Timestamp.valueOf(s"2026-01-01 10:00:${"%02d".format(id)}"),
+        1L, "click", value, "{}")
+    // 8 stable observations (alternating 1.0/2.0), then a spike
+    val stable = (0L until 8L).map(i => ev(i, 1.0 + (i % 2)))
+    val spike = ev(8L, 100.0)
+    val calm = ev(9L, 1.0)
+
+    def run(batches: Seq[Seq[Event]], name: String): Set[Long] = {
+      val input = MemoryStream[Event]
+      val q = EventStreams.anomalies(input.toDS(), k = 3.0, minHistory = 5)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).select("event_id").collect().map(_.getLong(0)).toSet
+    }
+
+    val oneBatch = run(Seq(stable :+ spike :+ calm), "anom_one")
+    assert(oneBatch == Set(8L)) // only the spike flags; calm event after is fine
+    // micro-batching must not change the verdicts (state carries over)
+    val split = run(Seq(stable.take(4), stable.drop(4), Seq(spike, calm)), "anom_split")
+    assert(split == oneBatch)
+  }
+
   test("userRunningTotals: final mapGroupsWithState state == batch totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
