@@ -136,6 +136,28 @@ object EventQueries extends QueryPack {
           pu.agg(count(lit(1)).as("n_purchase_after_click")))
     }),
 
+    // Cohort retention: users grouped by first-seen day; D1/D7 retention
+    // = share of the cohort active again exactly N days later. Two
+    // aggregations and one equi-join on user_id — the multi-day activity
+    // matrix never materializes, only (user, day) distinct pairs.
+    "events_retention" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("ts").cast("date").as("d"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      val activity = ev.distinct()
+      first.join(activity, "user_id")
+        .groupBy(col("d0"))
+        .agg(count_distinct(col("user_id")).as("n_cohort"),
+          count_distinct(when(col("d") === date_add(col("d0"), 1), col("user_id")))
+            .as("d1_retained"),
+          count_distinct(when(col("d") === date_add(col("d0"), 7), col("user_id")))
+            .as("d7_retained"))
+        // DATE surfaces as python date objects via parquet->pandas but
+        // datetime64 via DuckDB — emit as timestamp so dtypes agree
+        .select(col("d0").cast("timestamp").as("cohort_day"),
+          col("n_cohort"), col("d1_retained"), col("d7_retained"))
+        .orderBy(col("cohort_day"))
+    }),
+
     // Navigation window functions: lag/lead/ntile over each user's event
     // history — the per-entity sequence features (time-since-last,
     // next-event lookahead, activity quartile) a behavioral pipeline
@@ -247,6 +269,18 @@ object EventQueries extends QueryPack {
       s"""SELECT event_type, ${q("0.5", "p50")}, ${q("0.9", "p90")}, ${q("0.99", "p99")}
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+    "events_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+        |), a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |)
+        |SELECT CAST(d0 AS TIMESTAMP) AS cohort_day,
+        |  count(DISTINCT f.user_id) AS n_cohort,
+        |  count(DISTINCT CASE WHEN a.d = d0 + 1 THEN a.user_id END) AS d1_retained,
+        |  count(DISTINCT CASE WHEN a.d = d0 + 7 THEN a.user_id END) AS d7_retained
+        |FROM f JOIN a ON f.user_id = a.user_id
+        |GROUP BY d0 ORDER BY cohort_day""".stripMargin,
     "events_funnel" ->
       """WITH su AS (
         |  SELECT user_id, min(ts) AS s_ts FROM events
