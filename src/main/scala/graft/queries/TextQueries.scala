@@ -149,6 +149,25 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Overlapping-window chunking: split each document into 50-token
+    // chunks with 10-token overlap (stride 40) — the embedding/RAG prep
+    // step. Pure map-side: chunk indices come from sequence(), chunks
+    // from slice(); one output row per chunk, no shuffle at all.
+    "text_chunk" -> ((s, dir) => {
+      val chunk = lit(50)
+      val stride = lit(40)
+      val n = size(toks)
+      val nChunks = when(n <= chunk, lit(1L))
+        .otherwise(ceil((n - chunk).cast("double") / stride) + 1)
+      docs(s, dir)
+        .withColumn("ci", explode(sequence(lit(0L), nChunks - 1)))
+        .withColumn("chunk", slice(toks, (col("ci") * stride + 1).cast("int"), chunk))
+        .select(col("doc_id"), col("ci").cast("int").as("chunk_idx"),
+          size(col("chunk")).as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // Corpus rollup per (lang, source): partial-agg friendly single shuffle.
     "text_corpus_stats" -> ((s, dir) =>
       docs(s, dir)
@@ -230,6 +249,19 @@ object TextQueries extends QueryPack {
           s"CASE WHEN $n = 0 THEN 0.0 ELSE CAST(length(text) AS DOUBLE) / $n END")} AS chars_per_token
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "text_chunk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $toksSql AS toks, len($toksSql) AS n FROM documents
+         |), c AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(CASE WHEN n <= 50 THEN 1
+         |      ELSE CAST(ceil((n - 50) / 40.0) AS BIGINT) + 1 END)) AS ci
+         |  FROM tok
+         |)
+         |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+         |  CAST(len(toks[ci*40+1 : ci*40+50]) AS INTEGER) AS n_chunk_tokens,
+         |  md5(array_to_string(toks[ci*40+1 : ci*40+50], ' ')) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_corpus_stats" ->
       s"""SELECT lang, source, count(*) AS n_docs,
          |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
