@@ -82,6 +82,26 @@ object CurationQueries extends QueryPack {
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
 
+    // Bigram collocations: global adjacent-pair frequencies, top 50 —
+    // the counting pass behind BPE merge selection and collocation
+    // scoring. Same shape as vocab: map-side pair explode, partial-agg
+    // count, TakeOrdered. Guarded like shingles: a 1-token doc yields no
+    // pairs (sequence(1, 0) would DESCEND, not return empty).
+    "corpus_bigrams_topk" -> ((s, dir) => {
+      val tk = col("toks")
+      val pairs = when(size(tk) >= 2,
+        transform(sequence(lit(1), size(tk) - 1),
+          i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      spread(s, t(s, dir, "documents"), "doc_id")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .select(explode(pairs).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50)
+    }),
+
     // The composed curation pipeline — the end-to-end shape this library
     // exists for, as ONE declarative plan Catalyst optimizes whole:
     //   quality filter -> exact dedup (keep canonical) -> hash-gate
@@ -175,6 +195,16 @@ object CurationQueries extends QueryPack {
         |SELECT token, count(*) AS n FROM toks
         |WHERE length(token) > 0
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "corpus_bigrams_topk" ->
+      """WITH tok AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM tok
+        |)
+        |SELECT bigram, count(*) AS n FROM pairs
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
     "pipeline_curate" -> {
       val toksSql = "string_split_regex(trim(text), '\\s+')"
       val n = s"CAST(len(toks) AS DOUBLE)"
