@@ -211,10 +211,13 @@ object VectorFunctions {
 
   // once-per-session guard: createOrReplaceTempFunction on an already-
   // registered name logs a "function replaced" warning per call, which
-  // turns repeated query execution (bench loops) into log noise
+  // turns repeated query execution (bench loops) into log noise.
+  // Weakly keyed so a retained guard entry never pins a closed session
+  // (and its sessionState) in long-lived JVMs / many-session test suites.
   private val registeredSessions =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Register as SQL functions (idempotent, once per session). */
   def register(spark: SparkSession): Unit = if (registeredSessions.add(spark)) {

@@ -112,8 +112,17 @@ object IvfIndex {
    * by an explicit index job and queries only ever read it.
    *
    * Staleness is keyed on a fingerprint of the source parquet files
-   * (name + length + mtime) and the quantizer params, so a regenerated
-   * corpus or changed index shape rebuilds instead of serving stale cells.
+   * (count + name + length + mtime + head-bytes CRC) and the quantizer
+   * params, so a regenerated corpus or changed index shape rebuilds
+   * instead of serving stale cells — the CRC catches a file rewritten
+   * same-size within mtime granularity, which name:length:mtime alone
+   * would miss.
+   *
+   * Concurrency: the cache root is shared (tmpdir), so the build goes to
+   * a process-unique staging dir and is atomically renamed into place. A
+   * concurrent builder that wins the rename is detected (the target
+   * appeared) and its index is served; a reader never observes a
+   * half-written index because the published path appears in one rename.
    */
   def openOrBuild(
       spark: SparkSession,
@@ -123,18 +132,46 @@ object IvfIndex {
       embCol: String,
       cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf"): Built = {
     val dir = new java.io.File(sourcePath)
-    val files = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq(dir))
+    val srcFiles = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq(dir))
       .filter(_.isFile).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    val files = srcFiles.map(f => s"${f.getName}:${f.length}:${f.lastModified}:${headCrc(f)}")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((sourcePath +: files).mkString("|").getBytes("UTF-8"))
+      .digest((s"$sourcePath|n=${srcFiles.size}" +: files).mkString("|").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val path = s"$cacheRoot/$key-${ivf.fingerprint}"
-    if (new java.io.File(s"$path/assigned/_SUCCESS").isFile) load(spark, path)
-    else {
+    val target = new java.io.File(path)
+    if (!new java.io.File(target, "assigned/_SUCCESS").isFile) {
+      val staging = new java.io.File(
+        s"$path.build-${java.lang.ProcessHandle.current().pid()}-${System.nanoTime()}")
       val built = ivf.build(spark, spark.read.parquet(sourcePath), idCol, embCol)
-      save(built, path)
-      load(spark, path)
+      save(built, staging.getPath)
+      try {
+        java.nio.file.Files.move(staging.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        // another process published the same key first — serve theirs
+        case _: java.nio.file.FileAlreadyExistsException
+           | _: java.nio.file.FileSystemException if target.isDirectory =>
+          deleteRecursively(staging)
+      }
     }
+    load(spark, path)
+  }
+
+  /** CRC32 of the first 64 KiB — cheap content signal for the fingerprint. */
+  private def headCrc(f: java.io.File): Long = {
+    val crc = new java.util.zip.CRC32()
+    val in = new java.io.FileInputStream(f)
+    try {
+      val buf = new Array[Byte](65536)
+      val n = in.read(buf)
+      if (n > 0) crc.update(buf, 0, n)
+    } finally in.close()
+    crc.getValue
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 }

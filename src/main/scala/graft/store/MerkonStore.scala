@@ -197,7 +197,11 @@ class MerkonStore(spark: SparkSession) {
   }
 
   /** A10 `Load`. Format must match the one used by [[save]]; json/csv need
-    * the schema re-imposed since those formats don't carry types. */
+    * the schema re-imposed since those formats don't carry types. Stores
+    * saved before the "c-" prefixed encoding are still readable: when the
+    * prefixed directory is absent we fall back to the legacy unprefixed
+    * path (the prefix was a format break; the fallback keeps old stores
+    * loadable without a version bump). */
   def load(dir: String, format: String = "parquet"): Unit = {
     collections.clear()
     val names = spark.read.parquet(s"$dir/_collections")
@@ -205,7 +209,24 @@ class MerkonStore(spark: SparkSession) {
     names.foreach { n =>
       val reader = spark.read.format(format)
       val typed = if (format == "parquet") reader else reader.schema(recordSchema)
-      collections(n) = typed.load(s"$dir/collections/${pathSafe(n)}")
+      collections(n) = typed.load(collectionPath(dir, n))
+    }
+  }
+
+  /** Resolve a collection's on-disk dir, preferring the current prefixed
+    * encoding and falling back to the pre-"c-" legacy layout. The legacy
+    * candidate is never a special path component ("." / "..") — those
+    * encodings are refused rather than resolved upward. */
+  private def collectionPath(dir: String, name: String): String = {
+    val preferred = new org.apache.hadoop.fs.Path(s"$dir/collections/${pathSafe(name)}")
+    val fs = preferred.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(preferred)) preferred.toString
+    else {
+      val legacy = java.net.URLEncoder.encode(name, "UTF-8")
+      require(legacy != "." && legacy != "..",
+        s"refusing path-traversal collection name '$name' in legacy layout")
+      val legacyPath = new org.apache.hadoop.fs.Path(s"$dir/collections/$legacy")
+      if (fs.exists(legacyPath)) legacyPath.toString else preferred.toString
     }
   }
 

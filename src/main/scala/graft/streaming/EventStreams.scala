@@ -108,16 +108,23 @@ object EventStreams {
         col("err_ts"), col("click_ts"))
   }
 
-  /** Streaming exactly-once dedup by event_id: dropDuplicates keyed on id
-    * with the state bounded by the event-time watermark — the streaming
-    * half of the dedup family (at-least-once sources re-deliver; this
-    * collapses re-deliveries inside the watermark horizon while keeping
-    * state finite, the only way streaming dedup survives at 100 TB/day).
-    * Same call works in batch (global dedup) — unified-API parity is
-    * pinned by EventStreamsSpec. */
+  /** Streaming exactly-once dedup by event_id, state bounded by the
+    * event-time watermark — the streaming half of the dedup family
+    * (at-least-once sources re-deliver; this collapses re-deliveries
+    * inside the watermark horizon while keeping state finite, the only
+    * way streaming dedup survives at 100 TB/day). Keyed on event_id
+    * ALONE via dropDuplicatesWithinWatermark, so a re-delivery that was
+    * re-stamped with a fresh ts on send (common for at-least-once
+    * producers) still collapses — dropDuplicates("event_id","ts") would
+    * pass it through as a "new" event. Same call works in batch (global
+    * dedup by id — Spark rejects the WithinWatermark form on batch
+    * frames, where plain dropDuplicates has the identical id-keyed
+    * semantics) — unified-API parity is pinned by EventStreamsSpec. */
   def dedupById(events: DataFrame, watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark)
-      .dropDuplicates("event_id", "ts")
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   /**
    * Streaming anomaly detection via flatMapGroupsWithState — the 0..n
@@ -129,29 +136,51 @@ object EventStreams {
    * the emitted set is independent of how the stream is micro-batched
    * (pinned by the batch-split invariance spec). Warm-up: no verdicts
    * until a user has `minHistory` observations.
+   *
+   * State eviction: per-user state is O(1), but without a timeout the
+   * TOTAL state grows with distinct-user cardinality forever. An
+   * event-time timeout (watermark discipline, same as the windowed
+   * operators) expires users idle longer than `idleHorizon`, so state is
+   * bounded by the ACTIVE user set — a user who returns later simply
+   * re-warms. Timeouts never fire in batch execution, where the same
+   * call degrades to a single-pass fold.
    */
   def anomalies(events: Dataset[Event], k: Double = 3.0,
-      minHistory: Int = 5): Dataset[Anomaly] = {
+      minHistory: Int = 5, watermark: String = "10 minutes",
+      idleHorizon: String = "30 days"): Dataset[Anomaly] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[ValueStats, Anomaly](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, batch: Iterator[Event], state: GroupState[ValueStats]) =>
-          var st = state.getOption.getOrElse(ValueStats(uid, 0L, 0.0, 0.0))
-          val out = Vector.newBuilder[Anomaly]
-          batch.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            if (st.n >= minHistory) {
-              val sd = math.sqrt(st.m2 / st.n)
-              if (sd > 0 && math.abs(e.value - st.mean) > k * sd)
-                out += Anomaly(uid, e.event_id, e.value, st.mean)
+          if (state.hasTimedOut) {
+            // user idle past the horizon: drop the Welford state entirely
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(ValueStats(uid, 0L, 0.0, 0.0))
+            val out = Vector.newBuilder[Anomaly]
+            var maxTs = Long.MinValue
+            batch.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              if (st.n >= minHistory) {
+                val sd = math.sqrt(st.m2 / st.n)
+                if (sd > 0 && math.abs(e.value - st.mean) > k * sd)
+                  out += Anomaly(uid, e.event_id, e.value, st.mean)
+              }
+              val n1 = st.n + 1
+              val d = e.value - st.mean
+              val mean1 = st.mean + d / n1
+              st = ValueStats(uid, n1, mean1, st.m2 + d * (e.value - mean1))
+              maxTs = math.max(maxTs, e.ts.getTime)
             }
-            val n1 = st.n + 1
-            val d = e.value - st.mean
-            val mean1 = st.mean + d / n1
-            st = ValueStats(uid, n1, mean1, st.m2 + d * (e.value - mean1))
+            state.update(st)
+            // expire this user idleHorizon past their latest event (and
+            // strictly past the watermark, which Spark requires)
+            val base = math.max(maxTs, state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(base, idleHorizon)
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 

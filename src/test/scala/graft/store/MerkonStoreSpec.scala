@@ -158,6 +158,25 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
       .collect().head.getString(0) == "ta")
   }
 
+  test("load falls back to the legacy (pre-'c-' prefix) on-disk layout") {
+    val st = newStore
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("merkon-store-legacy").toString
+    st.upsertBatch("old coll", Seq(rec("a", text = "legacy-row")).toDF())
+    st.save(dir)
+    // simulate a store written before the "c-" prefix: strip it on disk
+    val coll = new java.io.File(s"$dir/collections")
+    coll.listFiles().foreach { f =>
+      assert(f.getName.startsWith("c-"))
+      f.renameTo(new java.io.File(coll, f.getName.stripPrefix("c-")))
+    }
+    val st2 = new MerkonStore(spark)
+    st2.load(dir)
+    assert(st2.getCollections.toSet == Set("old coll"))
+    assert(st2.get("old coll", "a").select("metadata.text")
+      .collect().head.getString(0) == "legacy-row")
+  }
+
   test("collection named _collections (or with slashes) survives save/load") {
     val st = newStore
     st.upsert("_collections", rec("k", text = "manifest-clash"))

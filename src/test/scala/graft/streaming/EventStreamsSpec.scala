@@ -132,18 +132,20 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       input.addData(ev(1, "2026-01-01 10:00:00"), ev(2, "2026-01-01 10:01:00"),
         ev(1, "2026-01-01 10:00:00")) // dup within the batch
       q.processAllAvailable()
-      input.addData(ev(1, "2026-01-01 10:00:00"), // re-delivery across batches
+      input.addData(ev(1, "2026-01-01 10:00:30"), // re-delivery, RE-STAMPED ts
         ev(3, "2026-01-01 10:02:00"))
       q.processAllAvailable()
     } finally q.stop()
 
     val ids = spark.table("dedup_stream").select("event_id")
       .collect().map(_.getLong(0)).sorted
+    // the re-stamped re-delivery of id 1 must still collapse: dedup is
+    // keyed on event_id alone, not (event_id, ts)
     assert(ids.sameElements(Array(1L, 2L, 3L)))
 
     // unified API: the same transform on a batch frame is a global dedup
     val batchDeduped = EventStreams.dedupById(
-      Seq(ev(1, "2026-01-01 10:00:00"), ev(1, "2026-01-01 10:00:00"),
+      Seq(ev(1, "2026-01-01 10:00:00"), ev(1, "2026-01-01 10:00:45"),
         ev(2, "2026-01-01 10:01:00")).toDS().toDF())
     assert(batchDeduped.count() == 2)
   }
