@@ -3,6 +3,7 @@ package graft.queries
 import graft.QueryPack
 import graft.functions.TopKByScore
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -71,6 +72,41 @@ object DedupQueries extends QueryPack {
       .otherwise(size(array_intersect(a, b)).cast("double") / denom)
   }
 
+  /** The LSH-banded, Jaccard-verified near-dup pair set shared by
+    * dedup_near_minhash (emits the pairs) and dedup_components (treats
+    * them as edges). Columns: a_id, b_id, jac (round6, >= 0.5). */
+  private def verifiedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val tk = toksOf(col("text"))
+    val corpus = d.select(col("doc_id"), trim(col("text")).as("txt"))
+      .unionByName(d.select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))).as("txt")))
+    // Materialize the signature table once and cut its lineage: it is
+    // consumed three times (band melt + both verification sides), and at
+    // 100 TB it would be a persisted table built by the index job —
+    // localCheckpoint is the single-job analog of that design.
+    val sh = spread(s, corpus, "doc_id")
+      .withColumn("toks", toksOf(col("txt")))
+      .select(col("doc_id"), shinglesFromToks(col("toks")).as("shingles"))
+      .localCheckpoint()
+    val withBands = sh.select(col("doc_id"), col("shingles"),
+      posexplode(array((0 until 4).map(b =>
+        concat(minhash(col("shingles"), 2 * b),
+          minhash(col("shingles"), 2 * b + 1))): _*))
+        .as(Seq("band_id", "band_key")))
+    val a = withBands.select(col("band_id"), col("band_key"), col("doc_id").as("a_id"))
+    val b = withBands.select(col("band_id"), col("band_key"), col("doc_id").as("b_id"))
+    val cand = a.join(b, Seq("band_id", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val sa = sh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        round6(jaccard(col("sh_a"), col("sh_b"))).as("jac"))
+      .filter(col("jac") >= 0.5)
+  }
+
   override def queries: Map[String, Q] = Map(
     // Exact dedup: normalized-content hash -> group -> canonical id + copies.
     "dedup_exact" -> ((s, dir) => {
@@ -88,37 +124,29 @@ object DedupQueries extends QueryPack {
 
     // MinHash + LSH banding near-dup: candidates via band join, verified
     // with exact Jaccard >= 0.5.
-    "dedup_near_minhash" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val tk = toksOf(col("text"))
-      val corpus = d.select(col("doc_id"), trim(col("text")).as("txt"))
-        .unionByName(d.select((col("doc_id") + 100000).as("doc_id"),
-          concat_ws(" ", slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))).as("txt")))
-      // Materialize the signature table once and cut its lineage: it is
-      // consumed three times (band melt + both verification sides), and at
-      // 100 TB it would be a persisted table built by the index job —
-      // localCheckpoint is the single-job analog of that design.
-      val sh = spread(s, corpus, "doc_id")
-        .withColumn("toks", toksOf(col("txt")))
-        .select(col("doc_id"), shinglesFromToks(col("toks")).as("shingles"))
-        .localCheckpoint()
-      val withBands = sh.select(col("doc_id"), col("shingles"),
-        posexplode(array((0 until 4).map(b =>
-          concat(minhash(col("shingles"), 2 * b),
-            minhash(col("shingles"), 2 * b + 1))): _*))
-          .as(Seq("band_id", "band_key")))
-      val a = withBands.select(col("band_id"), col("band_key"), col("doc_id").as("a_id"))
-      val b = withBands.select(col("band_id"), col("band_key"), col("doc_id").as("b_id"))
-      val cand = a.join(b, Seq("band_id", "band_key"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id")).distinct()
-      val sa = sh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a"))
-      val sb = sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b"))
-      cand.join(sa, "a_id").join(sb, "b_id")
-        .select(col("a_id"), col("b_id"),
-          round6(jaccard(col("sh_a"), col("sh_b"))).as("jac"))
-        .filter(col("jac") >= 0.5)
-        .orderBy(col("a_id"), col("b_id"))
+    "dedup_near_minhash" -> ((s, dir) =>
+      verifiedNearDupPairs(s, dir).orderBy(col("a_id"), col("b_id"))),
+
+    // Near-dup CLUSTERS: the graph-closure step a real dedup pipeline
+    // runs after pair generation. Pairs are edges; connected components
+    // give one cluster per transitive near-dup family; the member with
+    // the minimum doc_id is the canonical survivor (`keep`), everything
+    // else is dropped. Min-label propagation converges in O(cluster
+    // diameter) rounds — near-dup clusters are shallow (a doc and its
+    // variants), so 2-3 rounds in practice; a long-chain graph would
+    // want the large-star/small-star variant (O(log n) rounds), which
+    // this loop structure accommodates. Per-round cost is one equi-join
+    // + partial-agg min — no pairwise or driver-side work; labels
+    // converge to the component minimum regardless of partitioning, so
+    // the result is deterministic.
+    "dedup_components" -> ((s, dir) => {
+      val pairs = verifiedNearDupPairs(s, dir).select(col("a_id"), col("b_id"))
+      graft.ml.ConnectedComponents.run(pairs, "a_id", "b_id")
+        .select(col("component_id"), col("id").as("doc_id"))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("component_id"))))
+        .withColumn("keep", col("doc_id") === col("component_id"))
+        .orderBy(col("component_id"), col("doc_id"))
     }),
 
     // 16-bit SimHash per document from token-md5 nibble MSBs (majority
@@ -194,6 +222,36 @@ object DedupQueries extends QueryPack {
     val jacSql = "coalesce(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / " +
       "nullif(len(list_distinct(sa.shingles || sb.shingles)), 0), 0.0)"
 
+    // The banded + verified pair set, shared verbatim by the pair query
+    // and the connected-components query (mirrors verifiedNearDupPairs).
+    val nearDupPairsCte =
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, trim(text) AS txt FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000,
+         |    array_to_string(string_split_regex(trim(text),'\\s+')[2:], ' ')
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id, $shExpr AS shingles FROM corpus
+         |), bands AS (
+         |  SELECT doc_id, shingles, $sigBands FROM sh
+         |), melted AS (
+         |  SELECT doc_id, unnest(range(4)) AS band_id,
+         |    unnest([band0, band1, band2, band3]) AS band_key
+         |  FROM bands
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM melted a JOIN melted b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |), pairs AS (
+         |  SELECT c.a_id, c.b_id, ${round6(jacSql)} AS jac
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id
+         |  WHERE ${round6(jacSql)} >= 0.5
+         |)""".stripMargin
+
     Map(
       "dedup_exact" ->
         """WITH corpus AS (
@@ -207,32 +265,29 @@ object DedupQueries extends QueryPack {
           |  count(*) AS n_copies
           |FROM corpus GROUP BY content_fp ORDER BY content_fp""".stripMargin,
       "dedup_near_minhash" ->
-        s"""WITH corpus AS (
-           |  SELECT doc_id, trim(text) AS txt FROM documents
-           |  UNION ALL
-           |  SELECT doc_id + 100000,
-           |    array_to_string(string_split_regex(trim(text),'\\s+')[2:], ' ')
-           |  FROM documents
-           |), sh AS (
-           |  SELECT doc_id, $shExpr AS shingles FROM corpus
-           |), bands AS (
-           |  SELECT doc_id, shingles, $sigBands FROM sh
-           |), melted AS (
-           |  SELECT doc_id, unnest(range(4)) AS band_id,
-           |    unnest([band0, band1, band2, band3]) AS band_key
-           |  FROM bands
-           |), cand AS (
-           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM melted a JOIN melted b
-           |    ON a.band_id = b.band_id AND a.band_key = b.band_key
-           |   AND a.doc_id < b.doc_id
+        s"""$nearDupPairsCte
+           |SELECT a_id, b_id, jac FROM pairs ORDER BY a_id, b_id""".stripMargin,
+      // Edges -> transitive closure (recursive CTE) -> per-vertex min
+      // reachable id = the component label the Spark label-propagation
+      // loop converges to.
+      "dedup_components" ->
+        s"""$nearDupPairsCte, sym AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION
+           |  SELECT b_id, a_id FROM pairs
+           |), reach AS (
+           |  SELECT src, dst FROM sym
+           |  UNION
+           |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+           |  WHERE s.dst <> r.src
+           |), comp AS (
+           |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
+           |  FROM reach GROUP BY src
            |)
-           |SELECT c.a_id, c.b_id, ${round6(jacSql)} AS jac
-           |FROM cand c
-           |JOIN sh sa ON sa.doc_id = c.a_id
-           |JOIN sh sb ON sb.doc_id = c.b_id
-           |WHERE ${round6(jacSql)} >= 0.5
-           |ORDER BY a_id, b_id""".stripMargin,
+           |SELECT component_id, doc_id,
+           |  count(*) OVER (PARTITION BY component_id) AS n_members,
+           |  doc_id = component_id AS keep
+           |FROM comp ORDER BY component_id, doc_id""".stripMargin,
       "dedup_simhash" -> {
         val hashes = "list_transform(string_split_regex(trim(text), '\\s+'), t -> md5(t))"
         val bits = (1 to 16).map { p =>

@@ -1,0 +1,34 @@
+package graft.ml
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConnectedComponentsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a chain propagates the minimum across multiple hops") {
+    // 1-2-3-4-5 has diameter 4: exercises several propagation rounds
+    val got = components(Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint components keep distinct labels") {
+    val got = components(Seq((10L, 11L), (20L, 21L), (21L, 22L), (30L, 30L)))
+    assert(got == Map(10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L))
+  }
+
+  test("cycles and duplicate/reversed edges converge") {
+    val got = components(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (1L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("isolated vertices (no edges) are absent from the output") {
+    val got = components(Seq((7L, 8L)))
+    assert(got.keySet == Set(7L, 8L))
+  }
+}
