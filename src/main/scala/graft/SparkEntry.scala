@@ -16,7 +16,8 @@ object SparkEntry {
     AnnQueries,
     MultimodalQueries,
     ScaleQueries,
-    CurationQueries
+    CurationQueries,
+    SearchQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

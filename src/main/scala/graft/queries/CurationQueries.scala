@@ -146,6 +146,98 @@ object CurationQueries extends QueryPack {
     // same construction as dedup_exact). A train doc leaks iff its
     // normalized content fingerprint appears in eval — a semi-join on the
     // 128-bit fingerprint, never a text-to-text comparison.
+    // N-gram benchmark contamination (the 13-gram check scaled to the
+    // short synthetic docs): eval = every 10th doc; train = the rest PLUS
+    // re-keyed copies of every 20th doc (synthesized leakage, same
+    // construction as corpus_train_eval_overlap — so eval docs divisible
+    // by 20 are fully contaminated and the rest measure background
+    // vocabulary overlap). Per eval doc: fraction of its distinct 5-gram
+    // hashes that appear anywhere in train. The join is an equi-join on
+    // the 128-bit gram hash (shuffle-partitioned by gram, map-side
+    // distinct on the train side) — never text-to-text, never pairwise
+    // doc-to-doc; exactly the shape that survives a 100 TB train corpus.
+    "corpus_ngram_contamination" -> ((s, dir) => {
+      val tk = col("toks")
+      val g5 = when(size(tk) >= 5,
+        array_distinct(transform(sequence(lit(1), size(tk) - 4),
+          i => md5(concat_ws(" ", slice(tk, i, lit(5))).cast("binary")))))
+        .otherwise(array().cast("array<string>"))
+      val d = t(s, dir, "documents")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .withColumn("g5", g5)
+      // Materialized once: the eval gram arrays feed both the explode
+      // side and the per-doc gram counts, and the md5-per-shingle
+      // projection is expensive enough that recomputing it (plus the
+      // inferred not-null filter Catalyst substitutes it into) doubles
+      // the eval-side hashing cost.
+      val evalDocs = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("eval_id"), col("g5"), size(col("g5")).as("n_grams"))
+        .localCheckpoint()
+      val trainGrams = d
+        .filter(col("doc_id") % 10 =!= 0 || col("doc_id") % 20 === 0)
+        .select(explode(col("g5")).as("g")).distinct()
+      val hits = evalDocs.select(col("eval_id"), explode(col("g5")).as("g"))
+        .join(trainGrams, Seq("g"), "left_semi")
+        .groupBy(col("eval_id")).agg(count(lit(1)).as("n_hit"))
+      val contamination = when(col("n_grams") > 0,
+        round6(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams")))
+        .otherwise(lit(0.0))
+      evalDocs.select(col("eval_id"), col("n_grams"))
+        .join(hits, Seq("eval_id"), "left")
+        .select(col("eval_id"), col("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          contamination.as("contamination"),
+          (contamination >= 0.5).as("flagged"))
+        .orderBy(col("eval_id"))
+    }),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis): each
+    // doc gets key ln(u)/w with u a DETERMINISTIC hash-uniform in (0,1]
+    // (52 bits of md5 — no rand(), same reproducibility argument as the
+    // hash gates above) and weight w = n_chars; the top-k by key IS a
+    // weighted sample without replacement. Distributed shape: map-side
+    // key computation + TakeOrderedAndProject — the driver sees k rows,
+    // never the corpus, at any scale.
+    "corpus_weighted_sample" -> ((s, dir) => {
+      val hex = substring(
+        md5(concat(lit("wsample"), col("doc_id").cast("string")).cast("binary")), 1, 13)
+      val u = (conv(hex, 16, 10).cast("long") + lit(1L)).cast("double") /
+        lit(4503599627370496.0) // 2^52
+      val key = log(u) / col("n_chars").cast("double")
+      t(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"), round6(key).as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Token-budget sequence packing: the concat-and-chunk step that turns
+    // curated documents into fixed-length (2048-token) training
+    // sequences. Packing is per-source (each source shard packs
+    // independently — exactly how a sharded pretraining tokenizer run
+    // works), so the running token offset is a window cumsum PARTITIONED
+    // by source: parallel across shards, never a global single-partition
+    // sort. Emits, per doc, its start offset in the shard stream and the
+    // first/last 2048-token sequence it lands in (docs straddle sequence
+    // boundaries by design — that is what concat-and-chunk means).
+    // All-integer arithmetic: bit-deterministic on any engine.
+    "corpus_pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seqOf = (tokenOffset: org.apache.spark.sql.Column) =>
+        floor(tokenOffset.cast("double") / lit(2048.0)).cast("long")
+      t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        .withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          (col("cum") - col("n_tokens")).as("start_offset"),
+          seqOf(col("cum") - col("n_tokens")).as("seq_first"),
+          seqOf(col("cum") - 1).as("seq_last"))
+        .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     "corpus_train_eval_overlap" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val norm = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary"))
@@ -163,6 +255,62 @@ object CurationQueries extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "corpus_ngram_contamination" -> {
+      val contamination = "CASE WHEN n_grams > 0 THEN " +
+        graft.QueryPack.round6Sql("CAST(coalesce(n_hit, 0) AS DOUBLE) / n_grams") +
+        " ELSE 0.0 END"
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+         |), g AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+         |    i -> md5(array_to_string(toks[i:i+4], ' ')))) AS g5
+         |  FROM tok
+         |), evald AS (
+         |  SELECT doc_id AS eval_id, g5, len(g5) AS n_grams FROM g WHERE doc_id % 10 = 0
+         |), traing AS (
+         |  SELECT DISTINCT unnest(g5) AS gr FROM g
+         |  WHERE doc_id % 10 <> 0 OR doc_id % 20 = 0
+         |), hits AS (
+         |  SELECT eval_id, count(*) AS n_hit
+         |  FROM (SELECT eval_id, unnest(g5) AS gr FROM evald) e
+         |  WHERE gr IN (SELECT gr FROM traing)
+         |  GROUP BY eval_id
+         |), joined AS (
+         |  SELECT e.eval_id, CAST(e.n_grams AS INTEGER) AS n_grams,
+         |    CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+         |  FROM evald e LEFT JOIN hits h ON e.eval_id = h.eval_id
+         |)
+         |SELECT eval_id, n_grams, n_hit,
+         |  $contamination AS contamination,
+         |  ($contamination) >= 0.5 AS flagged
+         |FROM joined ORDER BY eval_id""".stripMargin
+    },
+    "corpus_weighted_sample" -> {
+      val u = "(CAST(CAST('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 13) " +
+        "AS BIGINT) + 1 AS DOUBLE)) / 4503599627370496.0"
+      s"""SELECT doc_id, n_chars,
+         |  ${graft.QueryPack.round6Sql(s"ln($u) / CAST(n_chars AS DOUBLE)")} AS es_key
+         |FROM documents WHERE n_chars > 0
+         |ORDER BY es_key DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "corpus_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d
+        |)
+        |SELECT source, doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(cum - n_tokens AS BIGINT) AS start_offset,
+        |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS seq_first,
+        |  CAST(floor(CAST(cum - 1 AS DOUBLE) / 2048.0) AS BIGINT) AS seq_last,
+        |  CAST(floor(CAST(cum - 1 AS DOUBLE) / 2048.0) AS BIGINT)
+        |    - CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) + 1 AS n_seqs
+        |FROM c ORDER BY source, doc_id""".stripMargin,
     "corpus_sample_hash" ->
       """SELECT lang, count(*) AS n_sampled,
         |  CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS BIGINT) AS sampled_chars,

@@ -190,6 +190,36 @@ object EventQueries extends QueryPack {
         .na.fill(0L)
         .orderBy(col("user_id"))),
 
+    // Batch z-score anomaly detection — the oracle-checked batch form of
+    // the streaming Welford detector (graft.streaming.EventStreams
+    // .anomalies): per-user mean/std over `value`, count of events beyond
+    // 3 sigma. One shuffle on user_id: the full-partition window computes
+    // the moments, and the per-user rollup reuses the same hash
+    // partitioning (no second exchange). Moments come from exact DECIMAL
+    // sums (sum and sum-of-squares of the double `value` are
+    // order-dependent in IEEE arithmetic; DECIMAL accumulation is not),
+    // converted to double only for the final mean/std arithmetic, which
+    // both engines evaluate in identical shapes.
+    "events_anomaly_zscore" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+      val vDec = col("value").cast(DecimalType(18, 3))
+      val withMoments = events(s, dir)
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s1", sum(vDec).over(w).cast("double"))
+        .withColumn("s2", sum(vDec * vDec).over(w).cast("double"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("std",
+          sqrt(greatest(col("s2") / col("n") - col("mean") * col("mean"), lit(0.0))))
+      withMoments.groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_events"),
+          round6(max(col("mean"))).as("mean_value"),
+          round6(max(col("std"))).as("std_value"),
+          sum(when(abs(col("value") - col("mean")) > lit(3.0) * col("std"), 1L)
+            .otherwise(0L)).as("n_anomalies"))
+        .orderBy(col("user_id"))
+    }),
+
     // Schemaless metadata: extract props.k (arbitrary JSON, the analog of
     // the reference's additional_metadata JSON, MerkonMemoryStore.cs:232).
     "events_json_props" -> ((s, dir) =>
@@ -203,6 +233,26 @@ object EventQueries extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "events_anomaly_zscore" ->
+      """WITH w AS (
+        |  SELECT user_id, value,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,3)))
+        |      OVER (PARTITION BY user_id) AS VARCHAR) AS DOUBLE) AS s1,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,3)) * CAST(value AS DECIMAL(18,3)))
+        |      OVER (PARTITION BY user_id) AS VARCHAR) AS DOUBLE) AS s2
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, value, n, s1 / n AS mean,
+        |    sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS std
+        |  FROM w
+        |)
+        |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+        |  floor(max(mean) * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+        |  floor(max(std) * 1000000.0 + 0.5) / 1000000.0 AS std_value,
+        |  CAST(sum(CASE WHEN abs(value - mean) > 3.0 * std THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalies
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_tumbling_1h" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
         |  count(*) AS n,

@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.QueryPack
+import graft.functions.VectorFunctions.cosineSim
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Full-text and hybrid retrieval — the keyword half of a vector store's
+ * search surface (the reference only ships the embedding half,
+ * /root/reference/src/Connectors.Memory.Merkon/MerkonMemoryStore.cs:117-150;
+ * production deployments pair it with lexical BM25 and fuse the two rank
+ * lists, which is exactly what `search_hybrid_rrf` does).
+ *
+ * Scale design:
+ *  - `text_tfidf_topk` is the inverted-index build shape: explode →
+ *    partial-agg (doc,term) counts → vocab-keyed equi-join for document
+ *    frequencies (AQE broadcasts it when the vocab is small) → per-doc
+ *    top-k window. No all-pairs work; both aggregations are map-side
+ *    combinable.
+ *  - `search_bm25_topk` keeps corpus statistics (N, avgdl, per-term df)
+ *    as a ONE-ROW broadcast dimension — the scan side streams, scoring is
+ *    codegen'd arithmetic, and the top-k is TakeOrderedAndProject
+ *    (per-partition heads, never a global sort).
+ *  - `search_hybrid_rrf` ranks ONLY the two already-limited top-k lists
+ *    (k rows each), so the rank-assignment windows are driver-scale by
+ *    construction; the expensive parts (BM25 scan, cosine scan) remain
+ *    distributed top-k.
+ *
+ * Determinism: scores are IEEE doubles built with identical expression
+ * shapes on both engines and rounded via round6; `ln` differs from
+ * DuckDB's by at most 1 ulp (~1e-16 relative), far below the 1e-6
+ * rounding grain — verified at all three SFs. All orderings tie-break on
+ * the unique id.
+ */
+object SearchQueries extends QueryPack {
+
+  /** The fixed keyword query used by the BM25/hybrid demos. */
+  private val terms = Seq("join", "hash", "vector")
+
+  private def toks: Column = col("toks")
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    spread(s, t(s, dir, "documents"), "doc_id")
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+
+  /**
+   * BM25 (k1=1.2, b=0.75) of the fixed query against every document.
+   * Per-doc term frequencies are map-side HOF counts; corpus stats are a
+   * single 1-row aggregate broadcast back in — the canonical "scan +
+   * broadcast dim" shape that streams at any corpus size.
+   */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(
+      col("doc_id") +: size(toks).as("dl") +:
+        terms.map(tm => size(filter(toks, t => t === lit(tm))).as(s"tf_$tm")): _*)
+    val statCols = count(lit(1)).as("n_docs") +: sum(col("dl").cast("long")).as("sum_dl") +:
+      terms.map(tm => sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+    def termScore(tm: String): Column = {
+      val tf = col(s"tf_$tm").cast("double")
+      val df = col(s"df_$tm").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+    }
+    // Score only docs containing at least one query term — equivalent to
+    // the bm25 > 0 cut (idf is strictly positive) but expressed on the
+    // cheap integer tf columns, so Catalyst can't substitute the full
+    // 3-ln score expression into a pushed-down filter and evaluate it
+    // twice. The corpus-stats aggregate still sees every document.
+    base.filter(terms.map(tm => col(s"tf_$tm") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round6(terms.map(termScore).reduce(_ + _)).as("bm25"))
+  }
+
+  /** Top-k list → dense 1-based rank; the input is already `limit(k)`ed,
+    * so the unpartitioned window runs over k rows, not the corpus. */
+  private def ranked(topk: DataFrame, id: String, score: Column, rank: String): DataFrame =
+    topk.withColumn(rank, row_number().over(Window.orderBy(score.desc, col(id))))
+      .select(col(id).as("id"), col(rank))
+
+  override def queries: Map[String, Q] = Map(
+    // Inverted-index statistics: top-3 TF-IDF terms per document (the
+    // keyword-extraction / index-weighting pass).
+    "text_tfidf_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // The (doc, term) frequency table feeds BOTH the df aggregation and
+      // the scoring join; materialize it once (at 100 TB this is the
+      // persisted postings table an index job builds — localCheckpoint is
+      // the single-job analog) instead of re-exploding the corpus twice.
+      val tf = d.select(col("doc_id"), explode(toks).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dft, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf", round6(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double"))))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // Lexical retrieval: BM25 top-20 for the fixed keyword query.
+    "search_bm25_topk" -> ((s, dir) =>
+      bm25Scored(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)),
+
+    // Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 top-50
+    // and the exact-cosine top-50 (query vector = vec_id 0, ids aligned
+    // doc_id == vec_id). A hit missing from one list contributes 0 from
+    // that list — standard RRF.
+    "search_hybrid_rrf" -> ((s, dir) => {
+      val kw = ranked(
+        bm25Scored(s, dir)
+          .orderBy(col("bm25").desc, col("doc_id")).limit(50),
+        "doc_id", col("bm25"), "r_kw")
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val vec = ranked(
+        emb.crossJoin(broadcast(q))
+          .select(col("vec_id"), round6(cosineSim(col("embedding"), col("q_emb"))).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id")).limit(50),
+        "vec_id", col("cos"), "r_vec")
+      kw.join(vec, Seq("id"), "full_outer")
+        .select(col("id"), round6(
+          coalesce(lit(1.0) / (lit(60.0) + col("r_kw").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("r_vec").cast("double")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
+        .limit(20)
+    })
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val round6 = graft.QueryPack.round6Sql _
+
+  /** DuckDB replica of [[bm25Scored]] as CTEs ending in `bmscored`. */
+  private val bm25Cte: String = {
+    val tfCols = terms.map(tm =>
+      s"len(list_filter(tk, t -> t = '$tm')) AS tf_$tm").mkString(",\n    ")
+    val dfCols = terms.map(tm =>
+      s"sum(CASE WHEN tf_$tm > 0 THEN 1 ELSE 0 END) AS df_$tm").mkString(",\n    ")
+    val score = terms.map { tm =>
+      val tf = s"CAST(tf_$tm AS DOUBLE)"
+      val df = s"CAST(df_$tm AS DOUBLE)"
+      val idf = s"ln(1.0 + (CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5))"
+      s"$idf * ($tf * 2.2) / ($tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, len(tk) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents)
+       |), stats0 AS (
+       |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+       |    $dfCols
+       |  FROM base
+       |), stats AS (
+       |  SELECT *, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl FROM stats0
+       |), bmscored AS (
+       |  SELECT doc_id, ${round6(score)} AS bm25 FROM base, stats
+       |)""".stripMargin
+  }
+
+  override def oracleSql: Map[String, String] = Map(
+    "text_tfidf_topk" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM ex
+         |  WHERE length(term) > 0 GROUP BY doc_id, term
+         |), dft AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term,
+         |    ${round6("CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))")} AS tfidf
+         |  FROM tf JOIN dft USING (term), n
+         |), ranked AS (
+         |  SELECT doc_id, term, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+         |  FROM scored
+         |)
+         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tfidf FROM ranked
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "search_bm25_topk" ->
+      s"""$bm25Cte
+         |SELECT doc_id, bm25 FROM bmscored WHERE bm25 > 0.0
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "search_hybrid_rrf" ->
+      s"""$bm25Cte, kw AS (
+         |  SELECT doc_id, bm25 FROM bmscored WHERE bm25 > 0.0
+         |  ORDER BY bm25 DESC, doc_id LIMIT 50
+         |), kwr AS (
+         |  SELECT doc_id AS id,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_kw
+         |  FROM kw
+         |), cosd AS (
+         |  SELECT vec_id, ${round6("list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))")} AS cos
+         |  FROM embeddings
+         |), vec AS (
+         |  SELECT vec_id, cos FROM cosd ORDER BY cos DESC, vec_id LIMIT 50
+         |), vecr AS (
+         |  SELECT vec_id AS id,
+         |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INTEGER) AS r_vec
+         |  FROM vec
+         |)
+         |SELECT id, ${round6("coalesce(1.0 / (60.0 + CAST(r_kw AS DOUBLE)), 0.0) + " +
+            "coalesce(1.0 / (60.0 + CAST(r_vec AS DOUBLE)), 0.0)")} AS rrf
+         |FROM kwr FULL OUTER JOIN vecr USING (id)
+         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+  )
+}

@@ -168,6 +168,40 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // Repetition metrics (the Gopher-rule family): duplicate-trigram
+    // fraction (map-only HOF arithmetic) and the fraction of bigram slots
+    // taken by the single most frequent bigram (explode → partial-agg
+    // count → per-doc max/sum — one shuffle keyed by doc, no pairwise
+    // work). High values flag the boilerplate/spam documents a training
+    // pipeline drops.
+    "text_repetition" -> ((s, dir) => {
+      val tri = when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i, lit(3)))))
+        .otherwise(array().cast("array<string>"))
+      val bi = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val base = docs(s, dir)
+        .select(col("doc_id"), tri.as("tri"), bi.as("bi"))
+        .withColumn("n_tri", size(col("tri")))
+        .withColumn("dup_trigram_ratio",
+          when(col("n_tri") > 0, round6(lit(1.0) -
+            size(array_distinct(col("tri"))).cast("double") / col("n_tri")))
+            .otherwise(lit(0.0)))
+      val biCounts = base.select(col("doc_id"), explode(col("bi")).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bi"))
+      base.select(col("doc_id"), col("dup_trigram_ratio"))
+        .join(biCounts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_trigram_ratio"),
+          round6(coalesce(col("top_c").cast("double") / col("n_bi").cast("double"),
+            lit(0.0))).as("top_bigram_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus rollup per (lang, source): partial-agg friendly single shuffle.
     "text_corpus_stats" -> ((s, dir) =>
       docs(s, dir)
@@ -262,6 +296,31 @@ object TextQueries extends QueryPack {
          |  CAST(len(toks[ci*40+1 : ci*40+50]) AS INTEGER) AS n_chunk_tokens,
          |  md5(array_to_string(toks[ci*40+1 : ci*40+50], ' ')) AS chunk_fp
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_repetition" -> {
+      val tri = s"list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))"
+      val bi = s"list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id, $tri AS tri, $bi AS bi, len($tri) AS n_tri FROM tok
+         |), dup AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n_tri > 0 THEN ${graft.QueryPack.round6Sql(
+            "1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / n_tri")}
+         |    ELSE 0.0 END AS dup_trigram_ratio,
+         |    bi
+         |  FROM base
+         |), bic AS (
+         |  SELECT doc_id, bg, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(bi) AS bg FROM dup) GROUP BY doc_id, bg
+         |), topbi AS (
+         |  SELECT doc_id, max(c) AS top_c, sum(c) AS n_bi FROM bic GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, d.dup_trigram_ratio,
+         |  ${graft.QueryPack.round6Sql(
+            "coalesce(CAST(t.top_c AS DOUBLE) / CAST(t.n_bi AS DOUBLE), 0.0)")} AS top_bigram_ratio
+         |FROM dup d LEFT JOIN topbi t ON d.doc_id = t.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "text_corpus_stats" ->
       s"""SELECT lang, source, count(*) AS n_docs,
          |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
