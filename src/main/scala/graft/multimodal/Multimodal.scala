@@ -30,13 +30,18 @@ case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
  * `javax.imageio` (no external libraries), features from actual decoded
  * pixels. The AUDIO path is real too: WAV (PCM) encode/decode through
  * the JDK's `javax.sound.sampled`, features from actual decoded samples.
- * Only VIDEO remains a clearly-marked deterministic stub — the JDK ships
- * no video demuxer and this container has no codec libraries — deriving
- * features from raw bytes where a real pipeline would decode. Everything
- * AROUND the codecs — schema, binary columns, per-partition batch shape,
+ * The VIDEO path is real for the one multi-frame container the JDK can
+ * both write and demux — animated GIF ([[MediaCodecs.encodeGif]] /
+ * [[MediaCodecs.decodeGifFrames]], exercised end-to-end by
+ * `multimodal_video_frames`, whose oracle pins decoder-read geometry, and
+ * pixel-lossless by spec). For codec-less containers (mkv/mp4 — no
+ * demuxer in the JDK, no media libraries in this container) the
+ * byte-window stub below remains, clearly marked: it derives features
+ * from raw bytes where a real pipeline would decode. Everything AROUND
+ * the codecs — schema, binary columns, per-partition batch shape,
  * explode plumbing, partition-by-modality — is the real Spark design and
- * is what the specs test; swapping in a real video codec changes only
- * the stub body.
+ * is what the specs test; swapping in a real codec changes only the
+ * stub body.
  */
 object MediaCodecs {
   // raster-only AWT work; never touch a display
@@ -135,6 +140,66 @@ object MediaCodecs {
       }
       hist.map(_ / math.max(n, 1).toFloat)
     } finally in.close()
+  }
+
+  /** REAL multi-frame video container encode: animated GIF through the
+    * JDK GIF sequence writer (the one video-ish container the JDK can
+    * both write and demux; no external codec libraries exist here).
+    * Frames are 8-bit grayscale — at most 256 distinct colors, so GIF's
+    * palette is exact and the round-trip is LOSSLESS: decoded samples
+    * equal the generator formula, which the spec pins. */
+  def encodeGif(id: Long, width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            raster.setSample(x, y, 0, grayPixel(id, f, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
+  /** The deterministic frame-pixel generator [[encodeGif]] writes and the
+    * spec checks decoded samples against. */
+  def grayPixel(id: Long, frame: Int, x: Int, y: Int): Int =
+    ((id * 31 + frame * 41 + x * 7 + y * 13) % 256).toInt
+
+  /** REAL video demux: the JDK GIF reader, one decoded image per frame.
+    * This is the actual parse-the-container path — frame count and
+    * geometry come from the DECODER, not from metadata. */
+  def decodeGifFrames(bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      (0 until reader.getNumImages(true)).map(reader.read)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
   }
 
   /** STUB for video decode + feature extraction: a 16-bin byte
@@ -242,6 +307,29 @@ object MultimodalOps {
           MediaFeatures(r.media_id, r.modality, r.content.length.toLong, features)
         }
       }
+  }
+
+  /** The REAL video path end to end: encode each video row as an animated
+    * GIF (per-partition codec work, frame count capped for bounded encode
+    * cost) and demux it back through the JDK GIF reader. The emitted
+    * geometry is read from the DECODER — matching it against the
+    * metadata-derived formula proves the container was actually parsed,
+    * which is exactly what the SQL oracle of `multimodal_video_frames`
+    * checks. Pixel-level losslessness is pinned by MultimodalSpec. */
+  def videoFrameCatalog(docs: DataFrame, maxFrames: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    mediaMeta(docs).filter(col("modality") === "video").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map(r => r.copy(content = MediaCodecs.encodeGif(
+          r.media_id, r.width, r.height, math.min(r.n_frames, maxFrames))))
+      }
+      .flatMap { r =>
+        MediaCodecs.decodeGifFrames(r.content).zipWithIndex.map {
+          case (img, i) => (r.media_id, i, img.getWidth, img.getHeight)
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame_w", "frame_h")
   }
 
   /** Sample up to `n` frames from each video row; one output row per frame. */

@@ -205,9 +205,12 @@ object EventQueries extends QueryPack {
       val w = Window.partitionBy("user_id")
       val vDec = col("value").cast(DecimalType(18, 3))
       val withMoments = events(s, dir)
-        .withColumn("n", count(lit(1)).over(w))
-        .withColumn("s1", sum(vDec).over(w).cast("double"))
-        .withColumn("s2", sum(vDec * vDec).over(w).cast("double"))
+        // one select => one Window operator evaluating all three moment
+        // functions in a single pass (three withColumns plan three)
+        .select(col("user_id"), col("value"),
+          count(lit(1)).over(w).as("n"),
+          sum(vDec).over(w).cast("double").as("s1"),
+          sum(vDec * vDec).over(w).cast("double").as("s2"))
         .withColumn("mean", col("s1") / col("n"))
         .withColumn("std",
           sqrt(greatest(col("s2") / col("n") - col("mean") * col("mean"), lit(0.0))))

@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /**
- * Multimodal pipeline surface (rows-only driver check — image decode is
- * real javax.imageio pixel work with no SQL-expressible oracle, and the
- * audio/video decode is a documented stub, see
- * [[graft.multimodal.MediaCodecs]]; component correctness is pinned by
- * MultimodalSpec).
+ * Multimodal pipeline surface. Image (javax.imageio PNG), audio
+ * (javax.sound WAV) and video (animated-GIF demux) decode are all REAL
+ * JDK codec work — see [[graft.multimodal.MediaCodecs]]. Pixel/sample
+ * features have no SQL-expressible oracle (rows-only + specs), but the
+ * metadata rollup, the stub-demuxer slice arithmetic, and the
+ * decoder-read video frame geometry ARE oracle-checked.
  */
 object MultimodalQueries extends QueryPack {
 
@@ -42,6 +43,15 @@ object MultimodalQueries extends QueryPack {
           min(col("n_frames")).as("min_frames"))
         .orderBy(col("modality"))),
 
+    // REAL video demux: per-doc animated GIFs (JDK GIF writer) parsed
+    // back through the JDK GIF reader; frame index and geometry come
+    // from the DECODER, and the oracle derives the same values from the
+    // metadata formula — a decode that didn't actually parse the
+    // container could not match it.
+    "multimodal_video_frames" -> ((s, dir) =>
+      MultimodalOps.videoFrameCatalog(t(s, dir, "documents"))
+        .orderBy(col("media_id"), col("frame_idx"))),
+
     // Frame sampling: one row per sampled frame with its byte length.
     // Oracle-checked: the demuxer BODY is a stub, but its selection
     // arithmetic (evenly spaced bounded slices) is a pure function of the
@@ -56,6 +66,19 @@ object MultimodalQueries extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // videoFrameCatalog caps frames at 6; dims/frame-count formulas match
+    // mediaMeta. The decoder must reproduce all three.
+    "multimodal_video_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(n_chars % 64 + 16 AS INTEGER) AS frame_w,
+        |    CAST(n_chars % 48 + 16 AS INTEGER) AS frame_h,
+        |    least(n_chars % 30 + 1, 6) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2
+        |)
+        |SELECT media_id, CAST(unnest(range(nf)) AS INTEGER) AS frame_idx,
+        |  frame_w, frame_h
+        |FROM v ORDER BY media_id, frame_idx""".stripMargin,
     "multimodal_meta_stats" ->
       """WITH m AS (
         |  SELECT

@@ -41,11 +41,65 @@ object ScaleQueries extends QueryPack {
           sum(col("partial_v")).cast("double").as("total_value"))
         .orderBy(col("user_id"))),
 
+    // Salted JOIN — the join-side companion to the salted aggregation
+    // above. A hot probe key floods one reducer in a plain shuffle join;
+    // here the small side is REPLICATED once per salt (explode over
+    // 0..Salt-1) and the probe side picks a deterministic salt from
+    // event_id, so the join key becomes (user_id, salt) and each hot key
+    // spreads over Salt reducers. Every probe row matches exactly one
+    // replica, so the result is identical to the plain join — the DuckDB
+    // oracle IS the plain join, verifying the pattern, not just running
+    // it. (At local scale AQE broadcasts the replicated dim and the salt
+    // is moot; past the broadcast threshold the plan degrades gracefully
+    // to the salted shuffle join this query exists to pin down.)
+    "events_skew_join_salted" -> ((s, dir) => {
+      val e = events(s, dir)
+      val dim = e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("user_n"))
+        .withColumn("activity",
+          when(col("user_n") >= 80, "heavy")
+            .when(col("user_n") >= 60, "mid")
+            .otherwise("light"))
+      val saltedDim = dim.withColumn("salt",
+        explode(sequence(lit(0), lit(Salt - 1))))
+      e.withColumn("salt", pmod(hash(col("event_id")), lit(Salt)))
+        .join(saltedDim, Seq("user_id", "salt"))
+        .groupBy(col("event_type"), col("activity"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("activity"))
+    }),
+
     "events_distinct_users_exact" -> ((s, dir) =>
       events(s, dir)
         .groupBy(col("event_type"))
         .agg(count_distinct(col("user_id")).as("exact_users"))
         .orderBy(col("event_type"))),
+
+    // Z-order layout key — multi-dimensional clustering for scan pruning.
+    // Sorting a 100 TB table by the interleaved-bit key of (user_id,
+    // minute-of-day) clusters row groups so parquet min/max stats prune
+    // BOTH `user_id = ?` and time-range predicates (a single-column sort
+    // only prunes one). The key is pure codegen'd bit arithmetic
+    // (16 bits per dimension, bit-identical on any engine); the rollup
+    // groups by the top-16 key bits — each "block" is what one file/row
+    // group would hold after `sortWithinPartitions(z)` — and the per-block
+    // min/max ranges ARE the stats pruning would use: the oracle checks
+    // both the key math and the locality it buys.
+    "layout_zorder" -> ((s, dir) => {
+      val x = col("user_id").bitwiseAND(lit(65535L))
+      val z = (0 until 16).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(shiftleft(shiftright(col("m"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_ bitwiseOR _)
+      events(s, dir)
+        .withColumn("m", (hour(col("ts")) * 60 + minute(col("ts"))).cast("long"))
+        .withColumn("z", z)
+        .groupBy(shiftright(col("z"), 16).as("zblock"))
+        .agg(count(lit(1)).as("n"),
+          min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+          min(col("m")).as("min_minute"), max(col("m")).as("max_minute"))
+        .orderBy(col("zblock"))
+    }),
 
     "events_distinct_users_approx" -> ((s, dir) =>
       events(s, dir)
@@ -59,6 +113,34 @@ object ScaleQueries extends QueryPack {
       """SELECT user_id, count(*) AS n_events,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_skew_join_salted" ->
+      """WITH dim AS (
+        |  SELECT user_id,
+        |    CASE WHEN count(*) >= 80 THEN 'heavy'
+        |         WHEN count(*) >= 60 THEN 'mid'
+        |         ELSE 'light' END AS activity
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT e.event_type, d.activity, count(*) AS n
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY e.event_type, d.activity
+        |ORDER BY e.event_type, d.activity""".stripMargin,
+    "layout_zorder" -> {
+      val z = (0 until 16).map { i =>
+        s"((((user_id & 65535) >> $i) & 1) << ${2 * i}) | (((m >> $i) & 1) << ${2 * i + 1})"
+      }.map(t => s"($t)").mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT user_id,
+         |    CAST(EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts) AS BIGINT) AS m
+         |  FROM events
+         |), zt AS (
+         |  SELECT user_id, m, ($z) AS z FROM b
+         |)
+         |SELECT z >> 16 AS zblock, count(*) AS n,
+         |  min(user_id) AS min_user, max(user_id) AS max_user,
+         |  min(m) AS min_minute, max(m) AS max_minute
+         |FROM zt GROUP BY zblock ORDER BY zblock""".stripMargin
+    },
     "events_distinct_users_exact" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

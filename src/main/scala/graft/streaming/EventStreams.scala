@@ -17,6 +17,9 @@ case class Event(
 /** Running per-user aggregate maintained by [[EventStreams.userRunningTotals]]. */
 case class UserTotals(user_id: Long, n_events: Long, total_value: Double, last_ts: Long)
 
+/** Per-(user, UTC day) totals for [[EventStreams.userDailyTotals]]. */
+case class UserDayTotals(user_id: Long, day: String, n_events: Long, total_value: Double)
+
 /** Welford running-variance state for [[EventStreams.anomalies]]. */
 case class ValueStats(user_id: Long, n: Long, mean: Double, m2: Double)
 
@@ -66,7 +69,16 @@ object EventStreams {
   /** Custom streaming state: running per-user totals via
     * mapGroupsWithState — the arbitrary-state API the built-in windows
     * can't express (cumulative, not windowed). Emits the updated totals
-    * for each user touched in a micro-batch. */
+    * for each user touched in a micro-batch.
+    *
+    * State bound: NoTimeout is deliberate — the operator's CONTRACT is
+    * lifetime-cumulative totals, and evicting state would silently reset
+    * a returning user to zero (an eviction here is a correctness bug,
+    * not a leak fix). Total state is O(distinct users ever seen); when
+    * that is unacceptable at 100 TB/day, the fix is bounding the
+    * KEYSPACE, not a TTL: see [[userDailyTotals]], which keys by
+    * (user, day) and expires each day's state one watermark past day
+    * end — bounded state with an explicit, documented semantic. */
   def userRunningTotals(events: Dataset[Event]): Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -80,6 +92,58 @@ object EventStreams {
           }
           state.update(next)
           next
+      }
+  }
+
+  /**
+   * Bounded-keyspace running totals: the production form of
+   * [[userRunningTotals]] for unbounded user populations. Keying by
+   * (user, UTC day) makes each state entry FINITE-LIVED by construction:
+   * once the event-time watermark passes the end of a day (plus the
+   * late-data slack the watermark already encodes), that day's entry
+   * emits one final closing record and is removed — total state is
+   * O(users active per day), not O(users ever). Intermediate totals are
+   * emitted per micro-batch (update semantics); the timeout record is
+   * the authoritative day-close value a downstream compactor keeps.
+   * In batch execution timeouts never fire and the same call is a
+   * single-pass per-(user, day) fold — parity pinned by the spec.
+   */
+  def userDailyTotals(events: Dataset[Event],
+      watermark: String = "1 hour"): Dataset[UserDayTotals] = {
+    import events.sparkSession.implicits._
+    def dayOf(ms: Long): String =
+      java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+        .toLocalDate.toString
+    // batch execution has no watermark: timeout registration both throws
+    // (getCurrentWatermarkMs) and is meaningless there
+    val streaming = events.isStreaming
+    events.withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, dayOf(e.ts.getTime)))
+      .mapGroupsWithState[UserDayTotals, UserDayTotals](
+        GroupStateTimeout.EventTimeTimeout) {
+        case ((uid, day), batch, state) =>
+          if (state.hasTimedOut) {
+            val closing = state.get
+            state.remove()
+            closing
+          } else {
+            val prev = state.getOption.getOrElse(UserDayTotals(uid, day, 0L, 0.0))
+            val next = batch.foldLeft(prev) { (acc, e) =>
+              UserDayTotals(uid, day, acc.n_events + 1, acc.total_value + e.value)
+            }
+            state.update(next)
+            if (streaming) {
+              val dayEndMs = java.time.LocalDate.parse(day).plusDays(1)
+                .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+              // Spark requires the timeout to sit strictly past the
+              // current watermark; the day boundary already does except
+              // for very late stragglers, where one watermark tick later
+              // is the earliest legal close.
+              state.setTimeoutTimestamp(
+                math.max(dayEndMs, state.getCurrentWatermarkMs() + 1))
+            }
+            next
+          }
       }
   }
 

@@ -118,6 +118,34 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("GIF video round-trip is lossless: every decoded sample equals the generator") {
+    val bytes = MediaCodecs.encodeGif(id = 5L, width = 20, height = 18, nFrames = 4)
+    val frames = MediaCodecs.decodeGifFrames(bytes)
+    assert(frames.size == 4)
+    frames.zipWithIndex.foreach { case (img, f) =>
+      assert(img.getWidth == 20 && img.getHeight == 18)
+      for (y <- 0 until 18; x <- 0 until 20) {
+        val v = img.getRGB(x, y) & 0xff // gray: B channel == sample
+        assert(v == MediaCodecs.grayPixel(5L, f, x, y),
+          s"frame $f pixel ($x,$y): got $v")
+      }
+    }
+  }
+
+  test("videoFrameCatalog: decoder geometry matches the metadata formula") {
+    val cat = MultimodalOps.videoFrameCatalog(docs.filter(col("doc_id") < 30)).collect()
+    assert(cat.nonEmpty)
+    val meta = MultimodalOps.mediaMeta(docs.filter(col("doc_id") < 30))
+      .filter(col("modality") === "video")
+      .select("media_id", "width", "height", "n_frames").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    cat.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val (w, h, nf) = meta(id)
+      assert(rows.length == math.min(nf, 6))
+      assert(rows.forall(r => r.getInt(2) == w && r.getInt(3) == h))
+    }
+  }
+
   test("sampleFrames: only video rows, frame_idx dense from 0") {
     val media = MultimodalOps.fromDocuments(docs.filter(col("doc_id") < 30))
     val frames = MultimodalOps.sampleFrames(media, frameSize = 32, n = 4).collect()

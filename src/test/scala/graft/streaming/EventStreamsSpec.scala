@@ -178,6 +178,43 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(split == oneBatch)
   }
 
+  test("userDailyTotals: day closes emit final totals and evict state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, ts: String, v: Double) =
+      Event(id, java.sql.Timestamp.valueOf(ts), 7L, "click", v, "{}")
+
+    val input = MemoryStream[Event]
+    val q = EventStreams.userDailyTotals(input.toDS(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("daily_totals")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(ev(1, "2026-01-01 10:00:00", 1.0), ev(2, "2026-01-01 11:00:00", 2.0))
+      q.processAllAvailable()
+      // next day, far past day-1 end: advances the watermark beyond the
+      // day-1 timeout timestamp
+      input.addData(ev(3, "2026-01-02 12:00:00", 5.0))
+      q.processAllAvailable()
+      // one more batch so the expired day-1 state actually fires
+      input.addData(ev(4, "2026-01-02 13:00:00", 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("daily_totals")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // the day-1 closing record carries the full-day totals
+    assert(rows.contains(("2026-01-01", 2L, 3.0)), s"no day-1 close in $rows")
+    // day-2 intermediate totals are emitted per batch
+    assert(rows.contains(("2026-01-02", 2L, 12.0)), s"no day-2 update in $rows")
+
+    // batch execution: same call is a per-(user, day) fold
+    val batch = EventStreams.userDailyTotals(
+      Seq(ev(1, "2026-01-01 10:00:00", 1.0), ev(2, "2026-01-01 11:00:00", 2.0),
+        ev(3, "2026-01-02 12:00:00", 5.0)).toDS())
+      .collect().map(t => (t.day, t.n_events, t.total_value)).toSet
+    assert(batch == Set(("2026-01-01", 2L, 3.0), ("2026-01-02", 1L, 5.0)))
+  }
+
   test("userRunningTotals: final mapGroupsWithState state == batch totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
