@@ -202,9 +202,33 @@ object MediaCodecs {
     }
   }
 
-  /** STUB for video decode + feature extraction: a 16-bin byte
-    * histogram normalized to a unit-ish vector. Deterministic in input
-    * bytes. A real implementation would decode samples and run a model. */
+  /** REAL video feature extraction: demux the GIF container and average
+    * the 16-bin luminance histogram over every decoded frame's pixels
+    * (normalized by total pixels across frames, so bins sum to 1). */
+  def decodeVideoFeatures(bytes: Array[Byte]): Array[Float] = {
+    val frames = decodeGifFrames(bytes)
+    require(frames.nonEmpty, "not a decodable multi-frame container")
+    val hist = new Array[Float](16)
+    var total = 0L
+    frames.foreach { img =>
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          hist((img.getRGB(x, y) & 0xff) >> 4) += 1f
+          total += 1
+          x += 1
+        }
+        y += 1
+      }
+    }
+    hist.map(_ / math.max(total, 1L).toFloat)
+  }
+
+  /** STUB for codec-less containers (mkv/mp4 — no JDK demuxer): a 16-bin
+    * byte histogram normalized to a unit-ish vector. Deterministic in
+    * input bytes. A real implementation would decode samples and run a
+    * model; [[decodeVideoFeatures]] is that real path for GIF. */
   def decodeFeaturesStub(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     var i = 0
@@ -242,10 +266,11 @@ object MultimodalOps {
 
   /** Derive a deterministic media table from `documents` (the container
     * ships no media files). Image rows carry REAL PNG payloads (JDK PNG
-    * writer) and audio rows REAL WAV payloads (JDK WAV writer), both
-    * decodable by any standard library; video payloads are the document
-    * text bytes (an arbitrary-but-real binary source) consumed by the
-    * stub demuxer. */
+    * writer), audio rows REAL WAV payloads (JDK WAV writer), and video
+    * rows REAL animated-GIF payloads (JDK GIF sequence writer) — all
+    * decodable by any standard library. The opaque-container fallback
+    * (raw document bytes consumed by the byte-window stub demuxer) is
+    * [[mediaMeta]] itself, which `multimodal_frames` uses. */
   /** The metadata half of the media derivation: pure columnar arithmetic
     * (modality/format routing, dimensions), no codec work — consumable by
     * metadata-only queries without paying encode, and exactly replicable
@@ -281,7 +306,9 @@ object MultimodalOps {
             case "audio" =>
               r.copy(content =
                 MediaCodecs.encodeWav(r.media_id, 256 + (r.media_id % 512).toInt))
-            case _ => r
+            case _ =>
+              r.copy(content = MediaCodecs.encodeGif(
+                r.media_id, r.width, r.height, math.min(r.n_frames, 6)))
           }
         }
       }
@@ -302,6 +329,7 @@ object MultimodalOps {
           val features = r.modality match {
             case "image" => MediaCodecs.decodeImageFeatures(r.content)
             case "audio" => MediaCodecs.decodeAudioFeatures(r.content)
+            case "video" => MediaCodecs.decodeVideoFeatures(r.content)
             case _       => MediaCodecs.decodeFeaturesStub(r.content)
           }
           MediaFeatures(r.media_id, r.modality, r.content.length.toLong, features)

@@ -162,18 +162,21 @@ object CurationQueries extends QueryPack {
         array_distinct(transform(sequence(lit(1), size(tk) - 4),
           i => md5(concat_ws(" ", slice(tk, i, lit(5))).cast("binary")))))
         .otherwise(array().cast("array<string>"))
-      val d = t(s, dir, "documents")
+      // ONE md5-shingling pass over the corpus, materialized: both the
+      // eval and train sides read the checkpointed gram table instead of
+      // recomputing it — and, critically, the explode side's implicit
+      // size/isnotnull filter can no longer be pushed into the scan with
+      // the md5 transform (and its per-element re-split) inlined, which
+      // measured ~2x the whole query's cost. At 100 TB this is the
+      // persisted gram table a contamination job builds once per corpus
+      // snapshot.
+      val withG5 = t(s, dir, "documents")
         .withColumn("toks", split(trim(col("text")), "\\s+"))
-        .withColumn("g5", g5)
-      // Materialized once: the eval gram arrays feed both the explode
-      // side and the per-doc gram counts, and the md5-per-shingle
-      // projection is expensive enough that recomputing it (plus the
-      // inferred not-null filter Catalyst substitutes it into) doubles
-      // the eval-side hashing cost.
-      val evalDocs = d.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("eval_id"), col("g5"), size(col("g5")).as("n_grams"))
+        .select(col("doc_id"), g5.as("g5"))
         .localCheckpoint()
-      val trainGrams = d
+      val evalDocs = withG5.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("eval_id"), col("g5"), size(col("g5")).as("n_grams"))
+      val trainGrams = withG5
         .filter(col("doc_id") % 10 =!= 0 || col("doc_id") % 20 === 0)
         .select(explode(col("g5")).as("g")).distinct()
       val hits = evalDocs.select(col("eval_id"), explode(col("g5")).as("g"))

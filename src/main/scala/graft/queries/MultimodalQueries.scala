@@ -52,13 +52,14 @@ object MultimodalQueries extends QueryPack {
       MultimodalOps.videoFrameCatalog(t(s, dir, "documents"))
         .orderBy(col("media_id"), col("frame_idx"))),
 
-    // Frame sampling: one row per sampled frame with its byte length.
+    // Frame sampling over the OPAQUE container path (mkv — no JDK
+    // demuxer): one row per sampled frame with its byte length.
     // Oracle-checked: the demuxer BODY is a stub, but its selection
     // arithmetic (evenly spaced bounded slices) is a pure function of the
-    // payload byte length, so DuckDB replicates the exact output.
+    // payload byte length, so DuckDB replicates the exact output. (The
+    // REAL demux path is multimodal_video_frames above.)
     "multimodal_frames" -> ((s, dir) => {
-      val media = MultimodalOps.fromDocuments(t(s, dir, "documents"),
-        onlyModality = Some("video"))
+      val media = MultimodalOps.mediaMeta(t(s, dir, "documents"))
       MultimodalOps.sampleFrames(media, frameSize = 32, n = 4).toDF()
         .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
         .orderBy(col("media_id"), col("frame_idx"))

@@ -183,9 +183,16 @@ object TextQueries extends QueryPack {
         transform(sequence(lit(1), size(toks) - 1),
           i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
         .otherwise(array().cast("array<string>"))
+      // Materialization barrier: without it the explode side's implicit
+      // size(bi) > 0 filter is pushed into the scan with the bigram
+      // transform INLINED — and inside an interpreted HOF lambda the
+      // un-materialized split(trim(text)) re-splits the text once per
+      // element (measured 5x slowdown on the bench corpus). The n-gram
+      // arrays are consumed twice anyway (ratio side + explode side).
       val base = docs(s, dir)
         .select(col("doc_id"), tri.as("tri"), bi.as("bi"))
         .withColumn("n_tri", size(col("tri")))
+        .localCheckpoint()
         .withColumn("dup_trigram_ratio",
           when(col("n_tri") > 0, round6(lit(1.0) -
             size(array_distinct(col("tri"))).cast("double") / col("n_tri")))

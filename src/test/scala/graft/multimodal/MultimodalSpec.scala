@@ -42,13 +42,13 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val feats = MultimodalOps.extractFeatures(media).collect()
     assert(feats.length == 30)
     assert(feats.forall(_.features.length == 16))
-    // video n_bytes matches the stub payload (text length in bytes);
-    // image/audio payloads are real PNG/WAV, so n_bytes is encoded size
-    val lens = docs.filter(col("doc_id") < 30)
-      .select(col("doc_id"), length(col("text")).cast("long").as("len")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(feats.filter(_.modality == "video").forall(f => f.n_bytes == lens(f.media_id)))
-    assert(feats.filter(_.modality != "video").forall(_.n_bytes > 0))
+    // all three payloads are real encoded containers (PNG/WAV/GIF), so
+    // n_bytes is the encoded size; features are valid distributions
+    assert(feats.forall(_.n_bytes > 0))
+    feats.foreach { f =>
+      val s = f.features.sum
+      assert(s > 0.99f && s < 1.01f, s"${f.modality} features don't sum to ~1: $s")
+    }
   }
 
   test("encodeWav produces a real WAV the JDK decoder round-trips") {
@@ -130,6 +130,16 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
           s"frame $f pixel ($x,$y): got $v")
       }
     }
+  }
+
+  test("decodeVideoFeatures averages the decoded frames' luminance histograms") {
+    val bytes = MediaCodecs.encodeGif(9L, 12, 10, 3)
+    val got = MediaCodecs.decodeVideoFeatures(bytes)
+    val hist = new Array[Float](16)
+    for (f <- 0 until 3; y <- 0 until 10; x <- 0 until 12)
+      hist(MediaCodecs.grayPixel(9L, f, x, y) >> 4) += 1f
+    val expected = hist.map(_ / (3 * 12 * 10).toFloat)
+    assert(got.sameElements(expected))
   }
 
   test("videoFrameCatalog: decoder geometry matches the metadata formula") {
