@@ -190,6 +190,61 @@ object EventQueries extends QueryPack {
         .na.fill(0L)
         .orderBy(col("user_id"))),
 
+    // Fixed-width value histogram per event type: pure map-side bucket
+    // arithmetic + one partial-agg shuffle — the shape of every
+    // distribution dashboard at any scale.
+    "events_histogram" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("value") / 25.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("bucket"))),
+
+    // Trailing-hour rolling aggregates per event (RANGE frame over epoch
+    // seconds): each event sees the count/sum of its user's events in
+    // (t-1h, t]. A RANGE frame is value-bounded, so ties and gaps are
+    // handled identically on any engine; the state the engine keeps is
+    // one sorted partition per user — same single user_id shuffle as
+    // every other per-user window here. Epoch seconds are FLOORED on
+    // both engines (Spark unix_timestamp truncates; the oracle spells
+    // floor() — DuckDB's double->int cast rounds-to-nearest instead).
+    "events_rolling_1h" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts_sec"))
+        .rangeBetween(-3599, 0)
+      events(s, dir)
+        .filter(col("user_id") < 10)
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+        .select(col("event_id"), col("user_id"), col("ts_sec"),
+          count(lit(1)).over(w).as("n_trailing_1h"),
+          sum(col("value").cast(DecimalType(18, 3))).over(w)
+            .cast("double").as("sum_trailing_1h"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Lag-based sessionization: session index = running count of
+    // gap-exceeded flags per user — the window-function route to the
+    // same sessions session_window() builds (30-minute gap), here with
+    // session bounds and sizes per (user, session). One user_id shuffle
+    // shared by the lag and the running sum (same window spec).
+    "events_sessionize_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts_sec"), col("event_id"))
+      val prevSec = lag(col("ts_sec"), 1).over(wOrd)
+      val newSession = when(
+        prevSec.isNull || col("ts_sec") - prevSec > 1800L, 1L).otherwise(0L)
+      events(s, dir)
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+        .withColumn("sid",
+          sum(newSession).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts_sec")).as("session_start_sec"),
+          max(col("ts_sec")).as("session_last_sec"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("sid"))
+    }),
+
     // Batch z-score anomaly detection — the oracle-checked batch form of
     // the streaming Welford detector (graft.streaming.EventStreams
     // .anomalies): per-user mean/std over `value`, count of events beyond
@@ -236,6 +291,47 @@ object EventQueries extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "events_histogram" ->
+      """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+    "events_rolling_1h" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_sec
+        |  FROM events WHERE user_id < 10
+        |)
+        |SELECT event_id, user_id, ts_sec,
+        |  count(*) OVER w AS n_trailing_1h,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,3))) OVER w AS VARCHAR) AS DOUBLE)
+        |    AS sum_trailing_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+        |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "events_sessionize_lag" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_sec
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts_sec, event_id,
+        |    CASE WHEN lag(ts_sec) OVER w IS NULL
+        |           OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts_sec,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(sid AS BIGINT) AS sid,
+        |  min(ts_sec) AS session_start_sec, max(ts_sec) AS session_last_sec,
+        |  count(*) AS n
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, sid""".stripMargin,
     "events_anomaly_zscore" ->
       """WITH w AS (
         |  SELECT user_id, value,

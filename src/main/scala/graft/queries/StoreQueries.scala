@@ -72,6 +72,36 @@ object StoreQueries extends QueryPack {
         .orderBy(col("key"))
     }),
 
+    // CDC merge: apply one change batch (inserts + updates + deletes) to
+    // the collection snapshot in a SINGLE declarative plan — anti-join
+    // the deletes, left-join + coalesce the updates, union the inserts.
+    // The change batch is broadcast (a CDC batch is tiny next to the
+    // snapshot); the snapshot side streams, so the merge is one pass at
+    // any collection size. Change ops are derived deterministically from
+    // vec_id (%7: 0=delete, 1=update label+1000, 2=insert re-keyed
+    // +100000 with label+2000) so the oracle reproduces the batch.
+    "store_merge_cdc" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+      val deletes = base.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id").cast("string").as("key"))
+      val updates = base.filter(col("vec_id") % 7 === 1)
+        .select(col("vec_id").cast("string").as("key"),
+          (col("label") + 1000).as("new_label"))
+      val inserts = base.filter(col("vec_id") % 7 === 2)
+        .select((col("vec_id") + 100000).cast("string").as("key"),
+          (col("label") + 2000).as("label"))
+      coll(s, dir)
+        .join(broadcast(deletes), Seq("key"), "left_anti")
+        .join(broadcast(updates), Seq("key"), "left")
+        .select(col("key"), coalesce(col("new_label"), col("label")).as("label"))
+        .unionByName(inserts)
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("label").cast("long")).as("label_sum"),
+          sum(when(col("label") >= 1000 && col("label") < 2000, 1L)
+            .otherwise(0L)).as("n_updated"),
+          sum(when(length(col("key")) >= 6, 1L).otherwise(0L)).as("n_inserted"))
+    }),
+
     "store_empty_key_purge" -> ((s, dir) =>
       coll(s, dir)
         .withColumn("key",
@@ -122,6 +152,30 @@ object StoreQueries extends QueryPack {
         |  FROM unioned
         |)
         |SELECT key, label FROM ranked WHERE rn = 1 ORDER BY key""".stripMargin,
+    "store_merge_cdc" ->
+      """WITH snap AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS key, label FROM embeddings
+        |), del AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS key FROM embeddings WHERE vec_id % 7 = 0
+        |), upd AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS key, label + 1000 AS new_label
+        |  FROM embeddings WHERE vec_id % 7 = 1
+        |), ins AS (
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR) AS key, label + 2000 AS label
+        |  FROM embeddings WHERE vec_id % 7 = 2
+        |), merged AS (
+        |  SELECT s.key, coalesce(u.new_label, s.label) AS label
+        |  FROM snap s LEFT JOIN upd u ON s.key = u.key
+        |  WHERE s.key NOT IN (SELECT key FROM del)
+        |  UNION ALL
+        |  SELECT key, label FROM ins
+        |)
+        |SELECT count(*) AS n_items,
+        |  CAST(sum(label) AS BIGINT) AS label_sum,
+        |  CAST(sum(CASE WHEN label >= 1000 AND label < 2000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_updated,
+        |  CAST(sum(CASE WHEN length(key) >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+        |FROM merged""".stripMargin,
     "store_empty_key_purge" ->
       """WITH keyed AS (
         |  SELECT CASE WHEN vec_id % 97 = 0 THEN '' ELSE CAST(vec_id AS VARCHAR) END AS key, label
