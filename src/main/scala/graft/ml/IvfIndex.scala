@@ -131,47 +131,10 @@ object IvfIndex {
       idCol: String,
       embCol: String,
       cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf"): Built = {
-    val dir = new java.io.File(sourcePath)
-    val srcFiles = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq(dir))
-      .filter(_.isFile).sortBy(_.getName)
-    val files = srcFiles.map(f => s"${f.getName}:${f.length}:${f.lastModified}:${headCrc(f)}")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((s"$sourcePath|n=${srcFiles.size}" +: files).mkString("|").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val path = s"$cacheRoot/$key-${ivf.fingerprint}"
-    val target = new java.io.File(path)
-    if (!new java.io.File(target, "assigned/_SUCCESS").isFile) {
-      val staging = new java.io.File(
-        s"$path.build-${java.lang.ProcessHandle.current().pid()}-${System.nanoTime()}")
-      val built = ivf.build(spark, spark.read.parquet(sourcePath), idCol, embCol)
-      save(built, staging.getPath)
-      try {
-        java.nio.file.Files.move(staging.toPath, target.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } catch {
-        // another process published the same key first — serve theirs
-        case _: java.nio.file.FileAlreadyExistsException
-           | _: java.nio.file.FileSystemException if target.isDirectory =>
-          deleteRecursively(staging)
-      }
+    val path = IndexCache.openOrBuild(sourcePath, ivf.fingerprint, cacheRoot,
+      "assigned/_SUCCESS") { staging =>
+      save(ivf.build(spark, spark.read.parquet(sourcePath), idCol, embCol), staging)
     }
     load(spark, path)
-  }
-
-  /** CRC32 of the first 64 KiB — cheap content signal for the fingerprint. */
-  private def headCrc(f: java.io.File): Long = {
-    val crc = new java.util.zip.CRC32()
-    val in = new java.io.FileInputStream(f)
-    try {
-      val buf = new Array[Byte](65536)
-      val n = in.read(buf)
-      if (n > 0) crc.update(buf, 0, n)
-    } finally in.close()
-    crc.getValue
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryPack
-import graft.ml.{CosineLsh, IvfIndex}
+import graft.ml.{CosineLsh, IvfIndex, PqIndex}
 import org.apache.spark.sql.functions._
 
 /**
@@ -55,8 +55,24 @@ object AnnQueries extends QueryPack {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // Driver-visible ANN correctness: per-(method, query) recall of BOTH
-    // approximate paths (LSH and IVF) against the exact in-Spark top-k
+    // Product-quantization batch kNN join — the compressed-index family
+    // (codes are m bytes/vector, 32x smaller than float32): ADC lookup
+    // shortlist over the code table, then exact re-rank of the shortlist
+    // only. Like IVF, the build (m KMeans fits + encode) runs ONLY in
+    // the index job; openOrBuild loads the persisted code table here.
+    "ann_pq_knn" -> ((s, dir) => {
+      val pq = new PqIndex(m = 8, kCentroids = 16)
+      val built = PqIndex.openOrBuild(s, pq, s"$dir/embeddings.parquet",
+        "vec_id", "embedding")
+      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 20)
+      pq.search(built, queries, "vec_id", "embedding", k = 3)
+        .select(col("q_id"), col("rank"), col("neighbor_id"),
+          round6(col("cos")).as("score"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Driver-visible ANN correctness: per-(method, query) recall of ALL
+    // approximate paths (LSH, IVF, PQ) against the exact in-Spark top-k
     // (same contract AnnRecallSpec pins in sbt). A recall regression in
     // either index flips `pass` to false in the dumped rows — reviewable
     // without a SQL-expressible ANN oracle.
@@ -75,7 +91,13 @@ object AnnQueries extends QueryPack {
           "vec_id", "embedding"), q, "vec_id", "embedding", k)
         .select(lit("ivf").as("method"), col("q_id"), col("neighbor_id"),
           lit(1).as("hit"))
-      val approx = lsh.unionByName(ivf)
+      val pqIdx = new PqIndex(m = 8, kCentroids = 16)
+      val pq = pqIdx
+        .search(PqIndex.openOrBuild(s, pqIdx, s"$dir/embeddings.parquet",
+          "vec_id", "embedding"), q, "vec_id", "embedding", k)
+        .select(lit("pq").as("method"), col("q_id"), col("neighbor_id"),
+          lit(1).as("hit"))
+      val approx = lsh.unionByName(ivf).unionByName(pq)
       val qd = q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       // exact side via the bounded partial-agg top-k (same tie-break as a
       // row_number window — score desc, id asc — but only partitions×k
@@ -86,7 +108,7 @@ object AnnQueries extends QueryPack {
         .groupBy(col("q_id"))
         .agg(graft.functions.TopKByScore(k)(col("cos"), col("vec_id")).as("hits"))
         .select(col("q_id"), explode(col("hits.id")).as("neighbor_id"))
-      val methods = { import s.implicits._; Seq("lsh", "ivf").toDF("method") }
+      val methods = { import s.implicits._; Seq("lsh", "ivf", "pq").toDF("method") }
       // `pass` pins the METHOD-aggregate recall >= 0.9 (the AnnRecallSpec
       // contract) on every row; per-query recall stays visible for
       // diagnosis (single queries legitimately dip on a uniform-random

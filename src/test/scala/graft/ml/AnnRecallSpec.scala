@@ -73,6 +73,25 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.9, s"IVF recall $recall")
   }
 
+  test("PQ search recall >= 0.9 vs exact top-3 (ADC shortlist + exact re-rank)") {
+    val pq = new PqIndex(m = 8, kCentroids = 16)
+    val built = pq.build(spark, emb, "vec_id", "embedding")
+    val approx = pq.search(built, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 3)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exactTop3).size.toDouble / exactTop3.size
+    assert(recall >= 0.9, s"PQ recall $recall")
+  }
+
+  test("PQ self-query returns itself as rank 1 (sanity)") {
+    val pq = new PqIndex(m = 8, kCentroids = 16)
+    val built = pq.build(spark, emb, "vec_id", "embedding")
+    val r1 = pq.search(built, emb.filter(col("vec_id") === 5), "vec_id", "embedding", 1)
+      .select("q_id", "neighbor_id", "rank").collect()
+    assert(r1.length == 1 && r1.head.getLong(0) == 5L &&
+      r1.head.getLong(1) == 5L && r1.head.getInt(2) == 1)
+  }
+
   test("IVF self-query returns itself as rank 1 (sanity)") {
     val ivf = new IvfIndex(nCentroids = 8, nProbe = 2)
     val built = ivf.build(spark, emb, "vec_id", "embedding")
