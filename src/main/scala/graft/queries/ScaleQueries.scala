@@ -101,6 +101,22 @@ object ScaleQueries extends QueryPack {
         .orderBy(col("zblock"))
     }),
 
+    // Approximate quantiles (Greenwald–Khanna summaries, the fixed-size
+    // sketch path): same outputs as the exact events_value_quantiles but
+    // with bounded per-group state at any row count — the 100 TB
+    // companion of the exact query, exactly like the HLL/exact distinct
+    // split below. Rank error <= n/accuracy; ApproxQuantileSpec pins the
+    // value drift against the exact query.
+    "events_value_quantiles_approx" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile_approx(value, array(0.5, 0.9, 0.99), 10000)").as("qs"))
+        .select(col("event_type"),
+          element_at(col("qs"), 1).as("p50"),
+          element_at(col("qs"), 2).as("p90"),
+          element_at(col("qs"), 3).as("p99"))
+        .orderBy(col("event_type"))),
+
     "events_distinct_users_approx" -> ((s, dir) =>
       events(s, dir)
         .groupBy(col("event_type"))

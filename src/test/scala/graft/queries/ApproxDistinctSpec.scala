@@ -3,9 +3,33 @@ package graft.queries
 import graft.SparkTestBase
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The HLL sketch has no cross-engine oracle; pin its error bound vs the
-  * exact distinct query (which IS oracle-checked) instead. */
+/** The HLL and quantile sketches have no cross-engine oracle; pin their
+  * error bounds vs the exact queries (which ARE oracle-checked) instead. */
 class ApproxDistinctSpec extends AnyFunSuite with SparkTestBase {
+
+  test("percentile_approx returns values at empirical rank within eps of q") {
+    import org.apache.spark.sql.functions._
+    val approx = ScaleQueries.queries("events_value_quantiles_approx")(spark, sf0_001)
+      .collect().map(r => r.getString(0) ->
+        Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2), 0.99 -> r.getDouble(3))).toMap
+    assert(approx.nonEmpty)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val values = spark.read.parquet(s"$sf0_001/events.parquet")
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    // GK guarantee: the returned value's empirical rank is within the
+    // sketch's rank error of q; with accuracy 10000 the dominant slack is
+    // value discreteness (one order statistic = 1/n of rank)
+    approx.foreach { case (g, qs) =>
+      val vs = values(g); val n = vs.length.toDouble
+      qs.foreach { case (q, a) =>
+        val rankLe = vs.count(_ <= a) / n
+        val rankLt = vs.count(_ < a) / n
+        assert(rankLt - 2.0 / n <= q && q <= rankLe + 2.0 / n,
+          s"$g p$q: approx=$a has rank [${rankLt}, ${rankLe}] (n=${vs.length})")
+      }
+    }
+  }
   test("approx_count_distinct within 5% of exact per group") {
     val exact = ScaleQueries.queries("events_distinct_users_exact")(spark, sf0_001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
