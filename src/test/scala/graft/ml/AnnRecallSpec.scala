@@ -114,6 +114,28 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
     assert(res(loaded) == res(built))
   }
 
+  test("PQ openOrBuild builds once, then loads the cached code table") {
+    val cacheRoot = java.nio.file.Files.createTempDirectory("graft-pq-cache").toString
+    val pq = new PqIndex(m = 8, kCentroids = 16)
+    val src = s"$sf0_001/embeddings.parquet"
+    PqIndex.openOrBuild(spark, pq, src, "vec_id", "embedding", cacheRoot)
+    val indexDirs = new java.io.File(cacheRoot).listFiles()
+    assert(indexDirs.length == 1)
+    val marker = new java.io.File(indexDirs.head, "coded/_SUCCESS")
+    val stamp = marker.lastModified()
+    val again = PqIndex.openOrBuild(spark, pq, src, "vec_id", "embedding", cacheRoot)
+    assert(marker.lastModified() == stamp) // not rebuilt
+    assert(again.coded.count() == emb.count())
+    // the persisted index searches identically to a freshly built one
+    val fresh = pq.build(spark, emb, "vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 5)
+    val a = pq.search(again, q, "vec_id", "embedding", 3)
+      .select("q_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    val b = pq.search(fresh, q, "vec_id", "embedding", 3)
+      .select("q_id", "rank", "neighbor_id").collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("IVF openOrBuild builds once, then loads the cached index") {
     val cacheRoot = java.nio.file.Files.createTempDirectory("graft-ivf-cache").toString
     val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
