@@ -99,6 +99,28 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Language-ID confusion matrix: labeled lang × guessed lang counts —
+    // the model-eval rollup run after any classifier pass (here the
+    // marker-token heuristic above). One partial-agg shuffle.
+    "text_langid_confusion" -> ((s, dir) => {
+      val n = size(toks).cast("double")
+      val (en, de, fr, es) = (hits(enStops).cast("double") / n,
+        hits(deStops).cast("double") / n,
+        hits(frStops).cast("double") / n,
+        hits(esStops).cast("double") / n)
+      val best = greatest(en, de, fr, es)
+      val guess = when(best === 0.0, lit("und"))
+        .when(en === best, lit("en"))
+        .when(de === best, lit("de"))
+        .when(fr === best, lit("fr"))
+        .otherwise(lit("es"))
+      docs(s, dir)
+        .select(col("lang"), guess.as("lang_guess"))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_guess"))
+    }),
+
     // Fingerprints: exact-content md5 + min 5-token-shingle hash (the
     // single-permutation core of MinHash; full MinHash/LSH in DedupQueries).
     "text_fingerprint" -> ((s, dir) =>
@@ -260,6 +282,23 @@ object TextQueries extends QueryPack {
          |       WHEN $fr = $best THEN 'fr'
          |       ELSE 'es' END AS lang_guess
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "text_langid_confusion" -> {
+      val n = s"CAST(len($toksSql) AS DOUBLE)"
+      def r(ws: Seq[String]) = s"(CAST(${hitsSql(ws)} AS DOUBLE) / $n)"
+      val (en, de, fr, es) = (r(enStops), r(deStops), r(frStops), r(esStops))
+      val best = s"greatest($en, $de, $fr, $es)"
+      s"""WITH g AS (
+         |  SELECT lang,
+         |    CASE WHEN $best = 0.0 THEN 'und'
+         |         WHEN $en = $best THEN 'en'
+         |         WHEN $de = $best THEN 'de'
+         |         WHEN $fr = $best THEN 'fr'
+         |         ELSE 'es' END AS lang_guess
+         |  FROM documents
+         |)
+         |SELECT lang, lang_guess, count(*) AS n FROM g
+         |GROUP BY lang, lang_guess ORDER BY lang, lang_guess""".stripMargin
     },
     "text_fingerprint" ->
       s"""WITH tok AS (SELECT doc_id, trim(text) AS txt, $toksSql AS toks FROM documents)

@@ -16,8 +16,17 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>
-    test(s"query $name runs at sf0.001 with rows > 0") {
-      assert(fn(spark, sf0_001).count() > 0)
+    test(s"query $name runs at sf0.001 with rows > 0, no CartesianProduct") {
+      val df = fn(spark, sf0_001)
+      // scale guard: a non-broadcast cross join (CartesianProduct) in any
+      // registered plan is an unbounded pairwise blowup waiting for real
+      // data — the 1-row-dim cross joins used throughout plan as
+      // BroadcastNestedLoopJoin and are fine. (The fenced _bruteforce
+      // baseline is broadcast too at this scale; its guard is the fence.)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      assert(df.count() > 0)
     }
   }
 }
