@@ -141,6 +141,62 @@ object CurationQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // The capstone composition — the pretraining-data prep pipeline as
+    // ONE declarative plan Catalyst optimizes whole:
+    //   quality gate -> exact-dedup canonical -> 5-gram decontamination
+    //   vs the eval split -> per-source token/sequence budget rollup.
+    // One tokenize+hash pass over the corpus feeds every stage (the
+    // checkpointed base is the per-snapshot feature table a real
+    // pipeline persists); then one fp-window shuffle, one gram-keyed
+    // semi-join, one doc-keyed join, one rollup. Nothing is pairwise,
+    // nothing collects, and every stage reuses the exact operator
+    // semantics verified individually above.
+    "pipeline_pretrain_prep" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = col("toks")
+      val nTokens = size(tk).cast("double")
+      val stops = Seq("the", "a", "and", "of", "to", "in")
+      val stopRatio = size(filter(tk, t => t.isInCollection(stops))).cast("double") / nTokens
+      val meanLen = length(array_join(tk, "")).cast("double") / nTokens
+      val quality = round6(least(nTokens / 200.0, lit(1.0)) * 0.5 +
+        least(stopRatio * 5.0, lit(1.0)) * 0.3 +
+        least(meanLen / 8.0, lit(1.0)) * 0.2)
+      val g5 = when(size(tk) >= 5,
+        array_distinct(transform(sequence(lit(1), size(tk) - 4),
+          i => md5(concat_ws(" ", slice(tk, i, lit(5))).cast("binary")))))
+        .otherwise(array().cast("array<string>"))
+      val base = t(s, dir, "documents")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).as("n_tokens"),
+          quality.as("quality"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")).as("fp"),
+          g5.as("g5"))
+        .localCheckpoint()
+      val evalGrams = base.filter(col("doc_id") % 10 === 0)
+        .select(explode(col("g5")).as("g")).distinct()
+      val w = Window.partitionBy("fp").orderBy(col("doc_id"))
+      val train = base.filter(col("doc_id") % 10 =!= 0)
+        .filter(col("quality") >= 0.35)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val hits = train.select(col("doc_id"), explode(col("g5")).as("g"))
+        .join(evalGrams, Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      val contam = when(size(col("g5")) > 0,
+        coalesce(col("n_hit"), lit(0L)).cast("double") / size(col("g5")))
+        .otherwise(lit(0.0))
+      train.join(hits, Seq("doc_id"), "left")
+        .filter(contam < 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          round6(sum(col("quality").cast(DecimalType(9, 6))).cast("double") /
+            count(lit(1))).as("avg_quality"))
+        .withColumn("n_seqs",
+          (floor((col("total_tokens") - 1).cast("double") / 2048.0) + 1).cast("long"))
+        .orderBy(col("source"))
+    }),
+
     // Train/eval contamination: eval = every 10th doc by id; train = the
     // rest PLUS re-keyed copies of every 20th doc (synthesized leakage,
     // same construction as dedup_exact). A train doc leaks iff its
@@ -258,6 +314,49 @@ object CurationQueries extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "pipeline_pretrain_prep" -> {
+      val toksSql = "string_split_regex(trim(text), '\\s+')"
+      val n = s"CAST(len(toks) AS DOUBLE)"
+      val stopRatio = "(CAST(len(list_filter(toks, t -> t IN " +
+        "('the','a','and','of','to','in'))) AS DOUBLE) / " + n + ")"
+      val meanLen = s"(CAST(length(array_to_string(toks, '')) AS DOUBLE) / $n)"
+      val q = graft.QueryPack.round6Sql(
+        s"least($n / 200.0, 1.0) * 0.5 + least($stopRatio * 5.0, 1.0) * 0.3 + " +
+          s"least($meanLen / 8.0, 1.0) * 0.2")
+      val contam = "CASE WHEN len(tr.g5) > 0 THEN " +
+        "CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(tr.g5) ELSE 0.0 END"
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, $toksSql AS toks,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents
+         |), base AS (
+         |  SELECT doc_id, source, len(toks) AS n_tokens, $q AS quality, fp,
+         |    list_distinct(list_transform(range(1, len(toks) - 3),
+         |      i -> md5(array_to_string(toks[i:i+4], ' ')))) AS g5
+         |  FROM scored
+         |), evalg AS (
+         |  SELECT DISTINCT unnest(g5) AS g FROM base WHERE doc_id % 10 = 0
+         |), train AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |    FROM base WHERE doc_id % 10 <> 0 AND quality >= 0.35
+         |  ) WHERE rn = 1
+         |), hits AS (
+         |  SELECT doc_id, count(*) AS n_hit
+         |  FROM (SELECT doc_id, unnest(g5) AS g FROM train) t
+         |  WHERE g IN (SELECT g FROM evalg) GROUP BY doc_id
+         |), clean AS (
+         |  SELECT tr.source, tr.n_tokens, tr.quality
+         |  FROM train tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
+         |  WHERE ($contam) < 0.5
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  ${graft.QueryPack.round6Sql(
+            "CAST(CAST(sum(CAST(quality AS DECIMAL(9,6))) AS VARCHAR) AS DOUBLE) / count(*)")} AS avg_quality,
+         |  CAST(floor(CAST(CAST(sum(n_tokens) AS BIGINT) - 1 AS DOUBLE) / 2048.0) + 1 AS BIGINT) AS n_seqs
+         |FROM clean GROUP BY source ORDER BY source""".stripMargin
+    },
     "corpus_ngram_contamination" -> {
       val contamination = "CASE WHEN n_grams > 0 THEN " +
         graft.QueryPack.round6Sql("CAST(coalesce(n_hit, 0) AS DOUBLE) / n_grams") +
