@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, SparkSession}
@@ -199,6 +199,115 @@ case class L2Norm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * Banded sign-random-projection (SimHash) keys for cosine LSH —
+ * `numBands` keys per vector, each the concatenation of `bandBits` sign
+ * bits (AND-amplification within a band, OR across bands). Two vectors
+ * share a band key with probability `(1 - θ/π)^bandBits`, so bucket mass
+ * is ~`2^-bandBits` of the corpus per band (the property MLlib's
+ * single-projection `BucketedRandomProjectionLSH` cannot give: with one
+ * projection per table, any bucket width that keeps recall puts ~half
+ * the corpus in each central bucket).
+ *
+ * Hyperplanes are deterministic Rademacher (±1) vectors derived from a
+ * splitmix64-style mix of (seed, plane, dim) — no matrix is stored or
+ * shipped, the expression is pure compute over the embedding, and the
+ * same (seed, plane, dim) always yields the same sign, so band keys are
+ * stable across runs, partitions, and executors (the driver re-runs ANN
+ * queries and row counts must not flap). At d=64 the ±1 projection is
+ * CLT-close to Gaussian, so the `1 - θ/π` collision law holds to within
+ * the tuning margin pinned by `AnnRecallSpec`.
+ *
+ * Key packing: element `t` is `(t << bandBits) | bits`, so keys never
+ * collide across bands and a single `explode` + equi-join implements the
+ * banded join.
+ */
+case class SimHashBands(child: Expression, seed: Long, bandBits: Int, numBands: Int)
+    extends UnaryExpression {
+  require(bandBits >= 1 && bandBits <= 24, s"bandBits out of range: $bandBits")
+  require(numBands >= 1, s"numBands out of range: $numBands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_bands"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorBinaryExpression.check(prettyName, child.dataType)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Long](numBands)
+    var plane = 0
+    var t = 0
+    while (t < numBands) {
+      var bits = 0L
+      var b = 0
+      while (b < bandBits) {
+        var acc = 0.0
+        var d = 0
+        while (d < n) {
+          acc += x.getFloat(d).toDouble * SimHashBands.rademacher(seed, plane, d)
+          d += 1
+        }
+        bits = (bits << 1) | (if (acc > 0) 1L else 0L)
+        b += 1; plane += 1
+      }
+      out(t) = (t.toLong << bandBits) | bits
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val t = ctx.freshName("t")
+      val b = ctx.freshName("b"); val d = ctx.freshName("d")
+      val plane = ctx.freshName("plane"); val bits = ctx.freshName("bits")
+      val acc = ctx.freshName("acc"); val z = ctx.freshName("z")
+      val out = ctx.freshName("out")
+      // the splitmix64 mix is inlined (same arithmetic as
+      // SimHashBands.rademacher) so the inner loop stays free of calls
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$numBands];
+         |int $plane = 0;
+         |for (int $t = 0; $t < $numBands; $t++) {
+         |  long $bits = 0L;
+         |  for (int $b = 0; $b < $bandBits; $b++, $plane++) {
+         |    double $acc = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      long $z = ${seed}L + $plane * 0x9E3779B97F4A7C15L + $d * 0xC2B2AE3D27D4EB4FL;
+         |      $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |      $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+         |      $z ^= ($z >>> 31);
+         |      $acc += (double) $a.getFloat($d) * ((($z & 1L) == 0L) ? 1.0d : -1.0d);
+         |    }
+         |    $bits = ($bits << 1) | ($acc > 0 ? 1L : 0L);
+         |  }
+         |  $out[$t] = (((long) $t) << $bandBits) | $bits;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashBands {
+  /** Deterministic ±1 hyperplane weight for (seed, plane, dim) —
+    * splitmix64 finalizer over a distinct-constant linear combination.
+    * Must stay bit-identical to the inlined codegen version above
+    * (pinned by the interp/codegen consistency test). */
+  def rademacher(seed: Long, plane: Int, dim: Int): Double = {
+    var z = seed + plane * 0x9E3779B97F4A7C15L + dim * 0xC2B2AE3D27D4EB4FL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+}
+
 /** Column-API + SQL-registry façade for the vector expression family. */
 object VectorFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -208,6 +317,8 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
   def l2Distance(a: Column, b: Column): Column = c(L2Distance(e(a), e(b)))
   def l2Norm(a: Column): Column = c(L2Norm(e(a)))
+  def simhashBands(emb: Column, seed: Long, bandBits: Int, numBands: Int): Column =
+    c(SimHashBands(e(emb), seed, bandBits, numBands))
 
   // once-per-session guard: createOrReplaceTempFunction on an already-
   // registered name logs a "function replaced" warning per call, which

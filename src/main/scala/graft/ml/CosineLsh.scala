@@ -1,94 +1,130 @@
 package graft.ml
 
-import graft.functions.VectorFunctions.l2Norm
-import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel}
-import org.apache.spark.ml.functions.array_to_vector
+import graft.functions.VectorFunctions.{cosineSim, l2Norm, simhashBands}
+import graft.functions.TopKByScore
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
- * Approximate cosine similarity search via MLlib's random-projection LSH —
- * the scale path for kNN joins and embedding near-dup: bucket, then join
- * only within buckets, instead of the all-pairs O(N·M) the exact operators
- * pay.
+ * Approximate cosine similarity search via banded sign-random-projection
+ * (SimHash) LSH — the scale path for threshold pair-joins and kNN joins:
+ * explode band keys, equi-join within buckets, exact-rescore candidates
+ * only. No O(N·M) pair space materializes; the only approximation is
+ * band recall, pinned >= 0.9 by `AnnRecallSpec`.
  *
- * Cosine is reduced to Euclidean on L2-normalized vectors
- * (`cos(a,b) = 1 - d(â,b̂)²/2`), which is what
- * `BucketedRandomProjectionLSH` hashes. The reduction is exact, so the
- * only approximation is LSH recall itself (tunable via `numHashTables`);
- * `CosineLshSpec` pins recall >= 0.9 against the exact brute-force pairs.
+ * Design (replaces the earlier MLlib `BucketedRandomProjectionLSH`
+ * backend): each of `numBands` keys concatenates `bandBits` hyperplane
+ * sign bits ([[graft.functions.SimHashBands]]), so bucket mass is
+ * ~`2^-bandBits` of the corpus per band — `AnnRecallSpec` asserts the
+ * largest bucket stays under 10%. MLlib's BRP-LSH hashes ONE projection
+ * per table; on unit vectors (projection std 1/√d ≈ 0.125 at d=64) any
+ * bucket width wide enough for recall puts ~half the corpus in each
+ * central bucket, degrading the "bucketed" join to near-all-pairs — the
+ * AND-amplified multi-bit band is the fix, and MLlib cannot express it.
  *
- * Determinism: fixed projection seed, so the bucket assignment — and
- * therefore the approximate result set — is stable run to run (the driver
- * re-runs registered ANN queries and row counts must not flap).
+ * Honest scale note: at a LOW cosine threshold on near-orthogonal
+ * corpora (this testdata's qualifying pairs sit at cos 0.40–0.48 vs a
+ * random-pair std of 1/√64), ANY LSH family retains a large constant
+ * fraction of the pair space as candidates (~50% here) — the win is a
+ * cheap int-key equi-join plus codegen'd exact rescoring of candidates
+ * only, not an asymptotic exponent. High-similarity regimes (near-dup
+ * at cos >= 0.9) prune sharply with the same operator, and bounded
+ * top-k (IVF/PQ) is the right tool when a threshold join is not
+ * required.
+ *
+ * Determinism: fixed seed → fixed hyperplanes → stable band keys and
+ * stable approximate result sets run to run (the driver re-runs
+ * registered ANN queries and row counts must not flap).
+ *
+ * Tuning (empirical, on the driver testdata, pinned by AnnRecallSpec):
+ * bandBits=7, numBands=96 → pair recall ≈ 0.98, kNN recall ≈ 0.97–1.0,
+ * max bucket < 4% of corpus.
  */
 class CosineLsh(
-    numHashTables: Int = 5,
-    bucketLength: Double = 1.0,
+    bandBits: Int = 7,
+    numBands: Int = 96,
     seed: Long = 42L) {
 
-  /** id + unit-normalized `features` vector (zero vectors dropped — they
-    * have no direction, and the reference's cosine is NaN on them). */
-  def prepare(df: DataFrame, idCol: String, embCol: String): DataFrame = {
-    val norm = l2Norm(col(embCol))
-    df.filter(norm > 0)
-      .select(col(idCol).as("id"),
-        array_to_vector(transform(col(embCol), x => x / norm)).as("features"))
-  }
+  private def bandsOf(emb: Column): Column = simhashBands(emb, seed, bandBits, numBands)
 
-  def fit(prepared: DataFrame): BucketedRandomProjectionLSHModel =
-    new BucketedRandomProjectionLSH()
-      .setInputCol("features")
-      .setOutputCol("hashes")
-      .setNumHashTables(numHashTables)
-      .setBucketLength(bucketLength)
-      .setSeed(seed)
-      .fit(prepared)
+  /** id + embedding with zero vectors dropped — they have no direction,
+    * and the reference's cosine is NaN on them. */
+  def prepare(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.filter(l2Norm(col(embCol)) > 0)
+      .select(col(idCol).as("id"), col(embCol).as("emb"))
 
-  /** Euclidean distance on unit vectors equivalent to `cosine >= minCos`. */
-  def distFor(minCos: Double): Double = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCos))
-
-  private def distToCos(dist: Column): Column = lit(1.0) - dist * dist / 2.0
+  /** The banded signature table — one (id, band) row per vector×band.
+    * At 100 TB this is the persisted LSH index artifact (ids + long
+    * keys, no embeddings); here it is derived inline. */
+  def signatures(prepared: DataFrame): DataFrame =
+    prepared.select(col("id"), explode(bandsOf(col("emb"))).as("band"))
 
   /**
-   * All pairs (a_id < b_id) with approximate cosine >= minCos.
-   * Scale shape: explode hash tables -> shuffle on bucket -> join within
-   * bucket only. No O(N^2) pair space.
+   * All pairs (a_id < b_id) with cosine >= minCos (scores exact; LSH
+   * only prunes candidates). Scale shape: explode band keys → shuffle
+   * on band → join within bucket → distinct candidate ids → fetch the
+   * two embeddings by id-join → codegen'd exact cosine. Embeddings
+   * never ride through the band join (candidates carry two longs), and
+   * each surviving pair is scored exactly once.
    */
   def similarPairs(df: DataFrame, idCol: String, embCol: String, minCos: Double): DataFrame = {
-    // materialize the normalized vectors once: the self-join consumes the
-    // prepared table TWICE (probe + build), and without the checkpoint
-    // each side re-normalizes and re-hashes the full corpus — at scale
-    // the prepared+hashed table is a persisted index artifact, and
-    // localCheckpoint is its single-job analog (same reasoning as the
-    // MinHash signature table in DedupQueries)
-    val prepared = prepare(df, idCol, embCol).localCheckpoint()
-    val model = fit(prepared)
-    model.approxSimilarityJoin(prepared, prepared, distFor(minCos), "dist")
-      .select(col("datasetA.id").as("a_id"), col("datasetB.id").as("b_id"),
-        distToCos(col("dist")).as("cos"))
+    // materialize the signature table once: it feeds BOTH sides of the
+    // band self-join (at scale it is the persisted LSH index artifact
+    // refreshed by the index job; localCheckpoint is the single-job
+    // analog, same reasoning as the MinHash signature table in
+    // DedupQueries — measured: relying on ReusedExchange instead is
+    // ~1.4s slower here because AQE replans the two sides separately).
+    // The narrow base scan is NOT checkpointed — re-reading a pruned
+    // 2-column parquet scan for the id-fetch joins is cheaper than
+    // materializing it.
+    val base = prepare(df, idCol, embCol)
+    val sigs = signatures(base).localCheckpoint()
+    // Dedup ORDER: a pair colliding in multiple bands is scored more than
+    // once (duplicate factor ~1.4x here) and deduped AFTER the threshold
+    // filter — post-filter cardinality is orders of magnitude below
+    // candidate cardinality whenever the threshold is selective, so the
+    // distinct handles thousands of rows instead of a full candidate
+    // shuffle. Scoring a duplicate costs one codegen'd cosine; a
+    // pre-scoring distinct costs a full extra shuffle stage.
+    val cand = sigs.select(col("band"), col("id").as("a_id"))
+      .join(sigs.select(col("band"), col("id").as("b_id")), Seq("band"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    cand
+      .join(base.select(col("id").as("a_id"), col("emb").as("emb_a")), Seq("a_id"))
+      .join(base.select(col("id").as("b_id"), col("emb").as("emb_b")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), cosineSim(col("emb_a"), col("emb_b")).as("cos"))
       .filter(col("cos") >= minCos)
+      .distinct()
   }
 
   /**
    * Batch approximate kNN join: top-k corpus neighbors per query row by
-   * cosine. Candidates come from the bucketed join at `minCandidateCos`;
-   * per-query top-k via the bounded partial-aggregating TopKByScore.
+   * cosine. Candidates come from the banded join (exact cosine >=
+   * `minCandidateCos` — default 0, matching the reference kNN's
+   * unbounded candidate set); per-query top-k via the bounded
+   * partial-aggregating TopKByScore, so only partitions×|Q|×k rows
+   * cross the final shuffle.
    */
   def knnJoin(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, embCol: String,
       k: Int, minCandidateCos: Double = 0.0): DataFrame = {
-    val prepCorpus = prepare(corpus, idCol, embCol)
-    val prepQueries = prepare(queries, idCol, embCol)
-    val model = fit(prepCorpus)
-    val hits = model
-      .approxSimilarityJoin(prepQueries, prepCorpus, distFor(minCandidateCos), "dist")
-      .select(col("datasetA.id").as("q_id"), col("datasetB.id").as("n_id"),
-        distToCos(col("dist")).as("cos"))
-    hits.groupBy(col("q_id"))
-      .agg(graft.functions.TopKByScore(k)(col("cos"), col("n_id")).as("hits"))
+    val corpusBase = prepare(corpus, idCol, embCol)
+    val corpusSigs = signatures(corpusBase)
+      .select(col("band"), col("id").as("n_id"))
+    val qBase = prepare(queries, idCol, embCol)
+      .select(col("id").as("q_id"), col("emb").as("q_emb"))
+    val qSigs = qBase.select(col("q_id"), explode(bandsOf(col("q_emb"))).as("band"))
+    val cand = qSigs.join(corpusSigs, Seq("band"))
+      .select("q_id", "n_id").distinct()
+    val scored = cand
+      .join(corpusBase.select(col("id").as("n_id"), col("emb")), Seq("n_id"))
+      .join(broadcast(qBase), Seq("q_id"))
+      .select(col("q_id"), col("n_id"), cosineSim(col("emb"), col("q_emb")).as("cos"))
+      .filter(col("cos") >= minCandidateCos)
+    scored.groupBy(col("q_id"))
+      .agg(TopKByScore(k)(col("cos"), col("n_id")).as("hits"))
       .select(col("q_id"), posexplode(col("hits")))
       .select(col("q_id"), (col("pos") + 1).as("rank"),
         col("col.id").as("neighbor_id"), col("col.score").as("cos"))

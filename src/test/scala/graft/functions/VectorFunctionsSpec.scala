@@ -68,6 +68,33 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(d.getDouble(2) - math.sqrt(27.0)) < 1e-12)
   }
 
+  test("simhash_bands: interpreted eval matches codegen, keys well-formed") {
+    val emb = Seq.tabulate(64)(i => math.sin(i * 1.7 + 0.3).toFloat)
+    val expr = SimHashBands(
+      Literal.create(emb, ArrayType(FloatType)), seed = 42L, bandBits = 7, numBands = 96)
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val codegen = df(emb, emb)
+      .select(simhashBands(col("a"), 42L, 7, 96).as("bands"))
+      .head.getSeq[Long](0).toArray
+    assert(interp.sameElements(codegen))
+    assert(interp.length == 96)
+    // element t carries band id t in its high bits and a 7-bit key below
+    interp.zipWithIndex.foreach { case (key, t) =>
+      assert(key >>> 7 == t.toLong, s"band $t key $key")
+      assert((key & 0x7fL) == (key & ((1L << 7) - 1)))
+    }
+  }
+
+  test("simhash_bands is scale-invariant and deterministic across rows") {
+    val emb = Seq.tabulate(64)(i => math.cos(i * 0.9).toFloat)
+    val scaled = emb.map(_ * 17.5f)
+    val r = df(emb, scaled).select(
+      simhashBands(col("a"), 42L, 7, 96).as("ba"),
+      simhashBands(col("b"), 42L, 7, 96).as("bb")).head
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+  }
+
   test("SQL registration works") {
     VectorFunctions.register(spark)
     df(Seq(1f, 0f), Seq(1f, 0f)).createOrReplaceTempView("vf_test")

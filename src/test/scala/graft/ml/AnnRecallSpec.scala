@@ -54,6 +54,20 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  test("LSH bucket occupancy: largest band bucket holds < 10% of the corpus") {
+    // the r4 failure mode was ONE bucket holding the whole corpus (MLlib
+    // BRP-LSH bucketLength >> projection std), which silently degrades the
+    // bucketed join to all-pairs — pin the fix structurally
+    val lsh = new CosineLsh()
+    val prepared = lsh.prepare(emb, "vec_id", "embedding")
+    val n = prepared.count()
+    val maxBucket = lsh.signatures(prepared)
+      .groupBy("band").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxBucket.toDouble / n < 0.10,
+      s"largest LSH bucket holds $maxBucket of $n vectors")
+  }
+
   test("LSH knnJoin recall >= 0.9 vs exact top-3") {
     val approx = new CosineLsh()
       .knnJoin(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 3)
