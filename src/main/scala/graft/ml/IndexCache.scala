@@ -37,15 +37,39 @@ private[ml] object IndexCache {
     if (!new java.io.File(target, successRel).isFile) {
       val staging = new java.io.File(
         s"$path.build-${java.lang.ProcessHandle.current().pid()}-${System.nanoTime()}")
-      buildInto(staging.getPath)
+      // a build that dies mid-write must not leak its staging dir into the
+      // shared cache root (nor can it ever be served — only a rename
+      // publishes)
+      try buildInto(staging.getPath)
+      catch { case t: Throwable => deleteRecursively(staging); throw t }
       try {
         java.nio.file.Files.move(staging.toPath, target.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       } catch {
-        // another process published the same key first — serve theirs
-        case _: java.nio.file.FileAlreadyExistsException
-           | _: java.nio.file.FileSystemException if target.isDirectory =>
-          deleteRecursively(staging)
+        // rename refused because the target path exists: legitimate only
+        // when a concurrent builder PUBLISHED a complete index (its
+        // success marker is present — a rename is atomic, so a published
+        // dir is complete). A stale partial dir at the key path (e.g. a
+        // crashed pre-guard build) is removed and the move retried, so an
+        // incomplete index is never served and our finished build is
+        // never discarded in its favor.
+        case e @ (_: java.nio.file.FileAlreadyExistsException
+                | _: java.nio.file.FileSystemException) if target.isDirectory =>
+          if (new java.io.File(target, successRel).isFile) deleteRecursively(staging)
+          else {
+            deleteRecursively(target)
+            try {
+              java.nio.file.Files.move(staging.toPath, target.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            } catch {
+              // lost a second race — by the same argument the winner is
+              // complete
+              case _: java.nio.file.FileAlreadyExistsException
+                 | _: java.nio.file.FileSystemException
+                  if new java.io.File(target, successRel).isFile =>
+                deleteRecursively(staging)
+            }
+          }
       }
     }
     path

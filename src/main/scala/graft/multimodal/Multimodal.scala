@@ -281,7 +281,7 @@ object MultimodalOps {
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
       col("text").cast("binary").as("content"),
-      element_at(array(lit("png"), lit("wav"), lit("mkv")),
+      element_at(array(lit("png"), lit("wav"), lit("gif")),
         (col("doc_id") % 3 + 1).cast("int")).as("format"),
       (col("n_chars") % 64 + 16).cast("int").as("width"),
       (col("n_chars") % 48 + 16).cast("int").as("height"),

@@ -52,8 +52,9 @@ object MultimodalQueries extends QueryPack {
       MultimodalOps.videoFrameCatalog(t(s, dir, "documents"))
         .orderBy(col("media_id"), col("frame_idx"))),
 
-    // Frame sampling over the OPAQUE container path (mkv — no JDK
-    // demuxer): one row per sampled frame with its byte length.
+    // Frame sampling over the OPAQUE container path (a container with no
+    // JDK demuxer, e.g. mkv/mp4 — here exercised on the raw mediaMeta
+    // payload): one row per sampled frame with its byte length.
     // Oracle-checked: the demuxer BODY is a stub, but its selection
     // arithmetic (evenly spaced bounded slices) is a pure function of the
     // payload byte length, so DuckDB replicates the exact output. (The
@@ -84,7 +85,7 @@ object MultimodalQueries extends QueryPack {
       """WITH m AS (
         |  SELECT
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mkv' END AS format,
+        |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'gif' END AS format,
         |    CAST(n_chars % 64 + 16 AS INTEGER) AS width,
         |    CAST(n_chars % 48 + 16 AS INTEGER) AS height,
         |    CAST(n_chars % 30 + 1 AS INTEGER) AS n_frames

@@ -105,8 +105,8 @@ object ScaleQueries extends QueryPack {
     // sketch path): same outputs as the exact events_value_quantiles but
     // with bounded per-group state at any row count — the 100 TB
     // companion of the exact query, exactly like the HLL/exact distinct
-    // split below. Rank error <= n/accuracy; ApproxQuantileSpec pins the
-    // value drift against the exact query.
+    // split below. Rank error <= n/accuracy; the empirical-rank test in
+    // ApproxDistinctSpec pins the returned values against the exact ranks.
     "events_value_quantiles_approx" -> ((s, dir) =>
       events(s, dir)
         .groupBy(col("event_type"))

@@ -75,6 +75,12 @@ object SearchQueries extends QueryPack {
     base.filter(terms.map(tm => col(s"tf_$tm") > 0).reduce(_ || _))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), round6(terms.map(termScore).reduce(_ + _)).as("bm25"))
+      // post-rounding cut matching the oracle's `WHERE bm25 > 0.0`: at
+      // very large corpora idf ≈ 0.5/N can round6 to exactly 0.0, and a
+      // tf>0 doc with a zero ROUNDED score must drop on BOTH engines
+      // (the filter is on the already-computed rounded column, not a
+      // pushed-down re-evaluation of the 3-ln score)
+      .filter(col("bm25") > 0.0)
   }
 
   /** Top-k list → dense 1-based rank; the input is already `limit(k)`ed,

@@ -213,6 +213,11 @@ object EventStreams {
       minHistory: Int = 5, watermark: String = "10 minutes",
       idleHorizon: String = "30 days"): Dataset[Anomaly] = {
     import events.sparkSession.implicits._
+    // captured OUTSIDE the state function: in batch execution the
+    // watermark node is eliminated and getCurrentWatermarkMs/
+    // setTimeoutTimestamp THROW — the batch path must run the same fold
+    // with no timeout bookkeeping (same guard as userDailyTotals)
+    val streaming = events.isStreaming
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[ValueStats, Anomaly](
@@ -239,10 +244,12 @@ object EventStreams {
               maxTs = math.max(maxTs, e.ts.getTime)
             }
             state.update(st)
-            // expire this user idleHorizon past their latest event (and
-            // strictly past the watermark, which Spark requires)
-            val base = math.max(maxTs, state.getCurrentWatermarkMs())
-            state.setTimeoutTimestamp(base, idleHorizon)
+            if (streaming) {
+              // expire this user idleHorizon past their latest event (and
+              // strictly past the watermark, which Spark requires)
+              val base = math.max(maxTs, state.getCurrentWatermarkMs())
+              state.setTimeoutTimestamp(base, idleHorizon)
+            }
             out.result().iterator
           }
       }

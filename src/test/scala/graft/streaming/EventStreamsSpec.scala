@@ -176,6 +176,15 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     // micro-batching must not change the verdicts (state carries over)
     val split = run(Seq(stable.take(4), stable.drop(4), Seq(spike, calm)), "anom_split")
     assert(split == oneBatch)
+
+    // batch-execution parity: the SAME call on a bounded Dataset runs the
+    // fold with no watermark node, so timeout bookkeeping (which would
+    // throw GroupStateImpl errors in batch) must be skipped — and the
+    // verdicts must match the streaming run
+    val batchVerdicts = EventStreams.anomalies(
+        (stable :+ spike :+ calm).toDS(), k = 3.0, minHistory = 5)
+      .collect().map(_.event_id).toSet
+    assert(batchVerdicts == oneBatch)
   }
 
   test("userDailyTotals: day closes emit final totals and evict state") {
