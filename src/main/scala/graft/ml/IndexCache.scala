@@ -13,24 +13,57 @@ package graft.ml
  * rebuilds instead of serving stale data (the CRC catches a file
  * rewritten same-size within mtime granularity).
  *
+ * Incremental growth: a vector store's steady state is upsert-heavy, and
+ * a full KMeans re-fit + re-encode per ingest batch is the scale-killer
+ * the append path avoids. Each published index carries a MANIFEST of the
+ * exact source-file fingerprints it ingested; when the current source is
+ * a strict superset of a published manifest (files only ADDED — every
+ * ingested file unchanged), the caller's `appendInto` encodes ONLY the
+ * new files against the frozen quantizer (no re-fit) and publishes the
+ * grown index under the new key. A changed or removed file, or changed
+ * quantizer params, falls back to a full rebuild — append never serves
+ * stale rows.
+ *
  * Concurrency: the cache root is shared (tmpdir), so builds go to a
  * process-unique staging dir and are atomically renamed into place; a
- * concurrent builder that wins the rename is detected and its index
- * served. A reader never observes a half-written index.
+ * concurrent builder that PUBLISHED a complete index (success marker
+ * present) wins and its index is served, a stale partial dir at the key
+ * path is removed and the move retried. A reader never observes a
+ * half-written index, and a failed build deletes its staging dir rather
+ * than leaking it.
  */
 private[ml] object IndexCache {
+
+  private val ManifestRel = "graft-manifest.txt"
 
   /** Resolve the published index dir for (source, params), building via
     * `buildInto(stagingDir)` if absent. `successRel` is a file that only
     * exists in a complete index (e.g. "assigned/_SUCCESS"). */
   def openOrBuild(sourcePath: String, paramsFingerprint: String,
-      cacheRoot: String, successRel: String)(buildInto: String => Unit): String = {
+      cacheRoot: String, successRel: String)(buildInto: String => Unit): String =
+    openOrBuildIncremental(sourcePath, paramsFingerprint, cacheRoot, successRel)(
+      buildInto)(appendInto = null)
+
+  /** [[openOrBuild]] plus the source-grew fast path: when a published
+    * index for the same params ingested a strict subset of the current
+    * source files (all of them unchanged), call
+    * `appendInto(publishedPath, newFiles, stagingDir)` — which must
+    * encode ONLY `newFiles` against the published index's frozen
+    * quantizer and write the grown index to `stagingDir` — instead of
+    * `buildInto`. Pass `appendInto = null` to always rebuild. */
+  def openOrBuildIncremental(sourcePath: String, paramsFingerprint: String,
+      cacheRoot: String, successRel: String)(buildInto: String => Unit)(
+      appendInto: (String, Seq[String], String) => Unit): String = {
     val dir = new java.io.File(sourcePath)
+    // hidden files (_SUCCESS, .crc sidecars) are invisible to Spark's
+    // parquet reader, so they must be invisible to the fingerprint too —
+    // otherwise a rewritten _SUCCESS marker would mask a pure-append grow
     val srcFiles = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq(dir))
-      .filter(_.isFile).sortBy(_.getName)
-    val files = srcFiles.map(f => s"${f.getName}:${f.length}:${f.lastModified}:${headCrc(f)}")
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    val entries = srcFiles.map(f => s"${f.getName}:${f.length}:${f.lastModified}:${headCrc(f)}")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((s"$sourcePath|n=${srcFiles.size}" +: files).mkString("|").getBytes("UTF-8"))
+      .digest((s"$sourcePath|n=${srcFiles.size}" +: entries).mkString("|").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val path = s"$cacheRoot/$key-$paramsFingerprint"
     val target = new java.io.File(path)
@@ -40,39 +73,80 @@ private[ml] object IndexCache {
       // a build that dies mid-write must not leak its staging dir into the
       // shared cache root (nor can it ever be served — only a rename
       // publishes)
-      try buildInto(staging.getPath)
-      catch { case t: Throwable => deleteRecursively(staging); throw t }
       try {
-        java.nio.file.Files.move(staging.toPath, target.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } catch {
-        // rename refused because the target path exists: legitimate only
-        // when a concurrent builder PUBLISHED a complete index (its
-        // success marker is present — a rename is atomic, so a published
-        // dir is complete). A stale partial dir at the key path (e.g. a
-        // crashed pre-guard build) is removed and the move retried, so an
-        // incomplete index is never served and our finished build is
-        // never discarded in its favor.
-        case e @ (_: java.nio.file.FileAlreadyExistsException
-                | _: java.nio.file.FileSystemException) if target.isDirectory =>
-          if (new java.io.File(target, successRel).isFile) deleteRecursively(staging)
-          else {
-            deleteRecursively(target)
-            try {
-              java.nio.file.Files.move(staging.toPath, target.toPath,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            } catch {
-              // lost a second race — by the same argument the winner is
-              // complete
-              case _: java.nio.file.FileAlreadyExistsException
-                 | _: java.nio.file.FileSystemException
-                  if new java.io.File(target, successRel).isFile =>
-                deleteRecursively(staging)
-            }
-          }
-      }
+        if (!growFrom(paramsFingerprint, cacheRoot, successRel, entries, srcFiles,
+            appendInto, staging))
+          buildInto(staging.getPath)
+        // manifest LAST, after the index content is complete
+        java.nio.file.Files.write(new java.io.File(staging, ManifestRel).toPath,
+          entries.mkString("\n").getBytes("UTF-8"))
+      } catch { case t: Throwable => deleteRecursively(staging); throw t }
+      publish(staging, target, successRel)
     }
     path
+  }
+
+  /** Find the largest published same-params index whose manifest is a
+    * strict subset of the current source files and append the new files
+    * onto it; false if none qualifies (caller does a full build). */
+  private def growFrom(paramsFingerprint: String, cacheRoot: String,
+      successRel: String, entries: Seq[String], srcFiles: Seq[java.io.File],
+      appendInto: (String, Seq[String], String) => Unit,
+      staging: java.io.File): Boolean = {
+    if (appendInto == null) return false
+    val current = entries.toSet
+    val byEntry = srcFiles.zip(entries).map { case (f, e) => e -> f }.toMap
+    val candidates = Option(new java.io.File(cacheRoot).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.endsWith(s"-$paramsFingerprint"))
+      .filter(d => new java.io.File(d, successRel).isFile)
+      .flatMap { d =>
+        val mf = new java.io.File(d, ManifestRel)
+        if (!mf.isFile) None
+        else {
+          val ingested = new String(
+            java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+            .split("\n").filter(_.nonEmpty).toSet
+          // strict subset: every ingested file still present AND unchanged,
+          // and at least one genuinely new file to encode
+          if (ingested.nonEmpty && ingested.subsetOf(current) &&
+              ingested.size < current.size) Some((d, ingested))
+          else None
+        }
+      }
+    candidates.sortBy(-_._2.size).headOption match {
+      case Some((published, ingested)) =>
+        val newFiles = entries.filterNot(ingested).map(byEntry(_).getPath)
+        appendInto(published.getPath, newFiles, staging.getPath)
+        true
+      case None => false
+    }
+  }
+
+  /** Atomic-rename publish with the lost-race discipline: a concurrent
+    * winner is served only if its success marker proves completeness; a
+    * stale partial dir at the key path is removed and the move retried. */
+  private def publish(staging: java.io.File, target: java.io.File,
+      successRel: String): Unit = {
+    def move(): Unit = java.nio.file.Files.move(staging.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try move()
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException
+         | _: java.nio.file.FileSystemException if target.isDirectory =>
+        if (new java.io.File(target, successRel).isFile) deleteRecursively(staging)
+        else {
+          deleteRecursively(target)
+          try move()
+          catch {
+            // lost a second race — by the same argument the winner is
+            // complete
+            case _: java.nio.file.FileAlreadyExistsException
+               | _: java.nio.file.FileSystemException
+                if new java.io.File(target, successRel).isFile =>
+              deleteRecursively(staging)
+          }
+        }
+    }
   }
 
   /** CRC32 of the first 64 KiB — cheap content signal for the fingerprint. */

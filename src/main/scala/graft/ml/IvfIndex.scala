@@ -57,6 +57,36 @@ class IvfIndex(nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L) {
     IvfIndex.Built(assigned, centroids)
   }
 
+  /**
+   * Incremental ingest: assign `delta` vectors to their nearest FROZEN
+   * centroid and extend the cell table — NO KMeans re-fit (the 100 TB
+   * steady state is upsert-heavy, and re-clustering per ingest batch is
+   * the scale-killer; codebooks only need periodic re-training, which is
+   * a full [[build]]). Assignment replicates KMeans' squared-euclidean
+   * argmin over the unit vector via the codegen'd l2_distance kernel
+   * (float32 centroids, so a near-tie at ~1e-7 may assign differently
+   * than the double-precision fit would — recall is unaffected, search
+   * probes nProbe cells).
+   */
+  def append(built: IvfIndex.Built, delta: DataFrame,
+      idCol: String, embCol: String): IvfIndex.Built = {
+    val norm = l2Norm(col(embCol))
+    val p = delta.filter(norm > 0)
+      .select(col(idCol).as("id"), col(embCol).as("emb"),
+        transform(col(embCol), x => (x / norm).cast("float")).as("unit"))
+    val assignedDelta = p.crossJoin(broadcast(built.centroids))
+      .select(col("id"), col("emb"),
+        col("cell"), graft.functions.VectorFunctions.l2Distance(
+          col("unit"), col("centroid")).as("dist"))
+      .groupBy(col("id"), col("emb"))
+      .agg(TopKByScore(1)(-col("dist"), col("cell").cast("long")).as("best"))
+      .select(col("id"), col("emb"),
+        element_at(col("best.id"), 1).cast("int").as("cell"))
+    IvfIndex.Built(
+      built.assigned.unionByName(assignedDelta).repartition(col("cell")),
+      built.centroids)
+  }
+
   /** Top-k corpus neighbors by exact cosine for every query row, probing
     * nProbe cells per query. */
   def search(built: IvfIndex.Built, queries: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
@@ -131,9 +161,14 @@ object IvfIndex {
       idCol: String,
       embCol: String,
       cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf"): Built = {
-    val path = IndexCache.openOrBuild(sourcePath, ivf.fingerprint, cacheRoot,
-      "assigned/_SUCCESS") { staging =>
+    val path = IndexCache.openOrBuildIncremental(sourcePath, ivf.fingerprint,
+      cacheRoot, "assigned/_SUCCESS") { staging =>
       save(ivf.build(spark, spark.read.parquet(sourcePath), idCol, embCol), staging)
+    } { (published, newFiles, staging) =>
+      // source grew: encode ONLY the new files against the frozen
+      // centroids — no KMeans fit anywhere on this path
+      save(ivf.append(load(spark, published),
+        spark.read.parquet(newFiles: _*), idCol, embCol), staging)
     }
     load(spark, path)
   }

@@ -75,9 +75,22 @@ class PqIndex(m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
         .setFeaturesCol("features").setPredictionCol("c")
         .fit(slices).clusterCenters.map(_.toArray)
     }.toArray
-    // map-side encode with the (tiny) codebooks in the task closure
+    val coded = encodeWith(spark, prepared.toDF(), codebooks)
+    val cbRows = for {
+      sub <- 0 until m; c <- 0 until kCentroids
+    } yield (sub, c, codebooks(sub)(c).toSeq)
+    prepared.unpersist()
+    PqIndex.Built(coded, cbRows.toDF("sub", "c", "centroid"))
+  }
+
+  /** Map-side encode with the (tiny) codebooks in the task closure —
+    * shared by [[build]] and [[append]]; contains no fit. */
+  private def encodeWith(spark: SparkSession, prepared: DataFrame,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
     val mm = m
-    val coded = prepared.map { r =>
+    prepared.as[PqRow].map { r =>
+      val d = r.unit.size / mm
       val codes = Array.tabulate(mm) { sub =>
         val cb = codebooks(sub)
         var best = 0; var bestDist = Double.MaxValue
@@ -94,11 +107,29 @@ class PqIndex(m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
       }
       PqCoded(r.id, r.emb, codes.toSeq)
     }.toDF()
-    val cbRows = for {
-      sub <- 0 until m; c <- 0 until kCentroids
-    } yield (sub, c, codebooks(sub)(c).toSeq)
-    prepared.unpersist()
-    PqIndex.Built(coded, cbRows.toDF("sub", "c", "centroid"))
+  }
+
+  /** Collect the few-KiB codebook table into the m×k×d driver array the
+    * encode/ADC closures use. */
+  private[ml] def codebookArray(built: PqIndex.Built): Array[Array[Array[Double]]] = {
+    val cbMap = built.codebooks.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    Array.tabulate(m, kCentroids)((sub, c) => cbMap((sub, c)))
+  }
+
+  /**
+   * Incremental ingest: encode `delta` vectors against the FROZEN
+   * per-subspace codebooks and extend the code table — none of the m
+   * KMeans fits re-run (PQ codebooks only need periodic re-training,
+   * which is a full [[build]]; the upsert steady state must be a
+   * map-side encode of the delta only).
+   */
+  def append(built: PqIndex.Built, delta: DataFrame,
+      idCol: String, embCol: String): PqIndex.Built = {
+    val spark = delta.sparkSession
+    val codedDelta = encodeWith(spark, prepare(delta, idCol, embCol),
+      codebookArray(built))
+    PqIndex.Built(built.coded.unionByName(codedDelta), built.codebooks)
   }
 
   /** Exact-cosine top-k per query via ADC shortlist + exact re-rank.
@@ -176,9 +207,14 @@ object PqIndex {
       idCol: String,
       embCol: String,
       cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-pq"): Built = {
-    val path = IndexCache.openOrBuild(sourcePath, pq.fingerprint, cacheRoot,
-      "coded/_SUCCESS") { staging =>
+    val path = IndexCache.openOrBuildIncremental(sourcePath, pq.fingerprint,
+      cacheRoot, "coded/_SUCCESS") { staging =>
       save(pq.build(spark, spark.read.parquet(sourcePath), idCol, embCol), staging)
+    } { (published, newFiles, staging) =>
+      // source grew: encode ONLY the new files against the frozen
+      // codebooks — none of the m KMeans fits run on this path
+      save(pq.append(load(spark, published),
+        spark.read.parquet(newFiles: _*), idCol, embCol), staging)
     }
     load(spark, path)
   }

@@ -1,0 +1,156 @@
+package graft.ml
+
+import graft.SparkTestBase
+import graft.functions.VectorFunctions.cosineSim
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Incremental index maintenance: ingesting a delta must NOT re-fit the
+ * quantizer (the upsert steady state at 100 TB is an append-only encode
+ * against frozen centroids/codebooks), and search must see the delta.
+ *
+ * "No re-fit" is asserted through the quantizer tables: a KMeans re-fit
+ * over the grown corpus would move the centroids/codebooks (fixed seed,
+ * different data), so value-identical quantizer tables prove the append
+ * path never fit anything — alongside construction: `append` contains no
+ * KMeans call at all.
+ */
+class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
+
+  private def emb: DataFrame = spark.read.parquet(s"$sf0_001/embeddings.parquet")
+  private def baseHalf: DataFrame = emb.filter(col("vec_id") < 400)
+  private def deltaHalf: DataFrame = emb.filter(col("vec_id") >= 400)
+
+  private def centroidSet(df: DataFrame): Set[(Int, Seq[Float])] =
+    df.collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSet
+
+  private def codebookSet(df: DataFrame): Set[(Int, Int, Seq[Double])] =
+    df.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
+
+  test("IvfIndex.append: frozen centroids, delta searchable, cells correct") {
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 3)
+    val built = ivf.build(spark, baseHalf, "vec_id", "embedding")
+    val grown = ivf.append(built, deltaHalf, "vec_id", "embedding")
+
+    // centroids are the SAME DataFrame rows — no re-fit moved them
+    assert(centroidSet(grown.centroids) == centroidSet(built.centroids))
+    assert(grown.assigned.count() == emb.count())
+
+    // a delta vector is now its own nearest neighbor through the index
+    val hit = ivf.search(grown, emb.filter(col("vec_id") === 450),
+        "vec_id", "embedding", 1)
+      .select("q_id", "neighbor_id", "rank").head()
+    assert(hit.getLong(0) == 450L && hit.getLong(1) == 450L && hit.getInt(2) == 1)
+
+    // every appended row sits in its true argmin-distance cell (frozen
+    // centroids, squared-euclidean on the unit vector — KMeans' metric)
+    val cents = grown.centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val deltaAssigned = grown.assigned.filter(col("id") >= 400)
+      .select("id", "cell", "emb").collect()
+    assert(deltaAssigned.length == deltaHalf.count())
+    deltaAssigned.foreach { r =>
+      val v = r.getSeq[Float](2).map(_.toDouble).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val u = v.map(_ / n)
+      val best = cents.minBy { case (_, c) =>
+        u.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      }._1
+      assert(r.getInt(1) == best, s"vec ${r.getLong(0)} assigned ${r.getInt(1)} != $best")
+    }
+  }
+
+  test("PqIndex.append: frozen codebooks, delta searchable") {
+    val pq = new PqIndex(m = 8, kCentroids = 16)
+    val built = pq.build(spark, baseHalf, "vec_id", "embedding")
+    val grown = pq.append(built, deltaHalf, "vec_id", "embedding")
+
+    assert(codebookSet(grown.codebooks) == codebookSet(built.codebooks))
+    assert(grown.coded.count() == emb.count())
+
+    val hit = pq.search(grown, emb.filter(col("vec_id") === 470),
+        "vec_id", "embedding", 1)
+      .select("q_id", "neighbor_id", "rank").head()
+    assert(hit.getLong(0) == 470L && hit.getLong(1) == 470L && hit.getInt(2) == 1)
+
+    // appended codes equal what a from-scratch encode against the same
+    // codebooks produces: encode is deterministic given frozen codebooks
+    val again = pq.append(built, deltaHalf, "vec_id", "embedding")
+    val a = grown.coded.filter(col("id") >= 400)
+      .select("id", "codes").collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = again.coded.filter(col("id") >= 400)
+      .select("id", "codes").collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b && a.nonEmpty)
+  }
+
+  /** Copy the single parquet data file of a Spark-written dataset into
+    * `destDir` under `name` (plain visible file — what the incremental
+    * fingerprint tracks). */
+  private def copyParquetFile(df: DataFrame, destDir: java.io.File, name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-append-src").toFile
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(destDir, name).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("openOrBuild appends (no re-fit) when the source only grows, rebuilds on param change") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-inc-src").toFile
+    val cacheRoot = java.nio.file.Files.createTempDirectory("graft-inc-cache").toString
+    copyParquetFile(baseHalf, srcDir, "a.parquet")
+
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 3)
+    val first = IvfIndex.openOrBuild(spark, ivf, srcDir.getPath,
+      "vec_id", "embedding", cacheRoot)
+    assert(first.assigned.count() == baseHalf.count())
+    val firstCentroids = centroidSet(first.centroids)
+
+    // grow the source: add a second file, leave the first untouched
+    copyParquetFile(deltaHalf, srcDir, "b.parquet")
+    val grown = IvfIndex.openOrBuild(spark, ivf, srcDir.getPath,
+      "vec_id", "embedding", cacheRoot)
+    assert(grown.assigned.count() == emb.count())
+    // identical centroid table across the grow — the append path served
+    // it without re-fitting (a re-fit over the grown corpus would move
+    // the centroids)
+    assert(centroidSet(grown.centroids) == firstCentroids)
+    // and search through the refreshed index sees the delta
+    val hit = ivf.search(grown, emb.filter(col("vec_id") === 480),
+        "vec_id", "embedding", 1).select("neighbor_id").head()
+    assert(hit.getLong(0) == 480L)
+
+    // param change on the same (grown) source must REBUILD, not append:
+    // different k cannot reuse frozen centroids
+    val ivf2 = new IvfIndex(nCentroids = 4, nProbe = 2)
+    val rebuilt = IvfIndex.openOrBuild(spark, ivf2, srcDir.getPath,
+      "vec_id", "embedding", cacheRoot)
+    assert(rebuilt.centroids.count() == 4)
+    assert(rebuilt.assigned.count() == emb.count())
+  }
+
+  test("openOrBuild rebuilds (not appends) when an ingested file changed") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-inc-src2").toFile
+    val cacheRoot = java.nio.file.Files.createTempDirectory("graft-inc-cache2").toString
+    copyParquetFile(baseHalf, srcDir, "a.parquet")
+
+    val pq = new PqIndex(m = 8, kCentroids = 16)
+    val first = PqIndex.openOrBuild(spark, pq, srcDir.getPath,
+      "vec_id", "embedding", cacheRoot)
+    val firstBooks = codebookSet(first.codebooks)
+    assert(first.coded.count() == baseHalf.count())
+
+    // REPLACE the ingested file (different rows) and add another — the
+    // manifest subset check must reject the append fast path
+    copyParquetFile(emb.filter(col("vec_id") < 200), srcDir, "a.parquet")
+    copyParquetFile(deltaHalf, srcDir, "b.parquet")
+    val rebuilt = PqIndex.openOrBuild(spark, pq, srcDir.getPath,
+      "vec_id", "embedding", cacheRoot)
+    assert(rebuilt.coded.count() ==
+      emb.filter(col("vec_id") < 200 || col("vec_id") >= 400).count())
+    // codebooks re-fit over the different corpus differ from the originals
+    assert(codebookSet(rebuilt.codebooks) != firstBooks)
+  }
+}
