@@ -2,11 +2,15 @@ package graft.streaming
 
 import graft.functions.TopKByScore
 import graft.functions.VectorFunctions.cosineSim
+import graft.ml.IvfIndex
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** A query vector arriving on the search stream. */
 case class QueryVec(q_id: Long, q_emb: Seq[Float])
+
+/** A streamed query routed to one IVF cell it will probe. */
+case class RoutedQuery(q_id: Long, q_emb: Seq[Float], cell: Int)
 
 /**
  * Streaming forms of the vector-search surface: the reference's flagship
@@ -41,6 +45,61 @@ object VectorStreams {
       .join(corpus.select(col(idCol).as("_n_id"), col(embCol).as("_n_emb")))
       .select(col("q_id"),
         cosineSim(col("q_emb"), col("_n_emb")).as("cos"), col("_n_id"))
+    scored.groupBy(col("q_id"))
+      .agg(TopKByScore(k)(col("cos"), col("_n_id")).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cos"))
+  }
+
+  /**
+   * Standing kNN probing the persisted IVF index instead of scanning the
+   * full corpus per micro-batch: each streamed query routes to its
+   * `nProbe` nearest cells and the stream-static join is an EQUI-JOIN on
+   * `cell`, so a micro-batch touches ~nProbe/nCentroids of the corpus —
+   * at 100 TB, the difference between a standing query that re-reads
+   * 100 TB per batch and one that reads the cells it probes (the
+   * cell-partitioned index table prunes at scan time).
+   *
+   * Routing is a stateless per-row map with the few-KiB centroid table
+   * in the task closure — NOT an aggregation, deliberately: a streaming
+   * plan cannot chain a routing aggregation before the final top-k
+   * aggregation (multiple stateful operators), and routing is a pure
+   * function of the query row. Same cosine routing + tie-break (score
+   * desc, cell asc) as the batch `IvfIndex.search`, whose recall >= 0.9
+   * contract AnnRecallSpec pins; streamed-vs-batch parity is pinned by
+   * VectorStreamsSpec. The SAME call works on a batch frame (unified
+   * API).
+   */
+  def indexedKnn(queries: DataFrame, built: IvfIndex.Built,
+      nProbe: Int, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents: Array[(Int, Array[Double])] = built.centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val np = nProbe
+    val routed = queries.select(col("q_id"), col("q_emb")).as[QueryVec]
+      .flatMap { q =>
+        val v = q.q_emb.map(_.toDouble).toArray
+        val nv = math.sqrt(v.map(x => x * x).sum)
+        if (nv == 0.0) Iterator.empty
+        else {
+          val scoredCells = cents.map { case (cell, c) =>
+            var dot = 0.0; var nc = 0.0; var i = 0
+            while (i < c.length && i < v.length) {
+              dot += v(i) * c(i); nc += c(i) * c(i); i += 1
+            }
+            (cell, dot / (nv * math.sqrt(nc)))
+          }
+          scoredCells.sortBy { case (cell, s) => (-s, cell) }.take(np)
+            .iterator.map { case (cell, _) => RoutedQuery(q.q_id, q.q_emb, cell) }
+        }
+      }.toDF()
+    val scored = routed
+      .join(built.assigned, Seq("cell"))
+      .select(col("q_id"), col("id").as("_n_id"),
+        cosineSim(col("q_emb"), col("emb")).as("cos"))
     scored.groupBy(col("q_id"))
       .agg(TopKByScore(k)(col("cos"), col("_n_id")).as("hits"))
       .select(col("q_id"), posexplode(col("hits")))

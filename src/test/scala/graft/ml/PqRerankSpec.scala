@@ -1,0 +1,48 @@
+package graft.ml
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Scale contract of the PQ search plan (VERDICT r4 "What's wrong #2"):
+ * the ADC scan must stream only the code table (m bytes/vector — never
+ * the float embedding column), and the exact re-rank's embedding fetch
+ * must be partition-pruned by the broadcast shortlist instead of
+ * re-scanning the full corpus embedding column.
+ */
+class PqRerankSpec extends AnyFunSuite with SparkTestBase {
+
+  test("PQ search: ADC scans codes only; re-rank fetch is dynamic-partition-pruned") {
+    val emb = spark.read.parquet(s"$sf0_001/embeddings.parquet")
+    val pq = new PqIndex(m = 8, kCentroids = 16)
+    val cacheRoot = java.nio.file.Files.createTempDirectory("graft-pq-rerank").toString
+    val built = PqIndex.openOrBuild(spark, pq, s"$sf0_001/embeddings.parquet",
+      "vec_id", "embedding", cacheRoot)
+
+    val res = pq.search(built, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 3)
+    assert(res.count() == 9)
+    val plan = res.queryExecution.executedPlan.toString
+
+    // scans are identified by their output columns (the plan printer
+    // truncates Location paths): the embedding fetch scan is the only one
+    // with a `bucket` partition column; the ADC scan the only one with
+    // `codes`
+    val lines = plan.split("\n")
+    val embScan = lines.filter(l => l.contains("FileScan") && l.contains("bucket#"))
+    assert(embScan.nonEmpty, "expected a FileScan over the embById table")
+    // the fetch is dynamic-partition-pruned by the broadcast shortlist
+    // (the pruning subquery materializes as SubqueryAdaptiveBroadcast)
+    assert(plan.contains("dynamicpruning"),
+      "re-rank fetch must be dynamic-partition-pruned by the shortlist")
+    assert(plan.contains("SubqueryAdaptiveBroadcast") || plan.contains("SubqueryBroadcast"),
+      "pruning subquery must reuse the shortlist broadcast")
+
+    // the ADC side streams the code table only — its scan must not read
+    // any float embedding column
+    val codedScan = lines.filter(l => l.contains("FileScan") && l.contains("codes#"))
+    assert(codedScan.nonEmpty, "expected a FileScan over the coded table")
+    assert(!codedScan.exists(_.contains("emb#")),
+      s"ADC scan must not read embeddings: ${codedScan.mkString}")
+  }
+}

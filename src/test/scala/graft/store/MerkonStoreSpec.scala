@@ -278,6 +278,41 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(byKey == Map("a" -> "v2", "b" -> "b1"))
   }
 
+  test("streamingUpsert freshness: a streamed vector is visible to the next getNearestMatches") {
+    // the reference's single-heap store makes this trivially true; the
+    // Spark store must give the same contract — ingest landed by the
+    // stream is searchable as soon as its micro-batch commits, with no
+    // manual reload between
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val st = newStore
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[MemoryRecord]
+    val q = st.streamingUpsert("fresh-coll", input.toDS().toDF())
+    try {
+      input.addData(rec("east", emb = Array(1f, 0f)))
+      q.processAllAvailable()
+      val before = st.getNearestMatches("fresh-coll", Array(0f, 1f), limit = 1,
+        minRelevanceScore = 0.9).select("key").collect()
+      assert(before.isEmpty) // nothing aligned with the query yet
+
+      input.addData(rec("north", emb = Array(0f, 1f)))
+      q.processAllAvailable()
+      // the NEXT search call sees the vector the stream just landed
+      val after = st.getNearestMatches("fresh-coll", Array(0f, 1f), limit = 1,
+        minRelevanceScore = 0.9).select("key", "score").collect()
+      assert(after.length == 1 && after.head.getString(0) == "north" &&
+        math.abs(after.head.getDouble(1) - 1.0) < 1e-9)
+
+      // LWW freshness too: a streamed overwrite moves the SAME key out of
+      // the result set on the very next call
+      input.addData(rec("north", emb = Array(1f, 0f)))
+      q.processAllAvailable()
+      val moved = st.getNearestMatches("fresh-coll", Array(0f, 1f), limit = 1,
+        minRelevanceScore = 0.9).select("key").collect()
+      assert(moved.isEmpty)
+    } finally q.stop()
+  }
+
   test("compact preserves contents") {
     val st = newStore
     import spark.implicits._

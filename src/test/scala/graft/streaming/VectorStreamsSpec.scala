@@ -41,4 +41,47 @@ class VectorStreamsSpec extends AnyFunSuite with SparkTestBase {
 
     assert(batch.size == 9 && streamed == batch)
   }
+
+  test("indexedKnn: streamed IVF-probing kNN matches exact standing search at recall >= 0.9") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ivf = new graft.ml.IvfIndex(nCentroids = 8, nProbe = 5)
+    val built = ivf.build(spark, corpus, "vec_id", "embedding")
+    val qs = queryVecs(0L until 20L: _*)
+
+    val input = MemoryStream[QueryVec]
+    val q = VectorStreams.indexedKnn(input.toDF(), built, nProbe = 5, k = 3)
+      .writeStream.format("memory").queryName("idx_knn")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(qs.take(10): _*)
+      q.processAllAvailable()
+      input.addData(qs.drop(10): _*) // later micro-batch, same standing query
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("idx_knn")
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // exact standing search is the oracle; the index path is approximate
+    // (probes 5 of 8 cells) with the AnnRecallSpec recall contract
+    val exact = VectorStreams
+      .continuousKnn(qs.toDF(), corpus, "vec_id", "embedding", k = 3)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (streamed & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"indexed streaming kNN recall $recall")
+    // every query answered with a full top-3 (cells always hold >= k rows
+    // at these sizes)
+    assert(streamed.size == exact.size)
+
+    // the plan must probe cells via an EQUI-join on cell — not rescan the
+    // corpus per query (the unified API lets us assert on the batch plan)
+    val plan = VectorStreams.indexedKnn(qs.toDF(), built, nProbe = 5, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cell"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "indexedKnn must not plan a full-corpus non-equi join")
+  }
 }
