@@ -59,8 +59,32 @@ class TopKByScore(k: Int) extends Aggregator[(Double, Long), Seq[Hit], Seq[Hit]]
   override def outputEncoder = ExpressionEncoder[Seq[Hit]]()
 }
 
+/**
+ * Null-SKIPPING variant: rows whose score expression is null contribute
+ * nothing (the untyped UDAF path would decode a null primitive double as
+ * 0.0 — a phantom hit). This is what lets ONE grouped aggregation carry
+ * several channel-conditional top-k lists (`when(ch === "x", score)`):
+ * a streaming plan allows only one stateful aggregation, so multi-list
+ * reductions must share it.
+ */
+class TopKByScoreNullSkipping(k: Int)
+    extends Aggregator[(Option[Double], Long), Seq[Hit], Seq[Hit]] {
+  private val inner = new TopKByScore(k)
+  override def zero: Seq[Hit] = inner.zero
+  override def reduce(buf: Seq[Hit], in: (Option[Double], Long)): Seq[Hit] =
+    in._1.fold(buf)(s => inner.reduce(buf, (s, in._2)))
+  override def merge(a: Seq[Hit], b: Seq[Hit]): Seq[Hit] = inner.merge(a, b)
+  override def finish(r: Seq[Hit]): Seq[Hit] = r
+  override def bufferEncoder = ExpressionEncoder[Seq[Hit]]()
+  override def outputEncoder = ExpressionEncoder[Seq[Hit]]()
+}
+
 object TopKByScore {
   /** Untyped-DataFrame handle: `topK(3)(col("score"), col("vec_id"))`. */
   def apply(k: Int): UserDefinedFunction =
     udaf(new TopKByScore(k), ExpressionEncoder[(Double, Long)]())
+
+  /** Null-skipping handle for channel-conditional multi-list aggregation. */
+  def nullSkipping(k: Int): UserDefinedFunction =
+    udaf(new TopKByScoreNullSkipping(k), ExpressionEncoder[(Option[Double], Long)]())
 }

@@ -83,6 +83,16 @@ object SearchQueries extends QueryPack {
       .filter(col("bm25") > 0.0)
   }
 
+  /** The standing keyword query's corpus ranking — top-k (id, score) of
+    * [[bm25Scored]]. Public: this is the static keyword channel
+    * `graft.streaming.SearchStreams.hybridRrf` fuses per streamed query
+    * (at scale it is a periodically refreshed artifact table, a few k
+    * rows). */
+  def bm25TopList(s: SparkSession, dir: String, k: Int): DataFrame =
+    bm25Scored(s, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+      .select(col("doc_id").as("id"), col("bm25").as("score"))
+
   /** Top-k list → dense 1-based rank; the input is already `limit(k)`ed,
     * so the unpartitioned window runs over k rows, not the corpus. */
   private def ranked(topk: DataFrame, id: String, score: Column, rank: String): DataFrame =
@@ -142,6 +152,23 @@ object SearchQueries extends QueryPack {
             coalesce(lit(1.0) / (lit(60.0) + col("r_vec").cast("double")), lit(0.0))).as("rrf"))
         .orderBy(col("rrf").desc, col("id"))
         .limit(20)
+    }),
+
+    // The STREAMING hybrid operator run in its batch form (unified API):
+    // graft.streaming.SearchStreams.hybridRrf answers each query on a
+    // query stream with RRF of its exact-cosine top-50 and the standing
+    // BM25 top-50 — one stateful aggregation carrying both channel lists
+    // (null-skipping conditional TopK), fusion as stateless array HOFs.
+    // Oracle-checked against the same fused ranking the batch hybrid
+    // derives, which pins the streaming plan's semantics to SQL.
+    "search_hybrid_rrf_stream" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      graft.streaming.SearchStreams.hybridRrf(
+          q, emb, bm25TopList(s, dir, 50), "vec_id", "embedding",
+          k = 50, topN = 20)
+        .orderBy(col("rank"))
     })
   )
 
@@ -224,6 +251,36 @@ object SearchQueries extends QueryPack {
          |SELECT id, ${round6("coalesce(1.0 / (60.0 + CAST(r_kw AS DOUBLE)), 0.0) + " +
             "coalesce(1.0 / (60.0 + CAST(r_vec AS DOUBLE)), 0.0)")} AS rrf
          |FROM kwr FULL OUTER JOIN vecr USING (id)
-         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
+    // identical fused ranking, surfaced per-query with an explicit rank —
+    // the streaming operator's contract
+    "search_hybrid_rrf_stream" ->
+      s"""$bm25Cte, kw AS (
+         |  SELECT doc_id, bm25 FROM bmscored WHERE bm25 > 0.0
+         |  ORDER BY bm25 DESC, doc_id LIMIT 50
+         |), kwr AS (
+         |  SELECT doc_id AS id,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS r_kw
+         |  FROM kw
+         |), cosd AS (
+         |  SELECT vec_id, ${round6("list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))")} AS cos
+         |  FROM embeddings
+         |), vec AS (
+         |  SELECT vec_id, cos FROM cosd ORDER BY cos DESC, vec_id LIMIT 50
+         |), vecr AS (
+         |  SELECT vec_id AS id,
+         |    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INTEGER) AS r_vec
+         |  FROM vec
+         |), fused AS (
+         |  SELECT id, ${round6("coalesce(1.0 / (60.0 + CAST(r_kw AS DOUBLE)), 0.0) + " +
+            "coalesce(1.0 / (60.0 + CAST(r_vec AS DOUBLE)), 0.0)")} AS rrf
+         |  FROM kwr FULL OUTER JOIN vecr USING (id)
+         |  ORDER BY rrf DESC, id LIMIT 20
+         |)
+         |SELECT CAST(0 AS BIGINT) AS q_id,
+         |  CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS rank,
+         |  id, rrf
+         |FROM fused ORDER BY rank""".stripMargin
   )
 }
