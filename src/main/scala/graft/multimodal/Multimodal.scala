@@ -186,6 +186,49 @@ object MediaCodecs {
   def grayPixel(id: Long, frame: Int, x: Int, y: Int): Int =
     ((id * 31 + frame * 41 + x * 7 + y * 13) % 256).toInt
 
+  /**
+   * Integer-exact 8×8 block-mean average hash (aHash) over a DECODED
+   * image: integer luminance `(r*299 + g*587 + b*114) / 1000` per pixel,
+   * the image partitioned into an 8×8 grid (`bx = x*8/w`), bit k
+   * (`k = by*8 + bx`) set iff block k's mean luminance exceeds the
+   * global mean. The comparison is cross-multiplied
+   * (`blockSum * totalPixels > totalSum * blockPixels`) so there is no
+   * float anywhere — the hash is bit-exact reproducible by any engine
+   * from the pixel values, which is what lets the DuckDB oracle verify
+   * the REAL decode path from the pixel formula alone. Returned as two
+   * 32-bit halves (hi = bits 63..32) so the values stay positive in
+   * engines without unsigned 64-bit.
+   */
+  def aHash64(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val blockSum = new Array[Long](64)
+    val blockN = new Array[Long](64)
+    var totalSum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        val k = (y * 8 / h) * 8 + (x * 8 / w)
+        blockSum(k) += lum; blockN(k) += 1; totalSum += lum
+        x += 1
+      }
+      y += 1
+    }
+    val total = w.toLong * h
+    var hi = 0L; var lo = 0L
+    var k = 0
+    while (k < 64) {
+      if (blockSum(k) * total > totalSum * blockN(k)) {
+        if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+      }
+      k += 1
+    }
+    (hi, lo)
+  }
+
   /** REAL video demux: the JDK GIF reader, one decoded image per frame.
     * This is the actual parse-the-container path — frame count and
     * geometry come from the DECODER, not from metadata. */
@@ -344,6 +387,29 @@ object MultimodalOps {
     * metadata-derived formula proves the container was actually parsed,
     * which is exactly what the SQL oracle of `multimodal_video_frames`
     * checks. Pixel-level losslessness is pinned by MultimodalSpec. */
+  /**
+   * Perceptual-hash catalog of the image corpus: encode (the ingest-side
+   * codec), REAL `javax.imageio` PNG decode, then the integer-exact 8×8
+   * block-mean aHash ([[MediaCodecs.aHash64]]) per image — the
+   * image-dedup signature a multimodal pipeline buckets on (equal hashes
+   * = exact/near-identical content; hamming-close hashes = near-dup
+   * candidates, banded exactly like text SimHash). One decode per row in
+   * mapPartitions, modality-filtered BEFORE the codec work.
+   */
+  def imageHashCatalog(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fromDocuments(docs, Some("image")).as[MediaRow]
+      .map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        require(img != null, s"undecodable image payload (media ${r.media_id})")
+        val (hi, lo) = MediaCodecs.aHash64(img)
+        (r.media_id, hi, lo)
+      }
+      .toDF("media_id", "ahash_hi", "ahash_lo")
+  }
+
   def videoFrameCatalog(docs: DataFrame, maxFrames: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -43,6 +43,22 @@ object MultimodalQueries extends QueryPack {
           min(col("n_frames")).as("min_frames"))
         .orderBy(col("modality"))),
 
+    // Perceptual image hashing for multimodal dedup: REAL PNG decode →
+    // integer-exact 8×8 block-mean aHash (no floats anywhere, so the
+    // hash is engine-reproducible) → duplicate-group sizes by hash
+    // equality. The oracle recomputes the hash FROM THE PIXEL FORMULA
+    // alone — a decode that didn't faithfully reproduce every pixel
+    // could not match all 64 bits. At scale: one decode per image
+    // map-side, then a hash-keyed window (the same bucketing a
+    // hamming-banded near-dup join would use).
+    "multimodal_image_ahash" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("ahash_hi", "ahash_lo")
+      MultimodalOps.imageHashCatalog(t(s, dir, "documents"))
+        .withColumn("dup_group_size", count(lit(1)).over(w))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL video demux: per-doc animated GIFs (JDK GIF writer) parsed
     // back through the JDK GIF reader; frame index and geometry come
     // from the DECODER, and the oracle derives the same values from the
@@ -68,6 +84,46 @@ object MultimodalQueries extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // the aHash recomputed from the generator's pixel formula: integer
+    // luminance, integer block indices, cross-multiplied mean compare,
+    // bits packed into two 32-bit halves via integer shifts — every
+    // operation exact, so the decoded-path hash must match bit-for-bit
+    "multimodal_image_ahash" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(n_chars % 64 + 16 AS BIGINT) AS w,
+        |    CAST(n_chars % 48 + 16 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), xs AS (
+        |  SELECT media_id, w, h, unnest(range(w)) AS x FROM img
+        |), px AS (
+        |  SELECT media_id, w, h,
+        |    (((media_id*31 + x*7 + y*13) % 256) * 299 +
+        |     ((media_id*17 + x*11 + y*3) % 256) * 587 +
+        |     ((media_id*5 + x*2 + y*23) % 256) * 114) // 1000 AS lum,
+        |    (y*8 // h)*8 + (x*8 // w) AS k
+        |  FROM (SELECT media_id, w, h, x, unnest(range(h)) AS y FROM xs)
+        |), blocks AS (
+        |  SELECT media_id, k, sum(lum) AS bsum, count(*) AS bn
+        |  FROM px GROUP BY media_id, k
+        |), tot AS (
+        |  SELECT media_id, w * h AS tn, sum(lum) AS tsum
+        |  FROM px GROUP BY media_id, w, h
+        |), bits AS (
+        |  SELECT b.media_id, b.k,
+        |    CASE WHEN b.bsum * t.tn > t.tsum * b.bn THEN 1 ELSE 0 END AS bit
+        |  FROM blocks b JOIN tot t USING (media_id)
+        |), hashes AS (
+        |  SELECT media_id,
+        |    CAST(sum(CASE WHEN bit = 1 AND k >= 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |    CAST(sum(CASE WHEN bit = 1 AND k < 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |  FROM bits GROUP BY media_id
+        |)
+        |SELECT media_id, ahash_hi, ahash_lo,
+        |  count(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS dup_group_size
+        |FROM hashes ORDER BY media_id""".stripMargin,
     // videoFrameCatalog caps frames at 6; dims/frame-count formulas match
     // mediaMeta. The decoder must reproduce all three.
     "multimodal_video_frames" ->

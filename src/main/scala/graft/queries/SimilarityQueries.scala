@@ -59,6 +59,38 @@ object SimilarityQueries extends QueryPack {
         .select(col("label"), col("dim"),
           round6(col("centroid_raw")).as("centroid"), col("n"))
         .orderBy(col("label"), col("dim"))
+    }),
+
+    // Embedding covariance matrix (upper triangle, one row per (i, j)):
+    // the single-pass Gram aggregation that feeds PCA / whitening /
+    // decorrelation in an embedding index job. Scale shape: the double
+    // posexplode materializes D(D+1)/2 terms per vector INSIDE the
+    // pipeline (codegen, no shuffle) and partial aggregation collapses
+    // them to 2,080 groups per partition — the shuffle carries
+    // O(partitions × D²), never O(N × D²). Sums go through exact
+    // DECIMAL (the label_centroid rule: double summation order is
+    // partition-dependent; a float32×float32 product is exact in double,
+    // so the DECIMAL cast is the only rounding and it is identical on
+    // both engines).
+    "embedding_covariance" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ex = emb.select(col("embedding"),
+        posexplode(col("embedding")).as(Seq("i", "xi")))
+      val pairs = ex
+        .select(col("i"), col("xi").cast("double").as("xi"),
+          posexplode(col("embedding")).as(Seq("j", "xj")))
+        .filter(col("j") >= col("i"))
+        .select(col("i"), col("j"), col("xi"), col("xj").cast("double").as("xj"))
+      pairs.groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("xi") * col("xj")).cast(DecimalType(27, 9))).cast("double").as("sxy"),
+          sum(col("xi").cast(DecimalType(27, 9))).cast("double").as("sx"),
+          sum(col("xj").cast(DecimalType(27, 9))).cast("double").as("sy"))
+        .select(col("i"), col("j"),
+          round6(col("sxy") / col("n") -
+            (col("sx") / col("n")) * (col("sy") / col("n"))).as("cov"),
+          col("n"))
+        .orderBy(col("i"), col("j"))
     })
   )
 
@@ -94,6 +126,23 @@ object SimilarityQueries extends QueryPack {
          |  count(*) AS n
          |FROM flat
          |GROUP BY label, dim
-         |ORDER BY label, dim""".stripMargin
+         |ORDER BY label, dim""".stripMargin,
+    "embedding_covariance" -> {
+      def dec(e: String) =
+        s"CAST(CAST(sum(CAST($e AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE)"
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (
+         |  SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
+         |    v[i] AS xi, v[j] AS xj
+         |  FROM e, range(1, ${Dim + 1}) t(i), range(1, ${Dim + 1}) u(j)
+         |  WHERE j >= i
+         |)
+         |SELECT i, j,
+         |  ${graft.QueryPack.round6Sql(
+             s"${dec("xi * xj")} / count(*) - " +
+             s"(${dec("xi")} / count(*)) * (${dec("xj")} / count(*))")} AS cov,
+         |  count(*) AS n
+         |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
+    }
   )
 }

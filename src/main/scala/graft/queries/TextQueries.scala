@@ -196,6 +196,33 @@ object TextQueries extends QueryPack {
     // count → per-doc max/sum — one shuffle keyed by doc, no pairwise
     // work). High values flag the boilerplate/spam documents a training
     // pipeline drops.
+    // Corpus-LM quality scoring: per-document mean unigram surprisal
+    // (-ln p(token), MLE over the corpus itself) and its exp (a
+    // unigram perplexity) — the classic "how unusual is this document's
+    // vocabulary" filter a pretraining pipeline runs before the expensive
+    // model-based scorers. Scale shape: the token-occurrence table feeds
+    // BOTH the LM aggregation and the scoring join (checkpointed once,
+    // like the tfidf postings); term frequencies join back on the term
+    // key (AQE broadcasts when the vocab is small), the corpus total is
+    // a 1-row broadcast, and the per-doc mean is one partial-agg shuffle.
+    "text_unigram_surprisal" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(toks).as("term"))
+        .filter(length(col("term")) > 0)
+        .localCheckpoint()
+      val lm = tok.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      val total = tok.agg(count(lit(1)).as("n_total"))
+      tok.join(lm, "term").crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          (-log(col("tf").cast("double") / col("n_total").cast("double")))
+            .as("surprisal"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round6(avg(col("surprisal"))).as("avg_surprisal"),
+          round6(exp(avg(col("surprisal")))).as("unigram_ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_repetition" -> ((s, dir) => {
       val tri = when(size(toks) >= 3,
         transform(sequence(lit(1), size(toks) - 2),
@@ -342,6 +369,20 @@ object TextQueries extends QueryPack {
          |  CAST(len(toks[ci*40+1 : ci*40+50]) AS INTEGER) AS n_chunk_tokens,
          |  md5(array_to_string(toks[ci*40+1 : ci*40+50], ' ')) AS chunk_fp
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_unigram_surprisal" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter($toksSql, t -> len(t) > 0)) AS term
+         |  FROM documents
+         |), lm AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+         |tot AS (SELECT count(*) AS n_total FROM tok)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  ${graft.QueryPack.round6Sql(
+              "avg(-ln(CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE)))")} AS avg_surprisal,
+         |  ${graft.QueryPack.round6Sql(
+              "exp(avg(-ln(CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE))))")} AS unigram_ppl
+         |FROM tok JOIN lm USING (term), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "text_repetition" -> {
       val tri = s"list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))"
       val bi = s"list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
