@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, L2Distance, L2Norm}
+import graft.functions.{CosineSimilarity, DotProduct, L2Distance, L2Norm, SimHashBands}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -34,5 +34,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("l2_norm"),
       info("l2_norm", "l2_norm(a) - Euclidean norm of an ARRAY<FLOAT>"),
       (es: Seq[Expression]) => L2Norm(es.head)))
+    ext.injectFunction((FunctionIdentifier("simhash_bands"),
+      info("simhash_bands",
+        "simhash_bands(emb, seed, bandBits, numBands) - banded SimHash LSH keys for an ARRAY<FLOAT>"),
+      (es: Seq[Expression]) => SimHashBands(es(0),
+        GraftExtensions.literalArg(es, 1, "seed"),
+        GraftExtensions.literalArg(es, 2, "bandBits").toInt,
+        GraftExtensions.literalArg(es, 3, "numBands").toInt)))
+  }
+}
+
+object GraftExtensions {
+  /** The LSH params are index-shape constants, not per-row data: require
+    * foldable literal arguments (`simhash_bands(emb, 42, 7, 96)`). */
+  private[graft] def literalArg(es: Seq[Expression], i: Int, name: String): Long = {
+    require(i < es.length && es(i).foldable,
+      s"simhash_bands: argument '$name' must be a literal")
+    es(i).eval(null) match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"simhash_bands: argument '$name' must be integral, got $other")
+    }
   }
 }

@@ -341,5 +341,10 @@ object VectorFunctions {
       "l2_distance", es => L2Distance(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "l2_norm", es => L2Norm(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash_bands", es => SimHashBands(es(0),
+        graft.GraftExtensions.literalArg(es, 1, "seed"),
+        graft.GraftExtensions.literalArg(es, 2, "bandBits").toInt,
+        graft.GraftExtensions.literalArg(es, 3, "numBands").toInt), "built-in")
   }
 }

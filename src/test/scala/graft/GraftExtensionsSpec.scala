@@ -33,6 +33,19 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(row.getDouble(1) - 11.0) < 1e-12)
       assert(math.abs(row.getDouble(2) - 5.0) < 1e-12)
       assert(math.abs(row.getDouble(3) - 5.0) < 1e-12)
+      // LSH band keys from SQL: literal params, 96 well-formed keys
+      val bands = ext.sql(
+        "SELECT simhash_bands(array(1.0F, 2.0F, 3.0F), 42, 7, 96) AS b")
+        .head().getSeq[Long](0)
+      assert(bands.length == 96)
+      assert(bands.zipWithIndex.forall { case (k, t) => (k >>> 7) == t.toLong })
+      // non-foldable params are rejected, not silently misread (rand() is
+      // non-deterministic, so the seed argument cannot be folded)
+      val err = intercept[Exception] {
+        ext.sql("SELECT simhash_bands(array(1.0F), CAST(rand() * 10 AS BIGINT), 7, 96)")
+          .head()
+      }
+      assert(err.getMessage.contains("literal"))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
