@@ -53,10 +53,14 @@ object Bench {
     val total = results.map(_._2).sum
     // the driver's stdout tail can front-truncate the one-line JSON (r4 judge
     // could only audit 59/87 per-query times) — also write the full map to a
-    // sidecar file so every round's per-query timings stay parseable
-    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
-      s"""{"sf":"$sfDir","total_sec":$total,"queries":$qs}""".getBytes("UTF-8"))
+    // sidecar file so every round's per-query timings stay parseable.
+    // A SPARK_GRAFT_ONLY subset run skips the default sidecar: it must not
+    // clobber the committed full-surface map with a partial one (set
+    // SPARK_GRAFT_BENCH_OUT explicitly to dump a subset elsewhere).
+    val sidecar = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("BENCH_QUERIES.json") else None)
+    sidecar.foreach(p => java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      s"""{"sf":"$sfDir","total_sec":$total,"queries":$qs}""".getBytes("UTF-8")))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -51,7 +51,7 @@ object GraftExtensions {
     require(i < es.length && es(i).foldable,
       s"simhash_bands: argument '$name' must be a literal")
     es(i).eval(null) match {
-      case n: java.lang.Number => n.longValue()
+      case n: java.lang.Number if n.doubleValue() == n.longValue() => n.longValue()
       case other => throw new IllegalArgumentException(
         s"simhash_bands: argument '$name' must be integral, got $other")
     }

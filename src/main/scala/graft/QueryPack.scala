@@ -60,13 +60,20 @@ trait QueryPack {
    * .xxxxx5 boundaries, so round() is banned in oracle-checked queries.
    * Only valid for |x| < 2^53/1e6 (fine for similarity scores and ratios).
    */
-  protected def round6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{floor, lit}
-    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-  }
+  protected def round6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    QueryPack.round6(c)
 }
 
 object QueryPack {
+  /** The ONE Column spelling of the engine-portable 6-dp rounding —
+    * every oracle-parity producer (QueryPacks and streaming operators
+    * alike) must use this definition, because the oracle hash compare
+    * sees any formula drift as a correctness failure. */
+  def round6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{floor, lit}
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  }
+
   /** SQL spelling of [[QueryPack.round6]] for DuckDB oracle queries. */
   def round6Sql(expr: String): String =
     s"floor(($expr) * 1000000.0 + 0.5) / 1000000.0"

@@ -138,12 +138,14 @@ private[ml] object IndexCache {
           deleteRecursively(target)
           try move()
           catch {
-            // lost a second race — by the same argument the winner is
-            // complete
-            case _: java.nio.file.FileAlreadyExistsException
-               | _: java.nio.file.FileSystemException
-                if new java.io.File(target, successRel).isFile =>
+            case e2 @ (_: java.nio.file.FileAlreadyExistsException
+                     | _: java.nio.file.FileSystemException) =>
+              // lost a second race: if the winner is complete, serve it;
+              // otherwise fail WITHOUT leaking our staging dir into the
+              // shared cache root (the no-leak invariant must hold on
+              // every exit path)
               deleteRecursively(staging)
+              if (!new java.io.File(target, successRel).isFile) throw e2
           }
         }
     }

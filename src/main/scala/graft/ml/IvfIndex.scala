@@ -82,8 +82,12 @@ class IvfIndex(nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L) {
       .agg(TopKByScore(1)(-col("dist"), col("cell").cast("long")).as("best"))
       .select(col("id"), col("emb"),
         element_at(col("best.id"), 1).cast("int").as("cell"))
+    // LWW on id collisions: a delta row REPLACES an existing row with the
+    // same id (anti-join the old side) — a blind union would leave the
+    // stale vector in the index and let one id occupy two top-k slots
     IvfIndex.Built(
-      built.assigned.unionByName(assignedDelta).repartition(col("cell")),
+      built.assigned.join(assignedDelta.select("id"), Seq("id"), "left_anti")
+        .unionByName(assignedDelta).repartition(col("cell")),
       built.centroids)
   }
 

@@ -78,7 +78,11 @@ class PqIndex(m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
         .setFeaturesCol("features").setPredictionCol("c")
         .fit(slices).clusterCenters.map(_.toArray)
     }.toArray
-    val coded = encodeWith(spark, prepared.toDF(), codebooks)
+    // materialize the encode once: it feeds BOTH the code table and the
+    // embedding fetch table (save() runs two independent write jobs, and
+    // without the checkpoint each would re-run the full scan + m-subspace
+    // encode)
+    val coded = encodeWith(spark, prepared.toDF(), codebooks).localCheckpoint()
     val cbRows = for {
       sub <- 0 until m; c <- 0 until kCentroids
     } yield (sub, c, codebooks(sub)(c).toSeq)
@@ -132,12 +136,18 @@ class PqIndex(m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
   def append(built: PqIndex.Built, delta: DataFrame,
       idCol: String, embCol: String): PqIndex.Built = {
     val spark = delta.sparkSession
+    // materialize the delta encode once — it feeds both the code table
+    // and the embedding fetch table (two write jobs in save())
     val codedDelta = encodeWith(spark, prepare(delta, idCol, embCol),
-      codebookArray(built))
+      codebookArray(built)).localCheckpoint()
+    val deltaIds = codedDelta.select("id")
+    // LWW on id collisions: delta rows replace same-id rows in BOTH
+    // tables — a blind union would leave the stale codes/embedding behind
     PqIndex.Built(
-      built.coded.unionByName(codedDelta.select(col("id"), col("codes"))),
-      built.embById.unionByName(
-        PqIndex.withBucket(codedDelta.select(col("id"), col("emb")))),
+      built.coded.join(deltaIds, Seq("id"), "left_anti")
+        .unionByName(codedDelta.select(col("id"), col("codes"))),
+      built.embById.join(deltaIds, Seq("id"), "left_anti")
+        .unionByName(PqIndex.withBucket(codedDelta.select(col("id"), col("emb")))),
       built.codebooks)
   }
 

@@ -217,9 +217,15 @@ object TextQueries extends QueryPack {
           (-log(col("tf").cast("double") / col("n_total").cast("double")))
             .as("surprisal"))
         .groupBy(col("doc_id"))
+        // exact DECIMAL sum, not avg(): the term-hash shuffle scatters a
+        // doc's tokens across partitions, so a double sum's order is
+        // task-completion-dependent — the label_centroid rule applies
         .agg(count(lit(1)).as("n_tokens"),
-          round6(avg(col("surprisal"))).as("avg_surprisal"),
-          round6(exp(avg(col("surprisal")))).as("unigram_ppl"))
+          (sum(col("surprisal").cast(DecimalType(27, 9))).cast("double") /
+            count(lit(1))).as("mean_raw"))
+        .select(col("doc_id"), col("n_tokens"),
+          round6(col("mean_raw")).as("avg_surprisal"),
+          round6(exp(col("mean_raw"))).as("unigram_ppl"))
         .orderBy(col("doc_id"))
     }),
 
@@ -369,19 +375,23 @@ object TextQueries extends QueryPack {
          |  CAST(len(toks[ci*40+1 : ci*40+50]) AS INTEGER) AS n_chunk_tokens,
          |  md5(array_to_string(toks[ci*40+1 : ci*40+50], ' ')) AS chunk_fp
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
-    "text_unigram_surprisal" ->
+    "text_unigram_surprisal" -> {
+      // exact DECIMAL sum / count with the VARCHAR-cast conversion rule,
+      // spelled identically to the Spark side (mean of doubles is
+      // summation-order-dependent; the DECIMAL path is not)
+      val mean = "CAST(CAST(sum(CAST(-ln(CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE))" +
+        " AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) / count(*)"
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(list_filter($toksSql, t -> len(t) > 0)) AS term
          |  FROM documents
          |), lm AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
          |tot AS (SELECT count(*) AS n_total FROM tok)
          |SELECT doc_id, count(*) AS n_tokens,
-         |  ${graft.QueryPack.round6Sql(
-              "avg(-ln(CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE)))")} AS avg_surprisal,
-         |  ${graft.QueryPack.round6Sql(
-              "exp(avg(-ln(CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE))))")} AS unigram_ppl
+         |  ${graft.QueryPack.round6Sql(mean)} AS avg_surprisal,
+         |  ${graft.QueryPack.round6Sql(s"exp($mean)")} AS unigram_ppl
          |FROM tok JOIN lm USING (term), tot
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "text_repetition" -> {
       val tri = s"list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))"

@@ -46,9 +46,9 @@ object SearchStreams {
       when(pos > 0, lit(1.0) / (lit(rrfK.toDouble) + pos.cast("double")))
         .otherwise(lit(0.0))
     }
-    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     val scored = transform(array_union(vecIds, kwIds),
-      id => struct(r6(side(vecIds, id) + side(kwIds, id)).as("rrf"), id.as("id")))
+      id => struct(graft.QueryPack.round6(side(vecIds, id) + side(kwIds, id))
+        .as("rrf"), id.as("id")))
     val sorted = array_sort(scored, (l, r) =>
       when(l.getField("rrf") > r.getField("rrf"), -1)
         .when(l.getField("rrf") < r.getField("rrf"), 1)
@@ -72,13 +72,13 @@ object SearchStreams {
     val corp = corpus.filter(l2Norm(col(embCol)) > 0)
       .select(col(idCol).as("id"), col(embCol).as("emb"))
     val q = queries.select(col("q_id"), col("q_emb"))
-    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     // semantic channel: stateless stream-static scoring (exact, same
     // candidate rule as the batch hybrid's cosine top-k — scored on the
     // ROUNDED cosine so near-tie selection matches the oracle exactly)
     val vecCand = q.join(corp)
       .select(col("q_id"), col("id"),
-        r6(cosineSim(col("q_emb"), col("emb"))).as("score"), lit("vec").as("ch"))
+        graft.QueryPack.round6(cosineSim(col("q_emb"), col("emb")))
+          .as("score"), lit("vec").as("ch"))
     // lexical channel: the static k-row keyword ranking replicated per
     // query (broadcast — it is k rows by construction)
     val kwCand = q.select(col("q_id")).withColumn("one", lit(1))

@@ -131,6 +131,36 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
     assert(rebuilt.assigned.count() == emb.count())
   }
 
+  test("append is LWW on id collisions: a delta row replaces the stale vector") {
+    // re-ingesting an id must not leave two rows in the index (the stale
+    // one could surface as a neighbor, and one id could fill two top-k
+    // slots) — the delta side wins, matching the store's upsert semantics
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 8)
+    val built = ivf.build(spark, baseHalf, "vec_id", "embedding")
+    // delta: id 7 re-ingested with the embedding of vector 450 (a new
+    // direction), plus genuinely new ids
+    val moved = emb.filter(col("vec_id") === 450)
+      .select(lit(7L).as("vec_id"), col("embedding"))
+    val delta = deltaHalf.select(col("vec_id"), col("embedding")).unionByName(moved)
+    val grown = ivf.append(built, delta, "vec_id", "embedding")
+    assert(grown.assigned.filter(col("id") === 7).count() == 1)
+    val hit = ivf.search(grown, emb.filter(col("vec_id") === 450),
+        "vec_id", "embedding", 2)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    // vector 450's top-2 through the grown index: itself and the moved id 7
+    assert(hit == Set(450L, 7L))
+
+    val pq = new PqIndex(m = 8, kCentroids = 16)
+    val pqBuilt = pq.build(spark, baseHalf, "vec_id", "embedding")
+    val pqGrown = pq.append(pqBuilt, delta, "vec_id", "embedding")
+    assert(pqGrown.coded.filter(col("id") === 7).count() == 1)
+    assert(pqGrown.embById.filter(col("id") === 7).count() == 1)
+    val pqHit = pq.search(pqGrown, emb.filter(col("vec_id") === 450),
+        "vec_id", "embedding", 2)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(pqHit == Set(450L, 7L))
+  }
+
   test("openOrBuild rebuilds (not appends) when an ingested file changed") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-inc-src2").toFile
     val cacheRoot = java.nio.file.Files.createTempDirectory("graft-inc-cache2").toString
