@@ -142,6 +142,48 @@ object MediaCodecs {
     } finally in.close()
   }
 
+  /**
+   * Integer-exact 64-block energy fingerprint over DECODED 16-bit PCM:
+   * the audio analog of [[aHash64]] — samples split into 64 blocks
+   * (`bk = i*64/n`), bit k set iff block k's mean |amplitude| exceeds
+   * the global mean, compared cross-multiplied so no float appears and
+   * the fingerprint is bit-exact reproducible from the sample values
+   * (which is what lets the DuckDB oracle verify the REAL decode path
+   * from the generator formula alone). Two 32-bit halves, like aHash64.
+   */
+  def audioFingerprint64(bytes: Array[Byte]): (Long, Long) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected 16-bit mono PCM, got $fmt")
+      val pcm = in.readAllBytes()
+      val n = pcm.length / 2
+      val blockSum = new Array[Long](64)
+      val blockN = new Array[Long](64)
+      var totalSum = 0L
+      var i = 0
+      while (i < n) {
+        val lo = pcm(2 * i) & 0xff
+        val hi = pcm(2 * i + 1).toInt
+        val amp = math.abs((hi << 8) | lo).toLong
+        val k = i * 64 / n
+        blockSum(k) += amp; blockN(k) += 1; totalSum += amp
+        i += 1
+      }
+      var fpHi = 0L; var fpLo = 0L
+      var k = 0
+      while (k < 64) {
+        if (blockSum(k) * n > totalSum * blockN(k)) {
+          if (k >= 32) fpHi |= 1L << (k - 32) else fpLo |= 1L << k
+        }
+        k += 1
+      }
+      (fpHi, fpLo)
+    } finally in.close()
+  }
+
   /** REAL multi-frame video container encode: animated GIF through the
     * JDK GIF sequence writer (the one video-ish container the JDK can
     * both write and demux; no external codec libraries exist here).
@@ -408,6 +450,21 @@ object MultimodalOps {
         (r.media_id, hi, lo)
       }
       .toDF("media_id", "ahash_hi", "ahash_lo")
+  }
+
+  /** Audio-dedup signatures: encode (ingest-side codec), REAL
+    * `javax.sound` WAV decode, then the integer-exact 64-block energy
+    * fingerprint ([[MediaCodecs.audioFingerprint64]]) per clip — same
+    * bucketing role as [[imageHashCatalog]] for the audio modality. */
+  def audioFingerprintCatalog(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fromDocuments(docs, Some("audio")).as[MediaRow]
+      .map { r =>
+        val (hi, lo) = MediaCodecs.audioFingerprint64(r.content)
+        (r.media_id, hi, lo)
+      }
+      .toDF("media_id", "fp_hi", "fp_lo")
   }
 
   def videoFrameCatalog(docs: DataFrame, maxFrames: Int = 6): DataFrame = {

@@ -59,6 +59,18 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    // Audio analog of the image aHash: REAL WAV decode → integer-exact
+    // 64-block energy fingerprint → duplicate-group sizes. Same
+    // oracle-from-the-generator-formula discipline: a decode that
+    // dropped or misread any sample could not match all 64 bits.
+    "multimodal_audio_fingerprint" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp_hi", "fp_lo")
+      MultimodalOps.audioFingerprintCatalog(t(s, dir, "documents"))
+        .withColumn("dup_group_size", count(lit(1)).over(w))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL video demux: per-doc animated GIFs (JDK GIF writer) parsed
     // back through the JDK GIF reader; frame index and geometry come
     // from the DECODER, and the oracle derives the same values from the
@@ -123,6 +135,41 @@ object MultimodalQueries extends QueryPack {
         |)
         |SELECT media_id, ahash_hi, ahash_lo,
         |  count(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS dup_group_size
+        |FROM hashes ORDER BY media_id""".stripMargin,
+    // the audio fingerprint recomputed from the WAV generator's sample
+    // formula: sample(i) = ((id*131 + i*7919) % 65536) - 32768 over
+    // n = 256 + id % 512 samples; 64 energy blocks, cross-multiplied
+    // mean compare, integer shifts — all exact
+    "multimodal_audio_fingerprint" ->
+      """WITH aud AS (
+        |  SELECT doc_id AS media_id, CAST(256 + doc_id % 512 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), sx AS (
+        |  SELECT media_id, n, unnest(range(n)) AS i FROM aud
+        |), s AS (
+        |  SELECT media_id, n, i*64 // n AS k,
+        |    abs(((media_id*131 + i*7919) % 65536) - 32768) AS a
+        |  FROM sx
+        |), blocks AS (
+        |  SELECT media_id, k, sum(a) AS bsum, count(*) AS bn
+        |  FROM s GROUP BY media_id, k
+        |), tot AS (
+        |  SELECT media_id, max(n) AS tn, sum(a) AS tsum
+        |  FROM s GROUP BY media_id
+        |), bits AS (
+        |  SELECT b.media_id, b.k,
+        |    CASE WHEN b.bsum * t.tn > t.tsum * b.bn THEN 1 ELSE 0 END AS bit
+        |  FROM blocks b JOIN tot t USING (media_id)
+        |), hashes AS (
+        |  SELECT media_id,
+        |    CAST(sum(CASE WHEN bit = 1 AND k >= 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS fp_hi,
+        |    CAST(sum(CASE WHEN bit = 1 AND k < 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END) AS BIGINT) AS fp_lo
+        |  FROM bits GROUP BY media_id
+        |)
+        |SELECT media_id, fp_hi, fp_lo,
+        |  count(*) OVER (PARTITION BY fp_hi, fp_lo) AS dup_group_size
         |FROM hashes ORDER BY media_id""".stripMargin,
     // videoFrameCatalog caps frames at 6; dims/frame-count formulas match
     // mediaMeta. The decoder must reproduce all three.
