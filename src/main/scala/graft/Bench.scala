@@ -38,8 +38,11 @@ object Bench {
       }
 
     // SPARK_GRAFT_ONLY: comma-separated substrings for local iteration on a
-    // subset (the driver never sets it, so driver runs bench everything)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    // subset (the driver never sets it, so driver runs bench everything).
+    // A set-but-blank var (`SPARK_GRAFT_ONLY= cmd`) means "no filter", not
+    // "match-everything filter" — it must still refresh the sidecar below.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.trim).filter(_.nonEmpty)
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.contains)))
     names.foreach(force) // warmup: codegen + parquet footer caches

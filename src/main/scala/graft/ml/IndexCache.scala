@@ -126,6 +126,15 @@ private[ml] object IndexCache {
     * winner is served only if its success marker proves completeness; a
     * stale partial dir at the key path is removed and the move retried. */
   private def publish(staging: java.io.File, target: java.io.File,
+      successRel: String): Unit =
+    // the no-leak invariant is enforced at THIS boundary: any failure to
+    // publish — including unanticipated IO errors outside the race
+    // handling below — removes the staging dir before propagating
+    // (deleteRecursively is a no-op after a successful move)
+    try publishInner(staging, target, successRel)
+    catch { case t: Throwable => deleteRecursively(staging); throw t }
+
+  private def publishInner(staging: java.io.File, target: java.io.File,
       successRel: String): Unit = {
     def move(): Unit = java.nio.file.Files.move(staging.toPath, target.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)

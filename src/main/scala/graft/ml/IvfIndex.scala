@@ -71,9 +71,9 @@ class IvfIndex(nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L) {
   def append(built: IvfIndex.Built, delta: DataFrame,
       idCol: String, embCol: String): IvfIndex.Built = {
     val norm = l2Norm(col(embCol))
-    val p = delta.filter(norm > 0)
+    val p = IvfIndex.dedupDeltaIds(delta.filter(norm > 0)
       .select(col(idCol).as("id"), col(embCol).as("emb"),
-        transform(col(embCol), x => (x / norm).cast("float")).as("unit"))
+        transform(col(embCol), x => (x / norm).cast("float")).as("unit")))
     val assignedDelta = p.crossJoin(broadcast(built.centroids))
       .select(col("id"), col("emb"),
         col("cell"), graft.functions.VectorFunctions.l2Distance(
@@ -116,6 +116,18 @@ class IvfIndex(nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L) {
 }
 
 object IvfIndex {
+
+  /** A delta carrying the same id twice (a document upserted twice in
+    * one ingest batch) must contribute exactly ONE row, or the LWW
+    * anti-join against the base still leaves two live rows for the id.
+    * Winner = deterministic hash order over the embedding (which copy
+    * wins is arbitrary but stable run-to-run). */
+  private[ml] def dedupDeltaIds(delta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(hash(col("emb")).desc)
+    delta.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
 
   /** A built index: the cell-assigned corpus + the centroid routing table.
     * Searchable whether just built or loaded from disk — the fitted KMeans

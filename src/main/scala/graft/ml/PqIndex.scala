@@ -137,8 +137,11 @@ class PqIndex(m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
       idCol: String, embCol: String): PqIndex.Built = {
     val spark = delta.sparkSession
     // materialize the delta encode once — it feeds both the code table
-    // and the embedding fetch table (two write jobs in save())
-    val codedDelta = encodeWith(spark, prepare(delta, idCol, embCol),
+    // and the embedding fetch table (two write jobs in save()); same-id
+    // rows within one delta reduce to a single deterministic winner
+    // FIRST (the anti-join below only guards base-vs-delta collisions)
+    val codedDelta = encodeWith(spark,
+      IvfIndex.dedupDeltaIds(prepare(delta, idCol, embCol)),
       codebookArray(built)).localCheckpoint()
     val deltaIds = codedDelta.select("id")
     // LWW on id collisions: delta rows replace same-id rows in BOTH

@@ -112,23 +112,18 @@ object CurationQueries extends QueryPack {
     // into two exchanges total.
     "pipeline_curate" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val tk = col("toks")
-      val nTokens = size(tk).cast("double")
-      val stops = Seq("the", "a", "and", "of", "to", "in")
-      val stopRatio = size(filter(tk, t => t.isInCollection(stops))).cast("double") / nTokens
-      val meanLen = length(array_join(tk, "")).cast("double") / nTokens
       // rounded to 6dp at the row level so the decimal-summed average is
-      // exact and order-independent (avg over raw doubles is neither)
-      val quality = round6(least(nTokens / 200.0, lit(1.0)) * 0.5 +
-        least(stopRatio * 5.0, lit(1.0)) * 0.3 +
-        least(meanLen / 8.0, lit(1.0)) * 0.2)
+      // exact and order-independent (avg over raw doubles is neither);
+      // formula shared with the streaming gate via TextSignals
+      val quality = round6(
+        graft.functions.TextSignals.qualityFromToks(col("toks")))
       val w = Window.partitionBy("fp").orderBy(col("doc_id"))
       t(s, dir, "documents")
         .withColumn("toks", split(trim(col("text")), "\\s+"))
         .withColumn("quality", quality)
         .filter(col("quality") >= 0.35)
         .withColumn("fp",
-          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")))
+          graft.functions.TextSignals.contentFingerprint(col("text")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1) // canonical copy only
         .filter(substring(md5(concat(lit("cur"), col("doc_id").cast("string"))
@@ -154,13 +149,7 @@ object CurationQueries extends QueryPack {
     "pipeline_pretrain_prep" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val tk = col("toks")
-      val nTokens = size(tk).cast("double")
-      val stops = Seq("the", "a", "and", "of", "to", "in")
-      val stopRatio = size(filter(tk, t => t.isInCollection(stops))).cast("double") / nTokens
-      val meanLen = length(array_join(tk, "")).cast("double") / nTokens
-      val quality = round6(least(nTokens / 200.0, lit(1.0)) * 0.5 +
-        least(stopRatio * 5.0, lit(1.0)) * 0.3 +
-        least(meanLen / 8.0, lit(1.0)) * 0.2)
+      val quality = round6(graft.functions.TextSignals.qualityFromToks(tk))
       val g5 = when(size(tk) >= 5,
         array_distinct(transform(sequence(lit(1), size(tk) - 4),
           i => md5(concat_ws(" ", slice(tk, i, lit(5))).cast("binary")))))
@@ -170,7 +159,7 @@ object CurationQueries extends QueryPack {
         .select(col("doc_id"), col("source"),
           size(col("toks")).as("n_tokens"),
           quality.as("quality"),
-          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary")).as("fp"),
+          graft.functions.TextSignals.contentFingerprint(col("text")).as("fp"),
           g5.as("g5"))
         .localCheckpoint()
       val evalGrams = base.filter(col("doc_id") % 10 === 0)
@@ -299,7 +288,7 @@ object CurationQueries extends QueryPack {
 
     "corpus_train_eval_overlap" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val norm = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ").cast("binary"))
+      val norm = graft.functions.TextSignals.contentFingerprint(col("text"))
       val eval_ = d.filter(col("doc_id") % 10 === 0)
         .select(norm.as("fp"))
       val train = d.filter(col("doc_id") % 10 =!= 0)

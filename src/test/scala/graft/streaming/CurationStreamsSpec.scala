@@ -27,7 +27,10 @@ class CurationStreamsSpec extends AnyFunSuite with SparkTestBase {
       StreamDoc(2L, short, t("2026-01-01 10:00:01")), // fails quality
       StreamDoc(3L, good + "unique tail one", t("2026-01-01 10:00:02")))
     val batch2 = Seq(
-      StreamDoc(4L, good, t("2026-01-01 10:01:00")), // dup of 1 across batches
+      // dup of 1 across batches — differing ONLY in case and internal
+      // whitespace, which the canonical fingerprint normalizes away
+      StreamDoc(4L, good.replace("fox", "FOX").replace(" ", "  "),
+        t("2026-01-01 10:01:00")),
       StreamDoc(5L, good + "unique tail two", t("2026-01-01 10:01:01")))
 
     val input = MemoryStream[StreamDoc]
