@@ -146,6 +146,21 @@ object CurationQueries extends QueryPack {
     // semi-join, one doc-keyed join, one rollup. Nothing is pairwise,
     // nothing collects, and every stage reuses the exact operator
     // semantics verified individually above.
+    // The STREAMING curation gate (graft.streaming.CurationStreams) in
+    // its batch form (unified API), oracle-checked: quality gate on the
+    // raw score, then canonical-survivor dedup on the normalized content
+    // fingerprint with earliest (ts, doc_id) winning. Event time is
+    // synthesized deterministically from doc_id so both engines rank
+    // identically.
+    "pipeline_curate_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("ts", expr("timestamp_micros(doc_id * 1000000)"))
+      graft.streaming.CurationStreams.curatedDocs(docs, minQuality = 0.35)
+        .select(col("doc_id"), col("content_fp"),
+          round6(col("quality")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     "pipeline_pretrain_prep" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val tk = col("toks")
@@ -444,6 +459,33 @@ object CurationQueries extends QueryPack {
         |)
         |SELECT bigram, count(*) AS n FROM pairs
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+    "pipeline_curate_stream" -> {
+      val toksSql = "string_split_regex(trim(text), '\\s+')"
+      val n = s"CAST(len(toks) AS DOUBLE)"
+      val stopRatio = "(CAST(len(list_filter(toks, t -> t IN " +
+        "('the','a','and','of','to','in'))) AS DOUBLE) / " + n + ")"
+      val meanLen = s"(CAST(length(array_to_string(toks, '')) AS DOUBLE) / $n)"
+      // RAW score (the streaming gate filters before rounding); the
+      // formula is pure IEEE arithmetic with identical shape on both
+      // engines, so the >= cut is bit-identical
+      val qRaw =
+        s"least($n / 200.0, 1.0) * 0.5 + least($stopRatio * 5.0, 1.0) * 0.3 + " +
+          s"least($meanLen / 8.0, 1.0) * 0.2"
+      s"""WITH scored AS (
+         |  SELECT doc_id, $toksSql AS toks,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_fp
+         |  FROM documents
+         |), quality AS (
+         |  SELECT doc_id, content_fp, $qRaw AS q FROM scored
+         |), kept AS (
+         |  SELECT * FROM quality WHERE q >= 0.35
+         |), canon AS (
+         |  SELECT *, row_number() OVER (PARTITION BY content_fp ORDER BY doc_id) AS rn
+         |  FROM kept
+         |)
+         |SELECT doc_id, content_fp, ${graft.QueryPack.round6Sql("q")} AS quality
+         |FROM canon WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
     "pipeline_curate" -> {
       val toksSql = "string_split_regex(trim(text), '\\s+')"
       val n = s"CAST(len(toks) AS DOUBLE)"
