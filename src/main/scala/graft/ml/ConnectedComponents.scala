@@ -45,14 +45,15 @@ object ConnectedComponents {
     while (!converged && iter < maxIterations) {
       val nbrMin = sym.join(comp.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id")).agg(min("label").as("nbr_label"))
+      // carry the old label through the update so convergence is a
+      // filter over the already-checkpointed frame — not a second join
+      // against the previous round (one fewer shuffle per round)
       val next = comp.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = next
-        .join(comp.select(col("id"), col("label").as("old_label")), "id")
-        .filter(col("label") =!= col("old_label")).isEmpty
-      comp = next
+      converged = next.filter(col("label") =!= col("old_label")).isEmpty
+      comp = next.select("id", "label")
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIterations rounds")
