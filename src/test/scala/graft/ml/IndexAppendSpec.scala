@@ -161,6 +161,32 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
     assert(pqHit == Set(450L, 7L))
   }
 
+  test("openOrBuild recovers from a stale PARTIAL index dir at the key path") {
+    // simulate a builder that died after creating the target dir but
+    // before completing the index: the success marker is missing, so the
+    // next open must rebuild, DELETE the partial dir, and publish a
+    // complete index — never serve the partial one
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-partial-src").toFile
+    val cacheRoot = java.nio.file.Files.createTempDirectory("graft-partial-cache").toString
+    copyParquetFile(baseHalf, srcDir, "a.parquet")
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 3)
+    IvfIndex.openOrBuild(spark, ivf, srcDir.getPath, "vec_id", "embedding", cacheRoot)
+    val published = new java.io.File(cacheRoot).listFiles()
+      .filter(_.getName.endsWith(s"-${ivf.fingerprint}")).head
+    val marker = new java.io.File(published, "assigned/_SUCCESS")
+    assert(marker.isFile)
+    // corrupt: drop the marker -> the dir is now a stale partial
+    assert(marker.delete())
+    val again = IvfIndex.openOrBuild(spark, ivf, srcDir.getPath,
+      "vec_id", "embedding", cacheRoot)
+    assert(new java.io.File(published, "assigned/_SUCCESS").isFile,
+      "rebuild must republish a complete index at the key path")
+    assert(again.assigned.count() == baseHalf.count())
+    // no leaked staging dirs in the shared cache root
+    assert(!new java.io.File(cacheRoot).listFiles()
+      .exists(_.getName.contains(".build-")))
+  }
+
   test("openOrBuild rebuilds (not appends) when an ingested file changed") {
     val srcDir = java.nio.file.Files.createTempDirectory("graft-inc-src2").toFile
     val cacheRoot = java.nio.file.Files.createTempDirectory("graft-inc-cache2").toString
