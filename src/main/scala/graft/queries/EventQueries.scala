@@ -227,6 +227,27 @@ object EventQueries extends QueryPack {
     // same sessions session_window() builds (30-minute gap), here with
     // session bounds and sizes per (user, session). One user_id shuffle
     // shared by the lag and the running sum (same window spec).
+    // Inter-arrival gap statistics per user — the latency/engagement
+    // sequence feature a behavior model trains on. One user_id shuffle
+    // reused by the lag window and the rollup; gaps are exact integer
+    // seconds so every aggregate is order-independent without DECIMAL.
+    "events_interarrival" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts_sec"), col("event_id"))
+      val gap = col("ts_sec") - lag(col("ts_sec"), 1).over(wOrd)
+      events(s, dir)
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+        .withColumn("gap_sec", gap)
+        .filter(col("gap_sec").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_sec")).as("min_gap_sec"),
+          max(col("gap_sec")).as("max_gap_sec"),
+          round6(sum(col("gap_sec")).cast("double") / count(lit(1)))
+            .as("avg_gap_sec"))
+        .orderBy(col("user_id"))
+    }),
+
     "events_sessionize_lag" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val wOrd = Window.partitionBy("user_id").orderBy(col("ts_sec"), col("event_id"))
@@ -310,6 +331,24 @@ object EventQueries extends QueryPack {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
         |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "events_interarrival" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id,
+         |    CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_sec
+         |  FROM events
+         |), gaps AS (
+         |  SELECT user_id,
+         |    ts_sec - lag(ts_sec) OVER (PARTITION BY user_id
+         |      ORDER BY ts_sec, event_id) AS gap_sec
+         |  FROM e
+         |)
+         |SELECT user_id, count(*) AS n_gaps,
+         |  min(gap_sec) AS min_gap_sec, max(gap_sec) AS max_gap_sec,
+         |  ${graft.QueryPack.round6Sql(
+            "CAST(CAST(sum(gap_sec) AS BIGINT) AS DOUBLE) / count(*)")} AS avg_gap_sec
+         |FROM gaps WHERE gap_sec IS NOT NULL
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "events_sessionize_lag" ->
       """WITH e AS (
         |  SELECT event_id, user_id,
