@@ -111,6 +111,44 @@ object RelationalQueries extends QueryPack {
         .limit(10)
     }),
 
+    // TPC-H Q3 shape (shipping priority): selective dimension filter on
+    // the SMALL side (market segment) -> broadcast into the fact joins,
+    // date predicates pushed to both scans, revenue top-k. The classic
+    // join-order test: Catalyst must filter customer BEFORE joining.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) * (one - pct(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q18 shape (large-volume orders): HAVING on an aggregate
+    // turned into a semi-join — the big-quantity orderkeys reduce FIRST
+    // (partial agg on the fact table), then prune the joins. Nothing
+    // carries the full lineitem through the customer join.
+    "q18_large_orders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+        .filter(col("total_qty") > dec(lit(150)))
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("total_qty").cast("double").as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
     // ROLLUP: hierarchical subtotals (returnflag -> returnflag+linestatus
     // -> grand total) in one pass — partial-agg friendly like any groupBy.
     "q_rollup_pricing" -> ((s, dir) =>
@@ -245,6 +283,32 @@ object RelationalQueries extends QueryPack {
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 10""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,3))) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,3))) > 150
+        |)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  CAST(CAST(total_qty AS VARCHAR) AS DOUBLE) AS total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
     "q_rollup_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS sum_qty,
