@@ -55,29 +55,6 @@ object RelationalQueries extends QueryPack {
           .cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))),
 
-    // TPC-H Q3-style shipping priority: selective filters on both join
-    // sides BEFORE the join (pushed to the scans), two key joins, top-10
-    // by revenue via TakeOrderedAndProject.
-    "q3_shipping_priority" -> ((s, dir) => {
-      val cutoff = lit(java.sql.Date.valueOf("1997-06-01"))
-      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-        .select(col("c_custkey"))
-      val o = t(s, dir, "orders")
-        .filter(col("o_orderdate").cast("date") < cutoff)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
-          col("o_orderpriority"))
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_shipdate").cast("date") > cutoff)
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(dec(col("l_extendedprice")) * (one - pct(col("l_discount"))))
-          .cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey"))
-        .limit(10)
-    }),
-
     // Q5-style join chain: revenue per nation. Only `nation` (25 rows at any
     // sf) is force-broadcast; `customer` scales linearly with sf, so its join
     // is left to Catalyst/AQE — shuffle hash at scale, auto-broadcast when
@@ -239,19 +216,6 @@ object RelationalQueries extends QueryPack {
         |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
-    "q3_shipping_priority" ->
-      """SELECT o_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) *
-        |    (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3))))
-        |    AS VARCHAR) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND CAST(o_orderdate AS DATE) < DATE '1997-06-01'
-        |  AND CAST(l_shipdate AS DATE) > DATE '1997-06-01'
-        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS sum_qty,

@@ -15,6 +15,26 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // A duplicate key WITHIN one pack's Map literal silently shadows the
+  // earlier query AND its oracle — invisible at runtime (the literal
+  // dedupes before SparkEntry's cross-pack guard sees it). Catch it at
+  // the source level: a query name may appear at most twice per file
+  // (once in `queries`, once in `oracleSql`).
+  test("no duplicate query keys within any QueryPack source") {
+    val packDir = new java.io.File("src/main/scala/graft/queries")
+    val key = """"([a-z0-9_]+)"\s*->""".r
+    for (f <- packDir.listFiles().toSeq if f.getName.endsWith(".scala")) {
+      // decode via String ctor (lenient): sources contain a few non-ASCII
+      // scaladoc glyphs that trip Source.fromFile under the JVM default cs
+      val src = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val counts = key.findAllMatchIn(src).map(_.group(1)).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val dups = counts.filter(_._2 > 2)
+      assert(dups.isEmpty, s"${f.getName}: keys registered twice: ${dups.keys.toSeq.sorted}")
+    }
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001 with rows > 0, no CartesianProduct") {
       val df = fn(spark, sf0_001)
