@@ -189,6 +189,195 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("op"))
     }),
 
+    // TPC-H Q2 shape (min-cost supplier): the correlated-min subquery,
+    // decorrelated the scalable way — ONE partial-agg min per partkey,
+    // then an equi-join back on (partkey, cost==min). No per-row subquery
+    // execution; min over IEEE division results is order-independent.
+    // (The synthetic schema has no partsupp; observed lineitem unit cost
+    // l_extendedprice/l_quantity plays its ps_supplycost.)
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      val minCost = li.groupBy(col("l_partkey"))
+        .agg(min(col("unit_cost")).as("min_cost"))
+      val p = t(s, dir, "part").filter(col("p_size") >= 45)
+        .select(col("p_partkey"), col("p_name"))
+      li.join(minCost, Seq("l_partkey"))
+        .filter(col("unit_cost") === col("min_cost"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        // several suppliers can tie at the min cost; pick the smallest
+        // suppkey so the winner is deterministic on both engines
+        .groupBy(col("p_partkey"), col("p_name"))
+        .agg(min(col("l_suppkey")).as("best_suppkey"),
+          round6(min(col("min_cost"))).as("min_cost"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // TPC-H Q4 shape (order-priority check): EXISTS turned into a
+    // left-semi hash join — the probe side never duplicates order rows
+    // however many late lines an order has.
+    "q4_late_orders" -> ((s, dir) => {
+      val late = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      t(s, dir, "orders")
+        .join(late, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_late_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q12 shape (shipping-mode CASE aggregation): conditional
+    // two-way counts in ONE pass over the join — no per-branch scans.
+    // Lateness bucket stands in for the missing l_shipmode column.
+    "q12_lateness_priority" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("bucket",
+          when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), "late")
+            .otherwise("ontime"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_priority_lines"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_priority_lines"))
+        .orderBy(col("bucket"))
+    }),
+
+    // TPC-H Q17 shape (small-quantity revenue): per-part scalar-avg
+    // subquery decorrelated into one groupBy + equi-join. The avg
+    // threshold is computed from the EXACT decimal sum cast to double,
+    // so both engines evaluate the identical IEEE expression — comparing
+    // against a raw double avg would be partition-order-dependent.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val perPart = li.groupBy(col("l_partkey").as("a_partkey"))
+        .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(sum(dec(col("l_extendedprice"))).cast("double").as("small_qty_revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q19 shape (disjunctive predicates): three OR'd
+    // (brand, size-range, quantity-range) clauses — the planner must
+    // still push the common join key and prune part columns; the OR of
+    // range predicates stays a single codegen'd filter, not a union of
+    // three scans.
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(dec(col("l_extendedprice")) * (one - pct(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the
+    // EXISTS / NOT-EXISTS chain as one left-semi plus one left-anti
+    // self-join on the order key — a line counts when SOME other
+    // supplier shares the order (semi) and NO other supplier shipped
+    // later (anti), i.e. this supplier was the sole latest.
+    "q21_sole_latest_supplier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val l1 = li.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val l2 = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = li.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
+        col("l_shipdate").as("d3"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      l1.join(l2, col("o2") === col("l_orderkey") && col("s2") =!= col("l_suppkey"),
+          "left_semi")
+        .join(l3, col("o3") === col("l_orderkey") && col("s3") =!= col("l_suppkey") &&
+          col("d3") > col("l_shipdate"), "left_anti")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q22 shape (idle wealthy suppliers): scalar-aggregate
+    // subquery (global avg balance) as a 1-row broadcast compared by
+    // exact cross-multiplication (bal*n > total avoids dividing), plus
+    // a left-anti join against the top-5 Brand#12 shippers — a
+    // BOUNDED anti-join target, so the query stays selective (and the
+    // result non-empty) at every data density.
+    "q22_idle_suppliers" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val avgRow = broadcast(sup.agg(
+        sum(dec(col("s_acctbal"))).as("bal_total"), count(lit(1)).as("bal_n")))
+      val active = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#12")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_quantity"))).as("vol"))
+        .orderBy(col("vol").desc, col("l_suppkey"))
+        .limit(5)
+        .select(col("l_suppkey"))
+      sup.crossJoin(avgRow)
+        .filter(dec(col("s_acctbal")) * col("bal_n") > col("bal_total"))
+        .join(active, col("s_suppkey") === col("l_suppkey"), "left_anti")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(dec(col("s_acctbal"))).cast("double").as("total_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // Ranking-window showcase: every SQL rank family over one shuffle.
+    // Two frames on purpose — ties in the date-ordered frame exercise
+    // rank/dense_rank/percent_rank/cume_dist (tied rows get identical
+    // values, so output is deterministic), while row_number/ntile/lag/
+    // lead order by the UNIQUE (date, orderkey) pair because their
+    // values depend on intra-tie order.
+    "q_window_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+      val byKey = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          row_number().over(byKey).as("rn"),
+          rank().over(byDate).as("rnk"),
+          dense_rank().over(byDate).as("drnk"),
+          ntile(4).over(byKey).as("quartile"),
+          round6(percent_rank().over(byDate)).as("pct_rank"),
+          round6(cume_dist().over(byDate)).as("cdist"),
+          lag(col("o_totalprice"), 1).over(byKey).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(byKey).as("next_price"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Explicit GROUPING SETS with grouping() flags — finer than ROLLUP/
+    // CUBE (hand-picked marginals), still ONE pass: Spark expands the
+    // sets before a single shuffle. grouping() flags disambiguate "ALL"
+    // rows from genuine NULL group values.
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_q_gs_lineitem")
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               grouping(l_returnflag) AS g_rf,
+               grouping(l_linestatus) AS g_ls,
+               count(*) AS n,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS STRING) AS DOUBLE) AS sum_qty
+        FROM graft_q_gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus), ())
+        ORDER BY g_rf, g_ls, rf, ls""")
+    }),
+
     // Date dimension math: fiscal rollup by (year, quarter) with day
     // arithmetic — all codegen'd date intrinsics, no UDFs.
     "q_orders_by_quarter" -> ((s, dir) =>
@@ -312,6 +501,126 @@ object RelationalQueries extends QueryPack {
         |SELECT 'except' AS op, count(*) AS n FROM
         |  (SELECT cust FROM urgent EXCEPT SELECT cust FROM returners)
         |ORDER BY op""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_cost
+        |  FROM lineitem
+        |), mc AS (
+        |  SELECT l_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY l_partkey
+        |)
+        |SELECT p_partkey, p_name, min(c.l_suppkey) AS best_suppkey,
+        |  floor(min(mc.min_cost) * 1000000.0 + 0.5) / 1000000.0 AS min_cost
+        |FROM cost c
+        |JOIN mc ON c.l_partkey = mc.l_partkey AND c.unit_cost = mc.min_cost
+        |JOIN part ON c.l_partkey = p_partkey
+        |WHERE p_size >= 45
+        |GROUP BY p_partkey, p_name
+        |ORDER BY p_partkey""".stripMargin,
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q12_lateness_priority" ->
+      """SELECT
+        |  CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |       THEN 'late' ELSE 'ontime' END AS bucket,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey AS a_partkey,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE)
+        |      / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey
+        |)
+        |SELECT
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE)
+        |    AS small_qty_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN per_part ON l_partkey = a_partkey
+        |WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) *
+        |    (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3))))
+        |    AS VARCHAR) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q21_sole_latest_supplier" ->
+      """SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l2
+        |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |AND NOT EXISTS (
+        |  SELECT 1 FROM lineitem l3
+        |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 10""".stripMargin,
+    "q22_idle_suppliers" ->
+      """WITH stats AS (
+        |  SELECT sum(CAST(s_acctbal AS DECIMAL(18,3))) AS bal_total,
+        |    count(*) AS bal_n
+        |  FROM supplier
+        |), vol AS (
+        |  SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,3))) AS vol
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#12' GROUP BY l_suppkey
+        |), active AS (
+        |  SELECT l_suppkey FROM vol ORDER BY vol DESC, l_suppkey LIMIT 5
+        |)
+        |SELECT s_nationkey, count(*) AS n_suppliers,
+        |  CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE)
+        |    AS total_bal
+        |FROM supplier, stats
+        |WHERE CAST(s_acctbal AS DECIMAL(18,3)) * bal_n > bal_total
+        |  AND s_suppkey NOT IN (SELECT l_suppkey FROM active)
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
+    "q_window_ranks" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  row_number() OVER bykey AS rn,
+        |  rank() OVER bydate AS rnk,
+        |  dense_rank() OVER bydate AS drnk,
+        |  ntile(4) OVER bykey AS quartile,
+        |  floor(percent_rank() OVER bydate * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+        |  floor(cume_dist() OVER bydate * 1000000.0 + 0.5) / 1000000.0 AS cdist,
+        |  lag(o_totalprice, 1) OVER bykey AS prev_price,
+        |  lead(o_totalprice, 1) OVER bykey AS next_price
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW bydate AS (PARTITION BY o_custkey ORDER BY o_orderdate),
+        |       bykey AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  grouping(l_returnflag) AS g_rf,
+        |  grouping(l_linestatus) AS g_ls,
+        |  count(*) AS n,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus), ())
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin,
     "q_orders_by_quarter" ->
       """SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
         |  count(*) AS n_orders,
