@@ -308,10 +308,102 @@ object EventQueries extends QueryPack {
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("k_sum"), count(col("k")).as("n_with_k"),
           count(lit(1)).as("n"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // Unpivot (melt): the inverse of events_pivot_user_type — wide
+    // per-type count columns back to (user_id, event_type, n) rows via
+    // the native unpivot operator (a generate, no shuffle of its own;
+    // the only exchange is the pivot's groupBy). Absent combinations
+    // stay NULL through the round-trip and are dropped, so the result
+    // is exactly the plain long-format GROUP BY the oracle runs.
+    "events_unpivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      events(s, dir)
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+        .filter(col("n").isNotNull)
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Gap-and-islands: runs of consecutive active DAYS per user. The
+    // classic anchor trick — day minus row_number is constant within a
+    // consecutive run — turns island detection into plain grouping:
+    // one user_id shuffle for the window, one partial-agg for the
+    // islands, one for the per-user rollup. No iteration, no state.
+    "events_gap_islands" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val days = events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val islands = days
+        .withColumn("anchor",
+          date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(count(lit(1)).as("len"))
+      islands.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          max(col("len")).as("max_run_days"),
+          sum(col("len")).as("active_days"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Forward as-of join: each click paired with the user's NEXT
+    // purchase (events_asof_error is the backward variant). A running
+    // conditional min over the suffix frame — one user_id shuffle, no
+    // self-join, no per-row subquery; the (ts, event_id) ordering makes
+    // intra-tie behavior identical on both engines. Gap is exact
+    // integer microseconds, so no float drift.
+    "events_asof_forward" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      events(s, dir)
+        .withColumn("next_purchase_ts",
+          min(when(col("event_type") === "purchase", col("ts"))).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("next_purchase_ts"),
+          (unix_micros(col("next_purchase_ts")) - unix_micros(col("ts")))
+            .as("gap_us"))
+        .orderBy(col("event_id"))
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "events_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events WHERE user_id < 50
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    "events_gap_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), anch AS (
+        |  SELECT user_id,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+        |      AS anchor
+        |  FROM days
+        |), islands AS (
+        |  SELECT user_id, anchor, count(*) AS len
+        |  FROM anch GROUP BY user_id, anchor
+        |)
+        |SELECT user_id, count(*) AS n_islands, max(len) AS max_run_days,
+        |  CAST(sum(len) AS BIGINT) AS active_days
+        |FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_asof_forward" ->
+      """WITH nxt AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, ts, next_purchase_ts,
+        |  epoch_us(next_purchase_ts) - epoch_us(ts) AS gap_us
+        |FROM nxt WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
     "events_histogram" ->
       """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bucket,
         |  count(*) AS n
