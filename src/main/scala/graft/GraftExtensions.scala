@@ -41,6 +41,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftExtensions.literalArg(es, 1, "seed"),
         GraftExtensions.literalArg(es, 2, "bandBits").toInt,
         GraftExtensions.literalArg(es, 3, "numBands").toInt)))
+    // Catalyst's internal runtime-filter bloom pair, surfaced as SQL
+    // (Spark builds them for join pruning but never registers them):
+    // bloom_filter_agg(xxhash64(k), items, bits) → BINARY sketch;
+    // might_contain(sketch, xxhash64(k)) probes it.
+    ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg",
+        "bloom_filter_agg(hashedLong, estItems, numBits) - build a bloom filter sketch (BINARY)"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          es(0), es(1), es(2))))
+    ext.injectFunction((FunctionIdentifier("might_contain"),
+      info("might_contain",
+        "might_contain(bloom, hashedLong) - probe a bloom_filter_agg sketch"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
   }
 }
 

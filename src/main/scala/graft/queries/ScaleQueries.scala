@@ -121,7 +121,64 @@ object ScaleQueries extends QueryPack {
       events(s, dir)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // Bloom-filter semi join: the build side aggregates urgent custkeys
+    // into a ~100 KiB bloom filter (distributed partial-agg build, tiny
+    // collected sketch — the runtime-filter pattern Catalyst injects for
+    // shuffle joins, here explicit); the probe scan drops non-members
+    // BEFORE the exact semi-join that removes the bloom's false
+    // positives. Result is therefore EXACTLY the plain semi join — the
+    // oracle verifies the pattern, not just runs it. At 100 TB the win
+    // is that the pruned probe rows never reach the join shuffle.
+    "bloom_semi_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val bloom = urgent
+        .agg(graft.functions.SketchFunctions.bloomFilterAgg(
+          xxhash64(col("o_custkey")), 100000L, 800000L).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      t(s, dir, "customer")
+        .filter(graft.functions.SketchFunctions.mightContain(
+          bloom, xxhash64(col("c_custkey"))))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_urgent_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Count-min sketch heavy hitters: per-key frequency estimates from
+    // D×W bounded counters instead of a per-key exact map — the sketch
+    // table is ≤ D*W rows whatever the key cardinality, and builds in
+    // one partial-agg pass (explode by D is map-side). est_n is the min
+    // over D hashed-bucket counts (never below the true count); the
+    // exact count rides along so the overcount is driver-visible, and
+    // CmsSketchSpec pins est >= exact plus the N/W error bound. Sketch
+    // values are hash-layout-specific → no cross-engine oracle
+    // (rows-only), same policy as the HLL/GK queries above.
+    "events_heavy_hitters_cms" -> ((s, dir) => {
+      val D = 4
+      val W = 512
+      val ds = array((0 until D).map(lit): _*)
+      val bucket = pmod(xxhash64(col("user_id"), col("d")), lit(W))
+      val e = events(s, dir).select(col("user_id"))
+      val cms = e.withColumn("d", explode(ds))
+        .withColumn("bucket", bucket)
+        .groupBy(col("d"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      exact
+        .withColumn("d", explode(ds))
+        .withColumn("bucket", bucket)
+        .join(cms, Seq("d", "bucket"))
+        .groupBy(col("user_id"), col("exact_n"))
+        .agg(min(col("c")).as("est_n"))
+        .select(col("user_id"), col("est_n"), col("exact_n"),
+          (col("est_n") - col("exact_n")).as("overcount"))
+        .orderBy(col("est_n").desc, col("user_id"))
+        .limit(20)
+    })
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -159,8 +216,15 @@ object ScaleQueries extends QueryPack {
     },
     "events_distinct_users_exact" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
-    // events_distinct_users_approx: no oracle (HLL sketch values are
-    // engine-specific); ApproxDistinctSpec pins the error bound.
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "bloom_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_urgent_customers
+        |FROM customer
+        |WHERE c_custkey IN (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    // events_distinct_users_approx / events_heavy_hitters_cms: no oracle
+    // (HLL and CMS sketch values are engine-specific); ApproxDistinctSpec
+    // and CmsSketchSpec pin the error bounds.
   )
 }

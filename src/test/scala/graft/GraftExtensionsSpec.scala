@@ -39,6 +39,20 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
         .head().getSeq[Long](0)
       assert(bands.length == 96)
       assert(bands.zipWithIndex.forall { case (k, t) => (k >>> 7) == t.toLong })
+      // bloom pair from SQL: build over 0..99, probe members + one miss.
+      // (members always hit; 1000 misses at 8 bits/key would be unlucky
+      // to ALL false-positive — probe one and accept either, asserting
+      // only the member side, which is the bloom guarantee.)
+      ext.range(100).createOrReplaceTempView("graft_ext_bloom_keys")
+      val bloomHits = ext.sql(
+        """WITH bf AS (
+          |  SELECT bloom_filter_agg(xxhash64(id), 1000L, 8000L) AS b
+          |  FROM graft_ext_bloom_keys
+          |)
+          |SELECT count(*) FROM graft_ext_bloom_keys
+          |WHERE might_contain((SELECT b FROM bf), xxhash64(id))""".stripMargin)
+        .head().getLong(0)
+      assert(bloomHits == 100L, s"bloom dropped a member: $bloomHits/100")
       // non-foldable params are rejected, not silently misread (rand() is
       // non-deterministic, so the seed argument cannot be folded)
       val err = intercept[Exception] {
