@@ -191,6 +191,34 @@ object DedupQueries extends QueryPack {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Fuzzy near-dup pairs by edit distance: levenshtein over 80-char
+    // prefixes, banded (threshold arg → O(len·k) DP that bails at 45
+    // edits, not O(len²)), within EQUI-JOIN length blocks: docs join on
+    // (lang, length-bucket) with one side exploded to its 3 neighbor
+    // buckets, so candidates-with-|Δchars|≤40 all meet on an equi key —
+    // no within-lang cross join at any scale. The oracle is the simple
+    // declarative form (lang join + |Δ| + levenshtein), so equality also
+    // proves the neighbor-bucket blocking loses no pairs.
+    "dedup_fuzzy_levenshtein" -> ((s, dir) => {
+      val Band = 40
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          substring(col("text"), 1, 80).as("p"),
+          floor(col("n_chars") / Band).as("bk"))
+      val a = docs.select(col("doc_id").as("a_id"), col("lang"),
+        col("n_chars").as("a_n"), col("p").as("a_p"),
+        explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("jb"))
+      val b = docs.select(col("doc_id").as("b_id"), col("lang"),
+        col("n_chars").as("b_n"), col("p").as("b_p"), col("bk").as("jb"))
+      a.join(b, Seq("lang", "jb"))
+        .filter(col("a_id") < col("b_id") &&
+          abs(col("a_n") - col("b_n")) <= Band)
+        .withColumn("dist", levenshtein(col("a_p"), col("b_p"), 45))
+        .filter(col("dist") >= 0)
+        .select(col("a_id"), col("b_id"), col("dist"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ==== FENCED: O(N^2) baseline — never lift into a pipeline. ====
     // Embedding-cosine near-dup pairs as an all-pairs nested-loop join,
     // kept ONLY because an exact pair set is DuckDB-oracle-checkable and
@@ -253,6 +281,17 @@ object DedupQueries extends QueryPack {
          |)""".stripMargin
 
     Map(
+      "dedup_fuzzy_levenshtein" ->
+        """WITH docs AS (
+          |  SELECT doc_id, lang, n_chars, substr(text, 1, 80) AS p FROM documents
+          |)
+          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |  levenshtein(a.p, b.p) AS dist
+          |FROM docs a JOIN docs b
+          |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+          | AND abs(a.n_chars - b.n_chars) <= 40
+          |WHERE levenshtein(a.p, b.p) <= 45
+          |ORDER BY a_id, b_id""".stripMargin,
       "dedup_exact" ->
         """WITH corpus AS (
           |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS txt
