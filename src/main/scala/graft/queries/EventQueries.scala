@@ -350,6 +350,31 @@ object EventQueries extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // SCD2 dimension build: compact each user's stream of props.k values
+    // into slowly-changing-dimension rows — a row per VALUE RUN with
+    // [valid_from, valid_to) bounds and a current flag. Change detection
+    // is a null-safe lag compare, closing bounds is a lead — both over
+    // the same (user, ts, event_id) window, so the whole history build
+    // is one user_id shuffle however long the history. The standard
+    // warehouse pattern for turning CDC/event streams into dimensions.
+    "events_scd2_build" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val keyed = events(s, dir)
+        .filter(col("user_id") < 30)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k").isNotNull)
+      val changes = keyed
+        .withColumn("prev_k", lag(col("k"), 1).over(w))
+        .filter(!(col("k") <=> col("prev_k")))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      changes
+        .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+        .select(col("user_id"), col("k"), col("ts").as("valid_from"),
+          col("valid_to"), col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
     // Forward as-of join: each click paired with the user's NEXT
     // purchase (events_asof_error is the backward variant). A running
     // conditional min over the suffix frame — one user_id shuffle, no
@@ -392,6 +417,25 @@ object EventQueries extends QueryPack {
         |SELECT user_id, count(*) AS n_islands, max(len) AS max_run_days,
         |  CAST(sum(len) AS BIGINT) AS active_days
         |FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_scd2_build" ->
+      """WITH keyed AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE user_id < 30
+        |), nn AS (
+        |  SELECT * FROM keyed WHERE k IS NOT NULL
+        |), changes AS (
+        |  SELECT user_id, event_id, ts, k,
+        |    lag(k, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_k
+        |  FROM nn
+        |  QUALIFY k IS DISTINCT FROM prev_k
+        |)
+        |SELECT user_id, k, ts AS valid_from,
+        |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    AS is_current
+        |FROM changes
+        |ORDER BY user_id, valid_from""".stripMargin,
     "events_asof_forward" ->
       """WITH nxt AS (
         |  SELECT event_id, user_id, ts, event_type,

@@ -264,6 +264,21 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("n_lines"))
     }),
 
+    // TPC-H Q14 shape (promo revenue share): a conditional-sum ratio —
+    // both sums exact DECIMAL in one pass, the final division the only
+    // float op (identical IEEE on both engines).
+    "q14_promo_revenue" -> ((s, dir) => {
+      val disc = dec(col("l_extendedprice")) * (one - pct(col("l_discount")))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0).cast(DecimalType(18, 3))))
+            .cast("double") * 100.0 /
+            sum(disc).cast("double")).as("promo_revenue_pct"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // TPC-H Q19 shape (disjunctive predicates): three OR'd
     // (brand, size-range, quantity-range) clauses — the planner must
     // still push the common join key and prune part columns; the OR of
@@ -550,6 +565,17 @@ object RelationalQueries extends QueryPack {
         |JOIN part ON l_partkey = p_partkey
         |JOIN per_part ON l_partkey = a_partkey
         |WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT
+        |  CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,3)) *
+        |      (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))
+        |    ELSE CAST(0 AS DECIMAL(18,3)) END) AS VARCHAR) AS DOUBLE) * 100.0
+        |  / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) *
+        |      (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS VARCHAR) AS DOUBLE)
+        |    AS promo_revenue_pct,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
     "q19_disjunctive_revenue" ->
       """SELECT
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) *
