@@ -102,6 +102,45 @@ object CurationQueries extends QueryPack {
         .limit(50)
     }),
 
+    // Pointwise-mutual-information collocations: which adjacent pairs
+    // co-occur far above what their unigram frequencies predict —
+    // raw-count top-k (corpus_bigrams_topk) surfaces common pairs of
+    // common words; PMI surfaces genuinely associated ones. ONE
+    // tokenize pass (checkpointed) feeds the unigram agg, the bigram
+    // agg, and the two 1-row broadcast totals; the vocab-sized unigram
+    // table joins back on each side of the bigram (AQE broadcasts it).
+    // ln runs in the identical IEEE expression shape on both engines
+    // (1 ulp << the 6dp rounding grain — the bm25/surprisal argument).
+    "corpus_pmi_bigrams" -> ((s, dir) => {
+      val tk = col("toks")
+      val pairs = when(size(tk) >= 2,
+        transform(sequence(lit(1), size(tk) - 1),
+          i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val toksDf = spread(s, t(s, dir, "documents"), "doc_id")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"), col("toks"))
+        .localCheckpoint() // unigram AND bigram sides read it
+      val uni = toksDf.select(explode(tk).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("nw"))
+      val t1 = broadcast(uni.agg(sum(col("nw")).as("t1")))
+      val bi = toksDf.select(explode(pairs).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nab"))
+      val t2 = broadcast(bi.agg(sum(col("nab")).as("t2")))
+      bi.filter(col("nab") >= 5)
+        .join(uni.select(col("w").as("w1"), col("nw").as("na")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("nw").as("nb")), Seq("w2"))
+        .crossJoin(t1).crossJoin(t2)
+        .select(col("w1"), col("w2"), col("nab"),
+          round6(log(col("nab").cast("double") * col("t1").cast("double") *
+            col("t1").cast("double") /
+            (col("t2").cast("double") * col("na").cast("double") *
+              col("nb").cast("double")))).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
+
     // The composed curation pipeline — the end-to-end shape this library
     // exists for, as ONE declarative plan Catalyst optimizes whole:
     //   quality filter -> exact dedup (keep canonical) -> hash-gate
@@ -459,6 +498,36 @@ object CurationQueries extends QueryPack {
         |)
         |SELECT bigram, count(*) AS n FROM pairs
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+    "corpus_pmi_bigrams" ->
+      """WITH tok AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), uni AS (
+        |  SELECT w, count(*) AS nw FROM (
+        |    SELECT unnest(toks) AS w FROM tok)
+        |  GROUP BY w
+        |), pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+        |  FROM tok
+        |), bi AS (
+        |  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS nab
+        |  FROM pairs GROUP BY 1, 2
+        |), t1s AS (
+        |  SELECT CAST(sum(nw) AS BIGINT) AS t1 FROM uni
+        |), t2s AS (
+        |  SELECT CAST(sum(nab) AS BIGINT) AS t2 FROM bi
+        |)
+        |SELECT b.w1, b.w2, b.nab,
+        |  floor(ln(CAST(b.nab AS DOUBLE) * CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) /
+        |    (CAST(t2 AS DOUBLE) * CAST(u1.nw AS DOUBLE) * CAST(u2.nw AS DOUBLE)))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS pmi
+        |FROM bi b
+        |JOIN uni u1 ON b.w1 = u1.w
+        |JOIN uni u2 ON b.w2 = u2.w
+        |CROSS JOIN t1s CROSS JOIN t2s
+        |WHERE b.nab >= 5
+        |ORDER BY pmi DESC, b.w1, b.w2
+        |LIMIT 50""".stripMargin,
     "pipeline_curate_stream" -> {
       val toksSql = "string_split_regex(trim(text), '\\s+')"
       val n = s"CAST(len(toks) AS DOUBLE)"

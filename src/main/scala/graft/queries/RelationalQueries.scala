@@ -393,6 +393,192 @@ object RelationalQueries extends QueryPack {
         ORDER BY g_rf, g_ls, rf, ls""")
     }),
 
+    // TPC-H Q7 shape (volume shipping): cross-border revenue by
+    // (supplier nation, customer nation, year). Nation is broadcast
+    // TWICE under different role names (supplier side / customer side);
+    // TPC-H fixes one nation pair, but the synthetic supplier table is
+    // too sparse at the smallest SF for any single pair to trade — the
+    // all-pairs form is the same plan shape with a non-degenerate
+    // result at every SF (the =!= filter keeps only cross-border flow).
+    "q7_trade_volume" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+          col("l_shipdate").cast("date") <= lit(java.sql.Date.valueOf("1997-12-31")))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(dec(col("l_extendedprice")) * (one - pct(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 shape (national market share): one nation's share of a
+    // region's ECONOMY-part import revenue by year. Both sums stay exact
+    // DECIMAL through the agg; the share is one double division at the
+    // end (identical IEEE on both engines). Region->nation restriction
+    // broadcasts into customer; the supplier-side nation broadcast only
+    // labels the numerator.
+    "q8_market_share" -> ((s, dir) => {
+      val asiaN = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val suppN = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val disc = dec(col("l_extendedprice")) * (one - pct(col("l_discount")))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaN), col("c_nationkey") === col("c_nk"), "left_semi")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppN), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_7", disc)
+            .otherwise(lit(0).cast(DecimalType(18, 3)))).cast("double") /
+            sum(disc).cast("double")).as("mkt_share"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q9 shape (product-type profit): profit per supplier nation
+    // per year. The synthetic schema has no partsupp, so ps_supplycost
+    // is stood in by 10% of the part's retail price (deterministic,
+    // documented): profit = extprice*(1-disc) - 0.1*retailprice*qty.
+    // Every term stays exact DECIMAL until the final cast.
+    "q9_product_profit" -> ((s, dir) => {
+      val suppN = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val profit = dec(col("l_extendedprice")) * (one - pct(col("l_discount"))) -
+        dec(col("p_retailprice")) * dec(col("l_quantity")) *
+          lit(BigDecimal("0.100")).cast(DecimalType(4, 3))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%gear%"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppN), col("s_nationkey") === col("s_nk"))
+        .groupBy(col("supp_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(sum(profit).cast("double").as("profit"), count(lit(1)).as("n_lines"))
+        .orderBy(col("supp_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q11 shape (important stock): parts whose traded value
+    // exceeds 1.5x the mean part value. Q11's absolute fraction
+    // (value > f * total) empties as the part count grows — a
+    // mean-relative cut is the scale-invariant form. The scalar
+    // subquery is a 1-row broadcast compared by exact DECIMAL
+    // cross-multiplication (2*n*value > 3*total) — no division, no
+    // float compare. partsupp's availqty*supplycost is stood in by
+    // the part's total lineitem extendedprice.
+    "q11_important_parts" -> ((s, dir) => {
+      val value = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(dec(col("l_extendedprice"))).as("value"))
+      val total = broadcast(value.agg(
+        sum(col("value")).as("total"), count(lit(1)).as("n_parts")))
+      value.crossJoin(total)
+        .filter(col("value") * lit(2) * col("n_parts") > col("total") * lit(3))
+        .select(col("l_partkey"), col("value").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q13 shape (order-count distribution): LEFT join so
+    // zero-order customers survive into the c_count=0 bucket, then a
+    // second tiny agg over counts. Two shuffles, both partial-agg
+    // friendly; the priority filter prunes the orders scan.
+    "q13_order_count_distribution" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW")
+        .select(col("o_custkey"), col("o_orderkey"))
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    // keep the max. The max is a 1-row broadcast; equality compares
+    // exact DECIMALs so ties (all returned, per spec) are engine-stable.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+          col("l_shipdate").cast("date") < lit(java.sql.Date.valueOf("1996-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (one - pct(col("l_discount"))))
+          .as("total_revenue"))
+      val top = broadcast(rev.agg(max(col("total_revenue")).as("max_revenue")))
+      rev.crossJoin(top)
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_revenue").cast("double").as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q16 shape (supplier diversity per part class): DISTINCT
+    // supplier counts per (brand, type, size) over the observed
+    // lineitem relation (partsupp stand-in), excluding negative-balance
+    // suppliers (the "complaints" stand-in) via a broadcast anti-join.
+    // count(DISTINCT) expands to a two-phase agg — dedup shuffle on the
+    // full grouping key first, so no single reducer sees all suppliers.
+    "q16_supplier_diversity" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#45" && !col("p_type").like("MEDIUM%") &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q20 shape (dominant suppliers): suppliers who shipped more
+    // than half of a part's total 1996 volume for a name-prefixed part
+    // family (partsupp's availqty>0.5*need stand-in). Two partial aggs
+    // over the SAME filtered scan share one exchange; dominance compares
+    // by exact cross-multiplication (2*supp_qty > part_qty), and the
+    // supplier fetch is a semi-join, never a row-multiplying join.
+    "q20_dominant_suppliers" -> ((s, dir) => {
+      val shipped = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+          col("l_shipdate").cast("date") < lit(java.sql.Date.valueOf("1997-01-01")))
+        .join(broadcast(t(s, dir, "part").filter(col("p_name").like("small%"))
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"), "left_semi")
+      val bySupp = shipped.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec(col("l_quantity"))).as("supp_qty"))
+      val byPart = shipped.groupBy(col("l_partkey").as("p_pk"))
+        .agg(sum(dec(col("l_quantity"))).as("part_qty"))
+      val dominant = bySupp.join(byPart, col("l_partkey") === col("p_pk"))
+        .filter(col("supp_qty") * lit(2) > col("part_qty"))
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // Date dimension math: fiscal rollup by (year, quarter) with day
     // arithmetic — all codegen'd date intrinsics, no UDFs.
     "q_orders_by_quarter" -> ((s, dir) =>
@@ -647,6 +833,131 @@ object RelationalQueries extends QueryPack {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
         |                        (l_returnflag, l_linestatus), ())
         |ORDER BY g_rf, g_ls, rf, ls""".stripMargin,
+    "q7_trade_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) *
+        |    (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3))))
+        |    AS VARCHAR) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |  AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) <= DATE '1997-12-31'
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,3)) *
+        |      (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))
+        |    ELSE CAST(0 AS DECIMAL(18,3)) END) AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) *
+        |      (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3))))
+        |      AS VARCHAR) AS DOUBLE) AS mkt_share,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS supp_nation, year(l_shipdate) AS l_year,
+        |  CAST(CAST(sum(
+        |    CAST(l_extendedprice AS DECIMAL(18,3)) *
+        |      (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3))) -
+        |    CAST(p_retailprice AS DECIMAL(18,3)) *
+        |      CAST(l_quantity AS DECIMAL(18,3)) * CAST(0.100 AS DECIMAL(4,3))
+        |  ) AS VARCHAR) AS DOUBLE) AS profit,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY supp_nation, l_year
+        |ORDER BY supp_nation, l_year""".stripMargin,
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,3))) AS value
+        |  FROM lineitem GROUP BY l_partkey
+        |)
+        |SELECT l_partkey, CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value
+        |FROM v, (SELECT sum(value) AS total, count(*) AS n_parts FROM v)
+        |WHERE value * 2 * n_parts > total * 3
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q13_order_count_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey
+        |)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per_cust
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,3)) *
+        |      (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name,
+        |  CAST(CAST(total_revenue AS VARCHAR) AS DOUBLE) AS total_revenue
+        |FROM rev, (SELECT max(total_revenue) AS max_revenue FROM rev)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = max_revenue
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_diversity" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_dominant_suppliers" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |), by_supp AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,3))) AS supp_qty
+        |  FROM shipped GROUP BY l_partkey, l_suppkey
+        |), by_part AS (
+        |  SELECT l_partkey AS p_pk,
+        |    sum(CAST(l_quantity AS DECIMAL(18,3))) AS part_qty
+        |  FROM shipped GROUP BY l_partkey
+        |)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM by_supp JOIN by_part ON l_partkey = p_pk
+        |  WHERE supp_qty * 2 > part_qty)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_orders_by_quarter" ->
       """SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
         |  count(*) AS n_orders,

@@ -169,6 +169,30 @@ object SearchQueries extends QueryPack {
           q, emb, bm25TopList(s, dir, 50), "vec_id", "embedding",
           k = 50, topN = 20)
         .orderBy(col("rank"))
+    }),
+
+    // Phrase query via POSITIONAL postings — the operator that separates
+    // a real inverted index from a bag-of-words one: one posexplode pass
+    // builds (doc, term, pos) rows pre-filtered to the phrase's terms
+    // (at 100 TB this is a pruned read of the persisted positional
+    // postings table, keyed by term), and the phrase match is an
+    // equi-join on (doc_id, pos+1) between the two terms' posting lists
+    // — adjacency checked by arithmetic on posting keys, never by
+    // rescanning text. Multi-word phrases chain one join per extra term.
+    "search_phrase_match" -> ((s, dir) => {
+      val phrase = Seq("stream", "data")
+      val pos = docs(s, dir)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "term")))
+        .filter(col("term").isin(phrase: _*))
+        .localCheckpoint() // feeds both sides of the adjacency self-join
+      val p1 = pos.filter(col("term") === phrase(0))
+        .select(col("doc_id"), col("pos"))
+      val p2 = pos.filter(col("term") === phrase(1))
+        .select(col("doc_id").as("d2"), (col("pos") - 1).as("pos2"))
+      p1.join(p2, col("doc_id") === col("d2") && col("pos") === col("pos2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -281,6 +305,19 @@ object SearchQueries extends QueryPack {
          |SELECT CAST(0 AS BIGINT) AS q_id,
          |  CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS rank,
          |  id, rrf
-         |FROM fused ORDER BY rank""".stripMargin
+         |FROM fused ORDER BY rank""".stripMargin,
+    "search_phrase_match" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(range(1, len(toks)),
+        |    i -> toks[i] = 'stream' AND toks[i + 1] = 'data')) AS BIGINT)
+        |    AS n_occurrences
+        |FROM tok
+        |WHERE len(list_filter(range(1, len(toks)),
+        |    i -> toks[i] = 'stream' AND toks[i + 1] = 'data')) > 0
+        |ORDER BY doc_id""".stripMargin
   )
 }
