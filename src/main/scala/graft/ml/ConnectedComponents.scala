@@ -36,7 +36,12 @@ object ConnectedComponents {
       maxIterations: Int = 20): DataFrame = {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      // consumed once per round: cut lineage and keep it hot
+      // co-partition ONCE on the per-round join key: the checkpointed
+      // frame keeps its hash partitioning, so every round's join reuses
+      // it and only the (smaller) label side shuffles — the edge table
+      // is the big side at scale and would otherwise re-shuffle each
+      // round. Also cuts lineage and keeps the edges hot.
+      .repartition(col("dst"))
       .localCheckpoint()
     var comp = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
