@@ -141,6 +141,29 @@ object CurationQueries extends QueryPack {
         .limit(50)
     }),
 
+    // Per-language ADAPTIVE quality gate: a fixed global cutoff
+    // (pipeline_curate's 0.35) over- or under-prunes languages whose
+    // score distributions differ; the adaptive form keeps each
+    // language's top quartile instead. percent_rank runs in ONE
+    // lang-keyed shuffle, and the (quality, doc_id) order makes every
+    // rank unique, so the cut is deterministic on both engines. At
+    // 100 TB the window is bounded by the largest language shard —
+    // the same partitioning every per-source curation pass uses.
+    "corpus_quality_adaptive" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val quality = round6(
+        graft.functions.TextSignals.qualityFromToks(col("toks")))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality"), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"), col("lang"), quality.as("quality"))
+        .withColumn("pr", round6(percent_rank().over(w)))
+        .filter(col("pr") >= 0.75)
+        .select(col("doc_id"), col("lang"), col("quality"), col("pr"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The composed curation pipeline — the end-to-end shape this library
     // exists for, as ONE declarative plan Catalyst optimizes whole:
     //   quality filter -> exact dedup (keep canonical) -> hash-gate
@@ -528,6 +551,28 @@ object CurationQueries extends QueryPack {
         |WHERE b.nab >= 5
         |ORDER BY pmi DESC, b.w1, b.w2
         |LIMIT 50""".stripMargin,
+    "corpus_quality_adaptive" -> {
+      val toksSql = "string_split_regex(trim(text), '\\s+')"
+      val n = s"CAST(len(toks) AS DOUBLE)"
+      val stopRatio = "(CAST(len(list_filter(toks, t -> t IN " +
+        "('the','a','and','of','to','in'))) AS DOUBLE) / " + n + ")"
+      val meanLen = s"(CAST(length(array_to_string(toks, '')) AS DOUBLE) / $n)"
+      val q = graft.QueryPack.round6Sql(
+        s"least($n / 200.0, 1.0) * 0.5 + least($stopRatio * 5.0, 1.0) * 0.3 + " +
+          s"least($meanLen / 8.0, 1.0) * 0.2")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, $toksSql AS toks FROM documents
+         |), quality AS (
+         |  SELECT doc_id, lang, $q AS quality FROM scored
+         |), ranked AS (
+         |  SELECT doc_id, lang, quality,
+         |    ${graft.QueryPack.round6Sql(
+               "percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id)")} AS pr
+         |  FROM quality
+         |)
+         |SELECT doc_id, lang, quality, pr FROM ranked
+         |WHERE pr >= 0.75 ORDER BY doc_id""".stripMargin
+    },
     "pipeline_curate_stream" -> {
       val toksSql = "string_split_regex(trim(text), '\\s+')"
       val n = s"CAST(len(toks) AS DOUBLE)"

@@ -102,6 +102,41 @@ object StoreQueries extends QueryPack {
           sum(when(length(col("key")) >= 6, 1L).otherwise(0L)).as("n_inserted"))
     }),
 
+    // Snapshot diff — the INVERSE of store_merge_cdc: reconstruct the
+    // change batch between two collection versions (what a replication /
+    // backup-validation job runs). One FULL OUTER join on key; rows
+    // identical in both snapshots drop out, leaving insert/delete/update
+    // ops. The "new" snapshot is the merge result of the same derived
+    // CDC batch, so the diff must recover exactly that batch. At 100 TB
+    // both snapshots hash-partition on key — and bucketed snapshot
+    // tables diff with zero exchange (the BucketedJoinSpec path).
+    "store_snapshot_diff" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+      val deletes = base.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id").cast("string").as("key"))
+      val updates = base.filter(col("vec_id") % 7 === 1)
+        .select(col("vec_id").cast("string").as("key"),
+          (col("label") + 1000).as("new_label"))
+      val inserts = base.filter(col("vec_id") % 7 === 2)
+        .select((col("vec_id") + 100000).cast("string").as("key"),
+          (col("label") + 2000).as("label"))
+      val newSnap = coll(s, dir)
+        .join(broadcast(deletes), Seq("key"), "left_anti")
+        .join(broadcast(updates), Seq("key"), "left")
+        .select(col("key"), coalesce(col("new_label"), col("label")).as("label"))
+        .unionByName(inserts)
+      coll(s, dir).select(col("key"), col("label").as("old_label"))
+        .join(newSnap.select(col("key"), col("label").as("new_label")),
+          Seq("key"), "full_outer")
+        .withColumn("op",
+          when(col("old_label").isNull, "insert")
+            .when(col("new_label").isNull, "delete")
+            .when(col("old_label") =!= col("new_label"), "update"))
+        .filter(col("op").isNotNull)
+        .select(col("op"), col("key"), col("old_label"), col("new_label"))
+        .orderBy(col("op"), col("key"))
+    }),
+
     "store_empty_key_purge" -> ((s, dir) =>
       coll(s, dir)
         .withColumn("key",
@@ -176,6 +211,32 @@ object StoreQueries extends QueryPack {
         |    AS n_updated,
         |  CAST(sum(CASE WHEN length(key) >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
         |FROM merged""".stripMargin,
+    "store_snapshot_diff" ->
+      """WITH snap AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS key, label FROM embeddings
+        |), del AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS key FROM embeddings WHERE vec_id % 7 = 0
+        |), upd AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS key, label + 1000 AS new_label
+        |  FROM embeddings WHERE vec_id % 7 = 1
+        |), ins AS (
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR) AS key, label + 2000 AS label
+        |  FROM embeddings WHERE vec_id % 7 = 2
+        |), merged AS (
+        |  SELECT s.key, coalesce(u.new_label, s.label) AS label
+        |  FROM snap s LEFT JOIN upd u ON s.key = u.key
+        |  WHERE s.key NOT IN (SELECT key FROM del)
+        |  UNION ALL
+        |  SELECT key, label FROM ins
+        |)
+        |SELECT CASE WHEN o.key IS NULL THEN 'insert'
+        |            WHEN n.key IS NULL THEN 'delete'
+        |            ELSE 'update' END AS op,
+        |  coalesce(o.key, n.key) AS key,
+        |  o.label AS old_label, n.label AS new_label
+        |FROM snap o FULL OUTER JOIN merged n ON o.key = n.key
+        |WHERE o.key IS NULL OR n.key IS NULL OR o.label <> n.label
+        |ORDER BY op, key""".stripMargin,
     "store_empty_key_purge" ->
       """WITH keyed AS (
         |  SELECT CASE WHEN vec_id % 97 = 0 THEN '' ELSE CAST(vec_id AS VARCHAR) END AS key, label
