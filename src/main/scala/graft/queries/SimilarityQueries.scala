@@ -61,6 +61,41 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // Cluster-quality metrics per label — the evaluation pass an
+    // embedding pipeline runs after clustering/labeling: cohesion (mean
+    // cosine of members to their centroid) and separation (max cosine
+    // to any OTHER centroid; lower = better separated). Scale shape:
+    // centroids are k tiny rows built from decimal-exact per-dim means
+    // (rounded per component so both engines hold bit-identical
+    // float32 centroids) and BROADCAST back into one corpus pass; the
+    // k×k separation matrix is driver-scale by construction. The
+    // per-row cosine reuses the codegen'd kernel; the per-label mean
+    // goes through exact DECIMAL (label_centroid rule).
+    "embedding_cluster_quality" -> ((s, dir) => {
+      val emb = spread(s, t(s, dir, "embeddings"), "vec_id")
+      val cen = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round6(sum(col("v").cast(DecimalType(27, 9))).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x("c").cast("float")).as("centroid"))
+      val coh = emb.join(broadcast(cen), "label")
+        .select(col("label"),
+          round6(cosineSim(col("embedding"), col("centroid"))).as("cos"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round6(sum(col("cos").cast(DecimalType(27, 9))).cast("double") /
+            count(lit(1))).as("cohesion"))
+      val sep = cen
+        .crossJoin(broadcast(cen.select(col("label").as("l2"), col("centroid").as("c2"))))
+        .filter(col("label") =!= col("l2"))
+        .select(col("label"), round6(cosineSim(col("centroid"), col("c2"))).as("s"))
+        .groupBy(col("label")).agg(max(col("s")).as("max_other_centroid_cos"))
+      coh.join(sep, "label").orderBy(col("label"))
+    }),
+
     // Embedding covariance matrix (upper triangle, one row per (i, j)):
     // the single-pass Gram aggregation that feeds PCA / whitening /
     // decorrelation in an embedding index job. Scale shape: the double
@@ -122,6 +157,42 @@ object SimilarityQueries extends QueryPack {
          |FROM ranked WHERE rank <= $K
          |ORDER BY q_id, rank""".stripMargin
     },
+    "embedding_cluster_quality" ->
+      s"""WITH flat AS (
+         |  SELECT label,
+         |    unnest(range($Dim)) AS dim,
+         |    unnest(CAST(embedding AS DOUBLE[])) AS v
+         |  FROM embeddings
+         |), cen AS (
+         |  SELECT label, dim,
+         |    ${graft.QueryPack.round6Sql(
+             "CAST(CAST(sum(CAST(v AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) / count(*)")} AS c
+         |  FROM flat GROUP BY label, dim
+         |), cenlist AS (
+         |  SELECT label, list(CAST(c AS FLOAT) ORDER BY dim) AS centroid
+         |  FROM cen GROUP BY label
+         |), coh AS (
+         |  SELECT e.label,
+         |    ${graft.QueryPack.round6Sql("list_cosine_similarity(" +
+               "CAST(e.embedding AS DOUBLE[]), CAST(cl.centroid AS DOUBLE[]))")} AS cos
+         |  FROM embeddings e JOIN cenlist cl ON e.label = cl.label
+         |), cohagg AS (
+         |  SELECT label, count(*) AS n_vecs,
+         |    ${graft.QueryPack.round6Sql(
+             "CAST(CAST(sum(CAST(cos AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) / count(*)")}
+         |      AS cohesion
+         |  FROM coh GROUP BY label
+         |), sep AS (
+         |  SELECT a.label,
+         |    max(${graft.QueryPack.round6Sql("list_cosine_similarity(" +
+               "CAST(a.centroid AS DOUBLE[]), CAST(b.centroid AS DOUBLE[]))")})
+         |      AS max_other_centroid_cos
+         |  FROM cenlist a JOIN cenlist b ON a.label <> b.label
+         |  GROUP BY a.label
+         |)
+         |SELECT label, n_vecs, cohesion, max_other_centroid_cos
+         |FROM cohagg JOIN sep USING (label)
+         |ORDER BY label""".stripMargin,
     "label_centroid" ->
       s"""WITH flat AS (
          |  SELECT label,
