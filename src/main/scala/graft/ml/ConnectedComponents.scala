@@ -64,4 +64,62 @@ object ConnectedComponents {
     require(converged, s"connected components did not converge in $maxIterations rounds")
     comp.select(col("id"), col("label").as("component_id"))
   }
+
+  /**
+   * Alternating large-star/small-star contraction (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond") — the O(log n)-round
+   * variant for graphs with LONG chains, where [[run]]'s min-label
+   * propagation would need diameter-many rounds.
+   *
+   * Each round rewires every vertex's neighborhood toward its
+   * neighborhood minimum m(u) = min(N(u) ∪ {u}):
+   *  - large-star: neighbors ABOVE u re-point to m(u);
+   *  - small-star: neighbors at-or-below u re-point to m(u);
+   * alternated until the canonical (min, max) edge set reaches its
+   * fixpoint — a union of stars centered at component minima. Both steps
+   * preserve connectivity (every rewired vertex stays linked to a member
+   * of its own component), and each is one equi-join + partial-agg min,
+   * the same per-round shuffle shape as [[run]].
+   *
+   * Same output contract as [[run]]: (id, component_id = component min)
+   * for every vertex with at least one edge.
+   */
+  def runStar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIterations: Int = 30): DataFrame = {
+    def canonical(df: DataFrame): DataFrame =
+      df.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct()
+    var e = canonical(edges.select(col(srcCol).as("a"), col(dstCol).as("b")))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val sym = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val minN = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // alternate: even rounds rewire the above-u half (large-star),
+      // odd rounds the at-or-below half (small-star); (u, m) rides along
+      // in both so no vertex ever drops out of the edge set
+      val half = if (iter % 2 == 0) col("v") > col("u") else col("v") < col("u")
+      val next = canonical(
+        sym.filter(half).join(minN, "u")
+          .select(col("v").as("a"), col("m").as("b"))
+          .unionByName(minN.select(col("u").as("a"), col("m").as("b"))))
+        .localCheckpoint()
+      // fixpoint of the canonical edge set — compared only on the
+      // already-checkpointed frames, one anti-join each way
+      converged = next.join(e, Seq("u", "v"), "left_anti").isEmpty &&
+        e.join(next, Seq("u", "v"), "left_anti").isEmpty
+      e = next
+      iter += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIterations rounds")
+    e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("nbr_min"))
+      .select(col("id"), least(col("id"), col("nbr_min")).as("component_id"))
+  }
 }
