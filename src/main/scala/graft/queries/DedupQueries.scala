@@ -75,12 +75,20 @@ object DedupQueries extends QueryPack {
   /** The LSH-banded, Jaccard-verified near-dup pair set shared by
     * dedup_near_minhash (emits the pairs) and dedup_components (treats
     * them as edges). Columns: a_id, b_id, jac (round6, >= 0.5). */
-  private def verifiedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic duplicated corpus the near-dup family operates
+    * on: originals plus drop-first-token variants at doc_id + 100000.
+    * Shared by pair generation AND by the keep-best stage so both score
+    * the same documents. Columns: doc_id, txt. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val tk = toksOf(col("text"))
-    val corpus = d.select(col("doc_id"), trim(col("text")).as("txt"))
+    d.select(col("doc_id"), trim(col("text")).as("txt"))
       .unionByName(d.select((col("doc_id") + 100000).as("doc_id"),
         concat_ws(" ", slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))).as("txt")))
+  }
+
+  private def verifiedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val corpus = nearDupCorpus(s, dir)
     // Materialize the signature table once and cut its lineage: it is
     // consumed three times (band melt + both verification sides), and at
     // 100 TB it would be a persisted table built by the index job —
@@ -147,6 +155,74 @@ object DedupQueries extends QueryPack {
           count(lit(1)).over(Window.partitionBy(col("component_id"))))
         .withColumn("keep", col("doc_id") === col("component_id"))
         .orderBy(col("component_id"), col("doc_id"))
+    }),
+
+    // Cluster representative selection — the decision step after
+    // clustering: within each near-dup component KEEP the member with
+    // the best quality score (ties to the lower doc_id), drop the rest.
+    // This is how a real pipeline picks survivors (highest-quality copy,
+    // not merely lowest id). One shuffle on component_id serves both the
+    // member count and the argmax window; the quality signal is the
+    // shared TextSignals formula, scored over the SAME corpus the pair
+    // stage saw, so kept_quality is oracle-exact.
+    "dedup_cluster_keep_best" -> ((s, dir) => {
+      val pairs = verifiedNearDupPairs(s, dir).select(col("a_id"), col("b_id"))
+      val members = graft.ml.ConnectedComponents.run(pairs, "a_id", "b_id")
+        .select(col("component_id"), col("id").as("doc_id"))
+      val quality = nearDupCorpus(s, dir)
+        .withColumn("toks", toksOf(col("txt")))
+        .select(col("doc_id"),
+          round6(graft.functions.TextSignals.qualityFromToks(col("toks"))).as("q"))
+      val byComp = Window.partitionBy(col("component_id"))
+      members.join(quality, "doc_id")
+        .withColumn("n_members", count(lit(1)).over(byComp))
+        .withColumn("rk", row_number().over(
+          byComp.orderBy(col("q").desc, col("doc_id"))))
+        .filter(col("rk") === 1)
+        .select(col("component_id"), col("doc_id").as("kept_id"),
+          col("q").as("kept_quality"), col("n_members"))
+        .orderBy(col("component_id"))
+    }),
+
+    // Span-level (substring) duplication: pairs of documents sharing
+    // >= 3 distinct 8-token grams. Catches what SET similarity cannot:
+    // a 20-token excerpt quoted inside an otherwise-unrelated document
+    // has Jaccard ~0.1 against its source (far below any near-dup
+    // threshold) but matches 13 consecutive 8-grams — the
+    // "deduplicating training data" substring-dup case. Scale shape:
+    // one gram-hash equi-join, NEVER doc-to-doc text comparison, with a
+    // document-frequency cap (grams in > 8 docs are boilerplate "stop
+    // grams") bounding per-gram join fan-out at any corpus size.
+    "dedup_span_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tk = toksOf(col("text"))
+      // originals + 20-token excerpts (tokens 6..25) of the first long docs
+      val corpus = d.select(col("doc_id"), trim(col("text")).as("txt"))
+        .unionByName(d.filter(size(tk) >= 25 && col("doc_id") < 60)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat_ws(" ", slice(tk, lit(6), lit(20))).as("txt")))
+      // distinct 8-grams per doc; consumed by the df agg AND both join
+      // sides -> materialize once (the persisted gram table at scale)
+      val grams = spread(s, corpus, "doc_id")
+        .withColumn("toks", toksOf(col("txt")))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - 7),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(8))).cast("binary")))))
+          .as("gram"))
+        .localCheckpoint()
+      val rare = grams.groupBy(col("gram"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 8)
+        .select(col("gram"))
+      val g = grams.join(rare, "gram")
+      g.select(col("gram"), col("doc_id").as("a_id"))
+        .join(g.select(col("gram"), col("doc_id").as("b_id")), "gram")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .filter(col("n_shared_grams") >= 3)
+        .orderBy(col("a_id"), col("b_id"))
     }),
 
     // 16-bit SimHash per document from token-md5 nibble MSBs (majority
@@ -327,6 +403,67 @@ object DedupQueries extends QueryPack {
            |  count(*) OVER (PARTITION BY component_id) AS n_members,
            |  doc_id = component_id AS keep
            |FROM comp ORDER BY component_id, doc_id""".stripMargin,
+      // Components (recursive-CTE closure, as dedup_components) joined
+      // to the shared quality formula; argmax by (quality DESC, doc_id).
+      "dedup_cluster_keep_best" -> {
+        val toks = "string_split_regex(trim(txt), '\\s+')"
+        val n = "CAST(len(toks) AS DOUBLE)"
+        val stopRatio = "(CAST(len(list_filter(toks, t -> t IN " +
+          s"('the','a','and','of','to','in'))) AS DOUBLE) / $n)"
+        val meanLen = s"(CAST(length(array_to_string(toks, '')) AS DOUBLE) / $n)"
+        val q = round6(
+          s"least($n / 200.0, 1.0) * 0.5 + least($stopRatio * 5.0, 1.0) * 0.3 + " +
+            s"least($meanLen / 8.0, 1.0) * 0.2")
+        s"""$nearDupPairsCte, sym AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION
+           |  SELECT b_id, a_id FROM pairs
+           |), reach AS (
+           |  SELECT src, dst FROM sym
+           |  UNION
+           |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+           |  WHERE s.dst <> r.src
+           |), comp AS (
+           |  SELECT src AS doc_id, least(src, min(dst)) AS component_id
+           |  FROM reach GROUP BY src
+           |), qual AS (
+           |  SELECT doc_id, $q AS q
+           |  FROM (SELECT doc_id, $toks AS toks FROM corpus)
+           |), ranked AS (
+           |  SELECT c.component_id, c.doc_id, qual.q,
+           |    count(*) OVER (PARTITION BY c.component_id) AS n_members,
+           |    row_number() OVER (PARTITION BY c.component_id
+           |                       ORDER BY qual.q DESC, c.doc_id) AS rk
+           |  FROM comp c JOIN qual USING (doc_id)
+           |)
+           |SELECT component_id, doc_id AS kept_id, q AS kept_quality, n_members
+           |FROM ranked WHERE rk = 1 ORDER BY component_id""".stripMargin
+      },
+      "dedup_span_overlap" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, trim(text) AS txt FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 200000,
+           |    array_to_string(string_split_regex(trim(text), '\\s+')[6:25], ' ')
+           |  FROM documents
+           |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 25 AND doc_id < 60
+           |), gr AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, len(toks) - 6),
+           |    i -> md5(array_to_string(toks[i:i+7], ' '))))) AS gram
+           |  FROM (SELECT doc_id, string_split_regex(trim(txt), '\\s+') AS toks
+           |        FROM corpus)
+           |  WHERE len(toks) >= 8
+           |), rare AS (
+           |  SELECT gram FROM gr GROUP BY gram HAVING count(*) <= 8
+           |)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  count(*) AS n_shared_grams
+           |FROM gr a
+           |JOIN rare USING (gram)
+           |JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING count(*) >= 3
+           |ORDER BY a_id, b_id""".stripMargin,
       "dedup_simhash" -> {
         val hashes = "list_transform(string_split_regex(trim(text), '\\s+'), t -> md5(t))"
         val bits = (1 to 16).map { p =>
