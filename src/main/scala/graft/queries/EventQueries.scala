@@ -393,10 +393,106 @@ object EventQueries extends QueryPack {
           (unix_micros(col("next_purchase_ts")) - unix_micros(col("ts")))
             .as("gap_us"))
         .orderBy(col("event_id"))
+    }),
+
+    // Exponential smoothing over a bounded trailing frame: per-user EWMA
+    // (alpha = 0.2) of the last 20 events. The recursion s_t = 0.8*s_{t-1}
+    // + 0.2*x_t is a sequential LEFT FOLD over the frame — expressed as
+    // collect_list over a ROWS window + the aggregate() HOF seeded with
+    // the frame's first element, the exact IEEE op sequence DuckDB's
+    // list_reduce performs, so values are bit-identical. The frame bound
+    // (20 rows) keeps per-row work O(1); an unbounded recursive EWMA is
+    // not window-expressible without exponent-scaled cumsums that
+    // overflow on long series — the bounded frame IS the scale answer
+    // (weights below 0.8^20 ~ 0.012 are noise anyway).
+    "events_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, Window.currentRow)
+      events(s, dir)
+        .filter(col("user_id") < 20)
+        .withColumn("vals", collect_list(col("value")).over(w))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round6(aggregate(
+            slice(col("vals"), lit(2), size(col("vals")) - 1),
+            element_at(col("vals"), 1),
+            (acc, x) => acc * lit(0.8) + x * lit(0.2))).as("ewma20"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent PRIOR non-purchase event within a 3-day lookback, else
+    // "(direct)"; rollup = purchases and mean click-to-buy gap per
+    // attributing channel. One user_id shuffle serves both IGNORE-NULLS
+    // last_value windows (same frame); the rollup reduces to 6 rows.
+    // Gap seconds are exact BIGINTs summed before one final division,
+    // so the mean is partitioning-independent.
+    "events_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val attributed = events(s, dir)
+        .withColumn("attr_ts",
+          last(when(col("event_type") =!= "purchase", col("ts")),
+            ignoreNulls = true).over(w))
+        .withColumn("attr_type",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("gap_sec",
+          unix_timestamp(col("ts")) - unix_timestamp(col("attr_ts")))
+        .withColumn("channel",
+          when(col("attr_ts").isNotNull && col("gap_sec") <= 3L * 24 * 3600,
+            col("attr_type")).otherwise(lit("(direct)")))
+      attributed
+        .withColumn("attr_gap",
+          when(col("channel") =!= "(direct)", col("gap_sec")))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round6(sum(col("attr_gap")).cast("double") /
+            nullif(count(col("attr_gap")), lit(0))).as("avg_gap_sec"))
+        .orderBy(col("channel"))
     })
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "events_ewma" ->
+      s"""WITH ew AS (
+         |  SELECT event_id, user_id, ts,
+         |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+         |  FROM events WHERE user_id < 20
+         |)
+         |SELECT event_id, user_id, ts,
+         |  ${graft.QueryPack.round6Sql(
+               "list_reduce(vals, (acc, x) -> acc * 0.8 + x * 0.2)")} AS ewma20
+         |FROM ew ORDER BY event_id""".stripMargin,
+    "events_attribution" ->
+      s"""WITH attr AS (
+         |  SELECT event_id, user_id, ts, event_type,
+         |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+         |      OVER w AS attr_ts,
+         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+         |      OVER w AS attr_type
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |), purchases AS (
+         |  SELECT *,
+         |    epoch(date_trunc('second', ts)) -
+         |      epoch(date_trunc('second', attr_ts)) AS gap_sec,
+         |    CASE WHEN attr_ts IS NOT NULL AND
+         |      epoch(date_trunc('second', ts)) -
+         |        epoch(date_trunc('second', attr_ts)) <= 259200
+         |      THEN attr_type ELSE '(direct)' END AS channel
+         |  FROM attr WHERE event_type = 'purchase'
+         |)
+         |SELECT channel, count(*) AS n_purchases,
+         |  ${graft.QueryPack.round6Sql(
+               "CAST(sum(CASE WHEN channel <> '(direct)' THEN gap_sec END) AS DOUBLE) / " +
+               "nullif(count(CASE WHEN channel <> '(direct)' THEN gap_sec END), 0)")}
+         |    AS avg_gap_sec
+         |FROM purchases GROUP BY channel ORDER BY channel""".stripMargin,
     "events_unpivot" ->
       """SELECT user_id, event_type, count(*) AS n
         |FROM events WHERE user_id < 50
