@@ -178,10 +178,78 @@ object ScaleQueries extends QueryPack {
           (col("est_n") - col("exact_n")).as("overcount"))
         .orderBy(col("est_n").desc, col("user_id"))
         .limit(20)
+    }),
+
+    // Table profiling (the ANALYZE/SUMMARIZE pass an engine runs before
+    // planning or after ingest): per-column null count, exact distinct
+    // count, and min/max, in ONE scan of `orders`. The multi-column
+    // exact distinct uses Spark's Expand plan (rows × #distinct-cols
+    // into one partial-agg shuffle) — the documented exact shape; the
+    // 100 TB variant swaps count(distinct) for approx_count_distinct
+    // (see events_distinct_users_approx) and keeps everything else.
+    // Representations are engine-portable by construction: BIGINT and
+    // VARCHAR min/max verbatim, DOUBLE via floor→BIGINT (a profile wants
+    // magnitude, and double→string formatting differs across engines),
+    // TIMESTAMP via second-truncated formatting.
+    "table_profile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def prof(cname: String, minRepr: org.apache.spark.sql.Column,
+          maxRepr: org.apache.spark.sql.Column) = struct(
+        lit(cname).as("column_name"),
+        (count(lit(1)) - count(col(cname))).as("n_nulls"),
+        countDistinct(col(cname)).as("n_distinct"),
+        minRepr.as("min_repr"), maxRepr.as("max_repr"))
+      def asIs(c: String) = prof(c,
+        min(col(c)).cast("string"), max(col(c)).cast("string"))
+      def viaFloor(c: String) = prof(c,
+        floor(min(col(c))).cast("string"), floor(max(col(c))).cast("string"))
+      def viaSecond(c: String) = prof(c,
+        date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss"),
+        date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss"))
+      o.agg(count(lit(1)).as("n_rows"),
+          array(asIs("o_orderkey"), asIs("o_custkey"), asIs("o_orderstatus"),
+            viaFloor("o_totalprice"), viaSecond("o_orderdate"),
+            asIs("o_orderpriority")).as("cols"))
+        .select(col("n_rows"), explode(col("cols")).as("p"))
+        .select(col("p.column_name"), col("n_rows"), col("p.n_nulls"),
+          col("p.n_distinct"), col("p.min_repr"), col("p.max_repr"))
+        .orderBy(col("column_name"))
     })
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "table_profile" -> {
+      def asIs(c: String) =
+        (s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+      def viaFloor(c: String) =
+        (s"CAST(CAST(floor(min($c)) AS BIGINT) AS VARCHAR)",
+          s"CAST(CAST(floor(max($c)) AS BIGINT) AS VARCHAR)")
+      def viaSecond(c: String) =
+        (s"strftime(min($c), '%Y-%m-%d %H:%M:%S')",
+          s"strftime(max($c), '%Y-%m-%d %H:%M:%S')")
+      val cols = Seq(
+        ("o_orderkey", asIs("o_orderkey")),
+        ("o_custkey", asIs("o_custkey")),
+        ("o_orderstatus", asIs("o_orderstatus")),
+        ("o_totalprice", viaFloor("o_totalprice")),
+        ("o_orderdate", viaSecond("o_orderdate")),
+        ("o_orderpriority", asIs("o_orderpriority")))
+      val aggs = cols.map { case (c, (mn, mx)) =>
+        s"count(*) - count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c, " +
+          s"$mn AS mn_$c, $mx AS mx_$c"
+      }.mkString(",\n    ")
+      val rows = cols.map { case (c, _) =>
+        s"SELECT '$c' AS column_name, n_rows, nn_$c AS n_nulls, " +
+          s"nd_$c AS n_distinct, mn_$c AS min_repr, mx_$c AS max_repr FROM a"
+      }.mkString("\nUNION ALL ")
+      s"""WITH a AS (
+         |  SELECT count(*) AS n_rows,
+         |    $aggs
+         |  FROM orders
+         |)
+         |$rows
+         |ORDER BY column_name""".stripMargin
+    },
     "events_salted_user_counts" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS total_value

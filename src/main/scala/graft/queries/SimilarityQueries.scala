@@ -135,6 +135,41 @@ object SimilarityQueries extends QueryPack {
             (col("sx") / col("n")) * (col("sy") / col("n"))).as("cov"),
           col("n"))
         .orderBy(col("i"), col("j"))
+    }),
+
+    // Embedding DRIFT between two corpus snapshots — the monitoring pass
+    // an embedding pipeline runs after re-ingest or model refresh: how
+    // far did each label's centroid move? (vec_id parity stands in for
+    // the two ingest epochs.) Scale shape: both snapshots reduce in ONE
+    // grouped pass (snap is just another grouping key — no second scan),
+    // centroids are 2k tiny rows joined label-to-label, and the cosine /
+    // L2 between them reuse the codegen'd kernels. Centroid components
+    // follow the label_centroid DECIMAL + round6-before-float32 rule so
+    // both engines compare bit-identical vectors.
+    "embedding_drift" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.l2Distance
+      val cen = t(s, dir, "embeddings")
+        .withColumn("snap", col("vec_id") % 2 === 0)
+        .select(col("snap"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("snap"), col("label"), col("dim"))
+        .agg(round6(sum(col("v").cast(DecimalType(27, 9))).cast("double") /
+          count(lit(1))).as("c"), count(lit(1)).as("n"))
+        .groupBy(col("snap"), col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x("c").cast("float")).as("centroid"),
+          max(col("n")).as("n_vecs"))
+      val old = cen.filter(col("snap"))
+        .select(col("label"), col("centroid").as("cen_old"),
+          col("n_vecs").as("n_old"))
+      val nw = cen.filter(!col("snap"))
+        .select(col("label"), col("centroid").as("cen_new"),
+          col("n_vecs").as("n_new"))
+      old.join(nw, "label")
+        .select(col("label"), col("n_old"), col("n_new"),
+          round6(cosineSim(col("cen_old"), col("cen_new"))).as("centroid_cos"),
+          round6(l2Distance(col("cen_old"), col("cen_new"))).as("centroid_l2"))
+        .orderBy(col("label"))
     })
   )
 
@@ -157,6 +192,30 @@ object SimilarityQueries extends QueryPack {
          |FROM ranked WHERE rank <= $K
          |ORDER BY q_id, rank""".stripMargin
     },
+    "embedding_drift" ->
+      s"""WITH flat AS (
+         |  SELECT vec_id % 2 = 0 AS snap, label,
+         |    unnest(range($Dim)) AS dim,
+         |    unnest(CAST(embedding AS DOUBLE[])) AS v
+         |  FROM embeddings
+         |), cen AS (
+         |  SELECT snap, label, dim,
+         |    ${graft.QueryPack.round6Sql(
+             "CAST(CAST(sum(CAST(v AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) / count(*)")} AS c,
+         |    count(*) AS n
+         |  FROM flat GROUP BY snap, label, dim
+         |), cl AS (
+         |  SELECT snap, label, list(CAST(c AS FLOAT) ORDER BY dim) AS centroid,
+         |    max(n) AS n_vecs
+         |  FROM cen GROUP BY snap, label
+         |)
+         |SELECT o.label, o.n_vecs AS n_old, w.n_vecs AS n_new,
+         |  ${graft.QueryPack.round6Sql("list_cosine_similarity(" +
+             "CAST(o.centroid AS DOUBLE[]), CAST(w.centroid AS DOUBLE[]))")} AS centroid_cos,
+         |  ${graft.QueryPack.round6Sql("list_distance(" +
+             "CAST(o.centroid AS DOUBLE[]), CAST(w.centroid AS DOUBLE[]))")} AS centroid_l2
+         |FROM cl o JOIN cl w ON o.label = w.label AND o.snap AND NOT w.snap
+         |ORDER BY o.label""".stripMargin,
     "embedding_cluster_quality" ->
       s"""WITH flat AS (
          |  SELECT label,
