@@ -55,7 +55,7 @@ class PqIndex(m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
   // index from being loaded with the new layout
   private[ml] def fingerprint: String = s"m$m-k$kCentroids-s$seed-v2"
 
-  private def prepare(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+  private[ml] def prepare(df: DataFrame, idCol: String, embCol: String): DataFrame = {
     val norm = l2Norm(col(embCol))
     df.filter(norm > 0)
       .select(col(idCol).as("id"), col(embCol).as("emb"),
@@ -94,7 +94,7 @@ class PqIndex(m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
 
   /** Map-side encode with the (tiny) codebooks in the task closure —
     * shared by [[build]] and [[append]]; contains no fit. */
-  private def encodeWith(spark: SparkSession, prepared: DataFrame,
+  private[ml] def encodeWith(spark: SparkSession, prepared: DataFrame,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
     import spark.implicits._
     val mm = m
@@ -120,8 +120,8 @@ class PqIndex(m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
 
   /** Collect the few-KiB codebook table into the m×k×d driver array the
     * encode/ADC closures use. */
-  private[ml] def codebookArray(built: PqIndex.Built): Array[Array[Array[Double]]] = {
-    val cbMap = built.codebooks.collect()
+  private[ml] def codebookArray(codebooks: DataFrame): Array[Array[Array[Double]]] = {
+    val cbMap = codebooks.collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
     Array.tabulate(m, kCentroids)((sub, c) => cbMap((sub, c)))
   }
@@ -142,7 +142,7 @@ class PqIndex(m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
     // FIRST (the anti-join below only guards base-vs-delta collisions)
     val codedDelta = encodeWith(spark,
       IvfIndex.dedupDeltaIds(prepare(delta, idCol, embCol)),
-      codebookArray(built)).localCheckpoint()
+      codebookArray(built.codebooks)).localCheckpoint()
     val deltaIds = codedDelta.select("id")
     // LWW on id collisions: delta rows replace same-id rows in BOTH
     // tables — a blind union would leave the stale codes/embedding behind
@@ -160,16 +160,17 @@ class PqIndex(m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
     * cells are wide); real embedding corpora cluster and a much smaller
     * shortlist hits the same recall. Re-rank cost is |Q| × shortlist
     * exact scores either way — negligible next to the code scan. */
-  def search(built: PqIndex.Built, queries: DataFrame, idCol: String,
-      embCol: String, k: Int, shortlist: Int = 192): DataFrame = {
+  /** Per-query ADC lookup tables (q_id, q_emb, tab), computed map-side
+    * with the few-KiB codebooks in the task closure — shared by
+    * [[search]] and [[IvfPqIndex.search]]. */
+  private[ml] def adcQueries(codebooks: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    // codebooks to the driver once (m × k × d doubles — a few KiB), then
-    // per-query ADC tables computed map-side
-    val cbMap = built.codebooks.collect()
+    val cbMap = codebooks.collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
     val mm = m; val kk = kCentroids
-    val q = prepare(queries, idCol, embCol).as[PqRow].map { r =>
+    prepare(queries, idCol, embCol).as[PqRow].map { r =>
       val d = r.unit.size / mm
       val tab = Array.tabulate(mm * kk) { i =>
         val sub = i / kk; val c = i % kk
@@ -182,33 +183,30 @@ class PqIndex(m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
       }
       PqQuery(r.id, r.emb, tab.toSeq)
     }.toDF()
-    // ADC score: m array lookups + adds per (candidate, query); negated so
-    // the bounded top-k (max-score) keeps the SMALLEST distances
-    val adc = (0 until m).map(sub =>
+  }
+
+  /** ADC score of a coded row against the in-scope query's `tab`: m
+    * array lookups + adds per (candidate, query) — no float vector math. */
+  private[ml] def adcExpr: org.apache.spark.sql.Column =
+    (0 until m).map(sub =>
       element_at(col("tab"), lit(sub * kCentroids) +
         element_at(col("codes"), sub + 1) + 1)).reduce(_ + _)
+
+  def search(built: PqIndex.Built, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, shortlist: Int = 192): DataFrame = {
+    // codebooks to the driver once (m × k × d doubles — a few KiB), then
+    // per-query ADC tables computed map-side
+    val q = adcQueries(built.codebooks, queries, idCol, embCol)
+    // negated so the bounded top-k (max-score) keeps the SMALLEST distances.
     // the ADC scan streams ONLY (id, codes) — m bytes/vector, never the
     // float embedding column (at 100 TB: ~3 TB of codes instead of the
     // full corpus; asserted on ReadSchema by PqRerankSpec)
     val short = built.coded.crossJoin(broadcast(q))
-      .select(col("q_id"), col("q_emb"), col("id"), (-adc).as("neg_dist"))
+      .select(col("q_id"), col("q_emb"), col("id"), (-adcExpr).as("neg_dist"))
       .groupBy(col("q_id"), col("q_emb"))
       .agg(TopKByScore(shortlist)(col("neg_dist"), col("id")).as("cand"))
       .select(col("q_id"), col("q_emb"), explode(col("cand.id")).as("id"))
-    // exact re-rank of the shortlist only: the embedding fetch joins on
-    // (bucket, id) against the id-bucket-PARTITIONED embedding table, so
-    // the tiny broadcast shortlist dynamic-partition-prunes the fetch
-    // scan to the buckets it actually hits — no full-corpus embedding
-    // scan rides the re-rank side
-    short.withColumn("bucket", PqIndex.bucketOf(col("id")))
-      .join(built.embById, Seq("bucket", "id"))
-      .select(col("q_id"),
-        cosineSim(col("q_emb"), col("emb")).as("cos"), col("id"))
-      .groupBy(col("q_id"))
-      .agg(TopKByScore(k)(col("cos"), col("id")).as("hits"))
-      .select(col("q_id"), posexplode(col("hits")))
-      .select(col("q_id"), (col("pos") + 1).as("rank"),
-        col("col.id").as("neighbor_id"), col("col.score").as("cos"))
+    PqIndex.rerankExact(built.embById, short, k)
   }
 }
 
@@ -224,6 +222,24 @@ object PqIndex {
 
   private[ml] def withBucket(idEmb: DataFrame): DataFrame =
     idEmb.select(bucketOf(col("id")).as("bucket"), col("id"), col("emb"))
+
+  /** Exact re-rank of a shortlist (q_id, q_emb, id): the embedding fetch
+    * joins on (bucket, id) against the id-bucket-PARTITIONED embedding
+    * table, so the tiny broadcast shortlist dynamic-partition-prunes the
+    * fetch scan to the buckets it actually hits — no full-corpus
+    * embedding scan rides the re-rank side. Shared by [[PqIndex.search]]
+    * and [[IvfPqIndex.search]]. */
+  private[ml] def rerankExact(embById: DataFrame, short: DataFrame,
+      k: Int): DataFrame =
+    short.withColumn("bucket", bucketOf(col("id")))
+      .join(embById, Seq("bucket", "id"))
+      .select(col("q_id"),
+        cosineSim(col("q_emb"), col("emb")).as("cos"), col("id"))
+      .groupBy(col("q_id"))
+      .agg(TopKByScore(k)(col("cos"), col("id")).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cos"))
 
   /** A built index: the PQ code table (id, codes — what the ADC scan
     * streams), the id-bucketed embedding fetch table (bucket, id, emb —

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryPack
-import graft.ml.{CosineLsh, IvfIndex, PqIndex}
+import graft.ml.{CosineLsh, IvfIndex, IvfPqIndex, PqIndex}
 import org.apache.spark.sql.functions._
 
 /**
@@ -71,6 +71,22 @@ object AnnQueries extends QueryPack {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // IVF-PQ composite batch kNN join — the two prunings multiplied:
+    // the coarse quantizer bounds WHICH rows are scanned (nProbe cells),
+    // PQ bounds WHAT is scanned (m-byte codes); the shortlist re-ranks
+    // exactly. Both fits live in the index job via openOrBuild.
+    "ann_ivfpq_knn" -> ((s, dir) => {
+      val ivfpq = new IvfPqIndex(nCentroids = 8, nProbe = 5,
+        m = 8, kCentroids = 16)
+      val built = IvfPqIndex.openOrBuild(s, ivfpq, s"$dir/embeddings.parquet",
+        "vec_id", "embedding")
+      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 20)
+      ivfpq.search(built, queries, "vec_id", "embedding", k = 3)
+        .select(col("q_id"), col("rank"), col("neighbor_id"),
+          round6(col("cos")).as("score"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Driver-visible ANN correctness: per-(method, query) recall of ALL
     // approximate paths (LSH, IVF, PQ) against the exact in-Spark top-k
     // (same contract AnnRecallSpec pins in sbt). A recall regression in
@@ -97,7 +113,14 @@ object AnnQueries extends QueryPack {
           "vec_id", "embedding"), q, "vec_id", "embedding", k)
         .select(lit("pq").as("method"), col("q_id"), col("neighbor_id"),
           lit(1).as("hit"))
-      val approx = lsh.unionByName(ivf).unionByName(pq)
+      val ivfpqIdx = new IvfPqIndex(nCentroids = 8, nProbe = 5,
+        m = 8, kCentroids = 16)
+      val ivfpq = ivfpqIdx
+        .search(IvfPqIndex.openOrBuild(s, ivfpqIdx, s"$dir/embeddings.parquet",
+          "vec_id", "embedding"), q, "vec_id", "embedding", k)
+        .select(lit("ivfpq").as("method"), col("q_id"), col("neighbor_id"),
+          lit(1).as("hit"))
+      val approx = lsh.unionByName(ivf).unionByName(pq).unionByName(ivfpq)
       val qd = q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       // exact side via the bounded partial-agg top-k (same tie-break as a
       // row_number window — score desc, id asc — but only partitions×k
@@ -108,7 +131,8 @@ object AnnQueries extends QueryPack {
         .groupBy(col("q_id"))
         .agg(graft.functions.TopKByScore(k)(col("cos"), col("vec_id")).as("hits"))
         .select(col("q_id"), explode(col("hits.id")).as("neighbor_id"))
-      val methods = { import s.implicits._; Seq("lsh", "ivf", "pq").toDF("method") }
+      val methods =
+        { import s.implicits._; Seq("lsh", "ivf", "pq", "ivfpq").toDF("method") }
       // `pass` pins the METHOD-aggregate recall >= 0.9 (the AnnRecallSpec
       // contract) on every row; per-query recall stays visible for
       // diagnosis (single queries legitimately dip on a uniform-random

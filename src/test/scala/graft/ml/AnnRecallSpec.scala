@@ -97,6 +97,40 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.9, s"PQ recall $recall")
   }
 
+  test("IVF-PQ search recall >= 0.9 vs exact top-3 (composite routing + ADC)") {
+    val ivfpq = new IvfPqIndex(nCentroids = 8, nProbe = 5, m = 8, kCentroids = 16)
+    val built = ivfpq.build(spark, emb, "vec_id", "embedding")
+    val approx = ivfpq.search(built, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", 3)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exactTop3).size.toDouble / exactTop3.size
+    assert(recall >= 0.9, s"IVF-PQ recall $recall")
+  }
+
+  test("IVF-PQ persisted index searches identically; append sees the delta without a fit") {
+    val ivfpq = new IvfPqIndex(nCentroids = 8, nProbe = 5, m = 8, kCentroids = 16)
+    val base = emb.filter(col("vec_id") < 400)
+    val delta = emb.filter(col("vec_id") >= 400)
+    val built = ivfpq.build(spark, base, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-rt").toString
+    IvfPqIndex.save(built, dir)
+    val loaded = IvfPqIndex.load(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    def res(b: IvfPqIndex.Built) =
+      ivfpq.search(b, q, "vec_id", "embedding", 3)
+        .select("q_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(res(loaded) == res(built) && res(built).nonEmpty)
+    // append: a vector ingested after build is findable by self-query
+    val appended = ivfpq.append(loaded, delta, "vec_id", "embedding")
+    assert(appended.codedCell.count() == emb.count())
+    val self = ivfpq.search(appended, emb.filter(col("vec_id") === 450),
+        "vec_id", "embedding", 1)
+      .select("neighbor_id").collect()
+    assert(self.length == 1 && self.head.getLong(0) == 450L)
+  }
+
   test("PQ self-query returns itself as rank 1 (sanity)") {
     val pq = new PqIndex(m = 8, kCentroids = 16)
     val built = pq.build(spark, emb, "vec_id", "embedding")
