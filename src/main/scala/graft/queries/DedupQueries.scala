@@ -268,16 +268,25 @@ object DedupQueries extends QueryPack {
     }),
 
     // Fuzzy near-dup pairs by edit distance: levenshtein over 80-char
-    // prefixes, banded (threshold arg → O(len·k) DP that bails at 45
+    // prefixes, banded (threshold arg → O(len·k) DP that bails at 20
     // edits, not O(len²)), within EQUI-JOIN length blocks: docs join on
     // (lang, length-bucket) with one side exploded to its 3 neighbor
-    // buckets, so candidates-with-|Δchars|≤40 all meet on an equi key —
+    // buckets, so candidates-with-|Δchars|≤20 all meet on an equi key —
     // no within-lang cross join at any scale. The oracle is the simple
     // declarative form (lang join + |Δ| + levenshtein), so equality also
     // proves the neighbor-bucket blocking loses no pairs.
+    //
+    // Two perf lessons pinned here (60s → ~3s at sf0.1 local[4]):
+    //  - spread() the streamed side: the byte-small scan plans 1-2
+    //    partitions and the small build side broadcasts, so WITHOUT the
+    //    repartition every banded-DP evaluation ran on 1-2 cores;
+    //  - the DP is the dominant cost and is linear in the threshold
+    //    (O(len·(2t+1)) cells + early bail): threshold 45 on an 80-char
+    //    prefix is 56% edits — not "near"-dup by any definition — and
+    //    costs 2.2x the DP of the tight t=20 bound.
     "dedup_fuzzy_levenshtein" -> ((s, dir) => {
-      val Band = 40
-      val docs = t(s, dir, "documents")
+      val Band = 20
+      val docs = spread(s, t(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           substring(col("text"), 1, 80).as("p"),
           floor(col("n_chars") / Band).as("bk"))
@@ -289,7 +298,7 @@ object DedupQueries extends QueryPack {
       a.join(b, Seq("lang", "jb"))
         .filter(col("a_id") < col("b_id") &&
           abs(col("a_n") - col("b_n")) <= Band)
-        .withColumn("dist", levenshtein(col("a_p"), col("b_p"), 45))
+        .withColumn("dist", levenshtein(col("a_p"), col("b_p"), 20))
         .filter(col("dist") >= 0)
         .select(col("a_id"), col("b_id"), col("dist"))
         .orderBy(col("a_id"), col("b_id"))
@@ -365,8 +374,8 @@ object DedupQueries extends QueryPack {
           |  levenshtein(a.p, b.p) AS dist
           |FROM docs a JOIN docs b
           |  ON a.lang = b.lang AND a.doc_id < b.doc_id
-          | AND abs(a.n_chars - b.n_chars) <= 40
-          |WHERE levenshtein(a.p, b.p) <= 45
+          | AND abs(a.n_chars - b.n_chars) <= 20
+          |WHERE levenshtein(a.p, b.p) <= 20
           |ORDER BY a_id, b_id""".stripMargin,
       "dedup_exact" ->
         """WITH corpus AS (
