@@ -17,7 +17,8 @@ object SparkEntry {
     MultimodalQueries,
     ScaleQueries,
     CurationQueries,
-    SearchQueries
+    SearchQueries,
+    GraphQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.QueryPack
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Iterative graph analytics over relationship tables — the Pregel-shaped
+ * family next to [[graft.ml.ConnectedComponents]] (dedup clustering).
+ *
+ * `graph_pagerank`: PageRank over the bipartite customer↔supplier trade
+ * graph (an edge where a customer's order ships a supplier's line item),
+ * symmetrized so every node has out-degree ≥ 1 (no dangling-mass term).
+ *
+ * Scale shape: each of the fixed `Iters` rounds is ONE equi-join of the
+ * rank table against the degree-annotated edge table plus one partial-agg
+ * sum — the same per-round shuffle discipline as connected components.
+ * The edge table (the big side at 100 TB) is repartitioned on the join
+ * key ONCE and checkpointed, so every round reuses its partitioning and
+ * only the (node-sized) rank table shuffles; nothing pairwise, nothing
+ * driver-side except the node count.
+ *
+ * Determinism (what makes an exact DuckDB oracle possible for a 10-round
+ * float fixpoint): per-edge contributions are round6'd then summed as
+ * DECIMAL (order-independent), and each round's rank is round6'd before
+ * it feeds the next round — both engines iterate over bit-identical
+ * 6-dp states, so even 8 rounds deep the hashes match. The oracle unrolls
+ * the loop as chained CTEs (generated below).
+ */
+object GraphQueries extends QueryPack {
+
+  private val Damping = 0.85
+  private val Iters = 8
+  private val CustCap = 500
+
+  override def queries: Map[String, Q] = Map(
+    "graph_pagerank" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_custkey") < CustCap)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      // node encoding: customer c -> 2c, supplier s -> 2s+1
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("cust"),
+          (col("l_suppkey") * 2 + 1).as("supp"))
+        .distinct()
+      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // partition the big side on the per-round join key ONCE; the
+      // checkpoint pins that partitioning so rounds reuse it (the
+      // ConnectedComponents edge-table rule)
+      val edgesDeg = edges.join(deg, "src")
+        .repartition(col("src")).localCheckpoint()
+      val nodes = edgesDeg.select(col("src").as("node")).distinct()
+      val n = nodes.count() // one tiny driver scalar, as the PQ codebooks
+      var ranks = nodes.withColumn("r", round6(lit(1.0) / n)).localCheckpoint()
+      for (_ <- 1 to Iters) {
+        val contrib = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
+          .select(col("dst"),
+            round6(col("r") / col("deg")).cast(DecimalType(27, 6)).as("c"))
+        ranks = contrib.groupBy(col("dst"))
+          .agg(round6(lit(0.15) / n +
+            lit(Damping) * sum(col("c")).cast("double")).as("r"))
+          .select(col("dst").as("node"), col("r"))
+          .localCheckpoint()
+      }
+      ranks.select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").as("entity_key"),
+          col("node"), col("r").as("pr"))
+        .orderBy(col("pr").desc, col("node"))
+        .limit(50)
+        .select(col("node_type"), col("entity_key"), col("pr"))
+    })
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "graph_pagerank" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      def round(i: Int): String = {
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        val contribSum = "CAST(CAST(sum(CAST(" +
+          r6("r.r / d.deg") + " AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)"
+        s"""r$i AS (
+           |  SELECT e.dst AS node,
+           |    ${r6(s"0.15e0 / nn.n + 0.85e0 * $contribSum")} AS r
+           |  FROM edges e
+           |  JOIN $prev r ON e.src = r.node
+           |  JOIN deg d ON e.src = d.src
+           |  CROSS JOIN nn
+           |  GROUP BY e.dst, nn.n
+           |)""".stripMargin
+      }
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_custkey < $CustCap
+         |), edges AS (
+         |  SELECT cust AS src, supp AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT supp, cust FROM pairs
+         |), deg AS (
+         |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+         |), nodes AS (
+         |  SELECT DISTINCT src AS node FROM edges
+         |), nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, ${r6("1e0 / nn.n")} AS r FROM nodes CROSS JOIN nn),
+         |${(1 to Iters).map(round).mkString(",\n")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  node // 2 AS entity_key, r AS pr
+         |FROM r$Iters ORDER BY pr DESC, node LIMIT 50""".stripMargin
+    }
+  )
+}
