@@ -137,6 +137,55 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("i"), col("j"))
     }),
 
+    // Top principal component by POWER ITERATION — the eigensolve that
+    // turns the single-pass covariance (embedding_covariance) into an
+    // actual PCA axis, kept fully oracle-checkable: each of the 12
+    // rounds is one matrix-vector product over the D² covariance table
+    // (4,096 rows — driver-scale by construction; the corpus-sized work
+    // is the ONE covariance pass) followed by a normalize. Contributions
+    // are round6'd then DECIMAL-summed (order-independent) and the
+    // vector re-round6'd each round, so both engines iterate over
+    // bit-identical 6-dp states and the oracle just unrolls the loop —
+    // the same discipline as graph_pagerank. On this synthetic
+    // (near-isotropic) corpus the top eigenvalue is in the random bulk,
+    // so the axis itself carries little signal — the operator contract
+    // (deterministic fixpoint of x ↦ normalize(Cx)) is what is pinned.
+    "embedding_pca_power" -> ((s, dir) => {
+      val Iters = 12
+      val emb = spread(s, t(s, dir, "embeddings"), "vec_id")
+      val ex = emb.select(col("embedding"),
+        posexplode(col("embedding")).as(Seq("i", "xi")))
+      val cov = ex
+        .select(col("i"), col("xi").cast("double").as("xi"),
+          posexplode(col("embedding")).as(Seq("j", "xj")))
+        .select(col("i"), col("j"), col("xi"), col("xj").cast("double").as("xj"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"), sum(col("xi") * col("xj")).as("sxy"),
+          sum(col("xi")).as("sx"), sum(col("xj")).as("sy"))
+        .select(col("i"), col("j"),
+          round6(col("sxy") / col("n") -
+            (col("sx") / col("n")) * (col("sy") / col("n"))).as("cov"))
+        .localCheckpoint()
+      var v = cov.select(col("i").as("dim")).distinct()
+        .withColumn("x", lit(1.0)).localCheckpoint()
+      for (_ <- 1 to Iters) {
+        val y = cov.join(v, cov("j") === v("dim"))
+          .select(col("i"),
+            round6(col("cov") * col("x")).cast(DecimalType(27, 6)).as("t"))
+          .groupBy(col("i")).agg(sum(col("t")).cast("double").as("y"))
+        val nrm = y.agg(round6(sqrt(
+          sum(round6(col("y") * col("y")).cast(DecimalType(27, 6)))
+            .cast("double"))).as("nrm"))
+        v = y.crossJoin(broadcast(nrm))
+          .select(col("i").as("dim"), round6(col("y") / col("nrm")).as("x"),
+            col("nrm"))
+          .localCheckpoint()
+      }
+      // ||C·v|| of the (unit) iterate = the Rayleigh eigenvalue estimate
+      v.select(col("dim"), col("x").as("component"), col("nrm").as("lambda"))
+        .orderBy(col("dim"))
+    }),
+
     // Embedding DRIFT between two corpus snapshots — the monitoring pass
     // an embedding pipeline runs after re-ingest or model refresh: how
     // far did each label's centroid move? (vec_id parity stands in for
@@ -191,6 +240,42 @@ object SimilarityQueries extends QueryPack {
          |SELECT q_id, rank, vec_id AS neighbor_id, score
          |FROM ranked WHERE rank <= $K
          |ORDER BY q_id, rank""".stripMargin
+    },
+    "embedding_pca_power" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      def decSumDouble(expr: String) =
+        s"CAST(CAST(sum(CAST($expr AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)"
+      // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, and
+      // with y_k referenced twice per round the inlined expression tree
+      // doubles every round — 2^12 re-evaluations of the covariance scan
+      // (observed as a hung oracle). Materializing each round keeps the
+      // oracle linear, mirroring the Spark side's per-round checkpoint.
+      def round(k: Int): String = {
+        val prev = s"v${k - 1}"
+        s"""y$k AS MATERIALIZED (
+           |  SELECT c.i AS i, ${decSumDouble(r6("c.cov * v.x"))} AS y
+           |  FROM cov c JOIN $prev v ON c.j = v.dim GROUP BY c.i
+           |), n$k AS MATERIALIZED (
+           |  SELECT ${r6(s"sqrt(${decSumDouble(r6("y * y"))})")} AS nrm FROM y$k
+           |), v$k AS MATERIALIZED (
+           |  SELECT i AS dim, ${r6("y / nrm")} AS x, nrm
+           |  FROM y$k CROSS JOIN n$k
+           |)""".stripMargin
+      }
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (
+         |  SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
+         |    v[i] AS xi, v[j] AS xj
+         |  FROM e, range(1, ${Dim + 1}) t(i), range(1, ${Dim + 1}) u(j)
+         |), cov AS MATERIALIZED (
+         |  SELECT i, j,
+         |    ${r6("sum(xi * xj) / count(*) - " +
+               "(sum(xi) / count(*)) * (sum(xj) / count(*))")} AS cov
+         |  FROM p GROUP BY i, j
+         |), v0 AS (SELECT DISTINCT i AS dim, 1e0 AS x FROM cov),
+         |${(1 to 12).map(round).mkString(",\n")}
+         |SELECT dim, x AS component, nrm AS lambda
+         |FROM v12 ORDER BY dim""".stripMargin
     },
     "embedding_drift" ->
       s"""WITH flat AS (
