@@ -63,6 +63,21 @@ object DedupQueries extends QueryPack {
   private def minhash(shingles: Column, j: Int): Column =
     array_min(transform(shingles, s => substring(s, 4 * j + 1, 4)))
 
+  /** n-bit SimHash string over pre-materialized columns `h` (token-md5
+    * array) and `nt` (its size): bit p = majority vote of md5 nibble p's
+    * MSB across tokens, multiplicity preserved. The columns MUST be real
+    * columns (not inlined md5s) — the n bit expressions reference them
+    * 2n times. (dedup_simhash_hamming needs 64 bits and builds them via
+    * explode + per-bit count aggregation instead — at that width the
+    * interpreted filter() lambdas here become the dominant query cost.) */
+  private def simhashOf(nBits: Int): Column = {
+    val msbNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    concat((1 to nBits).map { p =>
+      when(size(filter(col("h"), x => substring(x, p, 1).isInCollection(msbNibbles)))
+        * 2 > col("nt"), lit("1")).otherwise(lit("0"))
+    }: _*)
+  }
+
   /** Exact Jaccard; two empty sets score 0.0 (not a divide-by-zero) so
     * shingle-less short docs pair with nothing. Same guard in the oracle
     * (coalesce + nullif) keeps engine parity on any corpus. */
@@ -227,21 +242,74 @@ object DedupQueries extends QueryPack {
 
     // 16-bit SimHash per document from token-md5 nibble MSBs (majority
     // vote per bit position, token multiplicity preserved).
-    "dedup_simhash" -> ((s, dir) => {
-      val highNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-      // token-hash array + its size materialized once ("h"/"nt"): the 16
-      // bit expressions reference them 32 times — inlined, the md5s would
-      // be recomputed per bit position.
-      val bits = (1 to 16).map { p =>
-        when(size(filter(col("h"), x => substring(x, p, 1).isInCollection(highNibbles)))
-          * 2 > col("nt"), lit("1")).otherwise(lit("0"))
-      }
+    "dedup_simhash" -> ((s, dir) =>
       spread(s, t(s, dir, "documents"), "doc_id")
         .withColumn("toks", toksOf(col("text")))
         .withColumn("h", transform(col("toks"), tk => md5(tk.cast("binary"))))
         .withColumn("nt", size(col("h")))
-        .select(col("doc_id"), concat(bits: _*).as("simhash"))
-        .orderBy(col("doc_id"))
+        .select(col("doc_id"), simhashOf(16).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // SimHash near-dup PAIRS by hamming distance — the pairing step the
+    // fingerprint exists for (Charikar/Manku-style web dedup): pairs
+    // within hamming <= 2 of a 64-bit simhash, found via PIGEONHOLE
+    // banding: 4 bands of 16 bits; any pair differing in <= 3 bits
+    // leaves >= 1 band untouched, so candidates meeting on a band
+    // equi-key lose NO qualifying pair (the all-pairs oracle proves it)
+    // while the verify set stays bucket-bounded. The hash lives in two
+    // BIGINT halves, so the verify is two xor + bit_count ops per
+    // candidate (not 64 string compares) and band keys are integer
+    // shifts — the representation a 100 TB fingerprint table would use.
+    // Calibration note: 8-bit bands on this small-vocabulary corpus put
+    // 65% of docs in one bucket (29.6M candidates); 16-bit bands cut
+    // that to 2.1M with max bucket 8% — band width must clear the
+    // corpus's bit-correlation floor.
+    "dedup_simhash_hamming" -> ((s, dir) => {
+      // Hash build avoids interpreted HOF lambdas (64 filter() passes
+      // per doc benched ~7s of the query alone): explode to one row per
+      // token, read each md5 nibble ONCE (codegen'd conv+substring),
+      // reduce per-bit majority counts in one partial-agg pass, repack.
+      val nibs = (1 to 32).map(p =>
+        conv(substring(col("m"), p, 1), 16, 10).cast("int").as(s"n$p"))
+      val bitCounts = (1 to 32).flatMap(p => Seq(
+        sum(when(col(s"n$p") >= 8, 1).otherwise(0)).as(s"msb$p"),
+        sum(when(col(s"n$p").bitwiseAND(lit(4)) =!= 0, 1).otherwise(0)).as(s"b2$p")))
+      val aggs = bitCounts :+ count(lit(1)).as("nt")
+      def pack(pfx: String) = (1 to 32).map(p =>
+        when(col(s"$pfx$p") * 2 > col("nt"), lit(1L << (32 - p)))
+          .otherwise(lit(0L))).reduce(_ + _)
+      // simhash table consumed 3x (band melt + both verify sides)
+      val sh = spread(s, nearDupCorpus(s, dir), "doc_id")
+        .select(col("doc_id"), explode(toksOf(col("txt"))).as("tk"))
+        .select(col("doc_id"), md5(col("tk").cast("binary")).as("m"))
+        .select(col("doc_id") +: nibs: _*)
+        .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), pack("msb").as("h1"), pack("b2").as("h2"))
+        .localCheckpoint()
+      // hashes ride the band join, the 2-xor verify runs on candidates
+      // WITH multiplicity, and dedup happens only on the few survivors —
+      // a distinct on the raw candidate set would shuffle millions of
+      // pairs to save re-verifies that cost two integer ops each (the
+      // CosineLsh distinct-after-filter rule)
+      val bands = sh.select(col("doc_id"), col("h1"), col("h2"),
+        posexplode(array(
+          shiftright(col("h1"), 16).bitwiseAND(lit(65535L)),
+          col("h1").bitwiseAND(lit(65535L)),
+          shiftright(col("h2"), 16).bitwiseAND(lit(65535L)),
+          col("h2").bitwiseAND(lit(65535L))))
+          .as(Seq("band_id", "band_key")))
+      bands.select(col("band_id"), col("band_key"), col("doc_id").as("a_id"),
+          col("h1").as("a1"), col("h2").as("a2"))
+        .join(bands.select(col("band_id"), col("band_key"),
+          col("doc_id").as("b_id"), col("h1").as("b1"), col("h2").as("b2")),
+          Seq("band_id", "band_key"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (bit_count(col("a1").bitwiseXOR(col("b1"))) +
+            bit_count(col("a2").bitwiseXOR(col("b2")))).cast("int").as("ham"))
+        .filter(col("ham") <= 2)
+        .distinct()
+        .orderBy(col("a_id"), col("b_id"))
     }),
 
     // n-gram Jaccard similarity search: for each probe doc, top-3 most
@@ -481,6 +549,38 @@ object DedupQueries extends QueryPack {
         }.mkString(" || ")
         s"""WITH hs AS (SELECT doc_id, $hashes AS h FROM documents)
            |SELECT doc_id, $bits AS simhash FROM hs ORDER BY doc_id""".stripMargin
+      },
+      // All-pairs hamming (the naive form) — equality with the banded
+      // Spark plan proves the pigeonhole blocking loses no pair. Same
+      // packed-BIGINT representation, so the pair scan is xor+bit_count.
+      "dedup_simhash_hamming" -> {
+        def half(ones: String) = (1 to 32).map { p =>
+          s"CASE WHEN 2 * len(list_filter(h, x -> substr(x, $p, 1) IN " +
+            s"($ones))) > len(h) THEN ${1L << (32 - p)} ELSE 0 END"
+        }.mkString(" + ")
+        val msb = "'8','9','a','b','c','d','e','f'"
+        val bit2 = "'4','5','6','7','c','d','e','f'"
+        s"""WITH corpus AS (
+           |  SELECT doc_id, trim(text) AS txt FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000,
+           |    array_to_string(string_split_regex(trim(text),'\\s+')[2:], ' ')
+           |  FROM documents
+           |), hs AS (
+           |  SELECT doc_id,
+           |    list_transform(string_split_regex(trim(txt), '\\s+'), t -> md5(t)) AS h
+           |  FROM corpus
+           |), sh AS MATERIALIZED (
+           |  SELECT doc_id, CAST(${half(msb)} AS BIGINT) AS h1,
+           |    CAST(${half(bit2)} AS BIGINT) AS h2
+           |  FROM hs
+           |)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2))
+           |    AS INTEGER) AS ham
+           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 2
+           |ORDER BY a_id, b_id""".stripMargin
       },
       "dedup_jaccard_topk" -> {
         val shDoc = shExpr.replace("txt", "text")
