@@ -452,10 +452,48 @@ object EventQueries extends QueryPack {
           round6(sum(col("attr_gap")).cast("double") /
             nullif(count(col("attr_gap")), lit(0))).as("avg_gap_sec"))
         .orderBy(col("channel"))
+    }),
+
+    // Top-k user-journey paths (sequence mining): the 3-step event-type
+    // trigrams users actually walk, ranked by frequency — the "common
+    // funnels discovery" pass that precedes a hand-written events_funnel.
+    // One user_id shuffle serves both lead() windows (same frame); the
+    // trigram extraction is map-side after it, and the global count
+    // reduces through a partial agg before TakeOrderedAndProject. Per-row
+    // state is O(1) (two leads), per-user cost is linear in that user's
+    // events — no sequence blow-up, no collect_list of whole histories.
+    // Ordering is total per user — (ts, event_id) — and rows that tie on
+    // ts are still uniquely ordered by event_id, so the event_type
+    // sequence both engines see is identical.
+    "events_path_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat(col("event_type"), lit(">"), col("e2"), lit(">"),
+          col("e3")).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
     })
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "events_path_topk" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "events_ewma" ->
       s"""WITH ew AS (
          |  SELECT event_id, user_id, ts,

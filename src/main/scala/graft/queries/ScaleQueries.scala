@@ -219,10 +219,97 @@ object ScaleQueries extends QueryPack {
           asIs("o_orderpriority"))
         .reduce(_ unionByName _)
         .orderBy(col("column_name"))
+    }),
+
+    // Small-file compaction planner — the table-maintenance pass every
+    // 100 TB lake runs continuously: given a file manifest (here derived
+    // deterministically from orders: partition = order month, file =
+    // orderkey mod 40, bytes = exact integer price sum), assign files to
+    // fixed-capacity compaction bins by exclusive running size within
+    // each partition. The plan NEVER touches data bytes: the manifest is
+    // metadata-sized (one row per file), so the whole pass is one
+    // partition-keyed window over O(files) rows — the rewrite jobs the
+    // bins describe are what stream the data, one bin per task,
+    // partition boundaries never crossed. All-integer arithmetic, so the
+    // oracle is hash-exact.
+    "layout_compaction_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val target = 2000000L
+      val manifest = t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("part"),
+          (col("o_orderkey") % 40).as("file_id"))
+        .agg(sum(floor(col("o_totalprice")).cast("long")).as("file_bytes"))
+      val w = Window.partitionBy("part").orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      manifest
+        .withColumn("cum_excl",
+          coalesce(sum(col("file_bytes")).over(w), lit(0L)))
+        .withColumn("bin", floor(col("cum_excl") / target).cast("long"))
+        .groupBy(col("part"), col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("file_bytes")).as("bin_bytes"),
+          min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
+        .orderBy(col("part"), col("bin"))
+    }),
+
+    // Equi-depth range-partition boundaries — the split-point planning a
+    // sorted/bucketed write or a range shuffle needs: per order
+    // priority, 8 same-size value buckets of o_totalprice with their
+    // [lo, hi] fences. The window is keyed by priority (bounded by the
+    // largest group, the same discipline as corpus_quality_adaptive),
+    // never a single global sort task; ntile ordering carries the
+    // o_orderkey tie-break so bucket membership is a total order both
+    // engines agree on. The 100 TB variant swaps exact ntile for sampled
+    // quantiles (RangePartitioner-style; see events_value_quantiles_approx
+    // for the bounded-sketch analog) — exact ntile is the oracle-able
+    // bench form that pins the contract.
+    "layout_range_boundaries" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("tile", ntile(8).over(w))
+        .groupBy(col("o_orderpriority"), col("tile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(floor(col("o_totalprice")).cast("long")).as("lo"),
+          max(floor(col("o_totalprice")).cast("long")).as("hi"))
+        .orderBy(col("o_orderpriority"), col("tile"))
     })
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "layout_compaction_plan" ->
+      """WITH manifest AS (
+        |  SELECT EXTRACT(year FROM o_orderdate) * 100
+        |           + EXTRACT(month FROM o_orderdate) AS part,
+        |    o_orderkey % 40 AS file_id,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS file_bytes
+        |  FROM orders GROUP BY 1, 2
+        |), binned AS (
+        |  SELECT part, file_id, file_bytes,
+        |    CAST(floor(COALESCE(sum(file_bytes) OVER (
+        |      PARTITION BY part ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      / 2000000.0) AS BIGINT) AS bin
+        |  FROM manifest
+        |)
+        |SELECT part, bin, count(*) AS n_files,
+        |  CAST(sum(file_bytes) AS BIGINT) AS bin_bytes,
+        |  min(file_id) AS first_file, max(file_id) AS last_file
+        |FROM binned GROUP BY part, bin ORDER BY part, bin""".stripMargin,
+    "layout_range_boundaries" ->
+      """WITH tiled AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ntile(8) OVER (PARTITION BY o_orderpriority
+        |                   ORDER BY o_totalprice, o_orderkey) AS tile
+        |  FROM orders
+        |)
+        |SELECT o_orderpriority, tile, count(*) AS n_rows,
+        |  CAST(floor(min(o_totalprice)) AS BIGINT) AS lo,
+        |  CAST(floor(max(o_totalprice)) AS BIGINT) AS hi
+        |FROM tiled GROUP BY o_orderpriority, tile
+        |ORDER BY o_orderpriority, tile""".stripMargin,
     "table_profile" -> {
       def asIs(c: String) =
         (s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")

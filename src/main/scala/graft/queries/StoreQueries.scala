@@ -158,13 +158,48 @@ object StoreQueries extends QueryPack {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss'Z'").as("ts_u"),
           to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss'Z'"),
             "yyyy-MM-dd HH:mm:ss'Z'").cast("long").as("ts_roundtrip_epoch"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // Incremental materialized-view maintenance: refresh a per-customer
+    // order rollup by merging the STANDING aggregate with a delta-batch
+    // aggregate (orderkey mod 10 == 7 plays the newly-ingested batch) —
+    // a full-outer join of two agg tables, counts added, exact DECIMAL
+    // sums added. The oracle recomputes the rollup from scratch over all
+    // orders, so the hash match IS the proof that incremental == full.
+    // At 100 TB the refresh touches O(|delta| + |affected groups|) rows,
+    // never the base table (the checkpointed MV stands in for the stored
+    // aggregate); with the MV bucketed on the group key the merge join
+    // is shuffle-free, the same discipline as store_snapshot_diff.
+    "store_mv_incremental" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def rollup(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,3)")).as("tot"))
+      val mv = rollup(o.filter(col("o_orderkey") % 10 =!= 7)).localCheckpoint()
+      val delta = rollup(o.filter(col("o_orderkey") % 10 === 7))
+      mv.select(col("o_custkey"), col("n").as("n0"), col("tot").as("t0"))
+        .join(delta.select(col("o_custkey"), col("n").as("n1"),
+          col("tot").as("t1")), Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("t0"), lit(0).cast("decimal(18,3)")) +
+            coalesce(col("t1"), lit(0).cast("decimal(18,3)")))
+            .cast("double").as("total_price"))
+        .orderBy(col("o_custkey"))
+    })
   )
 
   private val l2NormSql =
     "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))"
 
   override def oracleSql: Map[String, String] = Map(
+    // Full-recompute oracle: the hash match proves incremental == full.
+    "store_mv_incremental" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "store_point_get" ->
       """SELECT CAST(vec_id AS VARCHAR) AS key, label
         |FROM embeddings WHERE CAST(vec_id AS VARCHAR) = '42'""".stripMargin,
