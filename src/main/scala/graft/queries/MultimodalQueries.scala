@@ -59,6 +59,54 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    // Perceptual near-dup image PAIRS — the join the aHash exists for:
+    // pairs within hamming <= 2 of the 64-bit hash, found by the same
+    // PIGEONHOLE banding as dedup_simhash_hamming (4 x 16-bit bands; a
+    // pair differing in <= 3 bits meets on >= 1 band key, so the
+    // blocking loses no qualifying pair). The corpus is the decoded
+    // catalog plus a deterministic 1-bit-drift variant per image
+    // (media_id + 100000, bit media_id % 64 flipped — the near-identical
+    // re-encode / crop-artifact case a perceptual hash is built to
+    // catch); the catalog is checkpointed once so the PNG decode runs a
+    // single pass, and the verify is two xor + bit_count integer ops per
+    // banded candidate — never an all-pairs image compare.
+    "multimodal_ahash_pairs" -> ((s, dir) => {
+      val cat = MultimodalOps.imageHashCatalog(t(s, dir, "documents"))
+        .select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
+        .localCheckpoint()
+      val pos = (col("media_id") % 64).cast("int")
+      // shiftleft's Scala signature takes a literal shift; the SQL form
+      // accepts a column shift, so the per-row flip mask goes via expr.
+      val variants = cat.select(
+        (col("media_id") + 100000).as("media_id"),
+        when(pos >= 32, col("ahash_hi").bitwiseXOR(expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(media_id % 64 AS INT) - 32)")))
+          .otherwise(col("ahash_hi")).as("ahash_hi"),
+        when(pos < 32, col("ahash_lo").bitwiseXOR(expr(
+          "shiftleft(CAST(1 AS BIGINT), CAST(media_id % 64 AS INT))")))
+          .otherwise(col("ahash_lo")).as("ahash_lo"))
+      val all = cat.unionByName(variants)
+      val bands = all.select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+        posexplode(array(
+          shiftright(col("ahash_hi"), 16).bitwiseAND(lit(65535L)),
+          col("ahash_hi").bitwiseAND(lit(65535L)),
+          shiftright(col("ahash_lo"), 16).bitwiseAND(lit(65535L)),
+          col("ahash_lo").bitwiseAND(lit(65535L))))
+          .as(Seq("band_id", "band_key")))
+      bands.select(col("band_id"), col("band_key"), col("media_id").as("a_id"),
+          col("ahash_hi").as("a_hi"), col("ahash_lo").as("a_lo"))
+        .join(bands.select(col("band_id"), col("band_key"),
+          col("media_id").as("b_id"), col("ahash_hi").as("b_hi"),
+          col("ahash_lo").as("b_lo")), Seq("band_id", "band_key"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+            bit_count(col("a_lo").bitwiseXOR(col("b_lo")))).cast("int").as("ham"))
+        .filter(col("ham") <= 2)
+        .distinct()
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Audio analog of the image aHash: REAL WAV decode → integer-exact
     // 64-block energy fingerprint → duplicate-group sizes. Same
     // oracle-from-the-generator-formula discipline: a decode that
@@ -95,48 +143,74 @@ object MultimodalQueries extends QueryPack {
     })
   )
 
+  /** The aHash derivation CTEs (recomputed from the generator's pixel
+    * formula) shared by the catalog oracle and the near-dup-pairs
+    * oracle: integer luminance, integer block indices, cross-multiplied
+    * mean compare, bits packed into two 32-bit halves — every operation
+    * exact, so the decoded-path hash must match bit-for-bit. */
+  private val ahashCtes =
+    """img AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(n_chars % 64 + 16 AS BIGINT) AS w,
+      |    CAST(n_chars % 48 + 16 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0
+      |), xs AS (
+      |  SELECT media_id, w, h, unnest(range(w)) AS x FROM img
+      |), px AS (
+      |  SELECT media_id, w, h,
+      |    (((media_id*31 + x*7 + y*13) % 256) * 299 +
+      |     ((media_id*17 + x*11 + y*3) % 256) * 587 +
+      |     ((media_id*5 + x*2 + y*23) % 256) * 114) // 1000 AS lum,
+      |    (y*8 // h)*8 + (x*8 // w) AS k
+      |  FROM (SELECT media_id, w, h, x, unnest(range(h)) AS y FROM xs)
+      |), blocks AS (
+      |  SELECT media_id, k, sum(lum) AS bsum, count(*) AS bn
+      |  FROM px GROUP BY media_id, k
+      |), tot AS (
+      |  SELECT media_id, w * h AS tn, sum(lum) AS tsum
+      |  FROM px GROUP BY media_id, w, h
+      |), bits AS (
+      |  SELECT b.media_id, b.k,
+      |    CASE WHEN b.bsum * t.tn > t.tsum * b.bn THEN 1 ELSE 0 END AS bit
+      |  FROM blocks b JOIN tot t USING (media_id)
+      |), hashes AS MATERIALIZED (
+      |  SELECT media_id,
+      |    CAST(sum(CASE WHEN bit = 1 AND k >= 32
+      |      THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |    CAST(sum(CASE WHEN bit = 1 AND k < 32
+      |      THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash_lo
+      |  FROM bits GROUP BY media_id
+      |)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
-    // the aHash recomputed from the generator's pixel formula: integer
-    // luminance, integer block indices, cross-multiplied mean compare,
-    // bits packed into two 32-bit halves via integer shifts — every
-    // operation exact, so the decoded-path hash must match bit-for-bit
     "multimodal_image_ahash" ->
-      """WITH img AS (
-        |  SELECT doc_id AS media_id,
-        |    CAST(n_chars % 64 + 16 AS BIGINT) AS w,
-        |    CAST(n_chars % 48 + 16 AS BIGINT) AS h
-        |  FROM documents WHERE doc_id % 3 = 0
-        |), xs AS (
-        |  SELECT media_id, w, h, unnest(range(w)) AS x FROM img
-        |), px AS (
-        |  SELECT media_id, w, h,
-        |    (((media_id*31 + x*7 + y*13) % 256) * 299 +
-        |     ((media_id*17 + x*11 + y*3) % 256) * 587 +
-        |     ((media_id*5 + x*2 + y*23) % 256) * 114) // 1000 AS lum,
-        |    (y*8 // h)*8 + (x*8 // w) AS k
-        |  FROM (SELECT media_id, w, h, x, unnest(range(h)) AS y FROM xs)
-        |), blocks AS (
-        |  SELECT media_id, k, sum(lum) AS bsum, count(*) AS bn
-        |  FROM px GROUP BY media_id, k
-        |), tot AS (
-        |  SELECT media_id, w * h AS tn, sum(lum) AS tsum
-        |  FROM px GROUP BY media_id, w, h
-        |), bits AS (
-        |  SELECT b.media_id, b.k,
-        |    CASE WHEN b.bsum * t.tn > t.tsum * b.bn THEN 1 ELSE 0 END AS bit
-        |  FROM blocks b JOIN tot t USING (media_id)
-        |), hashes AS (
-        |  SELECT media_id,
-        |    CAST(sum(CASE WHEN bit = 1 AND k >= 32
-        |      THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash_hi,
-        |    CAST(sum(CASE WHEN bit = 1 AND k < 32
-        |      THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END) AS BIGINT) AS ahash_lo
-        |  FROM bits GROUP BY media_id
-        |)
-        |SELECT media_id, ahash_hi, ahash_lo,
-        |  count(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS dup_group_size
-        |FROM hashes ORDER BY media_id""".stripMargin,
-    // the audio fingerprint recomputed from the WAV generator's sample
+      s"""WITH $ahashCtes
+         |SELECT media_id, ahash_hi, ahash_lo,
+         |  count(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS dup_group_size
+         |FROM hashes ORDER BY media_id""".stripMargin,
+    // All-pairs hamming over originals + 1-bit-drift variants (the
+    // naive form) — equality with the banded Spark plan proves the
+    // pigeonhole blocking loses no pair, same as dedup_simhash_hamming.
+    "multimodal_ahash_pairs" ->
+      s"""WITH $ahashCtes, variants AS (
+         |  SELECT h.media_id + 100000 AS media_id,
+         |    CASE WHEN h.media_id % 64 >= 32
+         |      THEN xor(h.ahash_hi, CAST(1 AS BIGINT) << CAST(h.media_id % 64 - 32 AS INTEGER))
+         |      ELSE h.ahash_hi END AS ahash_hi,
+         |    CASE WHEN h.media_id % 64 < 32
+         |      THEN xor(h.ahash_lo, CAST(1 AS BIGINT) << CAST(h.media_id % 64 AS INTEGER))
+         |      ELSE h.ahash_lo END AS ahash_lo
+         |  FROM hashes h
+         |), unioned AS MATERIALIZED (
+         |  SELECT * FROM hashes UNION ALL SELECT * FROM variants
+         |)
+         |SELECT a.media_id AS a_id, b.media_id AS b_id,
+         |  CAST(bit_count(xor(a.ahash_hi, b.ahash_hi)) +
+         |    bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INTEGER) AS ham
+         |FROM unioned a JOIN unioned b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi)) +
+         |  bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 2
+         |ORDER BY a_id, b_id""".stripMargin,
     // formula: sample(i) = ((id*131 + i*7919) % 65536) - 32768 over
     // n = 256 + id % 512 samples; 64 energy blocks, cross-multiplied
     // mean compare, integer shifts — all exact
