@@ -72,6 +72,69 @@ object GraphQueries extends QueryPack {
         .orderBy(col("pr").desc, col("node"))
         .limit(50)
         .select(col("node_type"), col("entity_key"), col("pr"))
+    }),
+
+    // Triangle census over a top-K similarity graph — the motif /
+    // local-clustering companion to PageRank. The graph is each
+    // supplier's K strongest co-suppliers (most shared parts, tie by
+    // id): the same shape as an embedding kNN graph, and scale-stable
+    // at any SF because K bounds out-degree regardless of corpus size
+    // (an absolute co-supply threshold goes empty at sf0.001 and dense
+    // at sf0.1). Counting uses DEGREE-ORDERED orientation: every edge
+    // points from its (deg, id)-smaller endpoint, each triangle is
+    // found exactly once at its unique two-out-edge apex, and wedge
+    // fan-out is bounded by the LOWER degree of each edge — O(Σ deg^1.5)
+    // candidate wedges instead of the O(Σ deg²) of naive adjacency
+    // (Suri & Vassilvitskii's MR trick, here as two equi-joins). The
+    // naive canonical 3-way-join oracle proves the orientation finds
+    // every triangle exactly once.
+    "graph_knn_triangles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 5
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val co = ps.as("x").join(ps.as("y"),
+          col("x.pk") === col("y.pk") && col("x.sk") =!= col("y.sk"))
+        .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))
+        .agg(count(lit(1)).as("n_shared"))
+      val byStrength = Window.partitionBy("u")
+        .orderBy(col("n_shared").desc, col("v"))
+      val edges = co.withColumn("rk", row_number().over(byStrength))
+        .filter(col("rk") <= K)
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .distinct().localCheckpoint()
+      val deg = edges.select(col("a").as("n"))
+        .unionByName(edges.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val oriented = edges
+        .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+        .select(when(aFirst, col("a")).otherwise(col("b")).as("src"),
+          when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+          when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
+        .localCheckpoint()
+      val wedges = oriented.select(col("src"), col("dst").as("d1"),
+          col("ddst").as("dd1"))
+        .join(oriented.select(col("src"), col("dst").as("d2"),
+          col("ddst").as("dd2")), Seq("src"))
+        .filter(col("dd1") < col("dd2") ||
+          (col("dd1") === col("dd2") && col("d1") < col("d2")))
+      // the closing edge between d1 and d2 is oriented d1 -> d2 by the
+      // same (deg, id) total order the wedge filter just applied
+      val tri = wedges.join(
+        oriented.select(col("src").as("d1"), col("dst").as("d2")),
+        Seq("d1", "d2"))
+      tri.select(explode(array(col("src"), col("d1"), col("d2")))
+          .as("s_suppkey"))
+        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_triangles"))
+        .join(deg.select(col("n").as("s_suppkey"), col("deg")), "s_suppkey")
+        .select(col("s_suppkey"), col("deg"), col("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("s_suppkey"))
+        .limit(20)
     })
   )
 
@@ -111,6 +174,41 @@ object GraphQueries extends QueryPack {
          |    AS node_type,
          |  node // 2 AS entity_key, r AS pr
          |FROM r$Iters ORDER BY pr DESC, node LIMIT 50""".stripMargin
-    }
+    },
+    // Naive canonical enumeration (a<b edges, 3-way join, a<b<c) —
+    // equality proves the degree-ordered orientation finds every
+    // triangle exactly once.
+    "graph_knn_triangles" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+        |), co AS (
+        |  SELECT x.sk AS u, y.sk AS v, count(*) AS n_shared
+        |  FROM ps x JOIN ps y ON x.pk = y.pk AND x.sk <> y.sk
+        |  GROUP BY x.sk, y.sk
+        |), knn AS (
+        |  SELECT u, v FROM (
+        |    SELECT u, v, row_number() OVER (
+        |      PARTITION BY u ORDER BY n_shared DESC, v) AS rk
+        |    FROM co)
+        |  WHERE rk <= 5
+        |), edges AS MATERIALIZED (
+        |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM knn
+        |), deg AS (
+        |  SELECT n, count(*) AS deg FROM (
+        |    SELECT a AS n FROM edges UNION ALL SELECT b FROM edges)
+        |  GROUP BY n
+        |), tri AS (
+        |  SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.a = e1.b
+        |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), pernode AS (
+        |  SELECT n AS s_suppkey, count(*) AS n_triangles
+        |  FROM (SELECT unnest([n1, n2, n3]) AS n FROM tri)
+        |  GROUP BY n
+        |)
+        |SELECT p.s_suppkey, d.deg, p.n_triangles
+        |FROM pernode p JOIN deg d ON d.n = p.s_suppkey
+        |ORDER BY p.n_triangles DESC, p.s_suppkey LIMIT 20""".stripMargin
   )
 }
