@@ -479,10 +479,161 @@ object EventQueries extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path"))
         .limit(20)
+    }),
+
+    // Robust outliers via median + MAD (median absolute deviation): the
+    // heavy-tail-safe alternative to events_anomaly_zscore (a single
+    // extreme value drags a mean/std z-score; it cannot move a median).
+    // Medians are computed by the RANK construction — row_number over
+    // (value, event_id), pick positions (n+1) div 2 and n div 2 + 1,
+    // average them — spelled identically on both engines, because
+    // percentile_cont interpolation is engine-specific at the ulp level
+    // while the rank formula is exact. Cost: two window sorts partitioned
+    // on the 5-key event_type column + two 5-row broadcast joins back.
+    // At 100 TB the same shape holds while the grouping key stays
+    // bounded (per-group sort is spillable); for unbounded keys or a
+    // single pass the GK sketch (events_value_quantiles_approx) is the
+    // companion — this exact form is the one the oracle can hash-check.
+    "events_mad_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.DataFrame
+      val ev = events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      def rankMedian(df: DataFrame, v: String, out: String): DataFrame = {
+        val w = Window.partitionBy("event_type").orderBy(col(v), col("event_id"))
+        val all = Window.partitionBy("event_type")
+        df.select(col("event_type"), col(v),
+            row_number().over(w).as("rn"), count(lit(1)).over(all).as("n"))
+          .filter(col("rn") === expr("(n + 1) div 2") ||
+            col("rn") === expr("n div 2 + 1"))
+          .groupBy(col("event_type")).agg(avg(col(v)).as(out))
+      }
+      val med = rankMedian(ev, "value", "med")
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = rankMedian(
+        dev.select(col("event_id"), col("event_type"), col("dev")), "dev", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("mad") > 0)
+        .withColumn("z", lit(0.6745) * (col("value") - col("med")) / col("mad"))
+        .filter(abs(col("z")) > 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round6(col("med")).as("med"), round6(col("mad")).as("mad"),
+          round6(col("z")).as("robust_z"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Hour-of-day seasonal decomposition: the per-(type, hour) load
+    // profile and its ratio to the type's overall mean — the seasonality
+    // pass that precedes any time-series anomaly baseline. One partial-agg
+    // shuffle builds the 120-row hourly profile; the type totals re-reduce
+    // THAT profile (never a second scan) and broadcast back. Sums go
+    // through exact DECIMAL so the double conversion happens once per
+    // group, not once per task-completion order.
+    "events_seasonal_hourly" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .select(col("event_type"), hour(col("ts")).as("hr"),
+          col("value").cast(DecimalType(18, 3)).as("v"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val totals = hourly.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("tn"), sum(col("sv")).as("tsv"))
+      hourly.join(broadcast(totals), "event_type")
+        .withColumn("hour_avg", col("sv").cast("double") / col("n"))
+        .withColumn("type_avg", col("tsv").cast("double") / col("tn"))
+        .select(col("event_type"), col("hr"), col("n"),
+          round6(col("hour_avg")).as("hour_avg"),
+          round6(col("type_avg")).as("type_avg"),
+          round6(col("hour_avg") / col("type_avg")).as("seasonal_ratio"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
+    // Backward interval join: each purchase paired with the same user's
+    // clicks in the PRECEDING 30 minutes — the attribution-window band,
+    // the mirror of events_range_join's forward error→click band, and the
+    // batch form of the stream-stream join shape in
+    // [[graft.streaming.EventStreams.errorClickJoin]] (time bounded in
+    // both directions, so streaming join state expires). Planned as an
+    // equi-join on user_id with the time band as a post-join filter:
+    // one shuffle each side, no pairwise blow-up beyond the per-user
+    // band. The gap rides as exact BIGINT micros.
+    "events_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+      purchases.join(clicks, Seq("user_id"))
+        .filter(col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("user_id"), col("p_id"), col("c_id"), col("p_ts"), col("c_ts"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+        .orderBy(col("p_id"), col("c_id"))
     })
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "events_mad_outliers" -> {
+      val z = "0.6745 * (d.value - d.med) / a.mad"
+      s"""WITH ev AS (SELECT event_id, event_type, value FROM events),
+         |r1 AS (
+         |  SELECT event_id, event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM ev),
+         |med AS (
+         |  SELECT event_type, avg(value) AS med FROM r1
+         |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY event_type),
+         |dev AS (
+         |  SELECT e.event_id, e.event_type, e.value, m.med,
+         |    abs(e.value - m.med) AS dev
+         |  FROM ev e JOIN med m USING (event_type)),
+         |r2 AS (
+         |  SELECT event_id, event_type, dev,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM dev),
+         |mad AS (
+         |  SELECT event_type, avg(dev) AS mad FROM r2
+         |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY event_type)
+         |SELECT d.event_id, d.event_type, d.value,
+         |  ${graft.QueryPack.round6Sql("d.med")} AS med,
+         |  ${graft.QueryPack.round6Sql("a.mad")} AS mad,
+         |  ${graft.QueryPack.round6Sql(z)} AS robust_z
+         |FROM dev d JOIN mad a USING (event_type)
+         |WHERE a.mad > 0 AND abs($z) > 3.5
+         |ORDER BY event_id""".stripMargin
+    },
+    "events_seasonal_hourly" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, extract(hour FROM ts) AS hr, count(*) AS n,
+         |    sum(CAST(value AS DECIMAL(18,3))) AS sv
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT event_type, CAST(sum(n) AS BIGINT) AS tn, sum(sv) AS tsv
+         |  FROM hourly GROUP BY 1),
+         |j AS (
+         |  SELECT h.event_type, h.hr, h.n,
+         |    CAST(CAST(h.sv AS VARCHAR) AS DOUBLE) / h.n AS hour_avg,
+         |    CAST(CAST(t.tsv AS VARCHAR) AS DOUBLE) / t.tn AS type_avg
+         |  FROM hourly h JOIN tot t USING (event_type))
+         |SELECT event_type, hr, n,
+         |  ${graft.QueryPack.round6Sql("hour_avg")} AS hour_avg,
+         |  ${graft.QueryPack.round6Sql("type_avg")} AS type_avg,
+         |  ${graft.QueryPack.round6Sql("hour_avg / type_avg")} AS seasonal_ratio
+         |FROM j ORDER BY event_type, hr""".stripMargin,
+    "events_interval_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS c_id, user_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p_id, c_id, p_ts, c_ts,
+        |  epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c_ts >= p_ts - INTERVAL 30 MINUTE AND c_ts <= p_ts
+        |ORDER BY p_id, c_id""".stripMargin,
     "events_path_topk" ->
       """WITH seq AS (
         |  SELECT event_type,
