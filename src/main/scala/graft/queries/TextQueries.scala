@@ -264,6 +264,44 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-document surprisal under a corpus BIGRAM LM — the sequel to
+    // text_unigram_surprisal that scores word ORDER, not just vocabulary
+    // (a shuffled document keeps its unigram ppl but its bigram ppl
+    // explodes — the signal quality filters use against scrambled/
+    // boilerplate text). Conditional MLE p(w2|w1) = c(w1,w2) / c(w1,·)
+    // needs no smoothing when the corpus scores itself (every observed
+    // bigram has c >= 1). Scale shape mirrors the unigram query: the
+    // bigram-occurrence table is checkpointed ONCE and feeds both LM
+    // aggregations and the scoring join; joins are on (w1,w2)/(w1) keys
+    // (AQE broadcasts the vocab-sized sides when small), and the per-doc
+    // mean goes through the exact-DECIMAL sum so shuffle order cannot
+    // perturb the double.
+    "text_bigram_surprisal" -> ((s, dir) => {
+      val bi = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+      val pairs = docs(s, dir)
+        .select(col("doc_id"), explode(bi).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .localCheckpoint()
+      val lm2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val lm1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      pairs.join(lm2, Seq("w1", "w2")).join(lm1, Seq("w1"))
+        .select(col("doc_id"),
+          (-log(col("c2").cast("double") / col("c1").cast("double")))
+            .as("surprisal"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("surprisal").cast(DecimalType(27, 9))).cast("double") /
+            count(lit(1))).as("mean_raw"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round6(col("mean_raw")).as("avg_surprisal"),
+          round6(exp(col("mean_raw"))).as("bigram_ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus rollup per (lang, source): partial-agg friendly single shuffle.
     "text_corpus_stats" -> ((s, dir) =>
       docs(s, dir)
@@ -375,6 +413,23 @@ object TextQueries extends QueryPack {
          |  CAST(len(toks[ci*40+1 : ci*40+50]) AS INTEGER) AS n_chunk_tokens,
          |  md5(array_to_string(toks[ci*40+1 : ci*40+50], ' ')) AS chunk_fp
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_bigram_surprisal" -> {
+      // same exact-DECIMAL mean + VARCHAR-cast conversion as the unigram
+      // oracle, over conditional bigram probabilities
+      val mean = "CAST(CAST(sum(CAST(-ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))" +
+        " AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) / count(*)"
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |idx AS (
+         |  SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok),
+         |pairs AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM idx),
+         |lm2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+         |lm1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  ${graft.QueryPack.round6Sql(mean)} AS avg_surprisal,
+         |  ${graft.QueryPack.round6Sql(s"exp($mean)")} AS bigram_ppl
+         |FROM pairs JOIN lm2 USING (w1, w2) JOIN lm1 USING (w1)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "text_unigram_surprisal" -> {
       // exact DECIMAL sum / count with the VARCHAR-cast conversion rule,
       // spelled identically to the Spark side (mean of doubles is
