@@ -102,6 +102,54 @@ object CurationQueries extends QueryPack {
         .limit(50)
     }),
 
+    // RAKE-style keyphrase extraction: candidate phrases are maximal
+    // runs of non-boundary tokens (split at a fixed stop/boundary list,
+    // runs capped at 6 tokens as in classic RAKE), a word scores
+    // deg(w)/freq(w) over the candidate set (deg = sum of lengths of
+    // phrases containing it), and a phrase scores the sum of its words'
+    // scores. The synthetic corpus draws one vocabulary, so — like
+    // text_langid — the query pins the MECHANISM (island segmentation,
+    // degree/frequency stats, deterministic ranking) against the oracle.
+    // Scale shape: phrase building is one (doc_id, island) partial agg
+    // off a posexplode; the phrase table is checkpointed once and feeds
+    // the word-stat agg, the spelling counts, and the scoring join; word
+    // scores ride the join as exact DECIMAL so the per-phrase sum is
+    // shuffle-order-independent.
+    "corpus_keyphrases" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val stops = Seq("the", "a", "fast", "slow", "small", "big")
+      val tokd = spread(s, t(s, dir, "documents"), "doc_id")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+        .filter(length(col("term")) > 0)
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val phrases = tokd
+        .filter(!col("term").isin(stops: _*))
+        .withColumn("isl", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("term")))).as("ps"))
+        .select(concat_ws(" ",
+          transform(col("ps"), p => p("term"))).as("phrase"),
+          size(col("ps")).as("plen"))
+        .filter(col("plen") <= 6)
+        .localCheckpoint()
+      val wordScore = phrases
+        .select(explode(split(col("phrase"), " ")).as("term"), col("plen"))
+        .groupBy(col("term"))
+        .agg((sum(col("plen")).cast("double") / count(lit(1))).as("wscore"))
+      val spellings = phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n"))
+      spellings
+        .select(col("phrase"), explode(split(col("phrase"), " ")).as("term"))
+        .join(wordScore, "term")
+        .groupBy(col("phrase"))
+        .agg(sum(col("wscore").cast(DecimalType(27, 9))).cast("double")
+          .as("score_raw"))
+        .join(spellings, "phrase")
+        .select(col("phrase"), col("n"), round6(col("score_raw")).as("score"))
+        .orderBy(col("score").desc, col("n").desc, col("phrase"))
+        .limit(25)
+    }),
+
     // Pointwise-mutual-information collocations: which adjacent pairs
     // co-occur far above what their unigram frequencies predict —
     // raw-count top-k (corpus_bigrams_topk) surfaces common pairs of
@@ -521,6 +569,42 @@ object CurationQueries extends QueryPack {
         |)
         |SELECT bigram, count(*) AS n FROM pairs
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+    "corpus_keyphrases" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |idx AS (
+         |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks
+         |  FROM tok),
+         |tokd AS (
+         |  SELECT doc_id, pos, toks[pos] AS term FROM idx
+         |  WHERE len(toks[pos]) > 0),
+         |ns AS (
+         |  SELECT doc_id, pos, term,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |  FROM tokd
+         |  WHERE term NOT IN ('the', 'a', 'fast', 'slow', 'small', 'big')),
+         |ph AS (
+         |  SELECT array_to_string(list(term ORDER BY pos), ' ') AS phrase,
+         |    count(*) AS plen
+         |  FROM ns GROUP BY doc_id, isl),
+         |phr AS (SELECT phrase, plen FROM ph WHERE plen <= 6),
+         |wstat AS (
+         |  SELECT term, CAST(sum(plen) AS DOUBLE) / count(*) AS wscore
+         |  FROM (SELECT unnest(string_split(phrase, ' ')) AS term, plen FROM phr)
+         |  GROUP BY term),
+         |pc AS (SELECT phrase, count(*) AS n FROM phr GROUP BY phrase),
+         |pw AS (
+         |  SELECT phrase, unnest(string_split(phrase, ' ')) AS term FROM pc),
+         |scored AS (
+         |  SELECT phrase,
+         |    CAST(CAST(sum(CAST(wscore AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE)
+         |      AS score_raw
+         |  FROM pw JOIN wstat USING (term) GROUP BY phrase)
+         |SELECT p.phrase, p.n,
+         |  ${graft.QueryPack.round6Sql("s.score_raw")} AS score
+         |FROM pc p JOIN scored s USING (phrase)
+         |ORDER BY score DESC, n DESC, phrase LIMIT 25""".stripMargin,
     "corpus_pmi_bigrams" ->
       """WITH tok AS (
         |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents
