@@ -103,8 +103,10 @@ object CurationQueries extends QueryPack {
     }),
 
     // RAKE-style keyphrase extraction: candidate phrases are maximal
-    // runs of non-boundary tokens (split at a fixed stop/boundary list,
-    // runs capped at 6 tokens as in classic RAKE), a word scores
+    // runs of non-boundary tokens (split at a fixed stop/boundary list;
+    // runs LONGER than 6 tokens are dropped as degenerate — a >6-token
+    // stopword-free run in this corpus is noise, not a phrase; classic
+    // RAKE instead truncates, a deliberate deviation), a word scores
     // deg(w)/freq(w) over the candidate set (deg = sum of lengths of
     // phrases containing it), and a phrase scores the sum of its words'
     // scores. The synthetic corpus draws one vocabulary, so — like

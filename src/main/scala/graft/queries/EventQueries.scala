@@ -544,7 +544,11 @@ object EventQueries extends QueryPack {
         .select(col("event_type"), col("hr"), col("n"),
           round6(col("hour_avg")).as("hour_avg"),
           round6(col("type_avg")).as("type_avg"),
-          round6(col("hour_avg") / col("type_avg")).as("seasonal_ratio"))
+          // null ratio when the type mean is exactly 0 (NULLIF in the
+          // oracle): Spark would emit NaN/Infinity here while DuckDB's
+          // behavior is setting-dependent — a latent cross-engine split
+          round6(col("hour_avg") /
+            when(col("type_avg") =!= 0, col("type_avg"))).as("seasonal_ratio"))
         .orderBy(col("event_type"), col("hr"))
     }),
 
@@ -620,7 +624,7 @@ object EventQueries extends QueryPack {
          |SELECT event_type, hr, n,
          |  ${graft.QueryPack.round6Sql("hour_avg")} AS hour_avg,
          |  ${graft.QueryPack.round6Sql("type_avg")} AS type_avg,
-         |  ${graft.QueryPack.round6Sql("hour_avg / type_avg")} AS seasonal_ratio
+         |  ${graft.QueryPack.round6Sql("hour_avg / NULLIF(type_avg, 0)")} AS seasonal_ratio
          |FROM j ORDER BY event_type, hr""".stripMargin,
     "events_interval_join" ->
       """WITH p AS (
