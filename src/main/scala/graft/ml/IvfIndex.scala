@@ -84,11 +84,31 @@ class IvfIndex(nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L) {
         element_at(col("best.id"), 1).cast("int").as("cell"))
     // LWW on id collisions: a delta row REPLACES an existing row with the
     // same id (anti-join the old side) — a blind union would leave the
-    // stale vector in the index and let one id occupy two top-k slots
+    // stale vector in the index and let one id occupy two top-k slots.
+    // A re-added id also comes OFF the tombstone list: delete-then-upsert
+    // must leave the vector live (the store's LWW order).
     IvfIndex.Built(
       built.assigned.join(assignedDelta.select("id"), Seq("id"), "left_anti")
         .unionByName(assignedDelta).repartition(col("cell")),
-      built.centroids)
+      built.centroids,
+      built.tombstones.map(_.join(assignedDelta.select("id"), Seq("id"), "left_anti")))
+  }
+
+  /**
+   * Delete by id WITHOUT touching the corpus-sized cell table: the ids
+   * land on a tombstone sidecar that [[search]] anti-joins at probe time.
+   * At 100 TB a delete-heavy store cannot afford a cell-table rewrite
+   * (let alone a re-fit) per RemoveAsync batch — tombstones make a delete
+   * O(|batch|), and [[IvfIndex.compacted]] / [[IvfIndex.compactOnDisk]]
+   * fold them into the cell table once the dead fraction crosses a
+   * threshold, still with no KMeans anywhere (cell assignment of live
+   * rows is unchanged by deletes).
+   */
+  def delete(built: IvfIndex.Built, ids: DataFrame, idCol: String): IvfIndex.Built = {
+    val dead = ids.select(col(idCol).as("id")).distinct()
+    IvfIndex.Built(built.assigned, built.centroids,
+      Some(built.tombstones.fold(dead)(t =>
+        t.unionByName(dead).distinct())))
   }
 
   /** Top-k corpus neighbors by exact cosine for every query row, probing
@@ -104,7 +124,9 @@ class IvfIndex(nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L) {
       .agg(TopKByScore(nProbe)(col("cell_score"), col("cell").cast("long")).as("cells"))
       .select(col("q_id"), col("q_emb"), explode(col("cells.id")).as("cell"))
     // candidates: equi-join on cell, exact scoring, bounded top-k
-    routed.join(built.assigned, routed("cell") === built.assigned("cell"))
+    // (tombstoned ids filtered out of the candidate side first)
+    val live = built.live
+    routed.join(live, routed("cell") === live("cell"))
       .select(col("q_id"), col("id").as("n_id"),
         cosineSim(col("q_emb"), col("emb")).as("cos"))
       .groupBy(col("q_id"))
@@ -129,26 +151,108 @@ object IvfIndex {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** A built index: the cell-assigned corpus + the centroid routing table.
-    * Searchable whether just built or loaded from disk — the fitted KMeans
-    * model is build-time-only state and is NOT part of the searchable
-    * index (routing uses the centroid table). */
-  case class Built(assigned: DataFrame, centroids: DataFrame)
+  /** A built index: the cell-assigned corpus + the centroid routing table
+    * + an optional id-tombstone sidecar (rows deleted since the last
+    * compaction — still physically present in `assigned`, filtered out of
+    * every probe by [[live]]). Searchable whether just built or loaded
+    * from disk — the fitted KMeans model is build-time-only state and is
+    * NOT part of the searchable index (routing uses the centroid table). */
+  case class Built(assigned: DataFrame, centroids: DataFrame,
+      tombstones: Option[DataFrame] = None) {
+    /** Probe-visible rows: `assigned` minus tombstoned ids. No hint on
+      * the anti-join — the tombstone side is usually tiny (AQE broadcasts
+      * it), but a long-uncompacted store can grow it past broadcast size
+      * and the join must still plan. */
+    def live: DataFrame =
+      tombstones.fold(assigned)(t => assigned.join(t, Seq("id"), "left_anti"))
+
+    /** Dead fraction — the compaction trigger signal. */
+    def tombstoneFraction: Double = tombstones match {
+      case None => 0.0
+      case Some(t) =>
+        val total = assigned.count()
+        if (total == 0) 0.0 else t.count().toDouble / total
+    }
+  }
+
+  /** Fold tombstones into the cell table (materialized via the caller's
+    * next [[save]]) — no KMeans, no re-encode: deletes never change the
+    * cell assignment of surviving rows. */
+  def compacted(built: Built): Built =
+    built.tombstones.fold(built)(_ =>
+      Built(built.live.repartition(col("cell")), built.centroids, None))
 
   /** Persist a built index: the assigned corpus is written PARTITIONED BY
     * cell — the on-disk analog of a bucketed index table, so a search
     * probing nProbe cells prunes to those cell directories at scan time —
-    * plus the tiny centroid routing table. */
+    * plus the tiny centroid routing table and, when deletes are pending,
+    * the id-tombstone sidecar. */
   def save(built: Built, path: String): Unit = {
     built.assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/assigned")
     built.centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/centroids")
+    built.tombstones.foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/tombstones"))
+  }
+
+  private[graft] def loadOptional(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      Some(spark.read.parquet(dir))
+    else None
   }
 
   def load(spark: SparkSession, path: String): Built =
     Built(spark.read.parquet(s"$path/assigned"),
-      spark.read.parquet(s"$path/centroids"))
+      spark.read.parquet(s"$path/centroids"),
+      loadOptional(spark, s"$path/tombstones"))
+
+  /**
+   * Per-cell on-disk compaction of a PUBLISHED index: rewrite ONLY the
+   * cell directories that contain tombstoned rows (dynamic partition
+   * overwrite — untouched cells keep their files byte-for-byte), then
+   * drop the sidecar. The 100 TB discipline: a delete wave that hits 3 of
+   * 1024 cells rewrites 3 cell directories, not the corpus, and never
+   * re-runs KMeans. No-op below `minDeadFraction`.
+   */
+  def compactOnDisk(spark: SparkSession, path: String,
+      minDeadFraction: Double = 0.0): Unit = {
+    val built = load(spark, path)
+    if (built.tombstones.isEmpty) return
+    if (built.tombstoneFraction < minDeadFraction) return
+    val affected = built.assigned.join(built.tombstones.get, Seq("id"), "left_semi")
+      .select("cell").distinct().collect().map(_.get(0))
+    if (affected.nonEmpty) {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        // materialize the surviving rows of the affected cells BEFORE the
+        // overwrite — the write would otherwise read the directories it
+        // is replacing
+        val survivors = built.live
+          .filter(col("cell").isin(affected.toIndexedSeq: _*)).localCheckpoint()
+        survivors.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/assigned")
+        // a FULLY-dead cell emits no survivor rows, so dynamic overwrite
+        // never touches its directory — its stale rows would resurface
+        // once the sidecar drops. Remove those cell dirs explicitly.
+        val alive = survivors.select("cell").distinct().collect()
+          .map(_.get(0)).toSet
+        val fs = new org.apache.hadoop.fs.Path(s"$path/assigned")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        affected.filterNot(alive).foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/cell=$c"), true)
+        }
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    t.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(t, true)
+  }
 
   /**
    * The index lifecycle a query path must use: load the prebuilt index
@@ -176,8 +280,21 @@ object IvfIndex {
       sourcePath: String,
       idCol: String,
       embCol: String,
-      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf"): Built = {
-    val path = IndexCache.openOrBuildIncremental(sourcePath, ivf.fingerprint,
+      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf"): Built =
+    load(spark, openOrBuildPath(spark, ivf, sourcePath, idCol, embCol, cacheRoot))
+
+  /** [[openOrBuild]] but returning the PUBLISHED index directory — what
+    * a caller needs to hand the index to [[graft.plans.AnnIndexRule]]
+    * (the rewrite reads `path/assigned` as a cell-partition-pruned scan)
+    * or to target [[compactOnDisk]]. */
+  def openOrBuildPath(
+      spark: SparkSession,
+      ivf: IvfIndex,
+      sourcePath: String,
+      idCol: String,
+      embCol: String,
+      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf"): String =
+    IndexCache.openOrBuildIncremental(sourcePath, ivf.fingerprint,
       cacheRoot, "assigned/_SUCCESS") { staging =>
       save(ivf.build(spark, spark.read.parquet(sourcePath), idCol, embCol), staging)
     } { (published, newFiles, staging) =>
@@ -186,6 +303,4 @@ object IvfIndex {
       save(ivf.append(load(spark, published),
         spark.read.parquet(newFiles: _*), idCol, embCol), staging)
     }
-    load(spark, path)
-  }
 }

@@ -80,7 +80,18 @@ class IvfPqIndex(nCentroids: Int = 8, nProbe: Int = 5,
       built.embById.join(deltaIds, Seq("id"), "left_anti")
         .unionByName(PqIndex.withBucket(
           codedDelta.select(col("id"), col("emb")))),
-      built.centroids, built.codebooks)
+      built.centroids, built.codebooks,
+      built.tombstones.map(_.join(deltaIds, Seq("id"), "left_anti")))
+  }
+
+  /** Delete by id via the tombstone sidecar — same contract as
+    * [[IvfIndex.delete]] / [[PqIndex.delete]]: O(|batch|), no fit. */
+  def delete(built: IvfPqIndex.Built, ids: DataFrame,
+      idCol: String): IvfPqIndex.Built = {
+    val dead = ids.select(col(idCol).as("id")).distinct()
+    IvfPqIndex.Built(built.codedCell, built.embById, built.centroids,
+      built.codebooks,
+      Some(built.tombstones.fold(dead)(t => t.unionByName(dead).distinct())))
   }
 
   /** Top-k corpus neighbors by exact cosine: nProbe cells per query, ADC
@@ -102,7 +113,7 @@ class IvfPqIndex(nCentroids: Int = 8, nProbe: Int = 5,
         col("cellL").cast("int").as("cell"))
     // candidates: equi-join on cell over the code table — reads only the
     // probed cells' codes; ADC scores them with m lookups per candidate
-    val short = routed.join(built.codedCell, "cell")
+    val short = routed.join(built.liveCodedCell, "cell")
       .select(col("q_id"), col("q_emb"), col("id"),
         (-pq.adcExpr).as("neg_dist"))
       .groupBy(col("q_id"), col("q_emb"))
@@ -115,9 +126,15 @@ class IvfPqIndex(nCentroids: Int = 8, nProbe: Int = 5,
 object IvfPqIndex {
 
   /** A built composite index: cell-keyed code table, id-bucketed
-    * embedding fetch table, centroid routing table, PQ codebooks. */
+    * embedding fetch table, centroid routing table, PQ codebooks, and
+    * an optional id-tombstone sidecar filtered out of the probed-cell
+    * ADC scan by [[liveCodedCell]]. */
   case class Built(codedCell: DataFrame, embById: DataFrame,
-      centroids: DataFrame, codebooks: DataFrame)
+      centroids: DataFrame, codebooks: DataFrame,
+      tombstones: Option[DataFrame] = None) {
+    def liveCodedCell: DataFrame =
+      tombstones.fold(codedCell)(t => codedCell.join(t, Seq("id"), "left_anti"))
+  }
 
   /** Persist: codes partitioned by cell (probe prunes to cell dirs),
     * embeddings partitioned by id bucket (re-rank prunes to its
@@ -131,6 +148,8 @@ object IvfPqIndex {
       .parquet(s"$path/centroids")
     built.codebooks.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/codebooks")
+    built.tombstones.foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/tombstones"))
   }
 
   def load(spark: SparkSession, path: String): Built =
@@ -140,7 +159,8 @@ object IvfPqIndex {
       spark.read.parquet(s"$path/embById")
         .select(col("bucket").cast("int").as("bucket"), col("id"), col("emb")),
       spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(s"$path/codebooks"))
+      spark.read.parquet(s"$path/codebooks"),
+      IvfIndex.loadOptional(spark, s"$path/tombstones"))
 
   /** Index lifecycle: load the prebuilt index for `sourcePath`, else
     * build + publish once; a grown source takes the append path (frozen

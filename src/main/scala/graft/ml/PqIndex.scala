@@ -145,13 +145,24 @@ class PqIndex(m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
       codebookArray(built.codebooks)).localCheckpoint()
     val deltaIds = codedDelta.select("id")
     // LWW on id collisions: delta rows replace same-id rows in BOTH
-    // tables — a blind union would leave the stale codes/embedding behind
+    // tables — a blind union would leave the stale codes/embedding
+    // behind. A re-added id also comes OFF the tombstone list.
     PqIndex.Built(
       built.coded.join(deltaIds, Seq("id"), "left_anti")
         .unionByName(codedDelta.select(col("id"), col("codes"))),
       built.embById.join(deltaIds, Seq("id"), "left_anti")
         .unionByName(PqIndex.withBucket(codedDelta.select(col("id"), col("emb")))),
-      built.codebooks)
+      built.codebooks,
+      built.tombstones.map(_.join(deltaIds, Seq("id"), "left_anti")))
+  }
+
+  /** Delete by id via the tombstone sidecar — O(|batch|), no re-encode,
+    * none of the m KMeans fits; [[search]] filters the code scan. Same
+    * contract as [[IvfIndex.delete]]. */
+  def delete(built: PqIndex.Built, ids: DataFrame, idCol: String): PqIndex.Built = {
+    val dead = ids.select(col(idCol).as("id")).distinct()
+    PqIndex.Built(built.coded, built.embById, built.codebooks,
+      Some(built.tombstones.fold(dead)(t => t.unionByName(dead).distinct())))
   }
 
   /** Exact-cosine top-k per query via ADC shortlist + exact re-rank.
@@ -201,7 +212,7 @@ class PqIndex(m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
     // the ADC scan streams ONLY (id, codes) — m bytes/vector, never the
     // float embedding column (at 100 TB: ~3 TB of codes instead of the
     // full corpus; asserted on ReadSchema by PqRerankSpec)
-    val short = built.coded.crossJoin(broadcast(q))
+    val short = built.liveCoded.crossJoin(broadcast(q))
       .select(col("q_id"), col("q_emb"), col("id"), (-adcExpr).as("neg_dist"))
       .groupBy(col("q_id"), col("q_emb"))
       .agg(TopKByScore(shortlist)(col("neg_dist"), col("id")).as("cand"))
@@ -244,8 +255,16 @@ object PqIndex {
   /** A built index: the PQ code table (id, codes — what the ADC scan
     * streams), the id-bucketed embedding fetch table (bucket, id, emb —
     * what the shortlist re-rank joins, partition-prunable on bucket),
-    * and the per-subspace codebooks. */
-  case class Built(coded: DataFrame, embById: DataFrame, codebooks: DataFrame)
+    * the per-subspace codebooks, and an optional id-tombstone sidecar
+    * (deleted rows, filtered out of the ADC scan by [[liveCoded]] —
+    * the re-rank only ever joins shortlist ids, so it can never surface
+    * a tombstoned row). */
+  case class Built(coded: DataFrame, embById: DataFrame, codebooks: DataFrame,
+      tombstones: Option[DataFrame] = None) {
+    /** ADC-scannable rows: `coded` minus tombstoned ids. */
+    def liveCoded: DataFrame =
+      tombstones.fold(coded)(t => coded.join(t, Seq("id"), "left_anti"))
+  }
 
   /** Persist a built index. The embedding table is written PARTITIONED
     * BY id bucket — the on-disk layout that lets the re-rank join's
@@ -256,13 +275,16 @@ object PqIndex {
     built.embById.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/embById")
     built.codebooks.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    built.tombstones.foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/tombstones"))
   }
 
   def load(spark: SparkSession, path: String): Built =
     Built(spark.read.parquet(s"$path/coded"),
       spark.read.parquet(s"$path/embById")
         .select(col("bucket").cast("int").as("bucket"), col("id"), col("emb")),
-      spark.read.parquet(s"$path/codebooks"))
+      spark.read.parquet(s"$path/codebooks"),
+      IvfIndex.loadOptional(spark, s"$path/tombstones"))
 
   /** Load the prebuilt code table for `sourcePath` or build + publish it
     * once — the m KMeans fits never run in a registered query path (see

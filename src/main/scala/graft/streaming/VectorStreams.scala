@@ -6,6 +6,8 @@ import graft.ml.IvfIndex
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import java.util.concurrent.atomic.AtomicReference
+
 /** A query vector arriving on the search stream. */
 case class QueryVec(q_id: Long, q_emb: Seq[Float])
 
@@ -71,6 +73,40 @@ object VectorStreams {
    * VectorStreamsSpec. The SAME call works on a batch frame (unified
    * API).
    */
+  /**
+   * Continuous ingest that keeps a LIVE index fresh: every micro-batch of
+   * `records` is appended to the index in `indexRef` via
+   * [[IvfIndex.append]] — assignment against FROZEN centroids, so the
+   * per-batch cost is one map-side encode of the batch, never a KMeans
+   * fit — and [[indexedKnn]] probing `indexRef.get()` sees streamed
+   * vectors as soon as their batch commits. This closes the freshness gap
+   * between `MerkonStore.streamingUpsert` (exact search saw streamed rows
+   * immediately) and the indexed path (which used to probe a frozen
+   * snapshot until someone re-ran `openOrBuild`).
+   *
+   * The grown cell table is `localCheckpoint`ed once per batch so plan
+   * lineage stays O(1) across an unbounded stream rather than stacking
+   * one union + anti-join per micro-batch. At 100 TB the same hook runs
+   * against the persisted index (append + publish via [[graft.ml.IndexCache]])
+   * on a batch-count or size cadence instead of per-batch.
+   */
+  def indexedIngest(records: DataFrame, ivf: IvfIndex,
+      indexRef: AtomicReference[IvfIndex.Built],
+      idCol: String, embCol: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = records.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          indexRef.updateAndGet { b =>
+            val grown = ivf.append(b, batch, idCol, embCol)
+            grown.copy(assigned = grown.assigned.localCheckpoint())
+          }
+          ()
+        }
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
+
   def indexedKnn(queries: DataFrame, built: IvfIndex.Built,
       nProbe: Int, k: Int): DataFrame = {
     val spark = queries.sparkSession
@@ -97,7 +133,7 @@ object VectorStreams {
         }
       }.toDF()
     val scored = routed
-      .join(built.assigned, Seq("cell"))
+      .join(built.live, Seq("cell"))
       .select(col("q_id"), col("id").as("_n_id"),
         cosineSim(col("q_emb"), col("emb")).as("cos"))
     scored.groupBy(col("q_id"))

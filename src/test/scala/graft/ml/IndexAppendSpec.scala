@@ -161,6 +161,93 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
     assert(pqHit == Set(450L, 7L))
   }
 
+  test("tombstone delete + re-add: search reflects both, no re-fit anywhere") {
+    import spark.implicits._
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 8)
+    val built = ivf.build(spark, emb, "vec_id", "embedding")
+
+    // delete id 450: it must vanish from its own top-1 (which falls to
+    // the next-nearest vector), while the cell table is untouched (the
+    // delete is O(|batch|) sidecar bookkeeping, not a corpus rewrite)
+    val del = ivf.delete(built, Seq(450L).toDF("vec_id"), "vec_id")
+    assert(del.assigned.count() == built.assigned.count(),
+      "delete must not rewrite the cell table")
+    assert(centroidSet(del.centroids) == centroidSet(built.centroids),
+      "delete must not move the quantizer")
+    val afterDel = ivf.search(del, emb.filter(col("vec_id") === 450),
+        "vec_id", "embedding", 1).select("neighbor_id").head().getLong(0)
+    assert(afterDel != 450L, "tombstoned id surfaced as a neighbor")
+
+    // re-add the same id via append (delete-then-upsert = live again) —
+    // still against FROZEN centroids
+    val readded = ivf.append(del, emb.filter(col("vec_id") === 450),
+      "vec_id", "embedding")
+    assert(centroidSet(readded.centroids) == centroidSet(built.centroids))
+    assert(readded.tombstones.forall(_.filter(col("id") === 450).isEmpty),
+      "re-added id must come off the tombstone list")
+    val afterReadd = ivf.search(readded, emb.filter(col("vec_id") === 450),
+        "vec_id", "embedding", 1).select("neighbor_id").head().getLong(0)
+    assert(afterReadd == 450L)
+
+    // same contract for PQ: delete filters the ADC scan, re-add encodes
+    // against FROZEN codebooks
+    val pq = new PqIndex(m = 8, kCentroids = 16)
+    val pqBuilt = pq.build(spark, emb, "vec_id", "embedding")
+    val pqDel = pq.delete(pqBuilt, Seq(470L).toDF("vec_id"), "vec_id")
+    assert(pq.search(pqDel, emb.filter(col("vec_id") === 470),
+        "vec_id", "embedding", 1).select("neighbor_id").head().getLong(0) != 470L)
+    val pqReadd = pq.append(pqDel, emb.filter(col("vec_id") === 470),
+      "vec_id", "embedding")
+    assert(codebookSet(pqReadd.codebooks) == codebookSet(pqBuilt.codebooks))
+    assert(pq.search(pqReadd, emb.filter(col("vec_id") === 470),
+        "vec_id", "embedding", 1).select("neighbor_id").head().getLong(0) == 470L)
+  }
+
+  test("tombstones persist through save/load; compactOnDisk rewrites only affected cells") {
+    import spark.implicits._
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-tomb").toString
+    IvfIndex.save(ivf.build(spark, emb, "vec_id", "embedding"), path)
+
+    // delete through the persisted lifecycle: load -> tombstone -> save
+    // sidecar only (the corpus-sized assigned table is NOT rewritten here)
+    val loaded = IvfIndex.load(spark, path)
+    val del = ivf.delete(loaded, Seq(450L, 451L).toDF("vec_id"), "vec_id")
+    del.tombstones.get.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/tombstones")
+    val reloaded = IvfIndex.load(spark, path)
+    assert(reloaded.tombstones.isDefined)
+    assert(reloaded.live.filter(col("id").isin(450L, 451L)).isEmpty)
+
+    // physical compaction: only cell dirs holding the dead ids rewrite
+    val deadCells = reloaded.assigned
+      .filter(col("id").isin(450L, 451L))
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val cellDir = (c: Int) => new java.io.File(s"$path/assigned/cell=$c")
+    val untouchedBefore = (0 until 8).filterNot(deadCells)
+      .map(c => c -> cellDir(c).listFiles().map(f =>
+        f.getName -> f.lastModified()).toSet).toMap
+    IvfIndex.compactOnDisk(spark, path)
+    val after = IvfIndex.load(spark, path)
+    assert(after.tombstones.isEmpty, "compaction must drop the sidecar")
+    assert(after.assigned.filter(col("id").isin(450L, 451L)).isEmpty,
+      "compaction must physically remove tombstoned rows")
+    assert(after.assigned.count() == emb.count() - 2)
+    untouchedBefore.foreach { case (c, files) =>
+      assert(cellDir(c).listFiles().map(f =>
+        f.getName -> f.lastModified()).toSet == files,
+        s"cell $c had no tombstones but its files changed")
+    }
+    // and the threshold guard: a fresh delete below minDeadFraction is a
+    // no-op (sidecar kept, nothing rewritten)
+    ivf.delete(after, Seq(452L).toDF("vec_id"), "vec_id")
+      .tombstones.get.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/tombstones")
+    IvfIndex.compactOnDisk(spark, path, minDeadFraction = 0.5)
+    assert(IvfIndex.load(spark, path).tombstones.isDefined,
+      "below-threshold compaction must keep the sidecar")
+  }
+
   test("openOrBuild recovers from a stale PARTIAL index dir at the key path") {
     // simulate a builder that died after creating the target dir but
     // before completing the index: the success marker is missing, so the

@@ -84,4 +84,47 @@ class VectorStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       "indexedKnn must not plan a full-corpus non-equi join")
   }
+
+  test("indexedIngest: streamed vectors become visible to indexedKnn, no re-fit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // index built over HALF the corpus; vectors >= 400 arrive on a stream
+    val ivf = new graft.ml.IvfIndex(nCentroids = 8, nProbe = 8)
+    val base = corpus.filter(col("vec_id") < 400)
+    val built = ivf.build(spark, base, "vec_id", "embedding")
+    val centroidsBefore = built.centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).toSet
+    val indexRef = new java.util.concurrent.atomic.AtomicReference(built)
+
+    // the streamed-but-not-yet-ingested vector is INVISIBLE to the probe
+    val probe450 = () => VectorStreams.indexedKnn(
+        queryVecs(450L).toDF(), indexRef.get(), nProbe = 8, k = 1)
+      .select("neighbor_id").head().getLong(0)
+    assert(probe450() != 450L)
+
+    val input = MemoryStream[QueryVec]
+    val ingest = VectorStreams.indexedIngest(
+      input.toDF().select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
+      ivf, indexRef, "vec_id", "embedding")
+    try {
+      input.addData(queryVecs(450L, 451L): _*)
+      ingest.processAllAvailable()
+      // after the batch commits, the SAME standing probe sees the vector
+      assert(probe450() == 450L,
+        "streamed vector invisible to indexedKnn after ingest")
+      input.addData(queryVecs(452L): _*) // a later micro-batch too
+      ingest.processAllAvailable()
+      assert(VectorStreams.indexedKnn(
+          queryVecs(452L).toDF(), indexRef.get(), nProbe = 8, k = 1)
+        .select("neighbor_id").head().getLong(0) == 452L)
+    } finally ingest.stop()
+
+    // freshness came from append, not rebuild: frozen centroids prove no
+    // KMeans ran in the ingest loop
+    val centroidsAfter = indexRef.get().centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).toSet
+    assert(centroidsAfter == centroidsBefore)
+    assert(indexRef.get().assigned.count() == base.count() + 3)
+  }
 }
