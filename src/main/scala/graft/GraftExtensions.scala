@@ -12,9 +12,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  * available as SQL functions in every session of that application — no
  * per-session `register()` call, no driver code.
  *
- * This is the idiomatic way a Spark library ships Catalyst additions
- * (functions today; a custom rule/strategy would be injected from the
- * same hook if an operator ever needs one — per SURVEY §4, none does).
+ * This is the idiomatic way a Spark library ships Catalyst additions:
+ * the SQL function family plus the one custom optimizer rule
+ * ([[graft.plans.AnnIndexRule]] — the SURVEY §4 ANN rewrite, which
+ * serves registered literal-query kNN plans from the persisted IVF
+ * index). Sessions not built with the extension get the rule installed
+ * at [[graft.plans.AnnIndexRegistry.register]] time instead.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -22,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.AnnIndexRule)
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(a, b) - cosine similarity of two ARRAY<FLOAT>"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))

@@ -1,0 +1,243 @@
+package graft.plans
+
+import graft.functions.CosineSimilarity
+import graft.ml.IvfIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+import scala.collection.concurrent.TrieMap
+
+/**
+ * The engine-uses-its-own-indexes piece (SURVEY §4's one deliberately
+ * deferred custom-optimizer item): a registered parquet corpus with a
+ * persisted IVF index gets its flagship kNN pattern
+ *
+ *   scan → cosine_similarity(emb, <literal query>) → filter/orderBy →
+ *   limit k
+ *
+ * rewritten by [[AnnIndexRule]] into the IVF probe: the query literal is
+ * routed to its `nProbe` nearest cells at plan time (the centroid table
+ * is a few KiB, held by the registry), and the corpus scan is replaced by
+ * a scan of the index's cell-PARTITIONED `assigned` table pruned to the
+ * probed cells — at 100 TB, `nProbe/nCentroids` of the corpus read
+ * instead of all of it, with the exact scoring/ordering/limit semantics
+ * of the original plan applied unchanged to the candidate set. No join is
+ * needed where the streaming path (`VectorStreams.indexedKnn`) uses one:
+ * a LITERAL query vector routes on the driver, so cell pruning becomes a
+ * partition filter on the scan — earlier than any join could prune.
+ *
+ * Exactness contract: the rewrite is opt-in twice over — only explicitly
+ * [[AnnIndexRegistry.register]]ed source paths ever match (registration
+ * IS the index job), and the session kill-switch
+ * `spark.graft.ann.rewrite.enabled` turns the rule into a no-op, leaving
+ * the original exact plan. Results on a matched plan are approximate with
+ * the AnnRecallSpec recall ≥ 0.9 contract (uniform-random worst case);
+ * the oracle-checked exact kNN queries use a broadcast-join query-vector
+ * shape (an attribute, not a literal) that can never match.
+ *
+ * Reference anchor: this serves the reference's flagship
+ * `GetNearestMatchesAsync` shape (/root/reference/src/Connectors.Memory.
+ * Merkon/MerkonMemoryStore.cs:117-150), which takes the query vector as a
+ * call parameter — exactly the literal the rule keys on.
+ */
+object AnnIndexRegistry {
+
+  /** A registered index: where the published IVF artifact lives, how the
+    * source columns map onto it, and the routing table (collected once at
+    * registration — nCentroids × dim floats). */
+  case class Entry(indexPath: String, idCol: String, embCol: String,
+      nProbe: Int, centroids: Array[(Int, Array[Double])])
+
+  private val entries = TrieMap.empty[String, Entry]
+
+  /** Scheme-insensitive path key ("file:/x" and "/x" are the same scan). */
+  private[plans] def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /**
+   * The index job + registration: build (or load) the persisted IVF index
+   * for `sourcePath` and register it so [[AnnIndexRule]] serves matching
+   * kNN plans over that path from the index. Also installs the rule into
+   * the session's extra optimizations (idempotent) — sessions configured
+   * with `spark.sql.extensions=graft.GraftExtensions` already carry it.
+   */
+  def register(spark: SparkSession, ivf: IvfIndex, sourcePath: String,
+      idCol: String, embCol: String, nProbe: Int,
+      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf"): Entry = {
+    val path = IvfIndex.openOrBuildPath(spark, ivf, sourcePath, idCol, embCol,
+      cacheRoot)
+    val centroids = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val entry = Entry(path, idCol, embCol, nProbe, centroids)
+    entries(normalize(sourcePath)) = entry
+    AnnIndexRule.install(spark)
+    entry
+  }
+
+  def lookup(path: String): Option[Entry] = entries.get(normalize(path))
+
+  def deregister(sourcePath: String): Unit = entries.remove(normalize(sourcePath))
+
+  def clear(): Unit = entries.clear()
+}
+
+/**
+ * Logical rewrite `Limit(Sort(desc cosine_similarity(emb, literal), …,
+ * Project/Filter chain, registered scan))` → same plan over the
+ * cell-pruned index scan. See [[AnnIndexRegistry]] for the contract.
+ *
+ * Shape requirements, checked structurally (anything else is left
+ * untouched — the rule can only ever narrow a matched plan's candidate
+ * set, never alter expressions):
+ *  - the primary sort key resolves (through the chain's aliases) to
+ *    `CosineSimilarity(<emb attribute>, <array literal>)` descending;
+ *  - every relation attribute referenced anywhere in the matched chain
+ *    is the registered id or embedding column (the index's `assigned`
+ *    table only carries those two, so a plan touching other corpus
+ *    columns keeps its exact scan);
+ *  - the scan's root path is registered.
+ */
+object AnnIndexRule extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.ann.rewrite.enabled"
+
+  /** Idempotent session install (the runtime path; GraftExtensions is
+    * the static-conf path). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(AnnIndexRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AnnIndexRule
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString(ConfKey, "true") != "true") plan
+    else plan.transformDown {
+      case gl @ GlobalLimit(IntegerLiteral(k), LocalLimit(_, inner)) if k > 0 =>
+        rewrite(inner).map { case (rel, replacement) =>
+          gl.transformUp { case r: LogicalRelation if r eq rel => replacement }
+        }.getOrElse(gl)
+    }
+
+  /** Match Project*(Sort(Project/Filter*(relation))) under the limit;
+    * return (matched relation, replacement subtree) when every
+    * requirement holds. Projects ABOVE the sort appear when the caller
+    * selects from the top-k result (PushProjectionThroughLimit lands the
+    * pruning Project between LocalLimit and Sort). */
+  private def rewrite(inner: LogicalPlan): Option[(LogicalRelation, LogicalPlan)] = {
+    var refs = AttributeSet(Seq.empty[Attribute])
+    var cur = inner
+    var order: Seq[SortOrder] = null
+    while (order == null) cur match {
+      case p @ Project(_, c) =>
+        refs ++= p.references; cur = c
+      case Sort(o, true, c, _) =>
+        refs ++= AttributeSet(o.flatMap(_.references)); order = o; cur = c
+      case _ => return None
+    }
+    val child = cur
+    // walk the Project/Filter chain down to a single relation, collecting
+    // alias definitions and every node's references on the way
+    var aliases = Map.empty[ExprId, Expression]
+    var rel: LogicalRelation = null
+    cur = child
+    while (rel == null) cur match {
+      case p @ Project(projList, c) =>
+        aliases ++= projList.collect { case a: Alias => a.exprId -> a.child }
+        refs ++= p.references; cur = c
+      case f @ Filter(_, c) =>
+        refs ++= f.references; cur = c
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        rel = lr
+      case _ => return None
+    }
+    val fsRel = rel.relation.asInstanceOf[HadoopFsRelation]
+    val roots = fsRel.location.rootPaths
+    if (roots.size != 1) return None
+    val entry = AnnIndexRegistry.lookup(roots.head.toString).getOrElse(return None)
+
+    // the primary sort key must resolve to cosine(embAttr, literal) desc
+    val head = order.headOption.getOrElse(return None)
+    if (head.direction != Descending) return None
+    val resolved = resolveThrough(head.child, aliases)
+    val (embAttr, queryVec) = resolved match {
+      case CosineSimilarity(a: AttributeReference, l: Literal)
+          if rel.outputSet.contains(a) => (a, literalVec(l).getOrElse(return None))
+      case CosineSimilarity(l: Literal, a: AttributeReference)
+          if rel.outputSet.contains(a) => (a, literalVec(l).getOrElse(return None))
+      case _ => return None
+    }
+    if (embAttr.name != entry.embCol) return None
+    // every relation column the chain touches must exist in the index
+    // table (id + emb) — otherwise the exact scan must stay
+    val relRefs = refs.filter(rel.outputSet.contains)
+    if (!relRefs.forall(a => a.name == entry.idCol || a.exprId == embAttr.exprId))
+      return None
+    val idAttr = rel.output.find(_.name == entry.idCol).getOrElse(return None)
+
+    // driver-side routing: nProbe nearest cells by cosine, ties cell-asc
+    // (the same routing + tie-break as IvfIndex.search / indexedKnn)
+    val cells = route(queryVec, entry.centroids, entry.nProbe)
+    if (cells.isEmpty) return None
+
+    // the replacement: cell-partition-pruned scan of the index table,
+    // tombstones filtered, renamed onto the ORIGINAL attribute ids so the
+    // untouched chain above resolves unchanged
+    val spark = SparkSession.active
+    val assigned = spark.read.parquet(s"${entry.indexPath}/assigned")
+      .filter(col("cell").isInCollection(cells))
+    val live = IvfIndex.loadOptional(spark, s"${entry.indexPath}/tombstones")
+      .fold(assigned)(t => assigned.join(t, Seq("id"), "left_anti"))
+    val pruned = live.select(col("id"), col("emb")).queryExecution.analyzed
+    val newId = pruned.output.head
+    val newEmb = pruned.output(1)
+    Some((rel, Project(Seq(
+      Alias(newId, idAttr.name)(exprId = idAttr.exprId),
+      Alias(newEmb, embAttr.name)(exprId = embAttr.exprId)), pruned)))
+  }
+
+  /** Substitute chain aliases into `e` to a fixpoint (the sort usually
+    * keys on a projected `score` alias, often through round6 — only a
+    * BARE cosine survives the match below, by design: a transformed
+    * score orders differently than raw cosine only in ties, but a
+    * transformed SHAPE signals a query we did not reason about). */
+  private def resolveThrough(e: Expression, aliases: Map[ExprId, Expression]): Expression = {
+    var cur = e
+    var i = 0
+    while (i < 8) { // alias chains are shallow; bound the walk
+      val next = cur.transformUp {
+        case a: AttributeReference if aliases.contains(a.exprId) => aliases(a.exprId)
+      }
+      if (next fastEquals cur) return cur
+      cur = next; i += 1
+    }
+    cur
+  }
+
+  /** Array literal → double vector (float32 and float64 corpora). */
+  private def literalVec(l: Literal): Option[Array[Double]] = l.dataType match {
+    case ArrayType(FloatType, _) =>
+      Option(l.value).map(_.asInstanceOf[ArrayData].toFloatArray.map(_.toDouble))
+    case ArrayType(DoubleType, _) =>
+      Option(l.value).map(_.asInstanceOf[ArrayData].toDoubleArray)
+    case _ => None
+  }
+
+  private def route(q: Array[Double], centroids: Array[(Int, Array[Double])],
+      nProbe: Int): Seq[Int] = {
+    val nq = math.sqrt(q.map(x => x * x).sum)
+    if (nq == 0.0) return Seq.empty
+    centroids.map { case (cell, c) =>
+      var dot = 0.0; var nc = 0.0; var i = 0
+      while (i < c.length && i < q.length) {
+        dot += q(i) * c(i); nc += c(i) * c(i); i += 1
+      }
+      (cell, if (nc == 0.0) -1.0 else dot / (nq * math.sqrt(nc)))
+    }.sortBy { case (cell, s) => (-s, cell) }.take(nProbe).map(_._1).toSeq
+  }
+}

@@ -87,6 +87,38 @@ object AnnQueries extends QueryPack {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // The ANN rewrite RULE in action (graft.plans.AnnIndexRule — SURVEY
+    // §4's deferred custom-optimizer item): each branch below is the
+    // NAIVE flagship plan — scan, literal-query cosine, descending
+    // top-k — with no index call anywhere in the query code. The
+    // registered rule rewrites every branch into the nProbe-cell-pruned
+    // scan of the persisted IVF index at optimization time (asserted on
+    // the physical plan by AnnRewriteSpec; recall >= 0.9 there too).
+    // This is the "engine uses its own indexes" path: the same
+    // declarative query an exact engine runs, served from the index.
+    "ann_indexed_rewrite" -> ((s, dir) => {
+      val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
+      graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
+        "vec_id", "embedding", nProbe = 6)
+      val emb = t(s, dir, "embeddings")
+      // 5 query vectors as literals (the reference-shaped call: the
+      // query arrives as a parameter, not a table)
+      val qvs = emb.filter(col("vec_id") < 5)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      qvs.map { case (qid, qv) =>
+        emb.select(col("vec_id"), col("embedding"))
+          .withColumn("score",
+            graft.functions.VectorFunctions.cosineSim(col("embedding"), lit(qv)))
+          .filter(col("score") >= 0.0)
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(10)
+          .select(lit(qid).as("q_id"), col("vec_id").as("neighbor_id"),
+            round6(col("score")).as("score"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("q_id"), col("score").desc, col("neighbor_id"))
+    }),
+
     // Driver-visible ANN correctness: per-(method, query) recall of ALL
     // approximate paths (LSH, IVF, PQ) against the exact in-Spark top-k
     // (same contract AnnRecallSpec pins in sbt). A recall regression in

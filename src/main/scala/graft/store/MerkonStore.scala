@@ -146,19 +146,69 @@ class MerkonStore(spark: SparkSession) {
 
   // ---- kNN (B8, B9) ----
 
+  // Collections with a registered ANN index: name -> parquet snapshot
+  // path (the AnnIndexRegistry source key). See [[buildIndex]].
+  private val indexedCollections = mutable.Map.empty[String, String]
+
+  /**
+   * The index job for a collection — the scale path under B8: snapshot
+   * the collection's (key, embedding) rows to parquet, build (or load)
+   * the persisted IVF index over the snapshot, and register it with
+   * [[graft.plans.AnnIndexRegistry]] so `getNearestMatches(useIndex =
+   * true)` plans the nProbe-cell-pruned probe instead of a full corpus
+   * scan. Explicitly a JOB, not a query-path side effect: at 100 TB this
+   * is the maintenance task that runs on ingest cadence; re-run it after
+   * mutations to refresh the searchable snapshot (openOrBuild appends
+   * against frozen centroids when the snapshot only grew).
+   */
+  def buildIndex(name: String, nCentroids: Int = 16, nProbe: Int = 4,
+      dir: String = sys.props("java.io.tmpdir") + "/graft-store-index"): Unit = {
+    val dump = s"$dir/${pathSafe(name)}"
+    purgeEmptyKeys(current(name))
+      .filter(col("embedding").isNotNull)
+      .select(col("key"), col("embedding"))
+      .write.mode("overwrite").parquet(dump)
+    graft.plans.AnnIndexRegistry.register(spark,
+      new graft.ml.IvfIndex(nCentroids, nProbe), dump, "key", "embedding", nProbe)
+    indexedCollections(name) = dump
+  }
+
   /**
    * B8 `GetNearestMatchesAsync` — the flagship exact-kNN query
    * (MerkonMemoryStore.cs:117-150): cosine score, `>= minRelevanceScore`
    * filter (:138), descending top-k (:146). Plans as scan -> codegen'd
    * score -> TakeOrderedAndProject: per-partition top-k, only k rows per
    * partition cross the shuffle at any scale.
+   *
+   * `useIndex = true` (requires a prior [[buildIndex]]) serves the top-k
+   * from the registered IVF index instead: the SAME declarative plan is
+   * built over the indexed snapshot and [[graft.plans.AnnIndexRule]]
+   * rewrites it into the cell-pruned probe — approximate with the recall
+   * >= 0.9 contract (AnnRecallSpec / MerkonStoreSpec), reading
+   * ~nProbe/nCentroids of the corpus. Scores of surfaced rows are exact.
+   * The probe sees the collection as of the last buildIndex; metadata
+   * and timestamp are fetched from the LIVE collection by key (a
+   * broadcast join of <= limit rows), so a key deleted since the index
+   * job yields a shorter result rather than a stale row.
    */
   def getNearestMatches(
       name: String,
       queryVector: Array[Float],
       limit: Int,
       minRelevanceScore: Double = 0.0,
-      withEmbeddings: Boolean = false): DataFrame = {
+      withEmbeddings: Boolean = false,
+      useIndex: Boolean = false): DataFrame = {
+    if (useIndex && limit > 0 && indexedCollections.contains(name)) {
+      val topk = spark.read.parquet(indexedCollections(name))
+        .withColumn("score", cosineSim(col("embedding"), lit(queryVector)))
+        .filter(col("score") >= minRelevanceScore)
+        .orderBy(col("score").desc, col("key").asc)
+        .limit(limit)
+        .select(col("key"), col("score"))
+      val fetched = purgeEmptyKeys(current(name)).join(broadcast(topk), Seq("key"))
+      return project(fetched, withEmbeddings)
+        .orderBy(col("score").desc, col("key").asc)
+    }
     val base = project(
       purgeEmptyKeys(current(name))
         .withColumn("score", cosineSim(col("embedding"), lit(queryVector))),

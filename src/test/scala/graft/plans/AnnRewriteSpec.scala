@@ -1,0 +1,127 @@
+package graft.plans
+
+import graft.SparkTestBase
+import graft.functions.VectorFunctions.cosineSim
+import graft.ml.IvfIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The ANN rewrite rule must serve the flagship literal-query kNN pattern
+ * from the registered IVF index (cell-partition-pruned scan), leave every
+ * unregistered or differently-shaped plan exact, and honor the
+ * kill-switch.
+ */
+class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
+
+  private def src = s"$sf0_001/embeddings.parquet"
+  private def corpus = spark.read.parquet(src)
+
+  private def queryVec(id: Long): Array[Float] =
+    corpus.filter(col("vec_id") === id).select("embedding")
+      .head().getSeq[Float](0).toArray
+
+  /** The reference-shaped flagship plan: literal query vector, cosine
+    * score, threshold, descending top-k (MerkonMemoryStore.cs:117-150). */
+  private def flagship(qv: Array[Float], k: Int): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("score", cosineSim(col("embedding"), lit(qv)))
+      .filter(col("score") >= 0.0)
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+
+  test("registered literal-kNN rewrites to a cell-pruned index scan; recall >= 0.9") {
+    // nProbe 6/8 for k=10 on the uniform-random corpus (IVF's worst case
+    // — no cluster structure; the registered nProbe is the caller's
+    // recall/cost dial, same tradeoff as IvfIndex.search)
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
+    try {
+      AnnIndexRegistry.register(spark, ivf, src, "vec_id", "embedding", nProbe = 6)
+
+      val qv = queryVec(0L)
+      val plan = flagship(qv, 10).queryExecution.executedPlan.toString
+      // the corpus scan is GONE; the index's assigned table is scanned
+      // with a partition filter on cell (5 of 8 cells)
+      assert(plan.contains("assigned"), plan.take(3000))
+      assert(plan.contains("cell"), plan.take(3000))
+      assert(!plan.contains("embeddings.parquet"),
+        "rewritten plan must not scan the original corpus")
+
+      // recall against the exact plan (kill-switch = ground truth)
+      val qs = (0L until 20L).map(queryVec)
+      spark.conf.set(AnnIndexRule.ConfKey, "false")
+      val exact = try qs.map(q => flagship(q, 10).select("vec_id")
+          .collect().map(_.getLong(0)).toSet)
+        finally spark.conf.unset(AnnIndexRule.ConfKey)
+      val approx = qs.map(q => flagship(q, 10).select("vec_id")
+        .collect().map(_.getLong(0)).toSet)
+      val recall = approx.zip(exact)
+        .map { case (a, e) => (a & e).size.toDouble / e.size }.sum / exact.size
+      assert(recall >= 0.9, s"rewrite recall $recall")
+      // scores/ordering of surfaced rows are EXACT (the rewrite only
+      // narrows the candidate set): every approx hit that is also an
+      // exact hit carries the identical score
+      val aRows = flagship(queryVec(3L), 10).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      spark.conf.set(AnnIndexRule.ConfKey, "false")
+      val eRows = try flagship(queryVec(3L), 10).collect()
+          .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+        finally spark.conf.unset(AnnIndexRule.ConfKey)
+      aRows.keySet.intersect(eRows.keySet).foreach { id =>
+        assert(aRows(id) == eRows(id)) }
+    } finally AnnIndexRegistry.clear()
+  }
+
+  test("tombstoned ids never surface through the rewritten plan") {
+    import spark.implicits._
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 8)
+    try {
+      val entry = AnnIndexRegistry.register(spark, ivf, src,
+        "vec_id", "embedding", nProbe = 8)
+      val qv = queryVec(5L)
+      assert(flagship(qv, 1).select("vec_id").head().getLong(0) == 5L)
+      // delete id 5 at the published index (the store's RemoveAsync path)
+      Seq(5L).toDF("id").coalesce(1).write.mode("overwrite")
+        .parquet(s"${entry.indexPath}/tombstones")
+      try {
+        val top = flagship(qv, 10).select("vec_id").collect().map(_.getLong(0))
+        assert(!top.contains(5L), "tombstoned id surfaced through the rewrite")
+        assert(top.nonEmpty)
+      } finally {
+        val t = new org.apache.hadoop.fs.Path(s"${entry.indexPath}/tombstones")
+        t.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(t, true)
+      }
+    } finally AnnIndexRegistry.clear()
+  }
+
+  test("non-matching shapes keep their exact plan") {
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
+    try {
+      AnnIndexRegistry.register(spark, ivf, src, "vec_id", "embedding", nProbe = 5)
+      // (a) query vector as a joined ATTRIBUTE (the oracle-checked exact
+      // kNN shape) — no literal, no match
+      val q = corpus.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val attrShape = corpus.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          cosineSim(col("embedding"), col("q_emb")).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+      assert(attrShape.queryExecution.executedPlan.toString
+        .contains("embeddings.parquet"))
+      // (b) a plan touching a relation column the index table lacks
+      // (here: projecting the embedding is fine, but sorting ASCENDING
+      // breaks the kNN contract) — no match
+      val asc = corpus
+        .withColumn("score", cosineSim(col("embedding"), lit(queryVec(0L))))
+        .orderBy(col("score").asc).limit(5)
+      assert(asc.queryExecution.executedPlan.toString
+        .contains("embeddings.parquet"))
+      // (c) unregistered path — no match
+      AnnIndexRegistry.clear()
+      val after = flagship(queryVec(0L), 5)
+      assert(after.queryExecution.executedPlan.toString
+        .contains("embeddings.parquet"))
+    } finally AnnIndexRegistry.clear()
+  }
+}

@@ -323,4 +323,51 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(byKey == Map("a" -> "updated", "b" -> null))
   }
+
+  test("getNearestMatches(useIndex = true) serves from the IVF index at recall >= 0.9") {
+    import org.apache.spark.sql.functions.col
+    val st = newStore
+    try {
+      // a real corpus: the sf0.001 embeddings as store records
+      val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      st.upsertBatch("vecs", corpus.select(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("k"), col("vec_id")).as("key"),
+        col("embedding")))
+      st.buildIndex("vecs", nCentroids = 8, nProbe = 6)
+
+      val queryVecs = corpus.filter(col("vec_id") < 20)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+
+      // the indexed plan probes the index's cell-partitioned table, not
+      // the collection (same assertion family as AnnRewriteSpec)
+      val plan = st.getNearestMatches("vecs", queryVecs.head._2, 5,
+          useIndex = true).queryExecution.executedPlan.toString
+      assert(plan.contains("assigned") && plan.contains("cell"), plan.take(3000))
+
+      // recall vs the exact reference-shaped path, same API surface
+      val recalls = queryVecs.map { case (_, qv) =>
+        val exact = st.getNearestMatches("vecs", qv, 5)
+          .select("key").collect().map(_.getString(0)).toSet
+        val idx = st.getNearestMatches("vecs", qv, 5, useIndex = true)
+          .select("key").collect().map(_.getString(0)).toSet
+        (idx & exact).size.toDouble / exact.size
+      }
+      assert(recalls.sum / recalls.length >= 0.9,
+        s"indexed façade recall ${recalls.sum / recalls.length}")
+
+      // identical output schema on both paths; indexed rows carry LIVE
+      // metadata and exact scores
+      val qv = queryVecs(3)._2
+      val exactDf = st.getNearestMatches("vecs", qv, 5)
+      val idxDf = st.getNearestMatches("vecs", qv, 5, useIndex = true)
+      assert(exactDf.schema == idxDf.schema)
+      val exactScores = exactDf.select("key", "score").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      idxDf.select("key", "score").collect().foreach { r =>
+        exactScores.get(r.getString(0)).foreach(s => assert(s == r.getDouble(1)))
+      }
+    } finally graft.plans.AnnIndexRegistry.clear()
+  }
 }
