@@ -349,14 +349,21 @@ object DedupQueries extends QueryPack {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // Fuzzy near-dup pairs by edit distance: levenshtein over 80-char
-    // prefixes, banded (threshold arg → O(len·k) DP that bails at 20
-    // edits, not O(len²)), within EQUI-JOIN length blocks: docs join on
-    // (lang, length-bucket) with one side exploded to its 3 neighbor
-    // buckets, so candidates-with-|Δchars|≤20 all meet on an equi key —
-    // no within-lang cross join at any scale. The oracle is the simple
-    // declarative form (lang join + |Δ| + levenshtein), so equality also
-    // proves the neighbor-bucket blocking loses no pairs.
+    // Fuzzy near-dup pairs by edit distance, two-stage:
+    //  1. CANDIDATES — banded levenshtein over 80-char prefixes
+    //     (threshold arg → O(len·k) DP that bails at 20 edits, not
+    //     O(len²)) within EQUI-JOIN length blocks: docs join on
+    //     (lang, length-bucket) with one side exploded to its 3 neighbor
+    //     buckets, so candidates-with-|Δchars|≤20 all meet on an equi
+    //     key — no within-lang cross join at any scale;
+    //  2. VERIFY — the (small) candidate set fetches FULL texts by id
+    //     and rescores with the banded DP on the whole string, so two
+    //     documents identical for 80 chars then divergent do NOT pair
+    //     (the r5 fidelity gap): the emitted dist is the full-string
+    //     edit distance. The oracle is the simple declarative form
+    //     (lang join + |Δ| + prefix prefilter + full levenshtein), so
+    //     equality also proves the neighbor-bucket blocking loses no
+    //     pairs.
     //
     // Two perf lessons pinned here (60s → ~3s at sf0.1 local[4]):
     //  - spread() the streamed side: the byte-small scan plans 1-2
@@ -377,10 +384,20 @@ object DedupQueries extends QueryPack {
         explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("jb"))
       val b = docs.select(col("doc_id").as("b_id"), col("lang"),
         col("n_chars").as("b_n"), col("p").as("b_p"), col("bk").as("jb"))
-      a.join(b, Seq("lang", "jb"))
+      val cand = a.join(b, Seq("lang", "jb"))
         .filter(col("a_id") < col("b_id") &&
           abs(col("a_n") - col("b_n")) <= Band)
-        .withColumn("dist", levenshtein(col("a_p"), col("b_p"), 20))
+        .withColumn("pdist", levenshtein(col("a_p"), col("b_p"), 20))
+        .filter(col("pdist") >= 0)
+        .select(col("a_id"), col("b_id"))
+      // full-string verify: id-join fetch of the candidates' texts (the
+      // candidate set is pairs-of-near-dups sized, orders below the
+      // corpus) + one banded DP each on the whole string
+      val txt = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      cand
+        .join(txt.select(col("doc_id").as("a_id"), col("text").as("a_t")), "a_id")
+        .join(txt.select(col("doc_id").as("b_id"), col("text").as("b_t")), "b_id")
+        .withColumn("dist", levenshtein(col("a_t"), col("b_t"), 20))
         .filter(col("dist") >= 0)
         .select(col("a_id"), col("b_id"), col("dist"))
         .orderBy(col("a_id"), col("b_id"))
@@ -450,14 +467,16 @@ object DedupQueries extends QueryPack {
     Map(
       "dedup_fuzzy_levenshtein" ->
         """WITH docs AS (
-          |  SELECT doc_id, lang, n_chars, substr(text, 1, 80) AS p FROM documents
+          |  SELECT doc_id, lang, n_chars, text, substr(text, 1, 80) AS p
+          |  FROM documents
           |)
           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-          |  levenshtein(a.p, b.p) AS dist
+          |  levenshtein(a.text, b.text) AS dist
           |FROM docs a JOIN docs b
           |  ON a.lang = b.lang AND a.doc_id < b.doc_id
           | AND abs(a.n_chars - b.n_chars) <= 20
           |WHERE levenshtein(a.p, b.p) <= 20
+          |  AND levenshtein(a.text, b.text) <= 20
           |ORDER BY a_id, b_id""".stripMargin,
       "dedup_exact" ->
         """WITH corpus AS (

@@ -91,19 +91,24 @@ object GraphQueries extends QueryPack {
     "graph_knn_triangles" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val K = 5
-      // Discriminative-part cap: a part supplied by everyone carries no
+      // Discriminative-part cut: a part supplied by everyone carries no
       // co-supply signal and contributes C(fan, 2) pair rows — the same
       // document-frequency cut as dedup_span_overlap's stop-gram cap.
-      // On this corpus fan <= 24 keeps the pair build at 1.6M rows
-      // instead of the dense 17.4M (where per-pair partial aggregation
-      // stops compressing because nearly ALL supplier pairs co-occur);
-      // at sf0.001 every part is under the cap, so it never binds small.
-      val FanCap = 24
+      // The threshold is DERIVED FROM THE FAN DISTRIBUTION in-plan
+      // (mean fan — the classic above-average-df stopword rule), not a
+      // corpus-tuned constant (r5 shipped FanCap=24, correct for sf0.1
+      // only): the 1-row mean broadcasts into the filter, so the same
+      // code binds proportionally at every SF. At sf0.1 this keeps the
+      // pair build at 6.6M rows vs the dense 17.4M of the COMPLETE
+      // co-occurrence graph, where per-pair partial aggregation stops
+      // compressing because nearly all supplier pairs co-occur.
       val psAll = t(s, dir, "lineitem")
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
-      val rareParts = psAll.groupBy(col("pk"))
-        .agg(count(lit(1)).as("fan")).filter(col("fan") <= FanCap)
+      val fans = psAll.groupBy(col("pk")).agg(count(lit(1)).as("fan"))
+      val meanFan = fans.agg(avg(col("fan")).as("cap"))
+      val rareParts = fans.crossJoin(broadcast(meanFan))
+        .filter(col("fan") <= col("cap"))
         .select(col("pk"))
       val ps = psAll.join(broadcast(rareParts), Seq("pk"), "left_semi")
       val co = ps.as("x").join(ps.as("y"),
@@ -196,7 +201,9 @@ object GraphQueries extends QueryPack {
         |), ps AS (
         |  SELECT pk, sk FROM ps_all
         |  WHERE pk IN (SELECT pk FROM ps_all GROUP BY pk
-        |               HAVING count(*) <= 24)
+        |               HAVING count(*) <= (
+        |                 SELECT avg(fan) FROM (
+        |                   SELECT count(*) AS fan FROM ps_all GROUP BY pk)))
         |), co AS (
         |  SELECT x.sk AS u, y.sk AS v, count(*) AS n_shared
         |  FROM ps x JOIN ps y ON x.pk = y.pk AND x.sk <> y.sk
