@@ -119,6 +119,37 @@ object AnnQueries extends QueryPack {
         .orderBy(col("q_id"), col("score").desc, col("neighbor_id"))
     }),
 
+    // The same rewrite from PURE SQL: the query text below is exactly
+    // what a SQL-surface user of the reference would write (registered
+    // cosine function, view over the corpus, ORDER BY score DESC LIMIT
+    // k with the query vector inlined as an array literal) — no Scala
+    // DSL, no index API. AnnIndexRule rewrites the analyzed plan the
+    // same way it rewrites the DataFrame form; AnnRewriteSpec pins the
+    // plan shape for this path too.
+    "ann_indexed_rewrite_sql" -> ((s, dir) => {
+      val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
+      graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
+        "vec_id", "embedding", nProbe = 6)
+      graft.functions.VectorFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_ann_sql_corpus")
+      val qvs = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      qvs.map { case (qid, qv) =>
+        val arr = qv.map(f => s"CAST($f AS FLOAT)").mkString("array(", ", ", ")")
+        s.sql(
+          s"""SELECT $qid AS q_id, vec_id AS neighbor_id,
+             |  floor(score * 1e6 + 0.5) / 1e6 AS score
+             |FROM (
+             |  SELECT vec_id, cosine_similarity(embedding, $arr) AS score
+             |  FROM graft_ann_sql_corpus
+             |  WHERE cosine_similarity(embedding, $arr) >= 0.0
+             |  ORDER BY score DESC, vec_id LIMIT 10
+             |)""".stripMargin)
+      }.reduce(_ unionByName _)
+        .orderBy(col("q_id"), col("score").desc, col("neighbor_id"))
+    }),
+
     // Driver-visible ANN correctness: per-(method, query) recall of ALL
     // approximate paths (LSH, IVF, PQ) against the exact in-Spark top-k
     // (same contract AnnRecallSpec pins in sbt). A recall regression in

@@ -38,6 +38,59 @@ object CurationQueries extends QueryPack {
           min(col("doc_id")).as("first_id"))
         .orderBy(col("lang"))),
 
+    // Temperature-scaled language mixture — the multilingual sampling
+    // weights an LM pretraining run uses: the raw share p_l = n_l/N is
+    // flattened to w_l ∝ p_l^α so low-resource languages sample up
+    // (α here 0.5 = sqrt, which is IEEE-exact on both engines — pow()
+    // with a fractional exponent is NOT correctly rounded and would be
+    // a latent cross-engine hash split; α is the caller's dial). The
+    // normalizer Z is a 5-row sum but still rides exact DECIMAL —
+    // double summation order is partition-dependent at ANY size. One
+    // aggregation + two 1-row broadcasts; the corpus is scanned once.
+    "corpus_temperature_mix" -> ((s, dir) => {
+      val budget = 200.0 // docs per epoch drawn from the mixture
+      val counts = t(s, dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("n_total"))
+      val pw = counts.crossJoin(broadcast(tot))
+        .withColumn("p_raw", col("n_docs").cast("double") / col("n_total"))
+        .withColumn("pa", round6(sqrt(col("p_raw"))))
+      val z = pw.agg(sum(col("pa").cast(DecimalType(27, 9)))
+        .cast("double").as("z"))
+      pw.crossJoin(broadcast(z))
+        .withColumn("weight", round6(col("pa") / col("z")))
+        .select(col("lang"), col("n_docs"),
+          round6(col("p_raw")).as("p_raw"), col("weight"),
+          round6(least(lit(1.0), lit(budget) * col("weight") / col("n_docs")))
+            .as("sample_rate"))
+        .orderBy(col("lang"))
+    }),
+
+    // Deterministic training-shard plan: shard = first md5 hex char of a
+    // seeded doc-id hash (16 shards) — the reproducible epoch sharding a
+    // data loader needs (same doc -> same shard, any run, any engine, no
+    // rand(), no corpus shuffle: assignment is map-side; the only
+    // shuffle is the 16-row balance audit). Emits per-shard doc/token
+    // counts and the balance ratio vs the uniform share — the skew
+    // check run before writers are sized.
+    "corpus_shard_plan" -> ((s, dir) => {
+      val nShards = 16
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        .withColumn("shard", conv(substring(
+            md5(concat(lit("shard42:"), col("doc_id").cast("string")).cast("binary")),
+            1, 1), 16, 10).cast("int"))
+      val shards = docs.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast(DecimalType(18, 0))).cast("long").as("n_tokens"))
+      val tot = shards.agg(sum(col("n_docs")).as("total"))
+      shards.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          round6(col("n_docs") * lit(nShards.toDouble) / col("total"))
+            .as("balance_ratio"))
+        .orderBy(col("shard"))
+    }),
+
     // Source-mixture rebalancing: downsample each source to a per-source
     // target rate (50% for src0..src9, 25% for the rest) with a seeded
     // hash gate — two hex chars of md5("mix" + doc_id) span 00..ff, so
@@ -430,6 +483,44 @@ object CurationQueries extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "corpus_temperature_mix" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+         |), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM counts),
+         |pw AS (
+         |  SELECT lang, n_docs,
+         |    CAST(n_docs AS DOUBLE) / n_total AS p_raw,
+         |    ${r6("sqrt(CAST(n_docs AS DOUBLE) / n_total)")} AS pa
+         |  FROM counts CROSS JOIN tot
+         |), z AS (
+         |  SELECT CAST(CAST(sum(CAST(pa AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) AS z
+         |  FROM pw
+         |)
+         |SELECT lang, n_docs, ${r6("p_raw")} AS p_raw,
+         |  ${r6("pa / z")} AS weight,
+         |  ${r6(s"least(1.0, 200.0 * (${r6("pa / z")}) / n_docs)")} AS sample_rate
+         |FROM pw CROSS JOIN z
+         |ORDER BY lang""".stripMargin
+    },
+    "corpus_shard_plan" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      s"""WITH docs AS (
+         |  SELECT
+         |    strpos('0123456789abcdef',
+         |      substr(md5('shard42:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS shard,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+         |  FROM documents
+         |), shards AS (
+         |  SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_docs,
+         |    CAST(sum(CAST(n_tokens AS DECIMAL(18,0))) AS BIGINT) AS n_tokens
+         |  FROM docs GROUP BY shard
+         |), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM shards)
+         |SELECT shard, n_docs, n_tokens,
+         |  ${r6("n_docs * 16.0 / total")} AS balance_ratio
+         |FROM shards CROSS JOIN tot
+         |ORDER BY shard""".stripMargin
+    },
     "pipeline_pretrain_prep" -> {
       val toksSql = "string_split_regex(trim(text), '\\s+')"
       val n = s"CAST(len(toks) AS DOUBLE)"

@@ -150,6 +150,40 @@ object DedupQueries extends QueryPack {
     "dedup_near_minhash" -> ((s, dir) =>
       verifiedNearDupPairs(s, dir).orderBy(col("a_id"), col("b_id"))),
 
+    // INCREMENTAL dedup — the ingest-time form every continuously-fed
+    // corpus needs: a new batch dedups against the already-ingested
+    // reference WITHOUT rescanning it pairwise. Reference = docs with
+    // id < 400 (standing corpus, fingerprints assumed materialized in
+    // the real pipeline); new batch = docs 400+ plus re-keyed copies of
+    // 0..49 (known exact dupes). One left join on the dedup_exact
+    // normalization fingerprint answers "seen before?", a keep-first
+    // window answers "duplicated within the batch?" — at 100 TB that is
+    // one shuffle of the BATCH (small) against the reference
+    // fingerprint table keyed on fp, never a pairwise build and never
+    // broadcast (the reference fp set is corpus-sized). Emits the full
+    // admission verdict per new doc.
+    "dedup_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val fp = md5(norm.cast("binary"))
+      val ref = d.filter(col("doc_id") < 400)
+        .select(fp.as("fp")).distinct().withColumn("in_ref", lit(true))
+      val batch = d.filter(col("doc_id") >= 400)
+        .select(col("doc_id"), fp.as("fp"))
+        .unionByName(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"), fp.as("fp")))
+      val wB = Window.partitionBy("fp").orderBy("doc_id")
+      batch.join(ref, Seq("fp"), "left")
+        .withColumn("rn", row_number().over(wB))
+        .select(col("doc_id"), col("fp").as("content_fp"),
+          coalesce(col("in_ref"), lit(false)).as("dup_of_reference"),
+          (col("rn") > 1).as("dup_within_batch"))
+        .withColumn("admit",
+          !col("dup_of_reference") && !col("dup_within_batch"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Near-dup CLUSTERS: the graph-closure step a real dedup pipeline
     // runs after pair generation. Pairs are edges; connected components
     // give one cluster per transitive near-dup family; the member with
@@ -478,6 +512,27 @@ object DedupQueries extends QueryPack {
           |WHERE levenshtein(a.p, b.p) <= 20
           |  AND levenshtein(a.text, b.text) <= 20
           |ORDER BY a_id, b_id""".stripMargin,
+      "dedup_incremental" ->
+        """WITH norm AS (
+          |  SELECT doc_id,
+          |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          |  FROM documents
+          |), ref AS (
+          |  SELECT DISTINCT fp FROM norm WHERE doc_id < 400
+          |), batch AS (
+          |  SELECT doc_id, fp FROM norm WHERE doc_id >= 400
+          |  UNION ALL
+          |  SELECT doc_id + 100000, fp FROM norm WHERE doc_id < 50
+          |), j AS (
+          |  SELECT b.doc_id, b.fp,
+          |    (r.fp IS NOT NULL) AS dup_of_reference,
+          |    row_number() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+          |  FROM batch b LEFT JOIN ref r ON b.fp = r.fp
+          |)
+          |SELECT doc_id, fp AS content_fp, dup_of_reference,
+          |  rn > 1 AS dup_within_batch,
+          |  (NOT dup_of_reference) AND NOT (rn > 1) AS admit
+          |FROM j ORDER BY doc_id""".stripMargin,
       "dedup_exact" ->
         """WITH corpus AS (
           |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS txt

@@ -61,6 +61,40 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // Nearest-centroid classification — the cheap embedding classifier a
+    // curation pipeline runs for taxonomy/domain assignment: per-label
+    // centroids fit on a TRAIN split (vec_id % 5 != 0), held-out vectors
+    // assigned to their max-cosine centroid. Scale shape: centroids are
+    // k tiny rows (exact DECIMAL per-dim means, rounded per component so
+    // both engines hold bit-identical float32 centroids — the
+    // label_centroid rule) BROADCAST into one test-scan pass; the argmax
+    // is the bounded TopKByScore(1) partial agg (ties: smaller label),
+    // so nothing pairwise ever shuffles. At 100 TB: one corpus pass,
+    // k×D floats in the closure.
+    "embedding_centroid_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cen = emb.filter(col("vec_id") % 5 =!= 0)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round6(sum(col("v").cast(DecimalType(27, 9))).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x("c").cast("float")).as("centroid"))
+      emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("label").as("true_label"), col("embedding"))
+        .crossJoin(broadcast(cen.select(col("label").as("cand"), col("centroid"))))
+        .select(col("vec_id"), col("true_label"), col("cand"),
+          round6(cosineSim(col("embedding"), col("centroid"))).as("cos"))
+        .groupBy(col("vec_id"), col("true_label"))
+        .agg(TopKByScore(1)(col("cos"), col("cand").cast("long")).as("best"))
+        .select(col("vec_id"), col("true_label"),
+          element_at(col("best.id"), 1).cast("int").as("pred_label"),
+          element_at(col("best.score"), 1).as("score"))
+        .withColumn("correct", col("pred_label") === col("true_label"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Cluster-quality metrics per label — the evaluation pass an
     // embedding pipeline runs after clustering/labeling: cohesion (mean
     // cosine of members to their centroid) and separation (max cosine
@@ -301,6 +335,36 @@ object SimilarityQueries extends QueryPack {
              "CAST(o.centroid AS DOUBLE[]), CAST(w.centroid AS DOUBLE[]))")} AS centroid_l2
          |FROM cl o JOIN cl w ON o.label = w.label AND o.snap AND NOT w.snap
          |ORDER BY o.label""".stripMargin,
+    "embedding_centroid_assign" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      s"""WITH train AS (
+         |  SELECT * FROM embeddings WHERE vec_id % 5 <> 0
+         |), flat AS (
+         |  SELECT label, unnest(range($Dim)) AS dim,
+         |    unnest(CAST(embedding AS DOUBLE[])) AS v
+         |  FROM train
+         |), cen AS (
+         |  SELECT label, dim,
+         |    ${r6("CAST(CAST(sum(CAST(v AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) / count(*)")} AS c
+         |  FROM flat GROUP BY label, dim
+         |), cenlist AS (
+         |  SELECT label AS cand, list(CAST(c AS FLOAT) ORDER BY dim) AS centroid
+         |  FROM cen GROUP BY label
+         |), scored AS (
+         |  SELECT e.vec_id, e.label AS true_label, cl.cand,
+         |    ${r6("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+               "CAST(cl.centroid AS DOUBLE[]))")} AS cos
+         |  FROM embeddings e CROSS JOIN cenlist cl
+         |  WHERE e.vec_id % 5 = 0
+         |), ranked AS (
+         |  SELECT vec_id, true_label, cand, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cand) AS rk
+         |  FROM scored
+         |)
+         |SELECT vec_id, true_label, cand AS pred_label, cos AS score,
+         |  cand = true_label AS correct
+         |FROM ranked WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    },
     "embedding_cluster_quality" ->
       s"""WITH flat AS (
          |  SELECT label,

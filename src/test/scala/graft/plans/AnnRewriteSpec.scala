@@ -95,6 +95,25 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally AnnIndexRegistry.clear()
   }
 
+  test("the rewrite fires from pure SQL") {
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
+    try {
+      AnnIndexRegistry.register(spark, ivf, src, "vec_id", "embedding", nProbe = 6)
+      graft.functions.VectorFunctions.register(spark)
+      corpus.createOrReplaceTempView("ann_sql_spec_corpus")
+      val arr = queryVec(0L).map(f => s"CAST($f AS FLOAT)")
+        .mkString("array(", ", ", ")")
+      val df = spark.sql(
+        s"""SELECT vec_id, cosine_similarity(embedding, $arr) AS score
+           |FROM ann_sql_spec_corpus
+           |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("assigned") && !plan.contains("embeddings.parquet"),
+        plan.take(3000))
+      assert(df.collect().length == 5)
+    } finally AnnIndexRegistry.clear()
+  }
+
   test("non-matching shapes keep their exact plan") {
     val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
     try {
