@@ -91,6 +91,29 @@ object CurationQueries extends QueryPack {
         .orderBy(col("shard"))
     }),
 
+    // Curriculum quality bins: each language's documents quartiled by
+    // the shared quality score (ntile over a TOTAL order — quality then
+    // doc_id, so bin edges are deterministic on any engine/partitioning)
+    // with per-bin count and quality stats — the plan a curriculum
+    // schedule (easy→hard ordering, per-stage mixing) is built from.
+    // One scan + one per-lang window + one partial agg.
+    "corpus_curriculum_bins" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = round6(graft.functions.TextSignals.qualityFromToks(
+        split(trim(col("text")), "\\s+")))
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), q.as("quality"))
+      val w = Window.partitionBy("lang").orderBy(col("quality"), col("doc_id"))
+      scored.withColumn("bin", ntile(4).over(w))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          round6(sum(col("quality").cast(DecimalType(27, 9))).cast("double") /
+            count(lit(1))).as("mean_quality"),
+          min(col("quality")).as("min_quality"),
+          max(col("quality")).as("max_quality"))
+        .orderBy(col("lang"), col("bin"))
+    }),
+
     // Source-mixture rebalancing: downsample each source to a per-source
     // target rate (50% for src0..src9, 25% for the rest) with a seeded
     // hash gate — two hex chars of md5("mix" + doc_id) span 00..ff, so
@@ -483,6 +506,31 @@ object CurationQueries extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "corpus_curriculum_bins" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      val toksSql = "string_split_regex(trim(text), '\\s+')"
+      val n = s"CAST(len(toks) AS DOUBLE)"
+      val stopRatio = "(CAST(len(list_filter(toks, t -> t IN " +
+        "('the','a','and','of','to','in'))) AS DOUBLE) / " + n + ")"
+      val meanLen = s"(CAST(length(array_to_string(toks, '')) AS DOUBLE) / $n)"
+      val qRaw =
+        s"least($n / 200.0, 1.0) * 0.5 + least($stopRatio * 5.0, 1.0) * 0.3 + " +
+          s"least($meanLen / 8.0, 1.0) * 0.2"
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, ${r6(qRaw)} AS quality
+         |  FROM (SELECT doc_id, lang, $toksSql AS toks, text FROM documents)
+         |), binned AS (
+         |  SELECT lang, quality, ntile(4) OVER (
+         |    PARTITION BY lang ORDER BY quality, doc_id) AS bin
+         |  FROM scored
+         |)
+         |SELECT lang, bin, count(*) AS n_docs,
+         |  ${r6("CAST(CAST(sum(CAST(quality AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) / count(*)")}
+         |    AS mean_quality,
+         |  min(quality) AS min_quality, max(quality) AS max_quality
+         |FROM binned GROUP BY lang, bin
+         |ORDER BY lang, bin""".stripMargin
+    },
     "corpus_temperature_mix" -> {
       val r6 = graft.QueryPack.round6Sql _
       s"""WITH counts AS (

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryPack
-import graft.functions.VectorFunctions.cosineSim
+import graft.functions.VectorFunctions.{cosineSim, l2Distance}
 import graft.functions.TopKByScore
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -59,6 +59,87 @@ object SimilarityQueries extends QueryPack {
         .select(col("label"), col("dim"),
           round6(col("centroid_raw")).as("centroid"), col("n"))
         .orderBy(col("label"), col("dim"))
+    }),
+
+    // Margin-based bitext mining (the CCMatrix/LASER criterion): for
+    // every non-English document, the best English counterpart scored by
+    // margin = cos(f, e) / ((mean top-4 cos of f) + (mean top-4 cos of
+    // e)) / 2 — raw cosine over-pairs hub sentences; the margin
+    // normalizes by both sides' neighborhood density. Exact form is the
+    // oracle anchor: pairs are scored once (checkpoint) and feed BOTH
+    // neighborhood means via bounded TopKByScore(4) partial aggs (never
+    // a corpus×corpus window shuffle) plus the final margin argmax. At
+    // 100 TB both kNN passes ride the persisted IVF index
+    // (IvfIndex.search / AnnIndexRule) — the margin algebra is the same.
+    "corpus_bitext_mine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val byLang = emb.join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+      val en = byLang.filter(col("lang") === "en")
+        .select(col("doc_id").as("e_id"), col("embedding").as("e_emb"))
+      val fr = byLang.filter(col("lang") =!= "en")
+        .select(col("doc_id").as("f_id"), col("lang").as("f_lang"),
+          col("embedding").as("f_emb"))
+      val scored = fr.crossJoin(broadcast(en))
+        .select(col("f_id"), col("f_lang"), col("e_id"),
+          round6(cosineSim(col("f_emb"), col("e_emb"))).as("cos"))
+        .localCheckpoint()
+      // mean of the 4 strongest scores per side, DECIMAL-exact (a 4-row
+      // double sum is still summation-order-dependent across engines)
+      def nbrMean(key: String, other: String, out: String): DataFrame =
+        scored.groupBy(col(key))
+          .agg(TopKByScore(4)(col("cos"), col(other)).as("h"))
+          .select(col(key), explode(col("h.score")).as("cs"))
+          .groupBy(col(key))
+          .agg(round6(sum(col("cs").cast(DecimalType(27, 9))).cast("double") /
+            count(lit(1))).as(out))
+      val best = scored
+        .join(nbrMean("f_id", "e_id", "mf"), "f_id")
+        .join(nbrMean("e_id", "f_id", "me"), "e_id")
+        .withColumn("margin", round6(col("cos") /
+          when((col("mf") + col("me")) =!= 0, (col("mf") + col("me")) / 2)))
+        .groupBy(col("f_id"), col("f_lang"))
+        .agg(TopKByScore(1)(col("margin"), col("e_id")).as("best"))
+        .select(col("f_id"), col("f_lang"),
+          element_at(col("best.id"), 1).as("e_id"),
+          element_at(col("best.score"), 1).as("margin"))
+      best.join(scored.select(col("f_id"), col("e_id"), col("cos")),
+          Seq("f_id", "e_id"))
+        .select(col("f_id"), col("f_lang"), col("e_id"), col("cos"), col("margin"))
+        .orderBy(col("f_id"))
+    }),
+
+    // Embedding outlier audit: distance-to-global-centroid z-score — the
+    // corrupted-embedding sweep (bad encoder batches, zeroed rows) a
+    // vector pipeline runs before indexing. One centroid (decimal-exact
+    // per-dim means → bit-identical float32), one broadcast pass for
+    // distances, one 1-row moment aggregate (E[d], E[d²] through exact
+    // DECIMAL), top-20 by z. Never more than two corpus passes.
+    "embedding_outliers" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cen = emb.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("dim"))
+        .agg(round6(sum(col("v").cast(DecimalType(27, 9))).cast("double") /
+          count(lit(1))).as("c"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x("c").cast("float")).as("centroid"))
+      val dists = emb.crossJoin(broadcast(cen))
+        .select(col("vec_id"), col("label"),
+          round6(l2Distance(col("embedding"), col("centroid"))).as("dist"))
+        .localCheckpoint()
+      val stats = dists.agg(
+        round6(sum(col("dist").cast(DecimalType(27, 9))).cast("double") /
+          count(lit(1))).as("mu"),
+        round6(sum((col("dist") * col("dist")).cast(DecimalType(27, 9)))
+          .cast("double") / count(lit(1))).as("ex2"))
+        .withColumn("sigma",
+          round6(sqrt(greatest(col("ex2") - col("mu") * col("mu"), lit(0.0)))))
+      dists.crossJoin(broadcast(stats))
+        .select(col("vec_id"), col("label"), col("dist"),
+          round6((col("dist") - col("mu")) /
+            when(col("sigma") =!= 0, col("sigma"))).as("z"))
+        .orderBy(col("z").desc, col("vec_id"))
+        .limit(20)
     }),
 
     // Nearest-centroid classification — the cheap embedding classifier a
@@ -335,6 +416,72 @@ object SimilarityQueries extends QueryPack {
              "CAST(o.centroid AS DOUBLE[]), CAST(w.centroid AS DOUBLE[]))")} AS centroid_l2
          |FROM cl o JOIN cl w ON o.label = w.label AND o.snap AND NOT w.snap
          |ORDER BY o.label""".stripMargin,
+    "corpus_bitext_mine" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      def decAvg(x: String) =
+        s"CAST(CAST(sum(CAST($x AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) / count(*)"
+      s"""WITH emb AS (
+         |  SELECT e.vec_id AS doc_id, CAST(e.embedding AS DOUBLE[]) AS v, d.lang
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |), en AS (SELECT doc_id AS e_id, v AS e_v FROM emb WHERE lang = 'en'),
+         |fr AS (
+         |  SELECT doc_id AS f_id, lang AS f_lang, v AS f_v
+         |  FROM emb WHERE lang <> 'en'
+         |), scored AS MATERIALIZED (
+         |  SELECT f_id, f_lang, e_id,
+         |    ${r6("list_cosine_similarity(f_v, e_v)")} AS cos
+         |  FROM fr CROSS JOIN en
+         |), mf AS (
+         |  SELECT f_id, ${r6(decAvg("cos"))} AS mf FROM (
+         |    SELECT f_id, cos, row_number() OVER (
+         |      PARTITION BY f_id ORDER BY cos DESC, e_id) AS rk
+         |    FROM scored) WHERE rk <= 4 GROUP BY f_id
+         |), me AS (
+         |  SELECT e_id, ${r6(decAvg("cos"))} AS me FROM (
+         |    SELECT e_id, cos, row_number() OVER (
+         |      PARTITION BY e_id ORDER BY cos DESC, f_id) AS rk
+         |    FROM scored) WHERE rk <= 4 GROUP BY e_id
+         |), m AS (
+         |  SELECT s.f_id, s.f_lang, s.e_id, s.cos,
+         |    ${r6("s.cos / NULLIF((mf.mf + me.me) / 2, 0)")} AS margin
+         |  FROM scored s JOIN mf USING (f_id) JOIN me USING (e_id)
+         |), r AS (
+         |  SELECT f_id, f_lang, e_id, cos, margin, row_number() OVER (
+         |    PARTITION BY f_id ORDER BY margin DESC, e_id) AS rk
+         |  FROM m
+         |)
+         |SELECT f_id, f_lang, e_id, cos, margin FROM r WHERE rk = 1
+         |ORDER BY f_id""".stripMargin
+    },
+    "embedding_outliers" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      def decAvg(x: String) =
+        s"CAST(CAST(sum(CAST($x AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) / count(*)"
+      s"""WITH flat AS (
+         |  SELECT unnest(range($Dim)) AS dim,
+         |    unnest(CAST(embedding AS DOUBLE[])) AS v
+         |  FROM embeddings
+         |), cen AS (
+         |  SELECT dim, ${r6(decAvg("v"))} AS c FROM flat GROUP BY dim
+         |), cl AS (
+         |  SELECT list(CAST(c AS FLOAT) ORDER BY dim) AS centroid FROM cen
+         |), d AS (
+         |  SELECT vec_id, label,
+         |    ${r6("list_distance(CAST(e.embedding AS DOUBLE[]), " +
+               "CAST(cl.centroid AS DOUBLE[]))")} AS dist
+         |  FROM embeddings e CROSS JOIN cl
+         |), st AS (
+         |  SELECT ${r6(decAvg("dist"))} AS mu,
+         |    ${r6(decAvg("dist * dist"))} AS ex2
+         |  FROM d
+         |), st2 AS (
+         |  SELECT mu, ${r6("sqrt(greatest(ex2 - mu * mu, 0.0))")} AS sigma FROM st
+         |)
+         |SELECT vec_id, label, dist,
+         |  ${r6("(dist - mu) / NULLIF(sigma, 0)")} AS z
+         |FROM d CROSS JOIN st2
+         |ORDER BY z DESC, vec_id LIMIT 20""".stripMargin
+    },
     "embedding_centroid_assign" -> {
       val r6 = graft.QueryPack.round6Sql _
       s"""WITH train AS (
