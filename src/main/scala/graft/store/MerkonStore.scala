@@ -126,14 +126,43 @@ class MerkonStore(spark: SparkSession) {
 
   // ---- Deletes (A7, A8 / B7) ----
 
-  /** B7 `RemoveBatchAsync` — anti-join rewrite. */
+  /** B7 `RemoveBatchAsync` — anti-join rewrite. A collection with a
+    * registered ANN index also gets the keys TOMBSTONED at the published
+    * index (see [[tombstoneIndex]]), so `getNearestMatches(useIndex =
+    * true)` stops surfacing them immediately — at full k, because the
+    * probe itself filters (next-best rows backfill), not just the
+    * live-collection metadata join. */
   def removeBatch(name: String, keys: Seq[String]): Unit = {
     import spark.implicits._
     if (collections.contains(name)) {
       val keyDf = keys.toDF("key")
       collections(name) = current(name).join(broadcast(keyDf), Seq("key"), "left_anti")
+      tombstoneIndex(name, keys)
     }
   }
+
+  /** Deletes reach the registered index as an id-tombstone sidecar at
+    * the PUBLISHED index path — O(|batch|) bookkeeping the very next
+    * probe observes; no KMeans, no snapshot re-dump, no rebuild. Fold
+    * tombstones in physically with [[graft.ml.IvfIndex.compactOnDisk]]
+    * on a cadence. (A delete-then-re-upsert of the same key stays
+    * hidden from the INDEXED path until the next [[buildIndex]] —
+    * the snapshot contract; the exact path sees it immediately.) */
+  private def tombstoneIndex(name: String, keys: Seq[String]): Unit =
+    indexedCollections.get(name).foreach { dump =>
+      graft.plans.AnnIndexRegistry.lookup(dump).foreach { entry =>
+        import spark.implicits._
+        val dead = keys.toDF("id")
+        val merged = graft.ml.IvfIndex
+          .loadOptional(spark, s"${entry.indexPath}/tombstones")
+          .fold(dead)(t => t.unionByName(dead).distinct())
+          // materialize BEFORE the overwrite — the union otherwise reads
+          // the directory the write is replacing
+          .localCheckpoint()
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"${entry.indexPath}/tombstones")
+      }
+    }
 
   /** A7 `RemoveItem` / B7 `RemoveAsync`. */
   def remove(name: String, key: String): Unit = removeBatch(name, Seq(key))

@@ -203,6 +203,22 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
         "vec_id", "embedding", 1).select("neighbor_id").head().getLong(0) == 470L)
   }
 
+  test("IvfPqIndex tombstone delete filters the probed-cell ADC scan; re-add restores") {
+    import spark.implicits._
+    val ivfpq = new IvfPqIndex(nCentroids = 8, nProbe = 8, m = 8, kCentroids = 16)
+    val built = ivfpq.build(spark, emb, "vec_id", "embedding")
+    def top1(b: IvfPqIndex.Built): Long =
+      ivfpq.search(b, emb.filter(col("vec_id") === 450), "vec_id", "embedding", 1)
+        .select("neighbor_id").head().getLong(0)
+    assert(top1(built) == 450L)
+    val del = ivfpq.delete(built, Seq(450L).toDF("vec_id"), "vec_id")
+    assert(top1(del) != 450L, "tombstoned id surfaced through the composite index")
+    val readd = ivfpq.append(del, emb.filter(col("vec_id") === 450),
+      "vec_id", "embedding")
+    assert(readd.tombstones.forall(_.filter(col("id") === 450).isEmpty))
+    assert(top1(readd) == 450L)
+  }
+
   test("tombstones persist through save/load; compactOnDisk rewrites only affected cells") {
     import spark.implicits._
     val ivf = new IvfIndex(nCentroids = 8, nProbe = 8)

@@ -370,4 +370,35 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
       }
     } finally graft.plans.AnnIndexRegistry.clear()
   }
+
+  test("remove() tombstones the registered index: indexed search drops the key at full k") {
+    import org.apache.spark.sql.functions.col
+    val st = newStore
+    try {
+      val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      st.upsertBatch("vecs_del", corpus.select(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("k"), col("vec_id")).as("key"),
+        col("embedding")))
+      st.buildIndex("vecs_del", nCentroids = 8, nProbe = 8)
+      val qv = corpus.filter(col("vec_id") === 7).select("embedding")
+        .head().getSeq[Float](0).toArray
+
+      val before = st.getNearestMatches("vecs_del", qv, 5, useIndex = true)
+        .select("key").collect().map(_.getString(0))
+      assert(before.head == "k7" && before.length == 5)
+
+      st.remove("vecs_del", "k7")
+      val after = st.getNearestMatches("vecs_del", qv, 5, useIndex = true)
+        .select("key").collect().map(_.getString(0))
+      // full k survives the delete (the PROBE filtered, so next-best
+      // rows backfill) and the deleted key is gone — no rebuild ran
+      assert(after.length == 5, s"expected full k after delete, got ${after.length}")
+      assert(!after.contains("k7"))
+      // exact path agrees on the survivors' ranking
+      val exact = st.getNearestMatches("vecs_del", qv, 5)
+        .select("key").collect().map(_.getString(0))
+      assert(!exact.contains("k7"))
+    } finally graft.plans.AnnIndexRegistry.clear()
+  }
 }
