@@ -160,6 +160,37 @@ object StoreQueries extends QueryPack {
             "yyyy-MM-dd HH:mm:ss'Z'").cast("long").as("ts_roundtrip_epoch"))
         .orderBy(col("event_id"))),
 
+    // A10/A11 through the REFERENCE's own wire format: parquet -> store ->
+    // the MessagePack .bin blob MerkonDatabase.Save writes -> merkon-legacy
+    // DataSource V2 scan -> typed decode -> per-row norms. The oracle
+    // recomputes the same rows straight from parquet, so the hash match is
+    // a proof that keys, float embeddings (JSON string hop included), and
+    // "u" timestamps survive the binary format losslessly. Bounded to 300
+    // vectors because the blob is the reference's single in-memory file —
+    // the interop path, not the data path (SCALE.md: store formats).
+    "store_legacy_roundtrip" -> ((s, dir) => {
+      import graft.store.MerkonStore
+      val recs = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 300)
+        .select(
+          concat(lit("k"), lpad(col("vec_id").cast("string"), 6, "0")).as("key"),
+          col("embedding"),
+          to_timestamp(lit("2024-01-02 03:04:05")).as("timestamp"))
+      val st = new MerkonStore(s)
+      st.upsertBatch("rt", recs)
+      val bin = sys.props("java.io.tmpdir") +
+        s"/graft-legacy-rt-${Integer.toHexString(dir.hashCode)}.bin"
+      st.exportLegacy(bin)
+      val st2 = new MerkonStore(s)
+      st2.importLegacy(bin)
+      st2.getAll("rt")
+        .select(
+          col("key"),
+          round6(l2Norm(col("embedding"))).as("emb_norm"),
+          date_format(col("timestamp"), MerkonStore.UFormat).as("ts_u"))
+        .orderBy(col("key"))
+    }),
+
     // Incremental materialized-view maintenance: refresh a per-customer
     // order rollup by merging the STANDING aggregate with a delta-batch
     // aggregate (orderkey mod 10 == 7 plays the newly-ingested batch) —
@@ -287,6 +318,11 @@ object StoreQueries extends QueryPack {
       """SELECT event_id,
         |  strftime(ts, '%Y-%m-%d %H:%M:%SZ') AS ts_u,
         |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_roundtrip_epoch
-        |FROM events WHERE event_id < 50 ORDER BY event_id""".stripMargin
+        |FROM events WHERE event_id < 50 ORDER BY event_id""".stripMargin,
+    "store_legacy_roundtrip" ->
+      s"""SELECT 'k' || lpad(CAST(vec_id AS VARCHAR), 6, '0') AS key,
+         |  ${QueryPack.round6Sql(l2NormSql)} AS emb_norm,
+         |  '2024-01-02 03:04:05Z' AS ts_u
+         |FROM embeddings WHERE vec_id < 300 ORDER BY key""".stripMargin
   )
 }

@@ -292,6 +292,73 @@ class MerkonStore(spark: SparkSession) {
     }
   }
 
+  /** Import a database persisted by the REFERENCE ITSELF — the single
+    * MessagePack `.bin` blob `MerkonDatabase.Save` writes
+    * (MerkonDatabase.cs:149-162) — so an existing deployment's store
+    * files load without a C#-side export step. The
+    * [[graft.sources.MerkonLegacySource merkon-legacy]] DataSource V2
+    * scans the blob (one partition per file; glob many stores for
+    * fan-out) and this method layers the typed decode in plain Catalyst:
+    * metadata via `from_json` against [[MerkonStore.metadataSchema]],
+    * embedding via `from_json` to float array, timestamp via the "u"
+    * round-trip codec (B11). Mirrors `Load` semantics: entries land
+    * as stored — no key<-metadata.id override (that is an INGEST rule,
+    * MerkonMemoryStore.cs:240, not a load rule) — and replace any
+    * same-named in-memory collection. Returns the imported names. */
+  def importLegacy(path: String): Seq[String] = {
+    val raw = spark.read.format("merkon-legacy").load(path)
+    val names = raw.select("collection").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    names.foreach { n =>
+      collections(n) = raw
+        .filter(col("collection") === n)
+        .select(
+          col("key"),
+          from_json(col("metadata_string"), metadataSchema).as("metadata"),
+          from_json(col("embedding_string"), ArrayType(FloatType)).as("embedding"),
+          to_timestamp(col("timestamp_u"), UFormat).as("timestamp"))
+    }
+    names
+  }
+
+  /** Export the store AS the reference's on-disk format, so a migration
+    * can run in both directions (`MerkonDatabase.Load` reads the result
+    * byte-for-byte: 1-element object wrapper, collection map, 4-string
+    * entries, nil for nulls). The format is by design one in-memory
+    * blob (the reference materializes the whole dictionary to
+    * serialize it, MerkonDatabase.cs:153), so this collects each
+    * collection through the driver — an interop EXPORT for stores that
+    * fit the reference's own memory model, not a data path; string
+    * encoding (metadata/embedding JSON, "u" timestamps) happens
+    * distributed, only finished strings land on the driver. */
+  def exportLegacy(path: String): Unit = {
+    val w = new graft.sources.MsgPack.Writer
+    w.writeArrayHeader(1)
+    w.writeMapHeader(collections.size)
+    collections.keys.foreach { name =>
+      val rows = encodeLegacyStrings(current(name)).collect()
+      w.writeString(name)
+      w.writeArrayHeader(rows.length)
+      rows.foreach { r =>
+        w.writeArrayHeader(4)
+        var i = 0
+        while (i < 4) { w.writeString(if (r.isNullAt(i)) null else r.getString(i)); i += 1 }
+      }
+    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true)
+    try out.write(w.toBytes) finally out.close()
+  }
+
+  /** recordSchema -> the reference's all-string `DatabaseEntry` fields. */
+  private def encodeLegacyStrings(df: DataFrame): DataFrame = df.select(
+    col("key"),
+    to_json(col("metadata")).as("metadata_string"),
+    when(col("embedding").isNotNull,
+      concat(lit("["), array_join(col("embedding").cast(ArrayType(StringType)), ","), lit("]")))
+      .as("embedding_string"),
+    date_format(col("timestamp"), UFormat).as("timestamp_u"))
+
   /** Resolve a collection's on-disk dir, preferring the current prefixed
     * encoding and falling back to the pre-"c-" legacy layout. The legacy
     * candidate is never a special path component ("." / "..") — those
@@ -383,6 +450,11 @@ object MerkonStore {
       case c if c.isLetterOrDigit && c < 128 => c.toString
       case c => "_" + Integer.toHexString(c.toInt) + "_"
     }.mkString
+
+  /** The reference's timestamp wire format — C# `DateTimeOffset.ToString
+    * ("u")` (MerkonDatabase.cs:253): universal-sortable, second
+    * precision, literal 'Z'. Same pattern the B11 codec query pins. */
+  val UFormat = "yyyy-MM-dd HH:mm:ss'Z'"
 
   /** The reference's `MemoryRecordMetadata` JSON shape
     * (MerkonMemoryStore.cs:232,247) as a typed struct. */
