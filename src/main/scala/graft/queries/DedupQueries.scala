@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryPack
-import graft.functions.TopKByScore
+import graft.functions.{MinHashSignals, TopKByScore}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,33 +35,17 @@ import org.apache.spark.sql.functions._
  */
 object DedupQueries extends QueryPack {
 
-  private def toksOf(c: Column): Column = split(trim(c), "\\s+")
+  // Shingle/MinHash/Jaccard formulas live in the shared
+  // graft.functions.MinHashSignals (the streaming screen probes the same
+  // definitions); see its scaladoc for the short-doc guard, the md5-chunk
+  // signature design, and the materialize-tokens-first perf invariant.
+  private def toksOf(c: Column): Column = MinHashSignals.toks(c)
 
-  /** Distinct md5'd 3-token shingles over an already-materialized token
-    * array column. The tokens MUST be a real column, not an inline
-    * split(): HOF lambdas are interpreted and re-evaluate nested subtrees
-    * per element, so an inlined split would re-split the text once per
-    * shingle (measured 2-3x slowdown on the bench corpus).
-    *
-    * Guarded for short documents: sequence(1, size-2) DESCENDS when
-    * size < 3 (sequence(1, 0) = [1, 0]) and slice would then throw, so
-    * docs with fewer than 3 tokens yield an empty shingle set — matching
-    * the oracle's range(1, len-1), which is empty for len < 3. */
   private def shinglesFromToks(tk: Column): Column =
-    when(size(tk) >= 3,
-      array_distinct(transform(
-        sequence(lit(1), size(tk) - 2),
-        i => md5(concat_ws(" ", slice(tk, i, lit(3))).cast("binary")))))
-      .otherwise(array().cast("array<string>"))
+    MinHashSignals.shinglesFromToks(tk)
 
-  /** Portable shingle-set MinHash signature j: min over shingles of the
-    * j-th 4-hex-char (16-bit) chunk of the shingle's md5. The 8 chunks of
-    * one md5 are independent uniform hashes of the shingle, so this gives
-    * 8 MinHash permutations for the price of the one md5 already computed
-    * per shingle (a seeded-md5-per-signature variant costs 8x the hashing
-    * and benched 50% slower). */
   private def minhash(shingles: Column, j: Int): Column =
-    array_min(transform(shingles, s => substring(s, 4 * j + 1, 4)))
+    MinHashSignals.minhash(shingles, j)
 
   /** n-bit SimHash string over pre-materialized columns `h` (token-md5
     * array) and `nt` (its size): bit p = majority vote of md5 nibble p's
@@ -78,14 +62,8 @@ object DedupQueries extends QueryPack {
     }: _*)
   }
 
-  /** Exact Jaccard; two empty sets score 0.0 (not a divide-by-zero) so
-    * shingle-less short docs pair with nothing. Same guard in the oracle
-    * (coalesce + nullif) keeps engine parity on any corpus. */
-  private def jaccard(a: Column, b: Column): Column = {
-    val denom = size(array_distinct(concat(a, b)))
-    when(denom === 0, lit(0.0))
-      .otherwise(size(array_intersect(a, b)).cast("double") / denom)
-  }
+  private def jaccard(a: Column, b: Column): Column =
+    MinHashSignals.jaccard(a, b)
 
   /** The LSH-banded, Jaccard-verified near-dup pair set shared by
     * dedup_near_minhash (emits the pairs) and dedup_components (treats
@@ -162,6 +140,58 @@ object DedupQueries extends QueryPack {
     // fingerprint table keyed on fp, never a pairwise build and never
     // broadcast (the reference fp set is corpus-sized). Emits the full
     // admission verdict per new doc.
+    // INCREMENTAL NEAR-dup — the fuzzy companion of dedup_incremental:
+    // a new batch is screened against the STANDING corpus for near-
+    // duplicates (drop-first-token variants of reference docs land in
+    // the batch as known positives). Same banded-MinHash plan as
+    // dedup_near_minhash, but the band join is batch-bands x REFERENCE-
+    // bands — at 100 TB the reference band table is the persisted
+    // artifact of the standing index job (localCheckpoint is its
+    // single-job analog) and the join shuffles the SMALL batch against
+    // it; no batch-internal or reference-internal pairs are ever formed.
+    // Verdict per batch doc: best verified reference match (highest
+    // Jaccard, ties to the smallest reference id) or admission.
+    "dedup_incremental_near" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tk = toksOf(col("text"))
+      val ref = d.filter(col("doc_id") < 400)
+        .select(col("doc_id"), trim(col("text")).as("txt"))
+      val batch = d.filter(col("doc_id") >= 400)
+        .select(col("doc_id"), trim(col("text")).as("txt"))
+        .unionByName(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat_ws(" ", slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))).as("txt")))
+      def sig(df: DataFrame) = spread(s, df, "doc_id")
+        .withColumn("toks", toksOf(col("txt")))
+        .select(col("doc_id"), shinglesFromToks(col("toks")).as("shingles"))
+        .localCheckpoint()
+      def bands(sh: DataFrame, idAs: String) = sh.select(col("doc_id").as(idAs),
+        posexplode(array((0 until 4).map(b =>
+          concat(minhash(col("shingles"), 2 * b),
+            minhash(col("shingles"), 2 * b + 1))): _*))
+          .as(Seq("band_id", "band_key")))
+      val shRef = sig(ref)
+      val shB = sig(batch)
+      val cand = bands(shB, "b_id")
+        .join(bands(shRef, "r_id"), Seq("band_id", "band_key"))
+        .select(col("b_id"), col("r_id")).distinct()
+      val verified = cand
+        .join(shB.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), "b_id")
+        .join(shRef.select(col("doc_id").as("r_id"), col("shingles").as("sh_r")), "r_id")
+        .select(col("b_id"), col("r_id"),
+          round6(jaccard(col("sh_b"), col("sh_r"))).as("jac"))
+        .filter(col("jac") >= 0.5)
+      val best = verified.groupBy("b_id")
+        .agg(max(struct(col("jac"), (-col("r_id")).as("neg_r"))).as("m"))
+        .select(col("b_id").as("doc_id"), (-col("m.neg_r")).as("best_ref_id"),
+          col("m.jac").as("best_jac"))
+      batch.select(col("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("best_ref_id"), col("best_jac"),
+          col("best_jac").isNotNull.as("near_dup_of_ref"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = t(s, dir, "documents")
@@ -533,6 +563,49 @@ object DedupQueries extends QueryPack {
           |  rn > 1 AS dup_within_batch,
           |  (NOT dup_of_reference) AND NOT (rn > 1) AS admit
           |FROM j ORDER BY doc_id""".stripMargin,
+      "dedup_incremental_near" -> {
+        val jacBr = "coalesce(CAST(len(list_intersect(sb.shingles, sr.shingles)) " +
+          "AS DOUBLE) / nullif(len(list_distinct(sb.shingles || sr.shingles)), 0), 0.0)"
+        s"""WITH ref AS (
+           |  SELECT doc_id, trim(text) AS txt FROM documents WHERE doc_id < 400
+           |), batch AS (
+           |  SELECT doc_id, trim(text) AS txt FROM documents WHERE doc_id >= 400
+           |  UNION ALL
+           |  SELECT doc_id + 100000,
+           |    array_to_string(string_split_regex(trim(text),'\\s+')[2:], ' ')
+           |  FROM documents WHERE doc_id < 50
+           |), shr AS (
+           |  SELECT doc_id, $shExpr AS shingles FROM ref
+           |), shb AS (
+           |  SELECT doc_id, $shExpr AS shingles FROM batch
+           |), mr AS (
+           |  SELECT doc_id, unnest(range(4)) AS band_id,
+           |    unnest([band0, band1, band2, band3]) AS band_key
+           |  FROM (SELECT doc_id, $sigBands FROM shr)
+           |), mb AS (
+           |  SELECT doc_id, unnest(range(4)) AS band_id,
+           |    unnest([band0, band1, band2, band3]) AS band_key
+           |  FROM (SELECT doc_id, $sigBands FROM shb)
+           |), cand AS (
+           |  SELECT DISTINCT b.doc_id AS b_id, r.doc_id AS r_id
+           |  FROM mb b JOIN mr r
+           |    ON b.band_id = r.band_id AND b.band_key = r.band_key
+           |), ver AS (
+           |  SELECT c.b_id, c.r_id, ${round6(jacBr)} AS jac
+           |  FROM cand c
+           |  JOIN shb sb ON sb.doc_id = c.b_id
+           |  JOIN shr sr ON sr.doc_id = c.r_id
+           |  WHERE ${round6(jacBr)} >= 0.5
+           |), ranked AS (
+           |  SELECT b_id, r_id, jac,
+           |    row_number() OVER (PARTITION BY b_id ORDER BY jac DESC, r_id ASC) AS rn
+           |  FROM ver
+           |)
+           |SELECT b.doc_id, k.r_id AS best_ref_id, k.jac AS best_jac,
+           |  k.jac IS NOT NULL AS near_dup_of_ref
+           |FROM batch b LEFT JOIN ranked k ON b.doc_id = k.b_id AND k.rn = 1
+           |ORDER BY b.doc_id""".stripMargin
+      },
       "dedup_exact" ->
         """WITH corpus AS (
           |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS txt

@@ -58,4 +58,84 @@ object CurationStreams {
         .filter(col("_rn") === 1).drop("_rn")
     }
   }
+
+  /**
+   * Ingest-time EXACT dedup against a STANDING corpus —
+   * `dedup_incremental` as a continuous gate: a document is admitted
+   * only if its canonical content fingerprint is unseen in both the
+   * static reference fingerprint table and the stream's own watermark
+   * horizon.
+   *
+   * Scale shape: `referenceFps` is a corpus-sized static table keyed on
+   * `content_fp` — per micro-batch Spark plans a stream-static
+   * left_anti hash join (the SMALL batch shuffles against it; the
+   * reference side is never broadcast and never rescanned pairwise),
+   * then the within-stream dedup holds watermark-bounded state only.
+   * Refreshing `referenceFps` across restarts is the standing-index
+   * job's responsibility — the same snapshot contract as the ANN index.
+   *
+   * Unified API: on a bounded frame the same call anti-joins and keeps
+   * the earliest (ts, doc_id) row per fingerprint, so streamed==batch
+   * parity is testable (`CurationStreamsSpec`).
+   *
+   * @param referenceFps static frame with a `content_fp` column (build
+   *                     with [[graft.functions.TextSignals.contentFingerprint]]
+   *                     over the standing corpus)
+   */
+  def incrementalDedup(docs: DataFrame, referenceFps: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val fp = docs
+      .withColumn("content_fp", TextSignals.contentFingerprint(col("text")))
+      .select("doc_id", "ts", "content_fp", "text")
+    val fresh = fp.join(referenceFps.select("content_fp"),
+      Seq("content_fp"), "left_anti")
+    if (docs.isStreaming)
+      fresh.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("content_fp")
+    else {
+      val w = Window.partitionBy("content_fp").orderBy(col("ts"), col("doc_id"))
+      fresh.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
+  }
+
+  /**
+   * NEAR-duplicate detection against the standing corpus —
+   * `dedup_incremental_near` as a continuous screen. Emits one row
+   * (doc_id, ts) per stream document whose MinHash band matches a
+   * reference band AND whose exact shingle Jaccard verifies >=
+   * `threshold` — the REJECT log a downstream compactor applies. The
+   * admit stream is [[incrementalDedup]]'s output minus these ids;
+   * that composition is two sink writes because a stream-stream anti
+   * join is not expressible — the same side-output split a
+   * log-structured ingest uses.
+   *
+   * Scale shape: both joins are stream-static equi-joins against the
+   * standing-index artifacts ([[graft.functions.MinHashSignals.referenceIndex]]):
+   * the band probe touches only band-key matches, the verify join
+   * fetches shingle sets for CANDIDATES only — a micro-batch never
+   * scans reference text. Detection state (one id per emitted doc) is
+   * watermark-bounded.
+   */
+  def nearDupRejects(docs: DataFrame, refBands: DataFrame,
+      refShingles: DataFrame, threshold: Double = 0.5,
+      watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.MinHashSignals
+    val sh = docs
+      .withColumn("_toks", MinHashSignals.toks(col("text")))
+      .select(col("doc_id"), col("ts"),
+        MinHashSignals.shinglesFromToks(col("_toks")).as("shingles"))
+    val melted = sh.select(col("doc_id"), col("ts"), col("shingles"),
+      posexplode(MinHashSignals.bandKeys(col("shingles")))
+        .as(Seq("band_id", "band_key")))
+    val verified = melted
+      .join(refBands, Seq("band_id", "band_key"))
+      .join(refShingles, Seq("r_id"))
+      .filter(MinHashSignals.jaccard(col("shingles"), col("sh_r")) >= threshold)
+      .select("doc_id", "ts")
+    if (docs.isStreaming)
+      verified.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("doc_id")
+    else verified.distinct()
+  }
 }

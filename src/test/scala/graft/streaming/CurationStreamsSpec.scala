@@ -54,4 +54,81 @@ class CurationStreamsSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(batch == streamed)
   }
+
+  test("incrementalDedup: standing-corpus dup, cross-batch dup, and fresh doc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextSignals
+
+    // standing corpus knows `good`'s fingerprint
+    val refFps = Seq(good).toDF("text")
+      .select(TextSignals.contentFingerprint(org.apache.spark.sql.functions.col("text"))
+        .as("content_fp"))
+    val batch1 = Seq(
+      StreamDoc(1L, good + " ", t("2026-01-01 10:00:00")), // dup of REFERENCE
+      StreamDoc(2L, good + "fresh tail", t("2026-01-01 10:00:01")))
+    val batch2 = Seq(
+      StreamDoc(3L, good + "  fresh   tail", t("2026-01-01 10:01:00")), // dup of 2
+      StreamDoc(4L, good + "another tail", t("2026-01-01 10:01:01")))
+
+    val input = MemoryStream[StreamDoc]
+    val q = CurationStreams.incrementalDedup(input.toDF(), refFps)
+      .writeStream.format("memory").queryName("incr_dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("incr_dedup_stream")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == Set(2L, 4L))
+
+    val batch = CurationStreams.incrementalDedup(
+      (batch1 ++ batch2).toDS().toDF(), refFps)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch == streamed)
+  }
+
+  test("nearDupRejects: near-variant detected once, unrelated doc passes; batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.MinHashSignals
+
+    val refDocs = Seq(
+      (100L, good),
+      (200L, "completely different reference content that shares no shingles " * 5))
+      .toDF("doc_id", "text")
+    val (bands, shingles) = MinHashSignals.referenceIndex(refDocs, "doc_id", "text")
+    val (bandsCk, shinglesCk) = (bands.localCheckpoint(), shingles.localCheckpoint())
+
+    // near-variant of ref 100: drop the first token
+    val variant = good.trim.split("\\s+").drop(1).mkString(" ")
+    val unrelated = "entirely novel text with nothing in common at any shingle " * 6
+    val batch1 = Seq(StreamDoc(11L, variant, t("2026-01-01 10:00:00")),
+      StreamDoc(12L, unrelated, t("2026-01-01 10:00:01")))
+    val batch2 = Seq(StreamDoc(13L, variant, t("2026-01-01 10:01:00")))
+
+    val input = MemoryStream[StreamDoc]
+    val q = CurationStreams.nearDupRejects(input.toDF(), bandsCk, shinglesCk)
+      .writeStream.format("memory").queryName("near_rejects_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("near_rejects_stream")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 11 and 13 both near-match ref 100 (distinct ids -> both emitted,
+    // each exactly once despite matching multiple bands); 12 passes
+    assert(streamed == Set(11L, 13L))
+
+    val batch = CurationStreams.nearDupRejects(
+      (batch1 ++ batch2).toDS().toDF(), bandsCk, shinglesCk)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch == streamed)
+  }
 }
