@@ -66,6 +66,37 @@ object CurationQueries extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Epoch/repeat planning for a token-budgeted training mixture — the
+    // data-recipe step AFTER corpus_temperature_mix: the smoothed weight
+    // says how many of the budget's tokens each language SHOULD
+    // contribute, dividing by what it HAS gives the repeat factor
+    // (epochs), and the cap flags languages the schedule would
+    // over-recycle (the ~4-epoch diminishing-returns rule from public
+    // data-constrained scaling studies). One groupBy over the corpus;
+    // everything after is lang-cardinality arithmetic on 1-row
+    // broadcast totals.
+    "corpus_epoch_plan" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .withColumn("n_toks", size(split(trim(col("text")), "\\s+")))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_toks").cast("long")).as("toks_available"))
+      val tot = counts.agg(sum(col("toks_available")).as("toks_total"))
+      val pw = counts.crossJoin(broadcast(tot))
+        .withColumn("p_raw", col("toks_available").cast("double") / col("toks_total"))
+        .withColumn("pa", round6(sqrt(col("p_raw"))))
+      val z = pw.agg(sum(col("pa").cast(DecimalType(27, 9)))
+        .cast("double").as("z"))
+      pw.crossJoin(broadcast(z))
+        .withColumn("weight", round6(col("pa") / col("z")))
+        .withColumn("target_toks", round6(lit(1e6) * col("weight")))
+        .withColumn("epochs", round6(col("target_toks") / col("toks_available")))
+        .select(col("lang"), col("toks_available"), col("weight"),
+          col("target_toks"), col("epochs"),
+          round6(least(col("epochs"), lit(4.0))).as("epochs_capped"),
+          (col("epochs") > 4.0).as("over_budget"))
+        .orderBy(col("lang"))
+    }),
+
     // Deterministic training-shard plan: shard = first md5 hex char of a
     // seeded doc-id hash (16 shards) — the reproducible epoch sharding a
     // data loader needs (same doc -> same shard, any run, any engine, no
@@ -550,6 +581,32 @@ object CurationQueries extends QueryPack {
          |  ${r6(s"least(1.0, 200.0 * (${r6("pa / z")}) / n_docs)")} AS sample_rate
          |FROM pw CROSS JOIN z
          |ORDER BY lang""".stripMargin
+    },
+    "corpus_epoch_plan" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      s"""WITH counts AS (
+         |  SELECT lang,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |      AS toks_available
+         |  FROM documents GROUP BY lang
+         |), tot AS (SELECT CAST(sum(toks_available) AS BIGINT) AS toks_total FROM counts),
+         |pw AS (
+         |  SELECT lang, toks_available,
+         |    ${r6("sqrt(CAST(toks_available AS DOUBLE) / toks_total)")} AS pa
+         |  FROM counts CROSS JOIN tot
+         |), z AS (
+         |  SELECT CAST(CAST(sum(CAST(pa AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) AS z
+         |  FROM pw
+         |), planned AS (
+         |  SELECT lang, toks_available, ${r6("pa / z")} AS weight,
+         |    ${r6(s"1e6 * (${r6("pa / z")})")} AS target_toks
+         |  FROM pw CROSS JOIN z
+         |)
+         |SELECT lang, toks_available, weight, target_toks,
+         |  ${r6("target_toks / toks_available")} AS epochs,
+         |  ${r6(s"least(${r6("target_toks / toks_available")}, 4.0)")} AS epochs_capped,
+         |  (${r6("target_toks / toks_available")}) > 4.0 AS over_budget
+         |FROM planned ORDER BY lang""".stripMargin
     },
     "corpus_shard_plan" -> {
       val r6 = graft.QueryPack.round6Sql _

@@ -39,6 +39,13 @@ object SearchQueries extends QueryPack {
   /** The fixed keyword query used by the BM25/hybrid demos. */
   private val terms = Seq("join", "hash", "vector")
 
+  /** The retrieval-eval query set: (query_id, terms), vocabulary drawn
+    * from the corpus generator's own word list so every SF has hits. */
+  private val evalQueries = Seq(
+    (1, Seq("join", "hash", "vector")),
+    (2, Seq("scan", "filter", "column")),
+    (3, Seq("stream", "window", "merge")))
+
   private def toks: Column = col("toks")
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -51,22 +58,32 @@ object SearchQueries extends QueryPack {
    * single 1-row aggregate broadcast back in — the canonical "scan +
    * broadcast dim" shape that streams at any corpus size.
    */
-  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc tf columns + the 1-row corpus-stats dimension for an
+    * arbitrary term set (the standing demo query or an eval query). */
+  private def bm25Base(s: SparkSession, dir: String,
+      qTerms: Seq[String]): (DataFrame, DataFrame) = {
     val base = docs(s, dir).select(
       col("doc_id") +: size(toks).as("dl") +:
-        terms.map(tm => size(filter(toks, t => t === lit(tm))).as(s"tf_$tm")): _*)
+        qTerms.map(tm => size(filter(toks, t => t === lit(tm))).as(s"tf_$tm")): _*)
     val statCols = count(lit(1)).as("n_docs") +: sum(col("dl").cast("long")).as("sum_dl") +:
-      terms.map(tm => sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm"))
+      qTerms.map(tm => sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm"))
     val stats = base.agg(statCols.head, statCols.tail: _*)
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
-    def termScore(tm: String): Column = {
-      val tf = col(s"tf_$tm").cast("double")
-      val df = col(s"df_$tm").cast("double")
-      val idf = log(lit(1.0) +
-        (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5)))
-      idf * (tf * lit(2.2)) /
-        (tf + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
-    }
+    (base, stats)
+  }
+
+  /** BM25 (k1=1.2, b=0.75) term contribution over [[bm25Base]] columns. */
+  private def termScore(tm: String): Column = {
+    val tf = col(s"tf_$tm").cast("double")
+    val df = col(s"df_$tm").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5)))
+    idf * (tf * lit(2.2)) /
+      (tf + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+  }
+
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val (base, stats) = bm25Base(s, dir, terms)
     // Score only docs containing at least one query term — equivalent to
     // the bm25 > 0 cut (idf is strictly positive) but expressed on the
     // cheap integer tf columns, so Catalyst can't substitute the full
@@ -129,6 +146,43 @@ object SearchQueries extends QueryPack {
       bm25Scored(s, dir)
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)),
+
+    // Retrieval-quality evaluation — the regression harness a pipeline
+    // runs on its retriever: nDCG@10 of the BM25 ranking per eval query,
+    // against a DETERMINISTIC graded qrel derived from the data itself
+    // (relevance = number of query terms with tf >= 2, "strong
+    // presence"). Per query the candidate scan is the same scan +
+    // 1-row-broadcast-stats shape as search_bm25_topk; DCG/IDCG reduce
+    // the two 10-row top lists, so the eval adds only driver-scale work
+    // on top of the rankings it grades. Gains 2^rel - 1, log2 discount.
+    "search_eval_ndcg" -> ((s, dir) => {
+      val perQuery = evalQueries.map { case (qid, qt) =>
+        val (base, stats) = bm25Base(s, dir, qt)
+        val rel = qt.map(tm =>
+          when(col(s"tf_$tm") >= 2, 1).otherwise(0)).reduce(_ + _)
+        val scored = base
+          .filter(qt.map(tm => col(s"tf_$tm") > 0).reduce(_ || _))
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), rel.as("rel"),
+            round6(qt.map(termScore).reduce(_ + _)).as("bm25"))
+          .filter(col("bm25") > 0.0)
+        def dcgOf(top: DataFrame, ord: Column*): DataFrame = top
+          .withColumn("pos", row_number().over(Window.orderBy(ord: _*)))
+          .agg(sum((pow(lit(2.0), col("rel")) - 1.0) /
+            log2(col("pos").cast("double") + 1.0)).as("g"))
+        val dcg = dcgOf(scored.orderBy(col("bm25").desc, col("doc_id")).limit(10),
+          col("bm25").desc, col("doc_id"))
+        val idcg = dcgOf(scored.orderBy(col("rel").desc, col("doc_id")).limit(10),
+          col("rel").desc, col("doc_id"))
+        dcg.select(col("g").as("dcg10"))
+          .crossJoin(idcg.select(col("g").as("idcg10")))
+          .select(lit(qid).as("query_id"),
+            round6(col("dcg10")).as("dcg10"),
+            round6(col("idcg10")).as("idcg10"),
+            round6(col("dcg10") / col("idcg10")).as("ndcg10"))
+      }
+      perQuery.reduce(_ unionByName _).orderBy(col("query_id"))
+    }),
 
     // Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 top-50
     // and the exact-cosine top-50 (query vector = vec_id 0, ids aligned
@@ -227,7 +281,57 @@ object SearchQueries extends QueryPack {
        |)""".stripMargin
   }
 
+  /** DuckDB replica of one `search_eval_ndcg` query's CTE chain (no
+    * leading WITH; chains share the `tk_src` token CTE). */
+  private def evalNdcgCte(qid: Int, qt: Seq[String]): String = {
+    val tfCols = qt.map(tm =>
+      s"len(list_filter(tk, t -> t = '$tm')) AS tf_$tm").mkString(", ")
+    val dfCols = qt.map(tm =>
+      s"sum(CASE WHEN tf_$tm > 0 THEN 1 ELSE 0 END) AS df_$tm").mkString(", ")
+    val score = qt.map { tm =>
+      val tf = s"CAST(tf_$tm AS DOUBLE)"
+      val df = s"CAST(df_$tm AS DOUBLE)"
+      val idf = s"ln(1.0 + (CAST(n_docs AS DOUBLE) - $df + 0.5) / ($df + 0.5))"
+      s"$idf * ($tf * 2.2) / ($tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"
+    }.mkString(" + ")
+    val rel = qt.map(tm => s"CASE WHEN tf_$tm >= 2 THEN 1 ELSE 0 END").mkString(" + ")
+    val anyTf = qt.map(tm => s"tf_$tm > 0").mkString(" OR ")
+    val gain = "sum((pow(2.0, rel) - 1.0) / log2(CAST(pos AS DOUBLE) + 1.0))"
+    s"""base_$qid AS (
+       |  SELECT doc_id, len(tk) AS dl, $tfCols FROM tk_src
+       |), stats0_$qid AS (
+       |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl, $dfCols FROM base_$qid
+       |), stats_$qid AS (
+       |  SELECT *, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+       |  FROM stats0_$qid
+       |), sc_$qid AS (
+       |  SELECT doc_id, $rel AS rel, ${round6(score)} AS bm25
+       |  FROM base_$qid, stats_$qid WHERE $anyTf
+       |), scpos_$qid AS (SELECT * FROM sc_$qid WHERE bm25 > 0.0),
+       |top_$qid AS (
+       |  SELECT rel, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS pos
+       |  FROM scpos_$qid ORDER BY bm25 DESC, doc_id LIMIT 10
+       |), ideal_$qid AS (
+       |  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+       |  FROM scpos_$qid ORDER BY rel DESC, doc_id LIMIT 10
+       |), dcg_$qid AS (SELECT $gain AS dcg10 FROM top_$qid),
+       |idcg_$qid AS (SELECT $gain AS idcg10 FROM ideal_$qid)""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "search_eval_ndcg" -> {
+      val chains = evalQueries.map { case (qid, qt) => evalNdcgCte(qid, qt) }
+      val selects = evalQueries.map { case (qid, _) =>
+        s"""SELECT $qid AS query_id, ${round6("dcg10")} AS dcg10,
+           |  ${round6("idcg10")} AS idcg10, ${round6("dcg10 / idcg10")} AS ndcg10
+           |FROM dcg_$qid, idcg_$qid""".stripMargin
+      }
+      s"""WITH tk_src AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+         |), ${chains.mkString(",\n")}
+         |${selects.mkString("\nUNION ALL\n")}
+         |ORDER BY query_id""".stripMargin
+    },
     "text_tfidf_topk" ->
       s"""WITH ex AS (
          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
