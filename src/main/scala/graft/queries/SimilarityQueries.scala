@@ -334,6 +334,42 @@ object SimilarityQueries extends QueryPack {
           round6(cosineSim(col("cen_old"), col("cen_new"))).as("centroid_cos"),
           round6(l2Distance(col("cen_old"), col("cen_new"))).as("centroid_l2"))
         .orderBy(col("label"))
+    }),
+
+    // Matryoshka truncation audit — the check a pipeline runs before
+    // adopting prefix-truncated embeddings for a cheap prefilter stage:
+    // per prefix length, how faithful is truncated cosine to the
+    // full-dimension cosine over a deterministic pair sample (vec i
+    // paired with vec (i+37) mod N — a fixed-stride derangement, no
+    // rand(), reproducible on any engine). One equi-join builds the
+    // pairs; per-prefix error columns are map-only math; output is
+    // prefix-cardinality rows. Zero-norm prefixes are filtered on both
+    // sides (cosine undefined), mirrored in the oracle.
+    "embedding_matryoshka_audit" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.l2Norm
+      val dims = Seq(4, 8, 16, 32)
+      val e = t(s, dir, "embeddings")
+      val cnt = e.agg(count(lit(1)).as("n_total"))
+      val a = e.crossJoin(broadcast(cnt))
+        .select(col("vec_id").as("a_id"),
+          pmod(col("vec_id") + 37, col("n_total")).as("b_id"),
+          col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("emb_b"))
+      val pairs = a.join(b, "b_id")
+        .withColumn("cos_full", cosineSim(col("emb_a"), col("emb_b")))
+        .localCheckpoint()
+      dims.map { d =>
+        val pa = slice(col("emb_a"), 1, d)
+        val pb = slice(col("emb_b"), 1, d)
+        pairs
+          .filter(l2Norm(pa) > 0 && l2Norm(pb) > 0)
+          .withColumn("err", abs(cosineSim(pa, pb) - col("cos_full")))
+          .agg(round6(avg(col("err"))).as("mean_abs_err"),
+            round6(max(col("err"))).as("max_abs_err"),
+            count(lit(1)).as("n_pairs"))
+          .select(lit(d).as("prefix_dim"), col("mean_abs_err"),
+            col("max_abs_err"), col("n_pairs"))
+      }.reduce(_ unionByName _).orderBy(col("prefix_dim"))
     })
   )
 
@@ -578,6 +614,33 @@ object SimilarityQueries extends QueryPack {
              "sum(xi * xj) / count(*) - " +
              "(sum(xi) / count(*)) * (sum(xj) / count(*))")} AS cov,
          |  count(*) AS n
-         |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin
+         |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin,
+    "embedding_matryoshka_audit" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      def norm(v: String) = s"sqrt(list_sum(list_transform($v, x -> x * x)))"
+      val perDim = Seq(4, 8, 16, 32).map { d =>
+        s"""SELECT $d AS prefix_dim,
+           |  ${r6("avg(err)")} AS mean_abs_err, ${r6("max(err)")} AS max_abs_err,
+           |  count(*) AS n_pairs
+           |FROM (
+           |  SELECT abs(list_cosine_similarity(ea[1:$d], eb[1:$d]) - cos_full) AS err
+           |  FROM pairs
+           |  WHERE ${norm(s"ea[1:$d]")} > 0 AND ${norm(s"eb[1:$d]")} > 0
+           |)""".stripMargin
+      }
+      s"""WITH tot AS (SELECT count(*) AS n_total FROM embeddings),
+         |a AS (
+         |  SELECT vec_id AS a_id, (vec_id + 37) % n_total AS b_id,
+         |    CAST(embedding AS DOUBLE[]) AS ea
+         |  FROM embeddings CROSS JOIN tot
+         |), b AS (
+         |  SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS eb FROM embeddings
+         |), pairs AS (
+         |  SELECT a_id, ea, eb, list_cosine_similarity(ea, eb) AS cos_full
+         |  FROM a JOIN b USING (b_id)
+         |)
+         |${perDim.mkString("\nUNION ALL\n")}
+         |ORDER BY prefix_dim""".stripMargin
+    }
   )
 }
