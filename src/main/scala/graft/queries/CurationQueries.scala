@@ -533,6 +533,35 @@ object CurationQueries extends QueryPack {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_leaked"), min(col("train_id")).as("first_leaked_id"))
         .orderBy(col("lang"))
+    }),
+
+    // Privacy audit: k-anonymity over quasi-identifiers. A released
+    // training corpus leaks identity when a combination of innocuous
+    // attributes (language, source, size band) isolates fewer than K
+    // documents — the classic re-identification surface (Sweeney 2002).
+    // Emits each equivalence class with its size, the k-anonymity flag,
+    // and the class's share of total records-at-risk, so a curation run
+    // can suppress or generalize exactly the failing classes.
+    // Scale shape: one partial-agg groupBy over the QI tuple; the 1-row
+    // global total rides a broadcast cross join, never a second scan —
+    // the same plan at 100 TB, with the class table orders smaller than
+    // the corpus.
+    "corpus_k_anonymity" -> ((s, dir) => {
+      val K = 5
+      val classes = t(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          (col("n_chars") - col("n_chars") % 100).as("size_band"))
+        .groupBy(col("lang"), col("source"), col("size_band"))
+        .agg(count(lit(1)).as("class_size"))
+      val total = classes.agg(sum(col("class_size")).as("n_total"))
+      classes.crossJoin(broadcast(total))
+        .select(col("lang"), col("source"), col("size_band"),
+          col("class_size"),
+          (col("class_size") >= K).as("k_anonymous"),
+          round6(when(col("class_size") < K,
+            col("class_size").cast("double") / col("n_total"))
+            .otherwise(lit(0.0))).as("risk_share"))
+        .orderBy(col("lang"), col("source"), col("size_band"))
     })
   )
 
@@ -928,6 +957,20 @@ object CurationQueries extends QueryPack {
         |)
         |SELECT lang, count(*) AS n_leaked, min(train_id) AS first_leaked_id
         |FROM train WHERE fp IN (SELECT fp FROM eval_fp)
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "corpus_k_anonymity" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      s"""WITH classes AS (
+         |  SELECT lang, source, n_chars - n_chars % 100 AS size_band,
+         |    count(*) AS class_size
+         |  FROM documents GROUP BY 1, 2, 3
+         |), tot AS (SELECT sum(class_size) AS n_total FROM classes)
+         |SELECT lang, source, size_band, class_size,
+         |  class_size >= 5 AS k_anonymous,
+         |  ${r6("CASE WHEN class_size < 5 THEN CAST(class_size AS DOUBLE) / n_total ELSE 0.0 END")} AS risk_share
+         |FROM classes CROSS JOIN tot
+         |ORDER BY lang, source, size_band""".stripMargin
+    }
   )
 }

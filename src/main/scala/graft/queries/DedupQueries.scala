@@ -467,6 +467,62 @@ object DedupQueries extends QueryPack {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Semantic dedup, SemDeDup-style (Abbas et al. 2023, arXiv:2303.09540):
+    // partition the embedding space into clusters, then within each
+    // cluster drop every vector that has a semantically-near
+    // earlier-by-id neighbor. The two-level structure is the whole point
+    // at scale — the pairwise cosine work is confined to single clusters,
+    // so the pair join's fan-out is bounded by cluster size, never O(N²).
+    //
+    // Clustering here is one deterministic assignment pass against seed
+    // vectors (the NSeeds lowest ids) so the DuckDB oracle can replicate
+    // it exactly; the production path would feed the IVF centroids from
+    // graft.ml.IvfIndex (same argmax-cosine assignment, k-means-refined)
+    // — the prune stage is identical either way. Keep rule: a vector
+    // survives iff NO earlier same-cluster vector is within Tau cosine
+    // (the single-pass "dominated-by-any-earlier" variant; the reference
+    // greedy that re-checks only against SURVIVORS is inherently
+    // sequential per cluster and prunes strictly less).
+    //
+    // Scale shape: assignment = broadcast-seeds scored per row + partial
+    // argmax agg (no wide shuffle); prune = one equi-join on cluster id
+    // with a_id < b_id + one distinct + one left-anti — all key-partition
+    // friendly. Cluster count grows with the corpus (k ≈ N/target_size),
+    // keeping per-cluster pair fan-out constant at any scale.
+    "dedup_semantic" -> ((s, dir) => {
+      val NSeeds = 8
+      val Tau = 0.4
+      val emb = t(s, dir, "embeddings")
+      val seeds = emb.filter(col("vec_id") < NSeeds)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_emb"))
+      val assigned = emb
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(seeds))
+        .select(col("vec_id"),
+          round6(graft.functions.VectorFunctions.cosineSim(
+            col("embedding"), col("seed_emb"))).as("cos"),
+          col("seed_id"))
+        .groupBy(col("vec_id"))
+        .agg(TopKByScore(1)(col("cos"), col("seed_id")).as("best"))
+        .select(col("vec_id"),
+          element_at(col("best.id"), 1).as("cluster"))
+      val m = assigned.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      val a = m.select(col("cluster"), col("vec_id").as("a_id"),
+        col("embedding").as("emb_a"))
+      val b = m.select(col("cluster"), col("vec_id").as("b_id"),
+        col("embedding").as("emb_b"))
+      val victims = a.join(b, Seq("cluster"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(round6(graft.functions.VectorFunctions.cosineSim(
+          col("emb_a"), col("emb_b"))) >= Tau)
+        .select(col("b_id").as("vec_id")).distinct()
+      assigned
+        .join(victims.withColumn("removed", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(!col("removed"), lit(true)).as("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ==== FENCED: O(N^2) baseline — never lift into a pipeline. ====
     // Embedding-cosine near-dup pairs as an all-pairs nested-loop join,
     // kept ONLY because an exact pair set is DuckDB-oracle-checkable and
@@ -768,6 +824,33 @@ object DedupQueries extends QueryPack {
            |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
            |WHERE ${round6(cos)} >= 0.4
            |ORDER BY a_id, b_id""".stripMargin
+      },
+
+      "dedup_semantic" -> {
+        val cosES = "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), " +
+          "CAST(s.embedding AS DOUBLE[]))"
+        val cosAB = "list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), " +
+          "CAST(eb.embedding AS DOUBLE[]))"
+        s"""WITH sc AS (
+           |  SELECT e.vec_id, s.vec_id AS seed_id, ${round6(cosES)} AS cos
+           |  FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) s
+           |), asg AS (
+           |  SELECT vec_id, seed_id AS cluster FROM (
+           |    SELECT vec_id, seed_id,
+           |      row_number() OVER (PARTITION BY vec_id
+           |                         ORDER BY cos DESC, seed_id) AS rn
+           |    FROM sc) WHERE rn = 1
+           |), victims AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+           |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+           |  WHERE ${round6(cosAB)} >= 0.4
+           |)
+           |SELECT g.vec_id, g.cluster,
+           |  (v.vec_id IS NULL) AS kept
+           |FROM asg g LEFT JOIN victims v ON g.vec_id = v.vec_id
+           |ORDER BY g.vec_id""".stripMargin
       }
     )
   }

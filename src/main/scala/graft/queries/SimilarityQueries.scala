@@ -370,6 +370,60 @@ object SimilarityQueries extends QueryPack {
           .select(lit(d).as("prefix_dim"), col("mean_abs_err"),
             col("max_abs_err"), col("n_pairs"))
       }.reduce(_ unionByName _).orderBy(col("prefix_dim"))
+    }),
+
+    // Diverse top-k selection via Maximal Marginal Relevance (Carbonell &
+    // Goldstein 1998) — the data-selection pass that picks the k examples
+    // maximizing relevance to a target while penalizing redundancy with
+    // what is already picked: round 1 takes the most relevant vector;
+    // every later round maximizes 0.5·rel − 0.5·max_sim(selected).
+    // Greedy MMR is inherently sequential in k, so the scale design
+    // confines the sequential part to a POOL that is orders smaller than
+    // the corpus: the corpus-sized work is one distributed top-NPool by
+    // relevance (TakeOrderedAndProject — partial top-k per partition, no
+    // full sort); the pool and its pairwise-cosine table are checkpointed
+    // once, and each greedy round is a pool-sized job (anti-join the
+    // selected ids, one max-agg, one limit-1). At 100 TB the pool knob
+    // (here 16 for oracle-checkability) grows to thousands and the rounds
+    // stay sub-second; the corpus is never rescanned after the pool cut.
+    // Score ties break by vec_id on both engines; relevance and pairwise
+    // cosines are round6'd BEFORE entering the greedy arithmetic so the
+    // selection path cannot diverge on a sub-6dp difference.
+    "corpus_select_mmr" -> ((s, dir) => {
+      val NPool = 16
+      val KSel = 5
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val pool = emb.crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("embedding"),
+          round6(cosineSim(col("embedding"), col("q_emb"))).as("rel"))
+        .orderBy(desc("rel"), col("vec_id"))
+        .limit(NPool)
+        .localCheckpoint()
+      val sims = pool.as("x")
+        .join(pool.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("i"), col("y.vec_id").as("j"),
+          round6(cosineSim(col("x.embedding"), col("y.embedding"))).as("sim"))
+        .localCheckpoint()
+      var selected = pool.orderBy(desc("rel"), col("vec_id")).limit(1)
+        .select(lit(1).as("sel_rank"), col("vec_id"), col("rel").as("score"))
+        .localCheckpoint()
+      for (r <- 2 to KSel) {
+        val selIds = selected.select(col("vec_id").as("j"))
+        val maxSim = sims.join(selIds, "j")
+          .groupBy(col("i")).agg(max(col("sim")).as("max_sim"))
+        val next = pool
+          .join(selIds, pool("vec_id") === selIds("j"), "left_anti")
+          .join(maxSim, pool("vec_id") === maxSim("i"))
+          .select(col("vec_id"),
+            round6(lit(0.5) * col("rel") - lit(0.5) * col("max_sim")).as("score"))
+          .orderBy(desc("score"), col("vec_id"))
+          .limit(1)
+          .select(lit(r).as("sel_rank"), col("vec_id"), col("score"))
+        selected = selected.unionByName(next).localCheckpoint()
+      }
+      selected.orderBy(col("sel_rank"))
     })
   )
 
@@ -641,6 +695,50 @@ object SimilarityQueries extends QueryPack {
          |)
          |${perDim.mkString("\nUNION ALL\n")}
          |ORDER BY prefix_dim""".stripMargin
+    },
+    "corpus_select_mmr" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      // Unrolled greedy: set{r} accumulates the ids selected through
+      // round r; c{r} scores the remaining pool against set{r-1}.
+      val rounds = (2 to 5).map { r =>
+        val prevSet = s"set${r - 1}"
+        val maxSim = s"(SELECT max(s.sim) FROM sims s " +
+          s"JOIN $prevSet t ON s.j = t.vec_id WHERE s.i = p.vec_id)"
+        s"""c$r AS (
+           |  SELECT p.vec_id, ${r6(s"0.5 * p.rel - 0.5 * $maxSim")} AS score
+           |  FROM pool p
+           |  WHERE p.vec_id NOT IN (SELECT vec_id FROM $prevSet)
+           |), sel$r AS (
+           |  SELECT $r AS sel_rank, vec_id, score FROM c$r
+           |  ORDER BY score DESC, vec_id LIMIT 1
+           |), set$r AS (
+           |  SELECT vec_id FROM $prevSet UNION ALL SELECT vec_id FROM sel$r
+           |)""".stripMargin
+      }
+      val unions = (2 to 5)
+        .map(r => s"SELECT sel_rank, vec_id, score FROM sel$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH q AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS q_emb
+         |  FROM embeddings WHERE vec_id = 0
+         |), pool AS (
+         |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+         |    ${r6("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb)")} AS rel
+         |  FROM embeddings e CROSS JOIN q
+         |  ORDER BY rel DESC, vec_id LIMIT 16
+         |), sims AS (
+         |  SELECT x.vec_id AS i, y.vec_id AS j,
+         |    ${r6("list_cosine_similarity(x.emb, y.emb)")} AS sim
+         |  FROM pool x JOIN pool y ON x.vec_id <> y.vec_id
+         |), sel1 AS (
+         |  SELECT 1 AS sel_rank, vec_id, rel AS score FROM pool
+         |  ORDER BY rel DESC, vec_id LIMIT 1
+         |), set1 AS (SELECT vec_id FROM sel1),
+         |${rounds.mkString(",\n")}
+         |SELECT sel_rank, vec_id, score FROM sel1
+         |UNION ALL
+         |$unions
+         |ORDER BY sel_rank""".stripMargin
     }
   )
 }
