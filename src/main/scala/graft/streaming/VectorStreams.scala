@@ -107,15 +107,21 @@ object VectorStreams {
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }
 
-  def indexedKnn(queries: DataFrame, built: IvfIndex.Built,
-      nProbe: Int, k: Int): DataFrame = {
+  /** Stateless centroid routing shared by [[indexedKnn]] and
+    * [[semanticScreen]]: each query row fans out to its `nProbe`
+    * max-cosine cells (tie-break cell asc — the `IvfIndex.search`
+    * contract) via a per-row map with the few-KiB centroid table in the
+    * task closure. Zero-norm queries have no cosine direction and are
+    * dropped. */
+  private def route(queries: DataFrame, built: IvfIndex.Built,
+      nProbe: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val cents: Array[(Int, Array[Double])] = built.centroids.collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
       .sortBy(_._1)
     val np = nProbe
-    val routed = queries.select(col("q_id"), col("q_emb")).as[QueryVec]
+    queries.select(col("q_id"), col("q_emb")).as[QueryVec]
       .flatMap { q =>
         val v = q.q_emb.map(_.toDouble).toArray
         val nv = math.sqrt(v.map(x => x * x).sum)
@@ -132,7 +138,11 @@ object VectorStreams {
             .iterator.map { case (cell, _) => RoutedQuery(q.q_id, q.q_emb, cell) }
         }
       }.toDF()
-    val scored = routed
+  }
+
+  def indexedKnn(queries: DataFrame, built: IvfIndex.Built,
+      nProbe: Int, k: Int): DataFrame = {
+    val scored = route(queries, built, nProbe)
       .join(built.live, Seq("cell"))
       .select(col("q_id"), col("id").as("_n_id"),
         cosineSim(col("q_emb"), col("emb")).as("cos"))
@@ -141,5 +151,46 @@ object VectorStreams {
       .select(col("q_id"), posexplode(col("hits")))
       .select(col("q_id"), (col("pos") + 1).as("rank"),
         col("col.id").as("neighbor_id"), col("col.score").as("cos"))
+  }
+
+  /**
+   * Streaming semantic-dedup screen: every vector arriving on `incoming`
+   * is admitted iff the standing corpus holds NO vector within `tau`
+   * cosine — the ingest-time form of the batch `dedup_semantic` prune
+   * (screen new data against what you already have, instead of
+   * deduplicating a finished corpus). The check probes the persisted IVF
+   * index, so a micro-batch touches ~nProbe/nCentroids of the corpus —
+   * never a full rescan per batch — and pairing it with [[indexedIngest]]
+   * on the same `indexRef` makes the screen self-maintaining: admitted
+   * batches append to the index and screen the NEXT batch.
+   *
+   * Emits one verdict row per incoming vector: (id, nearest_id,
+   * nearest_cos, admit). The nearest neighbor is computed over the probed
+   * cells (the `IvfIndex` recall contract applies: a near-dup hiding in
+   * an unprobed cell can slip through — the AnnRecallSpec >= 0.9 bound is
+   * the false-admit ceiling, and raising nProbe buys it down). Cells are
+   * joined stream-static LEFT so a vector probing only empty cells still
+   * gets its verdict (admit, no neighbor) instead of vanishing; zero-norm
+   * vectors are dropped by routing (no cosine direction — route them to a
+   * quarantine stream upstream if they must be accounted). The SAME call
+   * works on a batch frame (unified API; parity pinned by
+   * VectorStreamsSpec).
+   */
+  def semanticScreen(incoming: DataFrame, built: IvfIndex.Built,
+      nProbe: Int, tau: Double): DataFrame = {
+    val scored = route(incoming, built, nProbe)
+      .join(built.live, Seq("cell"), "left")
+      .select(col("q_id"),
+        when(col("id").isNotNull, cosineSim(col("q_emb"), col("emb")))
+          .otherwise(lit(Double.MinValue)).as("cos"),
+        coalesce(col("id"), lit(Long.MinValue)).as("_n_id"))
+    scored.groupBy(col("q_id"))
+      .agg(TopKByScore(1)(col("cos"), col("_n_id")).as("best"))
+      .select(col("q_id").as("id"),
+        when(element_at(col("best.id"), 1) =!= Long.MinValue,
+          element_at(col("best.id"), 1)).as("nearest_id"),
+        when(element_at(col("best.id"), 1) =!= Long.MinValue,
+          element_at(col("best.score"), 1)).as("nearest_cos"),
+        (element_at(col("best.score"), 1) < tau).as("admit"))
   }
 }

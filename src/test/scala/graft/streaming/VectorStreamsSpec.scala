@@ -127,4 +127,77 @@ class VectorStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(centroidsAfter == centroidsBefore)
     assert(indexRef.get().assigned.count() == base.count() + 3)
   }
+
+  test("semanticScreen: duplicates rejected, novel admitted; streamed == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ivf = new graft.ml.IvfIndex(nCentroids = 8, nProbe = 8)
+    val built = ivf.build(spark, corpus, "vec_id", "embedding")
+    // incoming: an exact copy of corpus vector 5 (a near-dup by
+    // construction) and a vector with no semantic neighbor in the corpus
+    val dup = queryVecs(5L).head.copy(q_id = 1005L)
+    val novel = QueryVec(1006L, Seq.tabulate(64)(i => if (i == 0) 1f else 0f))
+    val incoming = Seq(dup, novel)
+
+    val input = MemoryStream[QueryVec]
+    val q = VectorStreams.semanticScreen(input.toDF(), built, nProbe = 8, tau = 0.8)
+      .writeStream.format("memory").queryName("sem_screen")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(dup)
+      q.processAllAvailable()
+      input.addData(novel) // later micro-batch, same standing screen
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sem_screen")
+      .select("id", "nearest_id", "admit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    assert(streamed.size == 2)
+    val dupVerdict = streamed.find(_._1 == 1005L).get
+    assert(dupVerdict._2 == 5L && !dupVerdict._3)
+    assert(streamed.find(_._1 == 1006L).get._3)
+    // the duplicate's nearest is its source at cosine ~1.0
+    val dupRow = spark.table("sem_screen").filter(col("id") === 1005L).head
+    assert(dupRow.getAs[Double]("nearest_cos") > 0.999)
+
+    // unified API: the same call on a batch frame produces the same verdicts
+    val batch = VectorStreams.semanticScreen(incoming.toDF(), built, 8, 0.8)
+      .select("id", "nearest_id", "admit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(batch == streamed)
+  }
+
+  test("semanticScreen + indexedIngest: admitted vectors screen the next batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ivf = new graft.ml.IvfIndex(nCentroids = 8, nProbe = 8)
+    val built = ivf.build(spark, corpus, "vec_id", "embedding")
+    val indexRef = new java.util.concurrent.atomic.AtomicReference(built)
+
+    val novel = QueryVec(2001L, Seq.tabulate(64)(i => if (i == 1) 1f else 0f))
+    val dupOfNovel = novel.copy(q_id = 2002L)
+    def screen(v: QueryVec): (Boolean, Option[Long]) = {
+      val r = VectorStreams
+        .semanticScreen(Seq(v).toDF(), indexRef.get(), nProbe = 8, tau = 0.8).head
+      (r.getAs[Boolean]("admit"), Option(r.getAs[java.lang.Long]("nearest_id")).map(_.toLong))
+    }
+    // batch 1: the novel vector passes the screen against the standing corpus
+    assert(screen(novel)._1)
+    // ...and is ingested through the live-index append path
+    val input = MemoryStream[QueryVec]
+    val ingest = VectorStreams.indexedIngest(
+      input.toDF().select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
+      ivf, indexRef, "vec_id", "embedding")
+    try {
+      input.addData(novel)
+      ingest.processAllAvailable()
+    } finally ingest.stop()
+    // batch 2: its duplicate is now caught by the SAME standing screen —
+    // the screen is self-maintaining through the index, no rebuild
+    val (admit2, nearest2) = screen(dupOfNovel)
+    assert(!admit2 && nearest2.contains(2001L))
+  }
 }
