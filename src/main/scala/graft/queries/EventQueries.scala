@@ -573,6 +573,45 @@ object EventQueries extends QueryPack {
         .select(col("user_id"), col("p_id"), col("c_id"), col("p_ts"), col("c_ts"),
           (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
         .orderBy(col("p_id"), col("c_id"))
+    }),
+
+    // Association-rule mining over per-user event baskets (the classic
+    // market-basket support/confidence/lift, Agrawal & Srikant 1994):
+    // basket = the distinct event types a user ever fired; a directed
+    // rule ante→conseq scores co-occurrence against independence.
+    // Scale shape: baskets are ONE distinct (partial-agg) shuffle on
+    // (user, type); the pair build is a self equi-join on user_id whose
+    // fan-out is bounded by per-user basket size — at most |event_types|²
+    // pairs per user, with |event_types| a small fixed vocabulary, so it
+    // never approaches O(N²) in users or events. Pair counts partial-agg
+    // on (ante, conseq); the per-type totals and the user count are
+    // vocabulary-sized / 1-row broadcasts. Lift stays in exact integer
+    // arithmetic (n_both·n_users and n_ante·n_conseq) until one final
+    // portable double division.
+    "events_assoc_rules" -> ((s, dir) => {
+      val baskets = events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+        .localCheckpoint()
+      val nUsers = baskets.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val typeCounts = baskets.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_t"))
+      val a = baskets.select(col("user_id"), col("event_type").as("ante"))
+      val b = baskets.select(col("user_id"), col("event_type").as("conseq"))
+      a.join(b, "user_id").filter(col("ante") =!= col("conseq"))
+        .groupBy(col("ante"), col("conseq")).agg(count(lit(1)).as("n_both"))
+        .join(broadcast(typeCounts.select(col("event_type").as("ante"),
+          col("n_t").as("n_ante"))), "ante")
+        .join(broadcast(typeCounts.select(col("event_type").as("conseq"),
+          col("n_t").as("n_conseq"))), "conseq")
+        .crossJoin(broadcast(nUsers))
+        .select(col("ante"), col("conseq"), col("n_both"), col("n_ante"),
+          col("n_conseq"),
+          round6(col("n_both").cast("double") / col("n_users")).as("support"),
+          round6(col("n_both").cast("double") / col("n_ante")).as("confidence"),
+          round6((col("n_both") * col("n_users")).cast("double") /
+            (col("n_ante") * col("n_conseq")).cast("double")).as("lift"))
+        .orderBy(col("ante"), col("conseq"))
     })
   )
 
@@ -937,6 +976,31 @@ object EventQueries extends QueryPack {
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
         |  count(*) AS n
         |FROM events
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_assoc_rules" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      s"""WITH baskets AS (
+         |  SELECT DISTINCT user_id, event_type FROM events
+         |), tot AS (SELECT count(DISTINCT user_id) AS n_users FROM baskets),
+         |tc AS (SELECT event_type, count(*) AS n_t FROM baskets GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.event_type AS ante, b.event_type AS conseq,
+         |    count(*) AS n_both
+         |  FROM baskets a JOIN baskets b USING (user_id)
+         |  WHERE a.event_type <> b.event_type
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.ante, p.conseq, p.n_both,
+         |  ta.n_t AS n_ante, tb.n_t AS n_conseq,
+         |  ${r6("CAST(p.n_both AS DOUBLE) / t.n_users")} AS support,
+         |  ${r6("CAST(p.n_both AS DOUBLE) / ta.n_t")} AS confidence,
+         |  ${r6("CAST(p.n_both * t.n_users AS DOUBLE) / CAST(ta.n_t * tb.n_t AS DOUBLE)")} AS lift
+         |FROM pairs p
+         |JOIN tc ta ON ta.event_type = p.ante
+         |JOIN tc tb ON tb.event_type = p.conseq
+         |CROSS JOIN tot t
+         |ORDER BY ante, conseq""".stripMargin
+    }
   )
 }
