@@ -182,6 +182,34 @@ object IvfIndex {
     built.tombstones.fold(built)(_ =>
       Built(built.live.repartition(col("cell")), built.centroids, None))
 
+  /**
+   * SemDeDup over the index's own cell structure — the production path of
+   * the oracle-checked `dedup_semantic` query (which pins the identical
+   * prune against deterministic seed clusters DuckDB can replicate): a
+   * vector is kept iff NO earlier-by-id vector in its IVF cell is within
+   * `tau` cosine. The index IS the clustering, so semantic dedup costs
+   * one within-cell pair join + one distinct + one left-anti over a table
+   * the pipeline already maintains — the KMeans cells confine all
+   * pairwise work, and cell count grows with the corpus, keeping the
+   * per-cell fan-out bound constant at any scale. Tombstoned rows
+   * neither dedup others nor survive (the prune sees [[Built.live]]).
+   *
+   * Returns one verdict row per live vector: (id, cell, kept).
+   */
+  def semanticDedup(built: Built, tau: Double): DataFrame = {
+    val m = built.live
+    val a = m.select(col("cell"), col("id").as("a_id"), col("emb").as("emb_a"))
+    val b = m.select(col("cell"), col("id").as("b_id"), col("emb").as("emb_b"))
+    val victims = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id") &&
+        cosineSim(col("emb_a"), col("emb_b")) >= tau)
+      .select(col("b_id").as("id")).distinct()
+    m.select(col("id"), col("cell"))
+      .join(victims.withColumn("removed", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(!col("removed"), lit(true)).as("kept"))
+  }
+
   /** Persist a built index: the assigned corpus is written PARTITIONED BY
     * cell — the on-disk analog of a bucketed index table, so a search
     * probing nProbe cells prunes to those cell directories at scan time —

@@ -476,9 +476,9 @@ object DedupQueries extends QueryPack {
     //
     // Clustering here is one deterministic assignment pass against seed
     // vectors (the NSeeds lowest ids) so the DuckDB oracle can replicate
-    // it exactly; the production path would feed the IVF centroids from
-    // graft.ml.IvfIndex (same argmax-cosine assignment, k-means-refined)
-    // — the prune stage is identical either way. Keep rule: a vector
+    // it exactly; the production path is graft.ml.IvfIndex.semanticDedup
+    // (the identical prune over the index's own k-means cells, tombstone-
+    // aware, spec-pinned by IndexAppendSpec). Keep rule: a vector
     // survives iff NO earlier same-cluster vector is within Tau cosine
     // (the single-pass "dominated-by-any-earlier" variant; the reference
     // greedy that re-checks only against SURVIVORS is inherently

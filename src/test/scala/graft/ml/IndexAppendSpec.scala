@@ -26,6 +26,52 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
   private def centroidSet(df: DataFrame): Set[(Int, Seq[Float])] =
     df.collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSet
 
+  test("IvfIndex.semanticDedup: in-cell dominated vectors removed, tombstones excluded") {
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 8)
+    // plant exact duplicates: copies of vectors 0..9 at ids 10000+ — same
+    // embedding => same cell => dominated at any tau
+    val dups = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val built = ivf.build(spark, emb.unionByName(dups), "vec_id", "embedding")
+    val verdicts = IvfIndex.semanticDedup(built, tau = 0.9).localCheckpoint()
+    // every planted duplicate is removed; its original survives the prune
+    assert(verdicts.filter(col("id") >= 10000 && col("kept")).isEmpty)
+    assert(verdicts.filter(col("id") < 10 && !col("kept")).isEmpty)
+    // keep rule == brute-force within-cell domination, both directions
+    val m = verdicts.join(built.live.select(col("id"), col("emb")), Seq("id"))
+    val a = m.select(col("cell"), col("id").as("a_id"), col("emb").as("emb_a"))
+    val b = m.select(col("cell"), col("id").as("b_id"), col("emb").as("emb_b"),
+      col("kept").as("b_kept"))
+    val dominated = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id") &&
+        cosineSim(col("emb_a"), col("emb_b")) >= 0.9)
+      .select(col("b_id").as("id"), col("b_kept")).distinct()
+    assert(dominated.filter(col("b_kept")).isEmpty)
+    assert(verdicts.filter(!col("kept"))
+      .join(dominated, Seq("id"), "left_anti").isEmpty)
+
+    // a tombstoned original no longer shields its duplicate
+    val withTomb = built.copy(tombstones =
+      Some(built.assigned.sparkSession.range(1).select(lit(3L).as("id"))))
+    val v2 = IvfIndex.semanticDedup(withTomb, tau = 0.9)
+    assert(v2.filter(col("id") === 3L).isEmpty)          // deleted: no verdict
+    assert(!v2.filter(col("id") === 10003L).head.getBoolean(2) ==
+      dominatedByOther(built, 10003L))                    // kept unless another neighbor dominates
+  }
+
+  /** Whether any live vector with smaller id shares 10003's cell within
+    * tau — recomputed brute-force for the tombstone case. */
+  private def dominatedByOther(built: IvfIndex.Built, id: Long): Boolean = {
+    val m = built.live.join(
+      built.assigned.sparkSession.range(1).select(lit(3L).as("id")),
+      Seq("id"), "left_anti")
+    val target = m.filter(col("id") === id)
+      .select(col("cell"), col("emb").as("emb_b"))
+    m.join(target, Seq("cell"))
+      .filter(col("id") < id && cosineSim(col("emb"), col("emb_b")) >= 0.9)
+      .count() > 0
+  }
+
   private def codebookSet(df: DataFrame): Set[(Int, Int, Seq[Double])] =
     df.collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSet
 
