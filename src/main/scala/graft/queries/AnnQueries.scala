@@ -35,6 +35,20 @@ object AnnQueries extends QueryPack {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // SemDeDup over the persisted IVF index's own cells — the production
+    // path of the oracle-checked dedup_semantic (identical keep rule,
+    // clusters = the index's KMeans cells instead of the oracle's seed
+    // assignment). Approximate in the same sense as every ann_ entry
+    // (cell boundaries decide which pairs are compared); the keep-rule
+    // invariant and tombstone interaction are pinned by IndexAppendSpec.
+    "ann_semantic_dedup" -> ((s, dir) => {
+      val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
+      val built = IvfIndex.openOrBuild(s, ivf, s"$dir/embeddings.parquet",
+        "vec_id", "embedding")
+      IvfIndex.semanticDedup(built, tau = 0.4)
+        .orderBy(col("id"))
+    }),
+
     // IVF (KMeans coarse quantizer) batch kNN join. The synthetic corpus
     // is uniform random (worst case for IVF — no cluster structure), so a
     // high probe fraction is needed for recall 0.9; real embedding corpora

@@ -74,6 +74,57 @@ object GraphQueries extends QueryPack {
         .select(col("node_type"), col("entity_key"), col("pr"))
     }),
 
+    // Community detection by synchronous label propagation (Raghavan et
+    // al. 2007) over the same bipartite trade graph as graph_pagerank —
+    // the third member of the iterative family (components = reachability,
+    // PageRank = centrality, LPA = community structure). Each round every
+    // node adopts its neighbors' most frequent label, ties to the
+    // SMALLEST label — fully deterministic, so a fixed 4-round unrolled
+    // run is exact on any engine (no float state at all: labels and
+    // counts are integers, nothing to round).
+    //
+    // Scale shape: a round is one equi-join of the node-sized label
+    // table against the once-repartitioned checkpointed edge table, a
+    // (dst, lbl) count partial agg, then an argmax via max(struct) —
+    // partial-agg-friendly both levels, no window sort. Same per-round
+    // shuffle discipline as ConnectedComponents/PageRank: the big edge
+    // side never re-shuffles.
+    "graph_communities" -> ((s, dir) => {
+      val Rounds = 4
+      val o = t(s, dir, "orders").filter(col("o_custkey") < CustCap)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("cust"),
+          (col("l_suppkey") * 2 + 1).as("supp"))
+        .distinct()
+      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        .repartition(col("src")).localCheckpoint()
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")).localCheckpoint()
+      for (_ <- 1 to Rounds) {
+        labels = edges.join(labels, edges("src") === labels("node"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          .agg(max(struct(col("cnt").as("c"), (-col("lbl")).as("nl"))).as("mx"))
+          .select(col("dst").as("node"), (-col("mx.nl")).as("lbl"))
+          .localCheckpoint()
+      }
+      // canonical LPA output: the node -> community map (hash covers every
+      // node's label even where the dense trade graph collapses to few
+      // communities), with community size joined from a label-sized agg
+      val sizes = labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("community_size"))
+      labels.join(sizes, "lbl")
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").as("entity_key"),
+          col("node"), col("lbl").as("community"), col("community_size"))
+        .orderBy(col("node"))
+    }),
+
     // Triangle census over a top-K similarity graph — the motif /
     // local-clustering companion to PageRank. The graph is each
     // supplier's K strongest co-suppliers (most shared parts, tie by
@@ -156,6 +207,40 @@ object GraphQueries extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "graph_communities" -> {
+      def round(i: Int): String = {
+        val prev = s"l${i - 1}"
+        s"""l$i AS (
+           |  SELECT dst AS node, lbl FROM (
+           |    SELECT e.dst, x.lbl, count(*) AS cnt,
+           |      row_number() OVER (PARTITION BY e.dst
+           |                         ORDER BY count(*) DESC, x.lbl) AS rk
+           |    FROM edges e JOIN $prev x ON e.src = x.node
+           |    GROUP BY e.dst, x.lbl)
+           |  WHERE rk = 1
+           |)""".stripMargin
+      }
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_custkey < $CustCap
+         |), edges AS (
+         |  SELECT cust AS src, supp AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT supp, cust FROM pairs
+         |), l0 AS (
+         |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+         |),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |, sizes AS (
+         |  SELECT lbl, count(*) AS community_size FROM l4 GROUP BY lbl
+         |)
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  node // 2 AS entity_key, node, lbl AS community, community_size
+         |FROM l4 JOIN sizes USING (lbl)
+         |ORDER BY node""".stripMargin
+    },
     "graph_pagerank" -> {
       val r6 = graft.QueryPack.round6Sql _
       def round(i: Int): String = {
