@@ -25,18 +25,21 @@ trait QueryPack {
     s.read.parquet(s"$dir/$name.parquet")
 
   /**
-   * The `events` table stores TIMESTAMP(NANOS) parquet, which Spark refuses
-   * to map to its microsecond TimestampType. Read nanos as raw long
-   * (legacy.parquet.nanosAsLong) and truncate to micros with integer
-   * division (`div`, not `/` — a double round-trip of ~1.7e18 nanos loses
-   * precision past 2^53). DuckDB reading the same file truncates to its
-   * micro TIMESTAMP identically, so both engines see the same instants.
+   * Schema-adaptive loader for the `events` table — the fixture's physical
+   * `ts` encoding has changed across driver versions, so branch on what the
+   * footer actually says instead of assuming one layout:
+   *   - TIMESTAMP(NANOS): Spark refuses to map nanos to its microsecond
+   *     TimestampType, so read the raw long (legacy.parquet.nanosAsLong)
+   *     and truncate with integer division (`div`, not `/` — a double
+   *     round-trip of ~1.7e18 nanos loses precision past 2^53).
+   *   - timestamp[us] without tz: Spark infers TIMESTAMP_NTZ; cast to the
+   *     session-TZ TimestampType (session TZ is pinned UTC everywhere, so
+   *     the wall-clock IS the instant, matching DuckDB's naive TIMESTAMP).
+   *   - timestamp[us] with tz: already TimestampType; pass through.
+   * Either way both engines see the same instants.
    */
-  protected def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
+  protected def events(s: SparkSession, dir: String): DataFrame =
+    QueryPack.loadEvents(s, s"$dir/events.parquet")
 
   /**
    * Spread a CPU-heavy derivation (regex split, per-token hashing) across
@@ -77,6 +80,33 @@ object QueryPack {
   /** SQL spelling of [[QueryPack.round6]] for DuckDB oracle queries. */
   def round6Sql(expr: String): String =
     s"floor(($expr) * 1000000.0 + 0.5) / 1000000.0"
+
+  /** The ONE schema-adaptive events loader (see [[QueryPack.events]] for
+    * the encoding matrix). Shared by every query pack and the streaming
+    * parity specs so a fixture-layout change is a one-line fix. */
+  def loadEvents(s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // Must be set before the read: a TIMESTAMP(NANOS) footer otherwise
+    // fails schema resolution outright. A no-op for micro-encoded files.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    adaptEventsTs(s.read.parquet(path))
+  }
+
+  /** Normalize an already-loaded events frame's `ts` to TimestampType
+    * micros, whatever the fixture encoding was. Works on streaming frames
+    * too (the branch is on the resolved schema, not the source). */
+  def adaptEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other")
+    }
+  }
 
   /** ORACLE RULE for exact-decimal sums surfaced as DOUBLE: DuckDB's
     * direct DECIMAL->DOUBLE cast is NOT correctly rounded (observed 1-ulp

@@ -10,11 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * results whether driven incrementally or in one batch. */
 class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
 
-  private def batchEvents = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sf0_001/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
+  private def batchEvents =
+    graft.QueryPack.loadEvents(spark, s"$sf0_001/events.parquet")
 
   // Spark's file stream source wants a directory; the test fixture is a
   // single parquet file, so stage it into a temp dir once.
@@ -29,8 +26,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
   private def streamEvents = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sf0_001/events.parquet").schema
-    spark.readStream.schema(schema).parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.QueryPack.adaptEventsTs(
+      spark.readStream.schema(schema).parquet(streamDir))
   }
 
   test("tumblingCounts: streaming (complete mode) == batch") {
