@@ -34,14 +34,15 @@ case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
  * both write and demux — animated GIF ([[MediaCodecs.encodeGif]] /
  * [[MediaCodecs.decodeGifFrames]], exercised end-to-end by
  * `multimodal_video_frames`, whose oracle pins decoder-read geometry, and
- * pixel-lossless by spec). For codec-less containers (mkv/mp4 — no
- * demuxer in the JDK, no media libraries in this container) the
- * byte-window stub below remains, clearly marked: it derives features
- * from raw bytes where a real pipeline would decode. Everything AROUND
- * the codecs — schema, binary columns, per-partition batch shape,
- * explode plumbing, partition-by-modality — is the real Spark design and
- * is what the specs test; swapping in a real codec changes only the
- * stub body.
+ * pixel-lossless by spec). Feature extraction therefore decodes REAL
+ * payloads on every modality; the one remaining stub is the
+ * [[MediaCodecs.sampleFramesStub]] byte-window demuxer for codec-less
+ * containers (mkv/mp4 — no demuxer in the JDK, no media libraries in
+ * this container), whose slice ARITHMETIC is oracle-checked by
+ * `multimodal_frames`. Everything around the codecs — schema, binary
+ * columns, per-partition batch shape, explode plumbing,
+ * partition-by-modality — is the real Spark design the specs test;
+ * swapping in a real demuxer changes only the stub body.
  */
 object MediaCodecs {
   // raster-only AWT work; never touch a display
@@ -310,18 +311,6 @@ object MediaCodecs {
     hist.map(_ / math.max(total, 1L).toFloat)
   }
 
-  /** STUB for codec-less containers (mkv/mp4 — no JDK demuxer): a 16-bin
-    * byte histogram normalized to a unit-ish vector. Deterministic in
-    * input bytes. A real implementation would decode samples and run a
-    * model; [[decodeVideoFeatures]] is that real path for GIF. */
-  def decodeFeaturesStub(bytes: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](16)
-    var i = 0
-    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
-    val n = math.max(bytes.length, 1).toFloat
-    hist.map(_ / n)
-  }
-
   /** STUB frame demuxer: treats the payload as fixed-size "frames" and
     * returns `n` evenly spaced ones. A real implementation would call a
     * video demuxer; the even-spacing *selection logic* is real. */
@@ -415,7 +404,8 @@ object MultimodalOps {
             case "image" => MediaCodecs.decodeImageFeatures(r.content)
             case "audio" => MediaCodecs.decodeAudioFeatures(r.content)
             case "video" => MediaCodecs.decodeVideoFeatures(r.content)
-            case _       => MediaCodecs.decodeFeaturesStub(r.content)
+            case other => throw new IllegalArgumentException(
+              s"no codec for modality '$other' (media ${r.media_id})")
           }
           MediaFeatures(r.media_id, r.modality, r.content.length.toLong, features)
         }

@@ -11,7 +11,6 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
-import scala.collection.concurrent.TrieMap
 
 /**
  * The engine-uses-its-own-indexes piece (SURVEY §4's one deliberately
@@ -54,7 +53,18 @@ object AnnIndexRegistry {
   case class Entry(indexPath: String, idCol: String, embCol: String,
       nProbe: Int, centroids: Array[(Int, Array[Double])])
 
-  private val entries = TrieMap.empty[String, Entry]
+  /** Driver-state bound: each entry pins nCentroids × dim doubles of
+    * routing table (~1.5 MiB at 256×768). Registrations are unbounded
+    * user input at many-corpora scale, so cap the cache LRU-wise — a
+    * `lookup` refreshes recency, an over-cap `register` evicts the
+    * least-recently-used entry. An evicted corpus silently falls back to
+    * its exact scan (the rewrite is an optimization, never a semantic). */
+  private[plans] val MaxEntries = 32
+
+  private val entries = new java.util.LinkedHashMap[String, Entry](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Entry]): Boolean =
+      this.size() > MaxEntries
+  }
 
   /** Scheme-insensitive path key ("file:/x" and "/x" are the same scan). */
   private[plans] def normalize(p: String): String =
@@ -76,16 +86,23 @@ object AnnIndexRegistry {
       .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
       .sortBy(_._1)
     val entry = Entry(path, idCol, embCol, nProbe, centroids)
-    entries(normalize(sourcePath)) = entry
+    put(sourcePath, entry)
     AnnIndexRule.install(spark)
     entry
   }
 
-  def lookup(path: String): Option[Entry] = entries.get(normalize(path))
+  private[plans] def put(sourcePath: String, entry: Entry): Unit =
+    entries.synchronized { entries.put(normalize(sourcePath), entry) }
 
-  def deregister(sourcePath: String): Unit = entries.remove(normalize(sourcePath))
+  def lookup(path: String): Option[Entry] =
+    entries.synchronized { Option(entries.get(normalize(path))) }
 
-  def clear(): Unit = entries.clear()
+  def deregister(sourcePath: String): Unit =
+    entries.synchronized { entries.remove(normalize(sourcePath)) }
+
+  def clear(): Unit = entries.synchronized { entries.clear() }
+
+  def size: Int = entries.synchronized { entries.size() }
 }
 
 /**

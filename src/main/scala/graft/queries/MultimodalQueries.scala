@@ -3,30 +3,51 @@ package graft.queries
 import graft.QueryPack
 import graft.multimodal.MultimodalOps
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /**
  * Multimodal pipeline surface. Image (javax.imageio PNG), audio
  * (javax.sound WAV) and video (animated-GIF demux) decode are all REAL
- * JDK codec work — see [[graft.multimodal.MediaCodecs]]. Pixel/sample
- * features have no SQL-expressible oracle (rows-only + specs), but the
- * metadata rollup, the stub-demuxer slice arithmetic, and the
- * decoder-read video frame geometry ARE oracle-checked.
+ * JDK codec work — see [[graft.multimodal.MediaCodecs]] — and every
+ * query here is oracle-checked: the payloads are deterministic
+ * generator output, so DuckDB re-derives hashes, fingerprints, frame
+ * geometry and histogram-bin counts from the generator formulas alone,
+ * which a decode that misread any pixel/sample could not match.
  */
 object MultimodalQueries extends QueryPack {
 
   override def queries: Map[String, Q] = Map(
-    // Binary-column feature extraction -> per-modality rollup.
+    // Binary-column feature extraction -> per-modality rollup, made
+    // INTEGER-exact so the REAL decode path is fully oracle-checkable
+    // (VERDICT r7 #5): features(1) is the bin-0 fraction of a
+    // 16-bin histogram over decoded pixels/samples; multiplying back by
+    // the decoded unit count (pixels / samples / frame-pixels — all
+    // metadata-derivable, and the decoders' losslessness is spec-pinned)
+    // recovers the exact bin-0 COUNT, which DuckDB recomputes from the
+    // generator formulas alone. A decode that misread any pixel or
+    // sample could not match the per-modality totals.
     "multimodal_features" -> ((s, dir) => {
       val media = MultimodalOps.fromDocuments(t(s, dir, "documents"))
-      MultimodalOps.extractFeatures(media).toDF()
-        .select(col("media_id"), col("modality"), col("n_bytes"),
-          // order-independent: decimal sum of the first histogram bin
-          element_at(col("features"), 1).cast(DecimalType(18, 9)).as("f0"))
+      val feats = MultimodalOps.extractFeatures(media).toDF()
+        .select(col("media_id"), col("modality"),
+          element_at(col("features"), 1).as("f0"))
+      val units = MultimodalOps.mediaMeta(t(s, dir, "documents"))
+        .select(col("media_id"),
+          when(col("modality") === "image",
+            col("width").cast("long") * col("height"))
+          .when(col("modality") === "audio",
+            lit(256L) + col("media_id") % 512)
+          .otherwise(col("width").cast("long") * col("height") *
+            least(col("n_frames"), lit(6)))
+          .as("units"))
+      feats.join(units, Seq("media_id"))
+        // f0 = float32(bin0/units) with units <= 5120 << 2^24, so the
+        // float round-trip recovers bin0 exactly (error < 5e-4)
+        .select(col("modality"), col("units"),
+          round(col("f0") * col("units"), 0).cast("long").as("bin0"))
         .groupBy(col("modality"))
         .agg(count(lit(1)).as("n_media"),
-          sum(col("n_bytes")).as("total_bytes"),
-          round6(sum(col("f0")).cast("double")).as("f0_sum"))
+          sum(col("units")).as("total_units"),
+          sum(col("bin0")).as("bin0_total"))
         .orderBy(col("modality"))
     }),
 
@@ -183,6 +204,60 @@ object MultimodalQueries extends QueryPack {
       |)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    // bin-0 counts of the 16-bin decoded-feature histograms, re-derived
+    // per modality from the generator formulas: image luminance
+    // (r*299+g*587+b*114)//1000 < 16; audio amplitude word
+    // (id*131+i*7919)%65536 < 4096 (bin = word >> 12); video gray
+    // (id*31+f*41+x*7+y*13)%256 < 16 over min(n_frames,6) frames.
+    "multimodal_features" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(n_chars % 64 + 16 AS BIGINT) AS w,
+        |    CAST(n_chars % 48 + 16 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), ipx AS (
+        |  SELECT media_id, w, h, x, unnest(range(h)) AS y
+        |  FROM (SELECT media_id, w, h, unnest(range(w)) AS x FROM img)
+        |), ibin AS (
+        |  SELECT media_id, w * h AS units,
+        |    sum(CASE WHEN (((media_id*31 + x*7 + y*13) % 256) * 299 +
+        |                   ((media_id*17 + x*11 + y*3) % 256) * 587 +
+        |                   ((media_id*5 + x*2 + y*23) % 256) * 114) // 1000 < 16
+        |        THEN 1 ELSE 0 END) AS bin0
+        |  FROM ipx GROUP BY media_id, w, h
+        |), aud AS (
+        |  SELECT doc_id AS media_id, CAST(256 + doc_id % 512 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), abin AS (
+        |  SELECT media_id, n AS units,
+        |    sum(CASE WHEN (media_id*131 + i*7919) % 65536 < 4096
+        |        THEN 1 ELSE 0 END) AS bin0
+        |  FROM (SELECT media_id, n, unnest(range(n)) AS i FROM aud)
+        |  GROUP BY media_id, n
+        |), vid AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(n_chars % 64 + 16 AS BIGINT) AS w,
+        |    CAST(n_chars % 48 + 16 AS BIGINT) AS h,
+        |    CAST(least(n_chars % 30 + 1, 6) AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), vpx AS (
+        |  SELECT media_id, w, h, nf, f, x, unnest(range(h)) AS y
+        |  FROM (SELECT media_id, w, h, nf, f, unnest(range(w)) AS x
+        |        FROM (SELECT media_id, w, h, nf, unnest(range(nf)) AS f FROM vid))
+        |), vbin AS (
+        |  SELECT media_id, w * h * nf AS units,
+        |    sum(CASE WHEN (media_id*31 + f*41 + x*7 + y*13) % 256 < 16
+        |        THEN 1 ELSE 0 END) AS bin0
+        |  FROM vpx GROUP BY media_id, w, h, nf
+        |), allm AS (
+        |  SELECT 'image' AS modality, units, bin0 FROM ibin
+        |  UNION ALL SELECT 'audio', units, bin0 FROM abin
+        |  UNION ALL SELECT 'video', units, bin0 FROM vbin
+        |)
+        |SELECT modality, count(*) AS n_media,
+        |  CAST(sum(units) AS BIGINT) AS total_units,
+        |  CAST(sum(bin0) AS BIGINT) AS bin0_total
+        |FROM allm GROUP BY modality ORDER BY modality""".stripMargin,
     "multimodal_image_ahash" ->
       s"""WITH $ahashCtes
          |SELECT media_id, ahash_hi, ahash_lo,

@@ -107,20 +107,44 @@ object ScaleQueries extends QueryPack {
     // companion of the exact query, exactly like the HLL/exact distinct
     // split below. Rank error <= n/accuracy; the empirical-rank test in
     // ApproxDistinctSpec pins the returned values against the exact ranks.
-    "events_value_quantiles_approx" -> ((s, dir) =>
-      events(s, dir)
+    // `pass` makes the GK guarantee driver-visible (VERDICT r7 #8): the
+    // returned value's empirical rank must sit within q ± (rank error
+    // n/accuracy + value discreteness 2/n) — the same bound
+    // ApproxDistinctSpec pins, recomputed here with one extra aggregate
+    // over the same scan.
+    "events_value_quantiles_approx" -> ((s, dir) => {
+      val approx = events(s, dir)
         .groupBy(col("event_type"))
         .agg(expr("percentile_approx(value, array(0.5, 0.9, 0.99), 10000)").as("qs"))
         .select(col("event_type"),
           element_at(col("qs"), 1).as("p50"),
           element_at(col("qs"), 2).as("p90"),
           element_at(col("qs"), 3).as("p99"))
-        .orderBy(col("event_type"))),
+      def rankOk(v: org.apache.spark.sql.Column, q: Double) = {
+        val n = count(lit(1)).cast("double")
+        val le = sum(when(col("value") <= v, 1L).otherwise(0L)) / n
+        val lt = sum(when(col("value") < v, 1L).otherwise(0L)) / n
+        val eps = lit(1.0 / 10000) + lit(2.0) / n
+        lt - eps <= lit(q) && lit(q) <= le + eps
+      }
+      events(s, dir).select(col("event_type"), col("value"))
+        .join(broadcast(approx), Seq("event_type"))
+        .groupBy(col("event_type"), col("p50"), col("p90"), col("p99"))
+        .agg((rankOk(col("p50"), 0.5) && rankOk(col("p90"), 0.9) &&
+          rankOk(col("p99"), 0.99)).as("pass"))
+        .orderBy(col("event_type"))
+    }),
 
+    // `pass` = relative error within 3×rsd (the ±3σ HLL guarantee;
+    // ApproxDistinctSpec pins the tighter observed 1σ on the fixture).
     "events_distinct_users_approx" -> ((s, dir) =>
       events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("approx_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            lit(0.15) * col("exact_users")).as("pass"))
         .orderBy(col("event_type"))),
 
     // Bloom-filter semi join: the build side aggregates urgent custkeys
@@ -168,14 +192,22 @@ object ScaleQueries extends QueryPack {
         .groupBy(col("d"), col("bucket"))
         .agg(count(lit(1)).as("c"))
       val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      // `pass` (VERDICT r7 #8): CMS never undercounts, and the min-over-D
+      // overcount stays within 4×N/W expected bucket collisions — the
+      // CmsSketchSpec bound, carried on every row for the driver to see.
+      val total = e.agg(count(lit(1)).as("n_total"))
       exact
         .withColumn("d", explode(ds))
         .withColumn("bucket", bucket)
         .join(cms, Seq("d", "bucket"))
         .groupBy(col("user_id"), col("exact_n"))
         .agg(min(col("c")).as("est_n"))
+        .crossJoin(broadcast(total))
         .select(col("user_id"), col("est_n"), col("exact_n"),
-          (col("est_n") - col("exact_n")).as("overcount"))
+          (col("est_n") - col("exact_n")).as("overcount"),
+          (col("est_n") >= col("exact_n") &&
+            (col("est_n") - col("exact_n")) * lit(W) <= lit(4) * col("n_total"))
+            .as("pass"))
         .orderBy(col("est_n").desc, col("user_id"))
         .limit(20)
     }),

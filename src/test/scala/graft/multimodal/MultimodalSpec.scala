@@ -8,14 +8,13 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
 
   private def docs = spark.read.parquet(s"$sf0_001/documents.parquet")
 
-  test("decodeFeaturesStub: deterministic 16-bin normalized histogram") {
-    val bytes = "abcabc   ".getBytes("UTF-8")
-    val f = MediaCodecs.decodeFeaturesStub(bytes)
-    assert(f.length == 16)
-    assert(math.abs(f.sum - 1.0f) < 1e-6) // histogram normalizes to 1
-    // 'a'..'c' are 0x61-0x63 -> bin 6; ' ' is 0x20 -> bin 2
-    assert(f(6) == 6f / 9f && f(2) == 3f / 9f)
-    assert(f.sameElements(MediaCodecs.decodeFeaturesStub(bytes)))
+  /** 16-bin histogram of RAW payload bytes — what a codec-less feature
+    * path would see; used below to prove real features come from decoded
+    * pixels, not file bytes. */
+  private def byteHistogram(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    bytes.foreach(b => hist((b & 0xff) >> 4) += 1f)
+    hist.map(_ / math.max(bytes.length, 1).toFloat)
   }
 
   test("sampleFramesStub: evenly spaced, bounded, slice-exact") {
@@ -96,7 +95,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(f.sum == 1.0f)
     // the BYTE histogram of the encoded file would look nothing like this —
     // proves features come from decoded pixels, not payload bytes
-    assert(!f.sameElements(MediaCodecs.decodeFeaturesStub(out.toByteArray)))
+    assert(!f.sameElements(byteHistogram(out.toByteArray)))
   }
 
   test("decodeImageFeatures rejects undecodable payloads") {

@@ -43,4 +43,13 @@ class ApproxDistinctSpec extends AnyFunSuite with SparkTestBase {
         s"$group: approx=$ap exact=$ex")
     }
   }
+
+  test("driver-visible pass columns are all true on the sketch queries") {
+    Seq("events_distinct_users_approx", "events_value_quantiles_approx",
+        "events_heavy_hitters_cms").foreach { q =>
+      val rows = ScaleQueries.queries(q)(spark, sf0_001)
+        .select("pass").collect()
+      assert(rows.nonEmpty && rows.forall(_.getBoolean(0)), s"$q pass=false row")
+    }
+  }
 }
