@@ -20,6 +20,11 @@ case class MediaFeatures(
     media_id: Long,
     modality: String,
     n_bytes: Long,
+    /** decoder-read unit count (pixels / samples / frame-pixels) the
+      * histogram was normalized by — lets a consumer recover exact bin
+      * counts (`round(f_i * n_units)`) without re-decoding or joining
+      * metadata back in */
+    n_units: Long,
     features: Array[Float])
 
 case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
@@ -76,10 +81,15 @@ object MediaCodecs {
     * extraction: a 16-bin luminance histogram over the decoded pixels,
     * normalized by pixel count. Throws on undecodable bytes — an image
     * row with a corrupt payload is a data error, not a feature. */
-  def decodeImageFeatures(bytes: Array[Byte]): Array[Float] = {
+  def decodeImageFeatures(bytes: Array[Byte]): Array[Float] =
+    normalized(decodeImageHistogram(bytes))
+
+  /** Integer bin COUNTS of [[decodeImageFeatures]] (exact; sums to the
+    * decoded pixel count). */
+  def decodeImageHistogram(bytes: Array[Byte]): Array[Long] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, s"undecodable image payload (${bytes.length} bytes)")
-    val hist = new Array[Float](16)
+    val hist = new Array[Long](16)
     var y = 0
     while (y < img.getHeight) {
       var x = 0
@@ -87,12 +97,16 @@ object MediaCodecs {
         val rgb = img.getRGB(x, y)
         val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
           (rgb & 0xff) * 114) / 1000
-        hist(lum >> 4) += 1f
+        hist(lum >> 4) += 1L
         x += 1
       }
       y += 1
     }
-    val n = (img.getWidth.toLong * img.getHeight).toFloat
+    hist
+  }
+
+  private def normalized(hist: Array[Long]): Array[Float] = {
+    val n = math.max(hist.sum, 1L).toFloat
     hist.map(_ / n)
   }
 
@@ -121,7 +135,12 @@ object MediaCodecs {
     * extraction: a 16-bin histogram over the decoded 16-bit sample
     * amplitudes, normalized by sample count. Throws on undecodable
     * payloads. */
-  def decodeAudioFeatures(bytes: Array[Byte]): Array[Float] = {
+  def decodeAudioFeatures(bytes: Array[Byte]): Array[Float] =
+    normalized(decodeAudioHistogram(bytes))
+
+  /** Integer bin COUNTS of [[decodeAudioFeatures]] (exact; sums to the
+    * decoded sample count). */
+  def decodeAudioHistogram(bytes: Array[Byte]): Array[Long] = {
     val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
@@ -130,16 +149,16 @@ object MediaCodecs {
         s"expected 16-bit mono PCM, got $fmt")
       val pcm = in.readAllBytes()
       val n = pcm.length / 2
-      val hist = new Array[Float](16)
+      val hist = new Array[Long](16)
       var i = 0
       while (i < n) {
         val lo = pcm(2 * i) & 0xff
         val hi = pcm(2 * i + 1).toInt
         val sample = (hi << 8) | lo // little-endian signed 16-bit
-        hist(((sample + 32768) >> 12) & 0xf) += 1f
+        hist(((sample + 32768) >> 12) & 0xf) += 1L
         i += 1
       }
-      hist.map(_ / math.max(n, 1).toFloat)
+      hist
     } finally in.close()
   }
 
@@ -291,24 +310,27 @@ object MediaCodecs {
   /** REAL video feature extraction: demux the GIF container and average
     * the 16-bin luminance histogram over every decoded frame's pixels
     * (normalized by total pixels across frames, so bins sum to 1). */
-  def decodeVideoFeatures(bytes: Array[Byte]): Array[Float] = {
+  def decodeVideoFeatures(bytes: Array[Byte]): Array[Float] =
+    normalized(decodeVideoHistogram(bytes))
+
+  /** Integer bin COUNTS of [[decodeVideoFeatures]] (exact; sums to the
+    * decoded pixel count across all frames). */
+  def decodeVideoHistogram(bytes: Array[Byte]): Array[Long] = {
     val frames = decodeGifFrames(bytes)
     require(frames.nonEmpty, "not a decodable multi-frame container")
-    val hist = new Array[Float](16)
-    var total = 0L
+    val hist = new Array[Long](16)
     frames.foreach { img =>
       var y = 0
       while (y < img.getHeight) {
         var x = 0
         while (x < img.getWidth) {
-          hist((img.getRGB(x, y) & 0xff) >> 4) += 1f
-          total += 1
+          hist((img.getRGB(x, y) & 0xff) >> 4) += 1L
           x += 1
         }
         y += 1
       }
     }
-    hist.map(_ / math.max(total, 1L).toFloat)
+    hist
   }
 
   /** STUB frame demuxer: treats the payload as fixed-size "frames" and
@@ -400,14 +422,16 @@ object MultimodalOps {
       .mapPartitions { rows =>
         // per-partition setup for a real codec/model would happen HERE, once
         rows.map { r =>
-          val features = r.modality match {
-            case "image" => MediaCodecs.decodeImageFeatures(r.content)
-            case "audio" => MediaCodecs.decodeAudioFeatures(r.content)
-            case "video" => MediaCodecs.decodeVideoFeatures(r.content)
+          val counts = r.modality match {
+            case "image" => MediaCodecs.decodeImageHistogram(r.content)
+            case "audio" => MediaCodecs.decodeAudioHistogram(r.content)
+            case "video" => MediaCodecs.decodeVideoHistogram(r.content)
             case other => throw new IllegalArgumentException(
               s"no codec for modality '$other' (media ${r.media_id})")
           }
-          MediaFeatures(r.media_id, r.modality, r.content.length.toLong, features)
+          val n = math.max(counts.sum, 1L)
+          MediaFeatures(r.media_id, r.modality, r.content.length.toLong,
+            n, counts.map(_ / n.toFloat))
         }
       }
   }

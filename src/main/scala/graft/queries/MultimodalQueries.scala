@@ -27,26 +27,17 @@ object MultimodalQueries extends QueryPack {
     // sample could not match the per-modality totals.
     "multimodal_features" -> ((s, dir) => {
       val media = MultimodalOps.fromDocuments(t(s, dir, "documents"))
-      val feats = MultimodalOps.extractFeatures(media).toDF()
-        .select(col("media_id"), col("modality"),
-          element_at(col("features"), 1).as("f0"))
-      val units = MultimodalOps.mediaMeta(t(s, dir, "documents"))
-        .select(col("media_id"),
-          when(col("modality") === "image",
-            col("width").cast("long") * col("height"))
-          .when(col("modality") === "audio",
-            lit(256L) + col("media_id") % 512)
-          .otherwise(col("width").cast("long") * col("height") *
-            least(col("n_frames"), lit(6)))
-          .as("units"))
-      feats.join(units, Seq("media_id"))
-        // f0 = float32(bin0/units) with units <= 5120 << 2^24, so the
-        // float round-trip recovers bin0 exactly (error < 5e-4)
-        .select(col("modality"), col("units"),
-          round(col("f0") * col("units"), 0).cast("long").as("bin0"))
+      // n_units rides on the feature row (decoder-read), so recovering
+      // exact bin counts needs no metadata join: f0 = float32(bin0/n)
+      // with n <= 5120 << 2^24, so the float round-trip recovers bin0
+      // exactly (error < 5e-4)
+      MultimodalOps.extractFeatures(media).toDF()
+        .select(col("modality"), col("n_units"),
+          round(element_at(col("features"), 1) * col("n_units"), 0)
+            .cast("long").as("bin0"))
         .groupBy(col("modality"))
         .agg(count(lit(1)).as("n_media"),
-          sum(col("units")).as("total_units"),
+          sum(col("n_units")).as("total_units"),
           sum(col("bin0")).as("bin0_total"))
         .orderBy(col("modality"))
     }),

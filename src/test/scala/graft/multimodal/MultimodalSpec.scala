@@ -48,6 +48,21 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       val s = f.features.sum
       assert(s > 0.99f && s < 1.01f, s"${f.modality} features don't sum to ~1: $s")
     }
+    // decoder-read n_units must equal the generator's unit count: pixels
+    // (w*h), samples (256 + id%512), or frame-pixels (w*h*min(nf,6)) —
+    // a decode that dropped any pixel/sample would miscount
+    val meta = media.select("media_id", "modality", "width", "height", "n_frames")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    feats.foreach { f =>
+      val m = meta(f.media_id)
+      val expected = f.modality match {
+        case "image" => m.getInt(2).toLong * m.getInt(3)
+        case "audio" => 256L + f.media_id % 512
+        case _       => m.getInt(2).toLong * m.getInt(3) * math.min(m.getInt(4), 6)
+      }
+      assert(f.n_units == expected,
+        s"media ${f.media_id} (${f.modality}): n_units ${f.n_units} != $expected")
+    }
   }
 
   test("encodeWav produces a real WAV the JDK decoder round-trips") {
