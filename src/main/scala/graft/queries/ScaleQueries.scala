@@ -137,6 +137,11 @@ object ScaleQueries extends QueryPack {
 
     // `pass` = relative error within 3×rsd (the ±3σ HLL guarantee;
     // ApproxDistinctSpec pins the tighter observed 1σ on the fixture).
+    // The exact-distinct column exists ONLY for this audit — it re-adds
+    // the per-key distinct shuffle the sketch exists to avoid, which is
+    // fine at verification scale; the production 100 TB path is the
+    // one-line approx_count_distinct agg without the rider (fixed-size
+    // sketch state, single map-side-combined shuffle).
     "events_distinct_users_approx" -> ((s, dir) =>
       events(s, dir)
         .groupBy(col("event_type"))
