@@ -112,6 +112,20 @@ class AnnLifecycleSpec extends AnyFunSuite with SparkTestBase {
         "no appended id reachable through the rewritten plan")
       val r3 = recall(approx3, exactTop(10, dead))
       assert(r3 >= 0.9, s"post-append recall $r3")
+
+      // ---- phase 4: compact the published index ----
+      // folds tombstones into the cell table (affected cells only);
+      // the rewrite must keep serving the same store view, now without
+      // the anti-join
+      IvfIndex.compactOnDisk(spark, entry2.indexPath)
+      assert(!new java.io.File(s"${entry2.indexPath}/tombstones").exists(),
+        "compaction left the tombstone sidecar behind")
+      assertPruned()
+      val approx4 = approxTop(10)
+      assert(approx4.values.forall(_.intersect(dead).isEmpty),
+        "deleted id resurfaced after compaction")
+      val r4 = recall(approx4, exactTop(10, dead))
+      assert(r4 >= 0.9, s"post-compaction recall $r4")
     } finally AnnIndexRegistry.clear()
   }
 
