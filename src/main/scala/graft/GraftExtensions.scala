@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, L2Distance, L2Norm, SimHashBands}
+import graft.functions.{CosineSimilarity, DotProduct, L2Distance, L2Norm, NfcNormalize, SimHashBands}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftExtensions.literalArg(es, 1, "seed"),
         GraftExtensions.literalArg(es, 2, "bandBits").toInt,
         GraftExtensions.literalArg(es, 3, "numBands").toInt)))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(s) - Unicode NFC canonicalization (same semantics as DuckDB's nfc_normalize)"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
     // Catalyst's internal runtime-filter bloom pair, surfaced as SQL
     // (Spark builds them for join pruning but never registers them):
     // bloom_filter_agg(xxhash64(k), items, bits) → BINARY sketch;

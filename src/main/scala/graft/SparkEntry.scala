@@ -18,7 +18,8 @@ object SparkEntry {
     ScaleQueries,
     CurationQueries,
     SearchQueries,
-    GraphQueries
+    GraphQueries,
+    QualityQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

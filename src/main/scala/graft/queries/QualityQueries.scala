@@ -1,0 +1,300 @@
+package graft.queries
+
+import graft.QueryPack
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Corpus-quality and corpus-comparison operators from the published
+ * LLM-data-pipeline literature that sit between raw ingest and mixture
+ * planning:
+ *
+ *  - `corpus_gopher_rules` — the named rule-based quality filter family of
+ *    Gopher (Rae et al. 2021, appendix A1.1) / falling through to C4-style
+ *    heuristics: per-document word-count, mean-word-length, alphabetic-
+ *    word, stop-word and symbol-ratio rules with a per-language rollup of
+ *    which rule kills how many documents.
+ *  - `corpus_dsir_weights` — Data Selection with Importance Resampling
+ *    (Xie et al. 2023): hashed-n-gram bucket LMs for a target slice vs the
+ *    raw corpus, per-document importance weight = Σ log(p_target/p_raw)
+ *    over the document's n-gram occurrences.
+ *  - `corpus_overlap_kmv` — pairwise corpus-overlap estimation between
+ *    sources via k-minimum-values sketches (Beyer et al. 2007): Jaccard
+ *    between any two sources from k=64 fingerprints each, never comparing
+ *    documents pairwise.
+ *
+ * Determinism/oracle notes: every threshold compare is integer cross-
+ * multiplication (no ratio doubles near rule boundaries); DSIR log terms
+ * go through the DECIMAL(27,9) summation rule so per-doc weights are
+ * partition-order independent; KMV sketches order md5 hex strings
+ * (identical collation both engines) and the estimator divides two exact
+ * integers (one IEEE division, correctly rounded on both engines).
+ */
+object QualityQueries extends QueryPack {
+
+  private val stops = graft.functions.TextSignals.stopWords
+
+  private def toks: Column = col("toks")
+
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(trim(col("text")), "\\s+"))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    withToks(spread(s, t(s, dir, "documents"), "doc_id"))
+
+  override def queries: Map[String, Q] = Map(
+    // Gopher-style rule filter. Every rule is an integer predicate:
+    //   r_word_count: 20 <= n_words <= 100000
+    //   r_mean_len:   3 <= total_chars/n_words <= 10   (cross-multiplied)
+    //   r_alpha:      >= 80% of words contain a letter  (5*a >= 4*n)
+    //   r_stop:       >= 2 stop-word hits
+    //   r_symbol:     '#'/ellipsis count <= 10% of words (10*s <= n)
+    // Rollup = one partial-agg shuffle over ~|langs| groups; the rule
+    // evaluation is map-only codegen'd string/array work, so at 100 TB
+    // this is a single scan of the corpus. Thresholds are the published
+    // Gopher shapes adapted to the fixture's word-count range (the
+    // reference implements no quality layer at all — capability
+    // extension per SURVEY §2.D).
+    "corpus_gopher_rules" -> ((s, dir) => {
+      val nW = size(toks)
+      val totChars = length(array_join(toks, ""))
+      val alphaW = size(filter(toks, w => w.rlike("[A-Za-z]")))
+      val stopC = size(filter(toks, w => w.isInCollection(stops)))
+      val hashC = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+      val ellC = ((length(col("text")) -
+        length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("int")
+      val symC = hashC + ellC
+      val rWc = nW.between(20, 100000)
+      val rMwl = (nW * 3 <= totChars) && (totChars <= nW * 10)
+      val rAlpha = alphaW * 5 >= nW * 4
+      val rStop = stopC >= 2
+      val rSym = symC * 10 <= nW
+      val pass = rWc && rMwl && rAlpha && rStop && rSym
+      def fails(c: Column, name: String): Column =
+        sum(when(!c, 1L).otherwise(0L)).as(name)
+      docs(s, dir)
+        .select(col("lang"), rWc.as("r_wc"), rMwl.as("r_mwl"),
+          rAlpha.as("r_alpha"), rStop.as("r_stop"), rSym.as("r_sym"),
+          pass.as("pass"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          fails(col("r_wc"), "f_word_count"),
+          fails(col("r_mwl"), "f_mean_len"),
+          fails(col("r_alpha"), "f_alpha"),
+          fails(col("r_stop"), "f_stop"),
+          fails(col("r_sym"), "f_symbol"))
+        .orderBy(col("lang"))
+    }),
+
+    // DSIR importance weights, target slice = lang 'en'. Hashed n-gram
+    // features: unigrams + bigrams bucketed into 256 cells by the first
+    // two md5 hex chars (engine-portable hashing — same gate family as
+    // corpus_sample_hash). Bucket LMs with +1 smoothing; per-document
+    // weight = Σ_gram log(p_target(bucket)/p_raw(bucket)); top-20 by
+    // weight (doc_id tie-break). Scale shape: explode → ONE 256-row
+    // partial-agg shuffle for both LMs in a single pass (conditional
+    // count), log-ratio table broadcast back onto the exploded grams,
+    // one per-doc partial agg. Nothing is ever collected; the expensive
+    // join side is a 256-row broadcast however large the corpus is.
+    "corpus_dsir_weights" -> ((s, dir) => {
+      val bi = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val grams = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(concat(toks, bi)).as("gram"))
+        .select(col("doc_id"), col("lang"),
+          substring(md5(col("gram").cast("binary")), 1, 2).as("bucket"))
+        .localCheckpoint()
+      val bc = grams.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("c_raw"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+      val tot = bc.agg(sum(col("c_raw")).as("t_raw"), sum(col("c_tgt")).as("t_tgt"))
+      val lr = bc.crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          (log((col("c_tgt") + 1).cast("double") / (col("t_tgt") + 256)) -
+            log((col("c_raw") + 1).cast("double") / (col("t_raw") + 256)))
+            .cast(DecimalType(27, 9)).as("lr"))
+      grams.join(broadcast(lr), Seq("bucket"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_grams"), sum(col("lr")).as("w_dec"))
+        .select(col("doc_id"), col("lang"), col("n_grams"),
+          round6(col("w_dec").cast("double")).as("dsir_weight"))
+        .orderBy(col("dsir_weight").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Pairwise source-overlap estimation WITHOUT pairwise document
+    // comparison: per source keep the k=64 lexicographically smallest
+    // distinct content fingerprints (a KMV sketch — md5 is uniform, so
+    // the k smallest hashes are a uniform content sample); for each
+    // source pair, re-sketch the union of the two sketches and estimate
+    // Jaccard as |both| / |union sketch|. Exact when a source has < k
+    // distinct contents (the union sketch is then the true union). The
+    // data-sized work is ONE distinct partial-agg + a per-source top-k;
+    // everything pairwise happens on 20×64 sketch rows. At 100 TB the
+    // per-source top-k becomes a bounded partial agg (TopKByScore over
+    // the hash's 60-bit numeric prefix with full-string residual
+    // compare) or an adaptive hash-prefix pre-filter before the window —
+    // the sketch contract (exact k smallest per source) is unchanged.
+    "corpus_overlap_kmv" -> ((s, dir) => {
+      val k = 64
+      val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+        .cast("binary"))
+      // The synthetic sources share no content, which would make every
+      // estimate trivially 0 — cross-post every third document to the
+      // next source (src<i> → src<(i+1) mod 20>) so adjacent source
+      // pairs have real ~⅓ overlap for the sketch to find.
+      val d = t(s, dir, "documents")
+      val crossPosted = d.filter(col("doc_id") % 3 === 0)
+        .withColumn("source", concat(lit("src"),
+          ((col("source").substr(lit(4), lit(10)).cast("int") + 1) % 20)
+            .cast("string")))
+      val f = d.unionByName(crossPosted)
+        .select(col("source"), fp.as("h")).distinct()
+      val sk = f
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h"))))
+        .filter(col("rk") <= k).select(col("source"), col("h"))
+        .localCheckpoint()
+      val srcs = sk.select(col("source")).distinct()
+      val pairs = srcs.select(col("source").as("source_a"))
+        .crossJoin(srcs.select(col("source").as("source_b")))
+        .filter(col("source_a") < col("source_b"))
+      val aSide = pairs.join(sk, col("source") === col("source_a"))
+        .select(col("source_a"), col("source_b"), col("h"),
+          lit(1).as("ia"), lit(0).as("ib"))
+      val bSide = pairs.join(sk, col("source") === col("source_b"))
+        .select(col("source_a"), col("source_b"), col("h"),
+          lit(0).as("ia"), lit(1).as("ib"))
+      val union = aSide.unionByName(bSide)
+        .groupBy(col("source_a"), col("source_b"), col("h"))
+        .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      union
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source_a"), col("source_b")).orderBy(col("h"))))
+        .filter(col("rk") <= k)
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_union"),
+          sum(col("ia") * col("ib")).as("n_both"))
+        .select(col("source_a"), col("source_b"), col("n_union"), col("n_both"),
+          round6(col("n_both").cast("double") / col("n_union")).as("jaccard_est"))
+        .orderBy(col("source_a"), col("source_b"))
+    })
+  )
+
+  private val toksSql = "string_split_regex(trim(text), '\\s+')"
+
+  override def oracleSql: Map[String, String] = Map(
+    "corpus_gopher_rules" ->
+      s"""WITH m AS (
+         |  SELECT lang, text, $toksSql AS toks FROM documents
+         |), r AS (
+         |  SELECT lang,
+         |    len(toks) AS nw,
+         |    length(array_to_string(toks, '')) AS tc,
+         |    len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS aw,
+         |    len(list_filter(toks, w -> w IN ('the','a','and','of','to','in'))) AS sc,
+         |    (length(text) - length(regexp_replace(text, '#', '', 'g')))
+         |      + CAST((length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS INTEGER)
+         |      AS syc
+         |  FROM m
+         |), p AS (
+         |  SELECT lang,
+         |    (nw BETWEEN 20 AND 100000) AS r_wc,
+         |    (nw * 3 <= tc AND tc <= nw * 10) AS r_mwl,
+         |    (aw * 5 >= nw * 4) AS r_alpha,
+         |    (sc >= 2) AS r_stop,
+         |    (syc * 10 <= nw) AS r_sym
+         |  FROM r
+         |)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_stop AND r_sym
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS f_word_count,
+         |  CAST(sum(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS f_mean_len,
+         |  CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha,
+         |  CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS f_stop,
+         |  CAST(sum(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT) AS f_symbol
+         |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+    "corpus_dsir_weights" -> {
+      val wMean = "CAST(CAST(sum(lr) AS VARCHAR) AS DOUBLE)"
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, $toksSql AS toks FROM documents
+         |), g AS (
+         |  SELECT doc_id, lang, unnest(toks) AS gram FROM tok
+         |  UNION ALL
+         |  SELECT doc_id, lang,
+         |    unnest(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1])) AS gram
+         |  FROM tok
+         |), e AS (
+         |  SELECT doc_id, lang, substr(md5(gram), 1, 2) AS bucket FROM g
+         |), bc AS (
+         |  SELECT bucket, count(*) AS c_raw,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+         |  FROM e GROUP BY bucket
+         |), tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM bc),
+         |lr AS (
+         |  SELECT bucket,
+         |    CAST(ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(t_tgt + 256 AS DOUBLE))
+         |       - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(t_raw + 256 AS DOUBLE))
+         |      AS DECIMAL(27,9)) AS lr
+         |  FROM bc, tot
+         |)
+         |SELECT doc_id, lang, count(*) AS n_grams,
+         |  ${graft.QueryPack.round6Sql(wMean)} AS dsir_weight
+         |FROM e JOIN lr USING (bucket)
+         |GROUP BY doc_id, lang
+         |ORDER BY dsir_weight DESC, doc_id LIMIT 20""".stripMargin
+    },
+    "corpus_overlap_kmv" ->
+      s"""WITH corpus AS (
+         |  SELECT source, text FROM documents
+         |  UNION ALL
+         |  SELECT 'src' || CAST((CAST(substr(source, 4) AS INTEGER) + 1) % 20 AS VARCHAR),
+         |    text
+         |  FROM documents WHERE doc_id % 3 = 0
+         |), f AS (
+         |  SELECT DISTINCT source,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+         |  FROM corpus
+         |), sk AS (
+         |  SELECT source, h FROM (
+         |    SELECT source, h,
+         |      row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+         |    FROM f)
+         |  WHERE rk <= 64
+         |), srcs AS (SELECT DISTINCT source FROM sk),
+         |pairs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b
+         |  FROM srcs a, srcs b WHERE a.source < b.source
+         |), u AS (
+         |  SELECT source_a, source_b, h, max(ia) AS ia, max(ib) AS ib
+         |  FROM (
+         |    SELECT p.source_a, p.source_b, s.h, 1 AS ia, 0 AS ib
+         |    FROM pairs p JOIN sk s ON s.source = p.source_a
+         |    UNION ALL
+         |    SELECT p.source_a, p.source_b, s.h, 0 AS ia, 1 AS ib
+         |    FROM pairs p JOIN sk s ON s.source = p.source_b
+         |  ) GROUP BY source_a, source_b, h
+         |), r AS (
+         |  SELECT source_a, source_b, ia, ib FROM (
+         |    SELECT source_a, source_b, ia, ib,
+         |      row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rk
+         |    FROM u)
+         |  WHERE rk <= 64
+         |)
+         |SELECT source_a, source_b,
+         |  count(*) AS n_union,
+         |  CAST(sum(ia * ib) AS BIGINT) AS n_both,
+         |  ${graft.QueryPack.round6Sql(
+              "CAST(sum(ia * ib) AS DOUBLE) / count(*)")} AS jaccard_est
+         |FROM r GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin
+  )
+}

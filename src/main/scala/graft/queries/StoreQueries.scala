@@ -219,6 +219,33 @@ object StoreQueries extends QueryPack {
             coalesce(col("t1"), lit(0).cast("decimal(18,3)")))
             .cast("double").as("total_price"))
         .orderBy(col("o_custkey"))
+    }),
+
+    // JSONL interchange roundtrip — JSON Lines is the lingua franca of
+    // LLM training corpora, so the engine must export and re-ingest it
+    // losslessly. documents → .json (one object per line, Spark's JSONL
+    // writer) → read back with an EXPLICIT schema (no inference pass —
+    // at 100 TB schema inference is a full extra scan) → per-language
+    // rollup whose text-content hash rider proves the escape/unescape
+    // cycle preserved every byte. JSONL is line-splittable, so the
+    // round-tripped read parallelizes exactly like the parquet scan;
+    // the oracle computes the same rollup straight from the parquet
+    // table, so the hash match IS the losslessness proof.
+    "source_jsonl_roundtrip" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft-jsonl-rt-${Integer.toHexString(dir.hashCode)}"
+      t(s, dir, "documents").write.mode("overwrite").json(path)
+      val back = s.read
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .json(path)
+      back.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -323,6 +350,14 @@ object StoreQueries extends QueryPack {
       s"""SELECT 'k' || lpad(CAST(vec_id AS VARCHAR), 6, '0') AS key,
          |  ${QueryPack.round6Sql(l2NormSql)} AS emb_norm,
          |  '2024-01-02 03:04:05Z' AS ts_u
-         |FROM embeddings WHERE vec_id < 300 ORDER BY key""".stripMargin
+         |FROM embeddings WHERE vec_id < 300 ORDER BY key""".stripMargin,
+    // Oracle reads the parquet table directly: the roundtripped JSONL
+    // must aggregate (and content-hash) identically.
+    "source_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS text_hash
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -314,7 +314,38 @@ object TextQueries extends QueryPack {
             count(lit(1))).as("avg_chars_raw"))
         .select(col("lang"), col("source"), col("n_docs"), col("total_tokens"),
           round6(col("avg_chars_raw")).as("avg_chars"))
-        .orderBy(col("lang"), col("source")))
+        .orderBy(col("lang"), col("source"))),
+
+    // Unicode NFC canonicalization audit — the ingest-pipeline step that
+    // makes exact dedup see through composed-vs-decomposed encodings of
+    // the same visible text ("é" as U+00E9 vs U+0065+U+0301). The fixture
+    // text is ASCII, so a decomposed variant is constructed determin-
+    // istically (every 'e' gains a combining acute, U+0301) and the graft
+    // `nfc_normalize` expression (codegen'd Catalyst, registered as SQL
+    // by GraftExtensions) must re-compose it exactly as DuckDB's built-in
+    // nfc_normalize does: per-language char counts before/after plus a
+    // content-hash rider prove byte-identical normalization. Map-only +
+    // one partial agg; the NFC helper short-circuits on already-
+    // normalized input, so at 100 TB the common case is one scan, not a
+    // per-row rewrite.
+    "text_normalize_nfc" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.Bridge
+      val denorm = regexp_replace(substring(col("text"), 1, 80), "e", "e\u0301")
+      t(s, dir, "documents")
+        .select(col("lang"), denorm.as("denorm"))
+        .withColumn("nfc",
+          Bridge.column(graft.functions.NfcNormalize(
+            Bridge.expression(col("denorm")))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("denorm"))).as("sum_len_raw"),
+          sum(length(col("nfc"))).as("sum_len_nfc"),
+          sum(when(col("nfc") =!= col("denorm"), 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(conv(substring(md5(col("nfc").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("content_hash"))
+        .orderBy(col("lang"))
+    })
   )
 
   private val toksSql = "string_split_regex(trim(text), '\\s+')"
@@ -479,6 +510,21 @@ object TextQueries extends QueryPack {
          |  ${graft.QueryPack.round6Sql(
             "CAST(CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE) / count(*)")} AS avg_chars
          |FROM documents
-         |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "text_normalize_nfc" ->
+      // chr(769) = U+0301 combining acute; DuckDB regexp_replace needs
+      // the 'g' flag to match Spark's replace-all default. DuckDB's
+      // nfc_normalize is the reference semantics for the graft expression.
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    regexp_replace(substr(text, 1, 80), 'e', 'e' || chr(769), 'g') AS denorm
+         |  FROM documents
+         |), n AS (SELECT lang, denorm, nfc_normalize(denorm) AS nfc FROM d)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(length(denorm)) AS BIGINT) AS sum_len_raw,
+         |  CAST(sum(length(nfc)) AS BIGINT) AS sum_len_nfc,
+         |  CAST(sum(CASE WHEN nfc <> denorm THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |  CAST(sum(CAST(('0x' || substr(md5(nfc), 1, 8)) AS BIGINT)) AS BIGINT) AS content_hash
+         |FROM n GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the quality/selection family beyond the oracle hash:
+  * the KMV estimator must be EXACT whenever the union sketch holds the
+  * whole union, and DSIR weights must actually rank the target slice
+  * above the rest (the selection property the method exists for). */
+class QualityQueriesSpec extends AnyFunSuite with graft.SparkTestBase {
+
+  test("corpus_overlap_kmv: estimate is exact when the union fits the sketch") {
+    val est = QualityQueries.queries("corpus_overlap_kmv")(spark, sf0_001)
+      .select(col("source_a"), col("source_b"), col("n_union"), col("n_both"))
+      .collect()
+    // Recompute the true fingerprint sets (same cross-posting rule).
+    val d = spark.read.parquet(s"$sf0_001/documents.parquet")
+    val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      .cast("binary"))
+    val crossPosted = d.filter(col("doc_id") % 3 === 0)
+      .withColumn("source", concat(lit("src"),
+        ((col("source").substr(lit(4), lit(10)).cast("int") + 1) % 20)
+          .cast("string")))
+    val sets = d.unionByName(crossPosted)
+      .select(col("source"), fp.as("h")).distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    var exactChecked = 0
+    est.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (sa, sb) = (sets(a), sets(b))
+      if ((sa ++ sb).size <= 64) {
+        assert(r.getLong(2) == (sa ++ sb).size, s"union size for ($a,$b)")
+        assert(r.getLong(3) == (sa & sb).size, s"intersection for ($a,$b)")
+        exactChecked += 1
+      }
+    }
+    assert(exactChecked > 0, "no pair small enough to check exactness — " +
+      "shrink k or the fixture changed")
+  }
+
+  test("corpus_dsir_weights: the target slice outranks the raw corpus") {
+    val top = QualityQueries.queries("corpus_dsir_weights")(spark, sf0_001)
+      .collect()
+    assert(top.length == 20)
+    val enShareTop = top.count(_.getString(1) == "en").toDouble / top.length
+    val enShareCorpus = {
+      val d = spark.read.parquet(s"$sf0_001/documents.parquet")
+      d.filter(col("lang") === "en").count().toDouble / d.count()
+    }
+    // Importance weights trained FOR the en slice must enrich it in the
+    // top-k well beyond its corpus share.
+    assert(enShareTop > enShareCorpus,
+      s"top-20 en share $enShareTop <= corpus share $enShareCorpus")
+    // Weights are sorted descending with doc_id tie-break (driver contract).
+    val ws = top.map(_.getDouble(3)).toSeq
+    assert(ws == ws.sorted.reverse, "not sorted by weight desc")
+  }
+
+  test("corpus_gopher_rules: rollup is consistent and discriminates") {
+    val rows = QualityQueries.queries("corpus_gopher_rules")(spark, sf0_001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nPass) = (r.getLong(1), r.getLong(2))
+      assert(nPass <= nDocs)
+      // every per-rule failure count is bounded by the group size
+      (3 to 7).foreach(i => assert(r.getLong(i) <= nDocs))
+    }
+    // the filter must neither pass nor kill everything (discrimination)
+    val (tot, pass) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    assert(pass > 0 && pass < tot)
+  }
+}
