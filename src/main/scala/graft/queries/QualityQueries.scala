@@ -184,6 +184,56 @@ object QualityQueries extends QueryPack {
         .select(col("source_a"), col("source_b"), col("n_union"), col("n_both"),
           round6(col("n_both").cast("double") / col("n_union")).as("jaccard_est"))
         .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Distributed BPE merge learning (Sennrich et al. 2016): learn the
+    // first 8 merge rules from the corpus word-frequency table. Each
+    // round = one pair-count partial agg over the vocab + a 1-row
+    // broadcast argmax (count desc, pair lexicographic tie-break) + a
+    // map-side merge applied via literal string replace. Symbols are
+    // pipe-delimited ("|c| |a| |t|") so a pair pattern can never match
+    // inside a longer symbol, and left-to-right non-overlapping replace
+    // IS the BPE greedy merge semantics. Scale shape: the corpus is
+    // read ONCE to build the vocab (word→count partial agg); every
+    // round after that is vocab-sized work — exactly how BPE training
+    // distributes (the vocab table is millions of types at 100 TB,
+    // never corpus-sized), with per-round localCheckpoint to keep the
+    // lineage flat. No end-of-word marker (documented simplification;
+    // the merge mechanics are what's pinned).
+    "corpus_bpe_learn" -> ((s, dir) => {
+      val rounds = 8
+      val vocab = t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      var rep = vocab.withColumn("rep",
+        concat(lit("|"),
+          array_join(transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1))), "| |"),
+          lit("|")))
+        .select(col("cnt"), col("rep"))
+        .localCheckpoint()
+      var merges: Seq[org.apache.spark.sql.DataFrame] = Seq.empty
+      for (r <- 1 to rounds) {
+        val best = rep
+          .withColumn("syms", split(col("rep"), " "))
+          .filter(size(col("syms")) >= 2)
+          .select(col("cnt"), explode(transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            i => concat(element_at(col("syms"), i), lit(" "),
+              element_at(col("syms"), i + 1)))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
+          .orderBy(col("pc").desc, col("pair")).limit(1)
+          .localCheckpoint() // 1 row; evaluated once, reused twice
+        merges = merges :+ best.select(lit(r).as("round_idx"),
+          translate(col("pair"), "|", "").as("merge_pair"),
+          col("pc").as("pair_count"))
+        rep = rep.crossJoin(broadcast(best.select(col("pair").as("bp"))))
+          .select(col("cnt"),
+            replace(col("rep"), col("bp"),
+              replace(col("bp"), lit("| |"), lit(""))).as("rep"))
+          .localCheckpoint()
+      }
+      merges.reduce(_ unionByName _).orderBy(col("round_idx"))
     })
   )
 
@@ -295,6 +345,41 @@ object QualityQueries extends QueryPack {
          |  ${graft.QueryPack.round6Sql(
               "CAST(sum(ia * ib) AS DOUBLE) / count(*)")} AS jaccard_est
          |FROM r GROUP BY source_a, source_b
-         |ORDER BY source_a, source_b""".stripMargin
+         |ORDER BY source_a, source_b""".stripMargin,
+    // 8 unrolled BPE rounds: p<r> = pair counts, b<r> = argmax (count
+    // desc, pair lexicographic), r<r> = merged representation. Identical
+    // pipe-delimited symbol encoding and literal-replace merge as the
+    // Spark side.
+    "corpus_bpe_learn" -> {
+      val rounds = 8
+      val head =
+        s"""WITH v0 AS (
+           |  SELECT w, count(*) AS cnt
+           |  FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY w
+           |), r0 AS (
+           |  SELECT cnt,
+           |    '|' || array_to_string(list_transform(range(1, length(w) + 1),
+           |      i -> substr(w, i, 1)), '| |') || '|' AS rep
+           |  FROM v0
+           |)""".stripMargin
+      val body = (1 to rounds).map { r =>
+        s""", p$r AS (
+           |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+           |    SELECT cnt,
+           |      unnest(list_transform(range(1, len(string_split(rep, ' '))),
+           |        i -> string_split(rep, ' ')[i] || ' ' || string_split(rep, ' ')[i+1])) AS pair
+           |    FROM r${r - 1} WHERE len(string_split(rep, ' ')) >= 2)
+           |  GROUP BY pair
+           |), b$r AS (SELECT pair, pc FROM p$r ORDER BY pc DESC, pair LIMIT 1),
+           |r$r AS (
+           |  SELECT cnt, replace(rep, b.pair, replace(b.pair, '| |', '')) AS rep
+           |  FROM r${r - 1}, b$r b)""".stripMargin
+      }.mkString
+      val tail = (1 to rounds).map(r =>
+        s"SELECT $r AS round_idx, translate(pair, '|', '') AS merge_pair, " +
+          s"pc AS pair_count FROM b$r")
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY round_idx")
+      head + body + tail
+    }
   )
 }

@@ -70,4 +70,18 @@ class QualityQueriesSpec extends AnyFunSuite with graft.SparkTestBase {
     val (tot, pass) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
     assert(pass > 0 && pass < tot)
   }
+
+  test("corpus_bpe_learn: 8 distinct well-formed merges in round order") {
+    val rows = QualityQueries.queries("corpus_bpe_learn")(spark, sf0_001)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 8))
+    val pairs = rows.map(_.getString(1)).toSeq
+    assert(pairs.distinct.size == 8, "a merge rule was learned twice")
+    // every merge is "left right" over non-empty symbols
+    pairs.foreach { p =>
+      val parts = p.split(" ")
+      assert(parts.length == 2 && parts.forall(_.nonEmpty), s"malformed pair '$p'")
+    }
+    assert(rows.forall(_.getLong(2) > 0))
+  }
 }
