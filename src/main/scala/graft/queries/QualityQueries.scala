@@ -110,9 +110,12 @@ object QualityQueries extends QueryPack {
         .select(col("doc_id"), col("lang"),
           substring(md5(col("gram").cast("binary")), 1, 2).as("bucket"))
         .localCheckpoint()
+      // 256-row LM table, materialized so the totals row below derives
+      // from it instead of re-running the corpus-sized bucket agg twice
       val bc = grams.groupBy(col("bucket"))
         .agg(count(lit(1)).as("c_raw"),
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+        .localCheckpoint()
       val tot = bc.agg(sum(col("c_raw")).as("t_raw"), sum(col("c_tgt")).as("t_tgt"))
       val lr = bc.crossJoin(broadcast(tot))
         .select(col("bucket"),
