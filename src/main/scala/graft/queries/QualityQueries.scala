@@ -100,15 +100,15 @@ object QualityQueries extends QueryPack {
     // one per-doc partial agg. Nothing is ever collected; the expensive
     // join side is a 256-row broadcast however large the corpus is.
     "corpus_dsir_weights" -> ((s, dir) => {
-      val bi = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-        .otherwise(array().cast("array<string>"))
+      // gram/bucket spellings live in DsirSignals, shared with the
+      // streaming admit gate (CurationStreams.dsirGate); batch↔stream
+      // weight parity is pinned by CurationStreamsSpec.
+      import graft.functions.DsirSignals
       val grams = docs(s, dir)
         .select(col("doc_id"), col("lang"),
-          explode(concat(toks, bi)).as("gram"))
+          explode(DsirSignals.gramsFromToks(toks)).as("gram"))
         .select(col("doc_id"), col("lang"),
-          substring(md5(col("gram").cast("binary")), 1, 2).as("bucket"))
+          DsirSignals.bucketOf(col("gram")).as("bucket"))
         .localCheckpoint()
       // 256-row LM table, materialized so the totals row below derives
       // from it instead of re-running the corpus-sized bucket agg twice

@@ -117,6 +117,38 @@ object CurationStreams {
    * scans reference text. Detection state (one id per emitted doc) is
    * watermark-bounded.
    */
+  /**
+   * DSIR importance-weight admit gate — the deployed form of
+   * `corpus_dsir_weights`: score each arriving document against a
+   * FROZEN bucket log-ratio table (the standing-LM artifact learned by
+   * [[graft.functions.DsirSignals.learnLogRatios]]) and admit documents
+   * scoring at or above `minWeight`.
+   *
+   * Scale shape: the gate is STATELESS — the 256-entry map folds over
+   * each document's grams as a pure column expression, so a micro-batch
+   * needs no shuffle, no aggregation state, and no watermark; batch and
+   * streaming frames take the identical plan (parity and agreement with
+   * the oracle-checked batch weights are pinned by
+   * `CurationStreamsSpec`). Refreshing the LM is the standing-index
+   * job's responsibility, same snapshot contract as the ANN index.
+   *
+   * @param lrByBucket frozen bucket→log(p_target/p_raw) map (256
+   *                   entries; build with
+   *                   [[graft.functions.DsirSignals.logRatioMap]])
+   * @param minWeight  admit threshold on the per-document weight
+   */
+  def dsirGate(docs: DataFrame, lrByBucket: Map[String, Double],
+      minWeight: Double = 0.0): DataFrame = {
+    import graft.functions.DsirSignals
+    docs
+      .withColumn("_toks", DsirSignals.toks(col("text")))
+      .withColumn("_grams", DsirSignals.gramsFromToks(col("_toks")))
+      .withColumn("dsir_weight",
+        DsirSignals.weightFromGrams(col("_grams"), lrByBucket))
+      .filter(col("dsir_weight") >= minWeight)
+      .drop("_toks", "_grams")
+  }
+
   def nearDupRejects(docs: DataFrame, refBands: DataFrame,
       refShingles: DataFrame, threshold: Double = 0.5,
       watermark: String = "10 minutes"): DataFrame = {

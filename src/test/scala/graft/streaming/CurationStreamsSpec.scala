@@ -131,4 +131,61 @@ class CurationStreamsSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(batch == streamed)
   }
+
+  test("dsirGate: stateless admit gate, streamed == batch, signs follow the LM") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.DsirSignals
+    import org.apache.spark.sql.functions.col
+
+    // disjoint vocabularies so the learned log-ratios separate cleanly:
+    // target = fox prose, background = database prose
+    val target = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a fox runs through the woods to hunt at dusk",
+      "fox cubs play near the den under tall trees")
+    val background = Seq(
+      "hash join sort merge table scan filter pushdown",
+      "query plan optimizer column row group codec",
+      "shuffle partition executor task stage broadcast")
+    val corpus = (target.map((_, true)) ++ background.map((_, false)))
+      .toDF("text", "is_tgt")
+    val lr = DsirSignals.logRatioMap(
+      DsirSignals.learnLogRatios(corpus, col("is_tgt")))
+    assert(lr.nonEmpty && lr.size <= 256)
+
+    val batch1 = Seq(
+      StreamDoc(1L, "the fox jumps through the woods", t("2026-01-01 10:00:00")),
+      StreamDoc(2L, "hash join table scan filter plan", t("2026-01-01 10:00:01")))
+    val batch2 = Seq(
+      StreamDoc(3L, "a fox runs through the woods", t("2026-01-01 10:01:00")))
+
+    val input = MemoryStream[StreamDoc]
+    val q = CurationStreams.dsirGate(input.toDF(), lr, minWeight = 0.0)
+      .writeStream.format("memory").queryName("dsir_gate_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dsir_gate_stream")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == Set(1L, 3L), "target-like docs admitted, background rejected")
+
+    // unified API: identical plan on the bounded frame
+    val gated = CurationStreams.dsirGate(
+      (batch1 ++ batch2).toDS().toDF(), lr, minWeight = 0.0)
+    val batch = gated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch == streamed)
+
+    // weights carry the LM's sign: every admitted doc positive, and the
+    // rejected background doc strictly negative
+    val all = CurationStreams.dsirGate(
+      (batch1 ++ batch2).toDS().toDF(), lr, minWeight = Double.NegativeInfinity)
+      .select("doc_id", "dsir_weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(all(1L) > 0 && all(3L) > 0 && all(2L) < 0)
+  }
 }
