@@ -113,7 +113,38 @@ class IvfIndex(nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L) {
 
   /** Top-k corpus neighbors by exact cosine for every query row, probing
     * nProbe cells per query. */
-  def search(built: IvfIndex.Built, queries: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+  def search(built: IvfIndex.Built, queries: DataFrame, idCol: String, embCol: String, k: Int): DataFrame =
+    searchCore(built, queries, idCol, embCol, k, identity)
+
+  /**
+   * Filtered ANN ([[search]] restricted to an id allow-list): the
+   * PRE-FILTER strategy — the predicate cuts the candidate set BEFORE any
+   * scoring, so top-k is computed over allowed rows only and a selective
+   * predicate can never silently shrink the result below k while
+   * unfiltered neighbors exist in the probed cells. `allowed` is the id
+   * projection of any metadata predicate (one column, the corpus id).
+   *
+   * Scale shape: the allow-list joins the CELL-PRUNED candidate side
+   * (nProbe/nCentroids of the corpus), not the full index, via a semi-join
+   * on the id — one hash shuffle of two id-sized sides. At 100 TB with a
+   * hot predicate column the next step is carrying that column IN the
+   * cell table so the filter becomes a pushed parquet predicate on the
+   * probed cells; the semi-join form is the general-predicate fallback
+   * that needs no index rebuild. Recall under filtering follows the probe
+   * fraction exactly as unfiltered search does — callers compensate for
+   * selective predicates by over-probing (a higher-nProbe IvfIndex), the
+   * published filtered-ANN practice.
+   */
+  def searchFiltered(built: IvfIndex.Built, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, allowed: DataFrame): DataFrame = {
+    val allow = allowed.toDF("id").select(col("id"))
+    searchCore(built, queries, idCol, embCol, k,
+      live => live.join(allow, Seq("id"), "left_semi"))
+  }
+
+  private def searchCore(built: IvfIndex.Built, queries: DataFrame,
+      idCol: String, embCol: String, k: Int,
+      candidateFilter: DataFrame => DataFrame): DataFrame = {
     val q = prepare(queries, idCol, embCol)
       .select(col("id").as("q_id"), col("emb").as("q_emb"))
     // route: query × broadcast(centroids) -> nProbe nearest cells per query
@@ -125,7 +156,7 @@ class IvfIndex(nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L) {
       .select(col("q_id"), col("q_emb"), explode(col("cells.id")).as("cell"))
     // candidates: equi-join on cell, exact scoring, bounded top-k
     // (tombstoned ids filtered out of the candidate side first)
-    val live = built.live
+    val live = candidateFilter(built.live)
     routed.join(live, routed("cell") === live("cell"))
       .select(col("q_id"), col("id").as("n_id"),
         cosineSim(col("q_emb"), col("emb")).as("cos"))

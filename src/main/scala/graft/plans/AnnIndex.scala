@@ -48,10 +48,13 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 object AnnIndexRegistry {
 
   /** A registered index: where the published IVF artifact lives, how the
-    * source columns map onto it, and the routing table (collected once at
-    * registration — nCentroids × dim floats). */
+    * source columns map onto it, the routing table (collected once at
+    * registration — nCentroids × dim floats), and the metadata columns
+    * carried in the index for FILTERED kNN plans (empty = only unfiltered
+    * flagship plans are served). */
   case class Entry(indexPath: String, idCol: String, embCol: String,
-      nProbe: Int, centroids: Array[(Int, Array[Double])])
+      nProbe: Int, centroids: Array[(Int, Array[Double])],
+      payloadCols: Seq[String] = Seq.empty)
 
   /** Driver-state bound: each entry pins nCentroids × dim doubles of
     * routing table (~1.5 MiB at 256×768). Registrations are unbounded
@@ -79,16 +82,43 @@ object AnnIndexRegistry {
    */
   def register(spark: SparkSession, ivf: IvfIndex, sourcePath: String,
       idCol: String, embCol: String, nProbe: Int,
-      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf"): Entry = {
+      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf",
+      payloadCols: Seq[String] = Seq.empty): Entry = {
     val path = IvfIndex.openOrBuildPath(spark, ivf, sourcePath, idCol, embCol,
       cacheRoot)
     val centroids = spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
       .sortBy(_._1)
-    val entry = Entry(path, idCol, embCol, nProbe, centroids)
+    if (payloadCols.nonEmpty) augment(spark, path, sourcePath, idCol, payloadCols)
+    val entry = Entry(path, idCol, embCol, nProbe, centroids, payloadCols)
     put(sourcePath, entry)
     AnnIndexRule.install(spark)
     entry
+  }
+
+  /**
+   * Materialize the metadata-CARRYING index table for filtered kNN: the
+   * cell table joined with the requested source columns, written
+   * cell-partitioned next to `assigned`. This is the published
+   * filtered-ANN storage layout — the predicate column lives IN the index
+   * so a filtered probe is a pushed parquet filter on the pruned cells,
+   * never a join back to the corpus at query time. Written once per
+   * registration of a new index artifact (the publish dir changes whenever
+   * the index is rebuilt or appended, so a stale sidecar can't be served);
+   * idempotent when already present.
+   */
+  private def augment(spark: SparkSession, indexPath: String,
+      sourcePath: String, idCol: String, payloadCols: Seq[String]): Unit = {
+    val dest = s"$indexPath/augmented"
+    val done = new org.apache.hadoop.fs.Path(s"$dest/_SUCCESS")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(done)) return
+    val payload = spark.read.parquet(sourcePath)
+      .select((idCol +: payloadCols).map(col): _*)
+      .withColumnRenamed(idCol, "id")
+    spark.read.parquet(s"$indexPath/assigned")
+      .join(payload, Seq("id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dest)
   }
 
   private[plans] def put(sourcePath: String, entry: Entry): Unit =
@@ -191,10 +221,19 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     }
     if (embAttr.name != entry.embCol) return None
     // every relation column the chain touches must exist in the index
-    // table (id + emb) — otherwise the exact scan must stay
+    // table (id + emb, plus the registered payload columns when the
+    // metadata-carrying sidecar was materialized) — otherwise the exact
+    // scan must stay. A FILTERED flagship plan (Filter on a payload
+    // column under the sort) therefore rides the index iff the predicate
+    // columns were registered; anything else falls back to exact.
     val relRefs = refs.filter(rel.outputSet.contains)
-    if (!relRefs.forall(a => a.name == entry.idCol || a.exprId == embAttr.exprId))
+    val payload = entry.payloadCols.toSet
+    if (!relRefs.forall(a => a.name == entry.idCol ||
+        a.exprId == embAttr.exprId || payload.contains(a.name)))
       return None
+    val needsPayload = relRefs.exists(a =>
+      payload.contains(a.name) && a.name != entry.idCol &&
+        a.exprId != embAttr.exprId)
     val idAttr = rel.output.find(_.name == entry.idCol).getOrElse(return None)
 
     // driver-side routing: nProbe nearest cells by cosine, ties cell-asc
@@ -202,20 +241,31 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     val cells = route(queryVec, entry.centroids, entry.nProbe)
     if (cells.isEmpty) return None
 
-    // the replacement: cell-partition-pruned scan of the index table,
+    // the replacement: cell-partition-pruned scan of the index table
+    // (the metadata-carrying `augmented` table when the chain filters on
+    // payload columns — the predicate stays in the untouched chain above
+    // and becomes a pushed parquet filter on the probed cells),
     // tombstones filtered, renamed onto the ORIGINAL attribute ids so the
     // untouched chain above resolves unchanged
     val spark = SparkSession.active
-    val assigned = spark.read.parquet(s"${entry.indexPath}/assigned")
+    val table = if (needsPayload) "augmented" else "assigned"
+    if (needsPayload && IvfIndex.loadOptional(spark,
+        s"${entry.indexPath}/augmented").isEmpty) return None
+    val scan = spark.read.parquet(s"${entry.indexPath}/$table")
       .filter(col("cell").isInCollection(cells))
     val live = IvfIndex.loadOptional(spark, s"${entry.indexPath}/tombstones")
-      .fold(assigned)(t => assigned.join(t, Seq("id"), "left_anti"))
-    val pruned = live.select(col("id"), col("emb")).queryExecution.analyzed
-    val newId = pruned.output.head
-    val newEmb = pruned.output(1)
-    Some((rel, Project(Seq(
-      Alias(newId, idAttr.name)(exprId = idAttr.exprId),
-      Alias(newEmb, embAttr.name)(exprId = embAttr.exprId)), pruned)))
+      .fold(scan)(t => scan.join(t, Seq("id"), "left_anti"))
+    // index-table spelling of each referenced relation column
+    val indexName: String => String = n =>
+      if (n == entry.idCol) "id" else if (n == entry.embCol) "emb" else n
+    val outAttrs = rel.output.filter(a => relRefs.contains(a) ||
+      a.exprId == idAttr.exprId || a.exprId == embAttr.exprId)
+    val pruned = live
+      .select(outAttrs.map(a => col(indexName(a.name)).as(a.name)): _*)
+      .queryExecution.analyzed
+    val byName = pruned.output.map(o => o.name -> o).toMap
+    Some((rel, Project(outAttrs.map(a =>
+      Alias(byName(a.name), a.name)(exprId = a.exprId)), pruned)))
   }
 
   /** Substitute chain aliases into `e` to a fixpoint (the sort usually

@@ -69,6 +69,54 @@ object AnnQueries extends QueryPack {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // FILTERED ANN — the approximate analog of the oracle-checked
+    // knn_filtered: kNN restricted to a metadata slice (label % 4 = 1,
+    // ~25% of the corpus). Pre-filter semantics (the allow-list semi-join
+    // cuts the cell-pruned candidates BEFORE scoring, so all k results
+    // satisfy the predicate by construction) with over-probing (nProbe 6
+    // of 8 vs the unfiltered query's 5) compensating the thinner cells —
+    // the published filtered-ANN recipe. Driver-visible invariants ride
+    // every row: `in_filter` (predicate satisfaction, exact) and `pass`
+    // (overall recall vs the exact filtered top-k >= 0.9 AND all results
+    // in-filter).
+    "ann_ivf_filtered_knn" -> ((s, dir) => {
+      import graft.functions.{TopKByScore, VectorFunctions}
+      val emb = t(s, dir, "embeddings")
+      val allowed = emb.filter(col("label") % 4 === 1)
+        .select(col("vec_id").as("id"))
+      val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
+      val built = IvfIndex.openOrBuild(s, ivf, s"$dir/embeddings.parquet",
+        "vec_id", "embedding")
+      val q = emb.filter(col("vec_id") < 20)
+      val approx = ivf.searchFiltered(built, q, "vec_id", "embedding",
+        k = 3, allowed)
+      // exact filtered top-k (bounded partial-agg, as ann_recall_audit)
+      val qd = q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact = emb.filter(col("label") % 4 === 1)
+        .crossJoin(broadcast(qd))
+        .select(col("q_id"), col("vec_id"),
+          VectorFunctions.cosineSim(col("embedding"), col("q_emb")).as("cos"))
+        .groupBy(col("q_id"))
+        .agg(TopKByScore(3)(col("cos"), col("vec_id")).as("hits"))
+        .select(col("q_id"), explode(col("hits.id")).as("neighbor_id"),
+          lit(1).as("hit_exact"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+      approx
+        .join(allowed.select(col("id").as("neighbor_id"),
+          lit(true).as("in_filter")), Seq("neighbor_id"), "left")
+        .join(exact, Seq("q_id", "neighbor_id"), "left")
+        .withColumn("recall_all",
+          sum(coalesce(col("hit_exact"), lit(0))).over(w).cast("double") /
+            count(lit(1)).over(w))
+        .withColumn("filter_ok",
+          min(coalesce(col("in_filter"), lit(false)).cast("int")).over(w) === 1)
+        .select(col("q_id"), col("rank"), col("neighbor_id"),
+          round6(col("cos")).as("score"),
+          coalesce(col("in_filter"), lit(false)).as("in_filter"),
+          (col("recall_all") >= 0.9 - 1e-9 && col("filter_ok")).as("pass"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Product-quantization batch kNN join — the compressed-index family
     // (codes are m bytes/vector, 32x smaller than float32): ADC lookup
     // shortlist over the code table, then exact re-rank of the shortlist
@@ -129,6 +177,37 @@ object AnnQueries extends QueryPack {
           .limit(10)
           .select(lit(qid).as("q_id"), col("vec_id").as("neighbor_id"),
             round6(col("score")).as("score"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("q_id"), col("score").desc, col("neighbor_id"))
+    }),
+
+    // The FILTERED flagship through the rewrite: the query code is the
+    // naive filtered plan (scan → label predicate → literal-query cosine
+    // → desc top-k — what a user writes), and registration carries the
+    // predicate column into the index (`payloadCols = label`), so
+    // AnnIndexRule serves it from the metadata-carrying `augmented`
+    // table: cell-partition pruning FIRST, then the label predicate as a
+    // pushed parquet filter on the probed cells. AnnRewriteSpec pins the
+    // plan swap, the predicate-satisfaction invariant, the recall, and
+    // the fall-back (an unregistered predicate column keeps the exact
+    // scan).
+    "ann_indexed_filtered_rewrite" -> ((s, dir) => {
+      val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
+      graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
+        "vec_id", "embedding", nProbe = 6, payloadCols = Seq("label"))
+      val emb = t(s, dir, "embeddings")
+      val qvs = emb.filter(col("vec_id") < 5)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      qvs.map { case (qid, qv) =>
+        emb.select(col("vec_id"), col("label"), col("embedding"))
+          .filter(col("label") % 4 === 1)
+          .withColumn("score",
+            graft.functions.VectorFunctions.cosineSim(col("embedding"), lit(qv)))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(10)
+          .select(lit(qid).as("q_id"), col("vec_id").as("neighbor_id"),
+            col("label"), round6(col("score")).as("score"))
       }.reduce(_ unionByName _)
         .orderBy(col("q_id"), col("score").desc, col("neighbor_id"))
     }),

@@ -204,41 +204,91 @@ object QualityQueries extends QueryPack {
     // lineage flat. No end-of-word marker (documented simplification;
     // the merge mechanics are what's pinned).
     "corpus_bpe_learn" -> ((s, dir) => {
-      val rounds = 8
       val vocab = t(s, dir, "documents")
         .select(explode(split(trim(col("text")), "\\s+")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      var rep = vocab.withColumn("rep",
-        concat(lit("|"),
-          array_join(transform(sequence(lit(1), length(col("w"))),
-            i => col("w").substr(i, lit(1))), "| |"),
-          lit("|")))
+        .withColumn("rep", pipeRep(col("w")))
         .select(col("cnt"), col("rep"))
-        .localCheckpoint()
-      var merges: Seq[org.apache.spark.sql.DataFrame] = Seq.empty
-      for (r <- 1 to rounds) {
-        val best = rep
-          .withColumn("syms", split(col("rep"), " "))
-          .filter(size(col("syms")) >= 2)
-          .select(col("cnt"), explode(transform(
-            sequence(lit(1), size(col("syms")) - 1),
-            i => concat(element_at(col("syms"), i), lit(" "),
-              element_at(col("syms"), i + 1)))).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
-          .orderBy(col("pc").desc, col("pair")).limit(1)
-          .localCheckpoint() // 1 row; evaluated once, reused twice
-        merges = merges :+ best.select(lit(r).as("round_idx"),
-          translate(col("pair"), "|", "").as("merge_pair"),
-          col("pc").as("pair_count"))
-        rep = rep.crossJoin(broadcast(best.select(col("pair").as("bp"))))
-          .select(col("cnt"),
-            replace(col("rep"), col("bp"),
-              replace(col("bp"), lit("| |"), lit(""))).as("rep"))
-          .localCheckpoint()
-      }
+      val (merges, _) = bpeRounds(vocab, BpeRounds)
       merges.reduce(_ unionByName _).orderBy(col("round_idx"))
+    }),
+
+    // BPE APPLY — the other half of the tokenizer loop: encode every
+    // document with the merges `corpus_bpe_learn` discovers and roll up
+    // per-language token counts + fertility (tokens per word — the
+    // standard tokenizer-efficiency metric). Scale shape: the merge
+    // loop is vocab-sized exactly as in learn; ENCODING is a vocab-sized
+    // map (each word TYPE is segmented once) plus one word→vocab
+    // equi-join — the corpus is never re-segmented row by row, which is
+    // how a 100 TB tokenization job amortizes (segment the type table,
+    // join the token counts back onto occurrences). The per-lang rollup
+    // is a 4-group partial agg.
+    "corpus_bpe_encode" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rep", pipeRep(col("w")))
+      val (_, encoded) = bpeRounds(vocab, BpeRounds)
+      val tokCount = encoded
+        .select(col("w"), size(split(col("rep"), " ")).as("n_tok"))
+      words.join(tokCount, Seq("w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_tok")).as("n_tokens"))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          round6(col("n_tokens").cast("double") / col("n_words"))
+            .as("fertility"))
+        .orderBy(col("lang"))
     })
   )
+
+  private val BpeRounds = 8
+
+  /** Pipe-delimited per-character symbol encoding ("cat" → "|c| |a| |t|")
+    * — a pair pattern can never match inside a longer symbol, so literal
+    * replace IS the greedy BPE merge. */
+  private def pipeRep(w: Column): Column =
+    concat(lit("|"),
+      array_join(transform(sequence(lit(1), length(w)),
+        i => w.substr(i, lit(1))), "| |"),
+      lit("|"))
+
+  /**
+   * The shared BPE merge loop (Sennrich et al. 2016) over a vocab table
+   * carrying a `cnt` count and a [[pipeRep]] `rep` column (any other
+   * columns ride along untouched — `corpus_bpe_encode` keeps the word).
+   * Each round: one vocab-sized pair-count partial agg, a 1-row broadcast
+   * argmax (count desc, pair lexicographic tie-break), a map-side literal
+   * replace; per-round localCheckpoint keeps the lineage flat. Returns the
+   * per-round merge-rule rows and the fully merged vocab.
+   */
+  private def bpeRounds(vocabRep: DataFrame, rounds: Int)
+      : (Seq[DataFrame], DataFrame) = {
+    var rep = vocabRep.localCheckpoint()
+    var merges: Seq[DataFrame] = Seq.empty
+    for (r <- 1 to rounds) {
+      val best = rep
+        .withColumn("syms", split(col("rep"), " "))
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => concat(element_at(col("syms"), i), lit(" "),
+            element_at(col("syms"), i + 1)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("pair")).limit(1)
+        .localCheckpoint() // 1 row; evaluated once, reused twice
+      merges = merges :+ best.select(lit(r).as("round_idx"),
+        translate(col("pair"), "|", "").as("merge_pair"),
+        col("pc").as("pair_count"))
+      rep = rep.crossJoin(broadcast(best.select(col("pair").as("bp"))))
+        .withColumn("rep",
+          replace(col("rep"), col("bp"),
+            replace(col("bp"), lit("| |"), lit(""))))
+        .drop("bp")
+        .localCheckpoint()
+    }
+    (merges, rep)
+  }
 
   private val toksSql = "string_split_regex(trim(text), '\\s+')"
 
@@ -354,35 +404,59 @@ object QualityQueries extends QueryPack {
     // pipe-delimited symbol encoding and literal-replace merge as the
     // Spark side.
     "corpus_bpe_learn" -> {
-      val rounds = 8
-      val head =
-        s"""WITH v0 AS (
-           |  SELECT w, count(*) AS cnt
-           |  FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY w
-           |), r0 AS (
-           |  SELECT cnt,
-           |    '|' || array_to_string(list_transform(range(1, length(w) + 1),
-           |      i -> substr(w, i, 1)), '| |') || '|' AS rep
-           |  FROM v0
-           |)""".stripMargin
-      val body = (1 to rounds).map { r =>
-        s""", p$r AS (
-           |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM (
-           |    SELECT cnt,
-           |      unnest(list_transform(range(1, len(string_split(rep, ' '))),
-           |        i -> string_split(rep, ' ')[i] || ' ' || string_split(rep, ' ')[i+1])) AS pair
-           |    FROM r${r - 1} WHERE len(string_split(rep, ' ')) >= 2)
-           |  GROUP BY pair
-           |), b$r AS (SELECT pair, pc FROM p$r ORDER BY pc DESC, pair LIMIT 1),
-           |r$r AS (
-           |  SELECT cnt, replace(rep, b.pair, replace(b.pair, '| |', '')) AS rep
-           |  FROM r${r - 1}, b$r b)""".stripMargin
-      }.mkString
-      val tail = (1 to rounds).map(r =>
+      val tail = (1 to BpeRounds).map(r =>
         s"SELECT $r AS round_idx, translate(pair, '|', '') AS merge_pair, " +
           s"pc AS pair_count FROM b$r")
         .mkString("\n", "\nUNION ALL\n", "\nORDER BY round_idx")
-      head + body + tail
+      bpeCte + tail
+    },
+    // The same unrolled merge chain, then: token count per word TYPE from
+    // the final representation, joined back onto word occurrences, per-
+    // language rollup — the exact two-step (segment types, join counts)
+    // the Spark side runs.
+    "corpus_bpe_encode" -> {
+      val tail =
+        s""", tok AS (
+           |  SELECT w, len(string_split(rep, ' ')) AS n_tok FROM r$BpeRounds
+           |), wd AS (
+           |  SELECT lang, unnest($toksSql) AS w FROM documents
+           |)
+           |SELECT lang, count(*) AS n_words,
+           |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           |  ${graft.QueryPack.round6Sql(
+                "CAST(sum(n_tok) AS DOUBLE) / count(*)")} AS fertility
+           |FROM wd JOIN tok USING (w)
+           |GROUP BY lang ORDER BY lang""".stripMargin
+      bpeCte + tail
     }
   )
+
+  /** The unrolled-CTE BPE merge chain shared by the learn and encode
+    * oracles; every r<r> carries the word alongside its representation. */
+  private def bpeCte: String = {
+    val head =
+      s"""WITH v0 AS (
+         |  SELECT w, count(*) AS cnt
+         |  FROM (SELECT unnest($toksSql) AS w FROM documents) GROUP BY w
+         |), r0 AS (
+         |  SELECT w, cnt,
+         |    '|' || array_to_string(list_transform(range(1, length(w) + 1),
+         |      i -> substr(w, i, 1)), '| |') || '|' AS rep
+         |  FROM v0
+         |)""".stripMargin
+    val body = (1 to BpeRounds).map { r =>
+      s""", p$r AS (
+         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+         |    SELECT cnt,
+         |      unnest(list_transform(range(1, len(string_split(rep, ' '))),
+         |        i -> string_split(rep, ' ')[i] || ' ' || string_split(rep, ' ')[i+1])) AS pair
+         |    FROM r${r - 1} WHERE len(string_split(rep, ' ')) >= 2)
+         |  GROUP BY pair
+         |), b$r AS (SELECT pair, pc FROM p$r ORDER BY pc DESC, pair LIMIT 1),
+         |r$r AS (
+         |  SELECT w, cnt, replace(rep, b.pair, replace(b.pair, '| |', '')) AS rep
+         |  FROM r${r - 1}, b$r b)""".stripMargin
+    }.mkString
+    head + body
+  }
 }

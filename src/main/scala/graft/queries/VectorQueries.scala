@@ -60,6 +60,24 @@ object VectorQueries extends QueryPack {
         .filter(col("score") >= 0.2)
         .orderBy(col("score").desc, col("vec_id").asc)),
 
+    // Metadata-FILTERED kNN — the vector-store staple the reference's
+    // flagship lacks (search within a tenant/category/date slice). Exact
+    // form: the predicate is a plain pushed filter on the scan, applied
+    // BEFORE scoring, so the plan is filtered-scan → codegen'd score →
+    // TakeOrderedAndProject — at 100 TB the predicate prunes parquet row
+    // groups before a single dot product runs. The approximate analog is
+    // `ann_ivf_filtered_knn` (same pre-filter semantics on the IVF probe).
+    "knn_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 5).select(col("embedding").as("q_emb"))
+      emb.filter(col("label") % 4 === 1)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round6(cosineSim(col("embedding"), col("q_emb"))).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(5)
+    }),
+
     // §2.C complete kernel surface: dot / l2_distance / l2_norm alongside
     // cosine, oracle-checked per row (these back the SQL functions
     // registered by GraftExtensions).
@@ -130,6 +148,13 @@ object VectorQueries extends QueryPack {
       s"""WITH scored AS (${oracleScored(3)})
          |SELECT vec_id, score FROM scored WHERE score >= 0.2
          |ORDER BY score DESC, vec_id""".stripMargin,
+    "knn_filtered" -> {
+      val cos = "list_cosine_similarity(CAST(embedding AS DOUBLE[]), " +
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 5))"
+      s"""SELECT vec_id, label, ${graft.QueryPack.round6Sql(cos)} AS score
+         |FROM embeddings WHERE label % 4 = 1
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin
+    },
     "vector_kernels" -> {
       val d = "CAST(embedding AS DOUBLE[])"
       val qd = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 11)"

@@ -87,6 +87,39 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.9, s"IVF recall $recall")
   }
 
+  test("IVF searchFiltered: all results in-filter, recall >= 0.9 vs exact filtered top-3") {
+    val pred = col("label") % 4 === 1
+    val allowedIds = emb.filter(pred).select(col("vec_id").as("id"))
+    val allowedSet = allowedIds.collect().map(_.getLong(0)).toSet
+    // over-probe (6 of 8 cells) to compensate the ~25%-selective predicate
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
+    val built = ivf.build(spark, emb, "vec_id", "embedding")
+    val approx = ivf.searchFiltered(built, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", 3, allowedIds)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pre-filter contract: every returned neighbor satisfies the predicate
+    assert(approx.forall { case (_, n) => allowedSet.contains(n) })
+    // exact filtered top-3
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = emb.filter(pred).crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        cosineSim(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"filtered IVF recall $recall")
+    // a query with NO allowed neighbor in any probed cell returns nothing
+    // rather than leaking out-of-filter rows — pin with an empty allow-list
+    val none = ivf.searchFiltered(built, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", 3, allowedIds.limit(0))
+    assert(none.count() == 0)
+  }
+
   test("PQ search recall >= 0.9 vs exact top-3 (ADC shortlist + exact re-rank)") {
     val pq = new PqIndex(m = 8, kCentroids = 16)
     val built = pq.build(spark, emb, "vec_id", "embedding")

@@ -95,6 +95,55 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally AnnIndexRegistry.clear()
   }
 
+  /** The naive FILTERED flagship: metadata predicate under the sort. */
+  private def filteredFlagship(qv: Array[Float], k: Int): DataFrame =
+    corpus.select(col("vec_id"), col("label"), col("embedding"))
+      .filter(col("label") % 4 === 1)
+      .withColumn("score", cosineSim(col("embedding"), lit(qv)))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+
+  test("filtered flagship rides the payload-carrying index; unregistered predicate column falls back") {
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
+    try {
+      // payload NOT registered: the label predicate must keep the exact scan
+      AnnIndexRegistry.register(spark, ivf, src, "vec_id", "embedding", nProbe = 6)
+      assert(filteredFlagship(queryVec(0L), 10).queryExecution.executedPlan
+        .toString.contains("embeddings.parquet"),
+        "filtered plan must stay exact when the predicate column is not carried")
+
+      // payload registered: the filtered plan scans the augmented table
+      AnnIndexRegistry.register(spark, ivf, src, "vec_id", "embedding",
+        nProbe = 6, payloadCols = Seq("label"))
+      val plan = filteredFlagship(queryVec(0L), 10)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("augmented"), plan.take(3000))
+      assert(!plan.contains("embeddings.parquet"),
+        "rewritten filtered plan must not scan the original corpus")
+
+      // every surfaced row satisfies the predicate (pre-filter contract)
+      val rows = filteredFlagship(queryVec(0L), 10).collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getInt(1) % 4 == 1))
+
+      // recall vs the exact filtered plan (kill-switch = ground truth)
+      val qs = (0L until 20L).map(queryVec)
+      spark.conf.set(AnnIndexRule.ConfKey, "false")
+      val exact = try qs.map(q => filteredFlagship(q, 10).select("vec_id")
+          .collect().map(_.getLong(0)).toSet)
+        finally spark.conf.unset(AnnIndexRule.ConfKey)
+      val approx = qs.map(q => filteredFlagship(q, 10).select("vec_id")
+        .collect().map(_.getLong(0)).toSet)
+      val recall = approx.zip(exact)
+        .map { case (a, e) => (a & e).size.toDouble / e.size }.sum / exact.size
+      assert(recall >= 0.9, s"filtered rewrite recall $recall")
+
+      // the UNfiltered flagship still rides the plain assigned table
+      val plain = flagship(queryVec(0L), 10).queryExecution.executedPlan.toString
+      assert(plain.contains("assigned") && !plain.contains("embeddings.parquet"))
+    } finally AnnIndexRegistry.clear()
+  }
+
   test("the rewrite fires from pure SQL") {
     val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
     try {

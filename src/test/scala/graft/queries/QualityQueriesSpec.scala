@@ -84,4 +84,27 @@ class QualityQueriesSpec extends AnyFunSuite with graft.SparkTestBase {
     }
     assert(rows.forall(_.getLong(2) > 0))
   }
+
+  test("corpus_bpe_encode: tokens bound by chars and words; merges really fire") {
+    val rows = QualityQueries.queries("corpus_bpe_encode")(spark, sf0_001)
+      .collect()
+    assert(rows.nonEmpty)
+    val d = spark.read.parquet(s"$sf0_001/documents.parquet")
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("w"))
+    val byLang = d.groupBy("lang")
+      .agg(count(lit(1)).as("nw"), sum(length(col("w"))).as("nc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (lang, nWords, nTokens) =
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      val (nw, nc) = byLang(lang)
+      assert(nWords == nw, s"$lang word count drifted from the corpus")
+      // every word is at least 1 token; char-level segmentation is the
+      // ceiling; 8 learned merges must compress SOMETHING per language
+      assert(nTokens >= nWords && nTokens < nc,
+        s"$lang: n_tokens $nTokens outside ($nWords, $nc)")
+      val fert = r.getDouble(3)
+      assert(math.abs(fert - nTokens.toDouble / nWords) < 1e-5)
+    }
+  }
 }
