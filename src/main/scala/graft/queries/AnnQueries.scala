@@ -100,16 +100,19 @@ object AnnQueries extends QueryPack {
         .agg(TopKByScore(3)(col("cos"), col("vec_id")).as("hits"))
         .select(col("q_id"), explode(col("hits.id")).as("neighbor_id"),
           lit(1).as("hit_exact"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-      approx
+      // |Q|×k rows; materialized once so the 1-row invariant aggregate
+      // below doesn't recompute the probe
+      val flagged = approx
         .join(allowed.select(col("id").as("neighbor_id"),
           lit(true).as("in_filter")), Seq("neighbor_id"), "left")
         .join(exact, Seq("q_id", "neighbor_id"), "left")
-        .withColumn("recall_all",
-          sum(coalesce(col("hit_exact"), lit(0))).over(w).cast("double") /
-            count(lit(1)).over(w))
-        .withColumn("filter_ok",
-          min(coalesce(col("in_filter"), lit(false)).cast("int")).over(w) === 1)
+        .localCheckpoint()
+      val stats = flagged.agg(
+        (sum(coalesce(col("hit_exact"), lit(0))).cast("double") /
+          count(lit(1))).as("recall_all"),
+        (min(coalesce(col("in_filter"), lit(false)).cast("int")) === 1)
+          .as("filter_ok"))
+      flagged.crossJoin(broadcast(stats))
         .select(col("q_id"), col("rank"), col("neighbor_id"),
           round6(col("cos")).as("score"),
           coalesce(col("in_filter"), lit(false)).as("in_filter"),

@@ -4,7 +4,7 @@ import graft.functions.VectorFunctions.cosineSim
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
 import scala.collection.mutable
 
@@ -219,6 +219,20 @@ class MerkonStore(spark: SparkSession) {
    * and timestamp are fetched from the LIVE collection by key (a
    * broadcast join of <= limit rows), so a key deleted since the index
    * job yields a shorter result rather than a stale row.
+   *
+   * `predicate` (capability extension — the reference API has no filtered
+   * search) restricts the result to records satisfying an arbitrary
+   * Column predicate, with PRE-filter semantics on both paths: the
+   * predicate cuts the candidate set before top-k, so it can never starve
+   * the result below `limit` while allowed candidates exist, and no
+   * out-of-slice row can surface. On the useIndex path the allow-list
+   * semi-join sits between the index scan and the sort, a shape the
+   * literal-query rewrite deliberately does not match — the search reads
+   * the 2-column index dump (keys + embeddings, not the record table),
+   * exact over the index snapshot. Carrying hot predicate columns INTO a
+   * registered index (AnnIndexRegistry payloadCols, as
+   * ann_indexed_filtered_rewrite does) is the cell-pruned 100 TB path
+   * for high-QPS filtered search.
    */
   def getNearestMatches(
       name: String,
@@ -226,9 +240,19 @@ class MerkonStore(spark: SparkSession) {
       limit: Int,
       minRelevanceScore: Double = 0.0,
       withEmbeddings: Boolean = false,
-      useIndex: Boolean = false): DataFrame = {
+      useIndex: Boolean = false,
+      predicate: Option[Column] = None): DataFrame = {
     if (useIndex && limit > 0 && indexedCollections.contains(name)) {
-      val topk = spark.read.parquet(indexedCollections(name))
+      val idx = spark.read.parquet(indexedCollections(name))
+      // pre-filter contract (the filtered-ANN convention, see
+      // IvfIndex.searchFiltered): restrict candidates to keys whose LIVE
+      // record satisfies the predicate BEFORE top-k, so a selective
+      // predicate never starves the result below `limit` while allowed
+      // candidates exist — and no out-of-slice row can ever surface.
+      val candidates = predicate.fold(idx)(p => idx.join(
+        purgeEmptyKeys(current(name)).filter(p).select("key"),
+        Seq("key"), "left_semi"))
+      val topk = candidates
         .withColumn("score", cosineSim(col("embedding"), lit(queryVector)))
         .filter(col("score") >= minRelevanceScore)
         .orderBy(col("score").desc, col("key").asc)
@@ -238,8 +262,10 @@ class MerkonStore(spark: SparkSession) {
       return project(fetched, withEmbeddings)
         .orderBy(col("score").desc, col("key").asc)
     }
+    val filtered = predicate.fold(purgeEmptyKeys(current(name)))(p =>
+      purgeEmptyKeys(current(name)).filter(p))
     val base = project(
-      purgeEmptyKeys(current(name))
+      filtered
         .withColumn("score", cosineSim(col("embedding"), lit(queryVector))),
       withEmbeddings)
     // limit <= 0 -> empty, matching MerkonMemoryStore.cs:125-128.

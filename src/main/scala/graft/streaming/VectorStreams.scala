@@ -141,9 +141,33 @@ object VectorStreams {
   }
 
   def indexedKnn(queries: DataFrame, built: IvfIndex.Built,
-      nProbe: Int, k: Int): DataFrame = {
+      nProbe: Int, k: Int): DataFrame =
+    indexedKnnCore(queries, built, nProbe, k, built.live)
+
+  /**
+   * The streaming form of [[IvfIndex.searchFiltered]]: standing kNN over
+   * a metadata slice, with the same PRE-filter contract — the allow-list
+   * (id projection of any metadata predicate, a STATIC frame) semi-joins
+   * the live cell table before any scoring, so every emitted neighbor
+   * satisfies the predicate by construction and a selective predicate
+   * can never silently starve a query below k while allowed candidates
+   * exist in the probed cells. Batch↔stream parity and the predicate
+   * invariant are pinned by VectorStreamsSpec; over-probe for selective
+   * predicates exactly as in the batch path. The filtered candidate side
+   * is static-static (allow-list × cell table), so the stream-static
+   * equi-join on `cell` is unchanged from [[indexedKnn]].
+   */
+  def indexedKnnFiltered(queries: DataFrame, built: IvfIndex.Built,
+      nProbe: Int, k: Int, allowed: DataFrame): DataFrame = {
+    val allow = allowed.toDF("id").select(col("id"))
+    indexedKnnCore(queries, built, nProbe, k,
+      built.live.join(allow, Seq("id"), "left_semi"))
+  }
+
+  private def indexedKnnCore(queries: DataFrame, built: IvfIndex.Built,
+      nProbe: Int, k: Int, candidates: DataFrame): DataFrame = {
     val scored = route(queries, built, nProbe)
-      .join(built.live, Seq("cell"))
+      .join(candidates, Seq("cell"))
       .select(col("q_id"), col("id").as("_n_id"),
         cosineSim(col("q_emb"), col("emb")).as("cos"))
     scored.groupBy(col("q_id"))

@@ -278,6 +278,37 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
     assert(byKey == Map("a" -> "v2", "b" -> "b1"))
   }
 
+  test("getNearestMatches(predicate): only in-slice rows on both paths, never starved below limit") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val st = newStore
+    try {
+      val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      st.upsertBatch("vecs", corpus.select(
+        concat(lit("k"), col("vec_id")).as("key"), col("embedding")))
+      st.buildIndex("vecs", nCentroids = 8, nProbe = 6)
+      // slice = keys ending in an even digit (~half the collection)
+      val pred = col("key").substr(-1, 1).isin("0", "2", "4", "6", "8")
+      val qv = corpus.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+
+      for (useIndex <- Seq(false, true)) {
+        val rows = st.getNearestMatches("vecs", qv, 5, useIndex = useIndex,
+          predicate = Some(pred)).select("key").collect().map(_.getString(0))
+        assert(rows.length == 5,
+          s"useIndex=$useIndex: filtered search starved below limit")
+        assert(rows.forall(k => "02468".contains(k.last)),
+          s"useIndex=$useIndex: out-of-slice row surfaced")
+      }
+      // exact path parity: predicate result == manual filter of the
+      // unlimited exact scores
+      val manual = st.getNearestMatches("vecs", qv, Int.MaxValue)
+        .filter(pred).limit(5).select("key").collect().map(_.getString(0)).toSet
+      val got = st.getNearestMatches("vecs", qv, 5, predicate = Some(pred))
+        .select("key").collect().map(_.getString(0)).toSet
+      assert(got == manual)
+    } finally graft.plans.AnnIndexRegistry.clear()
+  }
+
   test("streamingUpsert freshness: a streamed vector is visible to the next getNearestMatches") {
     // the reference's single-heap store makes this trivially true; the
     // Spark store must give the same contract — ingest landed by the

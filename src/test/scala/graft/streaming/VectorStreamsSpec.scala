@@ -85,6 +85,42 @@ class VectorStreamsSpec extends AnyFunSuite with SparkTestBase {
       "indexedKnn must not plan a full-corpus non-equi join")
   }
 
+  test("indexedKnnFiltered: streamed results all in-filter and identical to batch searchFiltered") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ivf = new graft.ml.IvfIndex(nCentroids = 8, nProbe = 6)
+    val built = ivf.build(spark, corpus, "vec_id", "embedding")
+    val allowed = corpus.filter(col("label") % 4 === 1)
+      .select(col("vec_id").as("id"))
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    val qs = queryVecs(0L until 10L: _*)
+
+    val input = MemoryStream[QueryVec]
+    val q = VectorStreams.indexedKnnFiltered(input.toDF(), built,
+        nProbe = 6, k = 3, allowed)
+      .writeStream.format("memory").queryName("idx_knn_filtered")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(qs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("idx_knn_filtered")
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed.forall { case (_, n) => allowedSet.contains(n) },
+      "an out-of-filter neighbor surfaced through the streaming filtered path")
+    // same routing, same candidates, same bounded top-k -> the streamed
+    // answer IS the batch searchFiltered answer, not merely close to it
+    val batch = ivf.searchFiltered(built,
+        corpus.filter(col("vec_id") < 10), "vec_id", "embedding", 3, allowed)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("indexedIngest: streamed vectors become visible to indexedKnn, no re-fit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
