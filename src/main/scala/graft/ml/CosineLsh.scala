@@ -109,7 +109,30 @@ class CosineLsh(
   def knnJoin(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, embCol: String,
-      k: Int, minCandidateCos: Double = 0.0): DataFrame = {
+      k: Int, minCandidateCos: Double = 0.0): DataFrame =
+    knnJoinCore(corpus, queries, idCol, embCol, k, minCandidateCos)
+
+  /** Filtered ANN over the LSH bands ([[IvfIndex.searchFiltered]]
+    * semantics): the predicate restricts the CORPUS side before banding,
+    * so out-of-slice vectors produce no band rows at all — the bucket
+    * join, scoring, and top-k all run over allowed vectors only. LSH has
+    * no probe dial; recall under filtering follows the band collision
+    * probability exactly as unfiltered (each allowed neighbor's bucket
+    * membership is independent of the predicate). */
+  def knnJoinFiltered(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String,
+      k: Int, allowed: DataFrame,
+      minCandidateCos: Double = 0.0): DataFrame = {
+    val allow = allowed.toDF("id").select(col("id").as(idCol))
+    knnJoinCore(corpus.join(allow, Seq(idCol), "left_semi"),
+      queries, idCol, embCol, k, minCandidateCos)
+  }
+
+  private def knnJoinCore(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String,
+      k: Int, minCandidateCos: Double): DataFrame = {
     val corpusBase = prepare(corpus, idCol, embCol)
     val corpusSigs = signatures(corpusBase)
       .select(col("band"), col("id").as("n_id"))

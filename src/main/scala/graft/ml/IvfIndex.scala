@@ -311,6 +311,14 @@ object IvfIndex {
     }
     val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     t.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(t, true)
+    // the metadata-carrying `augmented` sidecar (written by
+    // AnnIndexRegistry.register for filtered kNN) still holds the
+    // now-compacted dead rows, and with the tombstone sidecar gone they
+    // would resurface through the filtered rewrite — drop it; the next
+    // register() re-materializes it from the compacted cell table, and
+    // until then filtered plans gracefully keep their exact scan.
+    val aug = new org.apache.hadoop.fs.Path(s"$path/augmented")
+    aug.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(aug, true)
   }
 
   /**

@@ -97,7 +97,27 @@ class IvfPqIndex(nCentroids: Int = 8, nProbe: Int = 5,
   /** Top-k corpus neighbors by exact cosine: nProbe cells per query, ADC
     * shortlist within the probed cells, exact re-rank of the shortlist. */
   def search(built: IvfPqIndex.Built, queries: DataFrame, idCol: String,
-      embCol: String, k: Int, shortlist: Int = 192): DataFrame = {
+      embCol: String, k: Int, shortlist: Int = 192): DataFrame =
+    searchCore(built, queries, idCol, embCol, k, shortlist,
+      built.liveCodedCell)
+
+  /** Filtered ANN over the composite index ([[IvfIndex.searchFiltered]]
+    * semantics): the allow-list semi-joins the cell-keyed code table, so
+    * the probed-cell ADC scan — already pruned to nProbe cells — is
+    * further thinned to allowed ids before any scoring, and every result
+    * satisfies the predicate by construction. Over-probe for selective
+    * predicates, as in every pre-filter path. */
+  def searchFiltered(built: IvfPqIndex.Built, queries: DataFrame,
+      idCol: String, embCol: String, k: Int, allowed: DataFrame,
+      shortlist: Int = 192): DataFrame = {
+    val allow = allowed.toDF("id").select(col("id"))
+    searchCore(built, queries, idCol, embCol, k, shortlist,
+      built.liveCodedCell.join(allow, Seq("id"), "left_semi"))
+  }
+
+  private def searchCore(built: IvfPqIndex.Built, queries: DataFrame,
+      idCol: String, embCol: String, k: Int, shortlist: Int,
+      candidates: DataFrame): DataFrame = {
     val q = pq.adcQueries(built.codebooks, queries, idCol, embCol)
     // route: query × broadcast(centroids) -> nProbe nearest cells per
     // query (cosine routing, scale-invariant in the raw query embedding)
@@ -113,7 +133,7 @@ class IvfPqIndex(nCentroids: Int = 8, nProbe: Int = 5,
         col("cellL").cast("int").as("cell"))
     // candidates: equi-join on cell over the code table — reads only the
     // probed cells' codes; ADC scores them with m lookups per candidate
-    val short = routed.join(built.liveCodedCell, "cell")
+    val short = routed.join(candidates, "cell")
       .select(col("q_id"), col("q_emb"), col("id"),
         (-pq.adcExpr).as("neg_dist"))
       .groupBy(col("q_id"), col("q_emb"))

@@ -204,7 +204,27 @@ class PqIndex(m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
         element_at(col("codes"), sub + 1) + 1)).reduce(_ + _)
 
   def search(built: PqIndex.Built, queries: DataFrame, idCol: String,
-      embCol: String, k: Int, shortlist: Int = 192): DataFrame = {
+      embCol: String, k: Int, shortlist: Int = 192): DataFrame =
+    searchCore(built, queries, idCol, embCol, k, shortlist, built.liveCoded)
+
+  /** Filtered ANN over the PQ index ([[IvfIndex.searchFiltered]]
+    * semantics): the allow-list (id projection of any metadata predicate)
+    * semi-joins the CODE table before the ADC scan, so the shortlist —
+    * and therefore every result — satisfies the predicate by
+    * construction, and the re-rank fetch only ever touches allowed ids.
+    * The semi-join streams the m-byte code rows, never embeddings; a
+    * selective predicate thins the ADC scan rather than the result. */
+  def searchFiltered(built: PqIndex.Built, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, allowed: DataFrame,
+      shortlist: Int = 192): DataFrame = {
+    val allow = allowed.toDF("id").select(col("id"))
+    searchCore(built, queries, idCol, embCol, k, shortlist,
+      built.liveCoded.join(allow, Seq("id"), "left_semi"))
+  }
+
+  private def searchCore(built: PqIndex.Built, queries: DataFrame,
+      idCol: String, embCol: String, k: Int, shortlist: Int,
+      candidates: DataFrame): DataFrame = {
     // codebooks to the driver once (m × k × d doubles — a few KiB), then
     // per-query ADC tables computed map-side
     val q = adcQueries(built.codebooks, queries, idCol, embCol)
@@ -212,7 +232,7 @@ class PqIndex(m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
     // the ADC scan streams ONLY (id, codes) — m bytes/vector, never the
     // float embedding column (at 100 TB: ~3 TB of codes instead of the
     // full corpus; asserted on ReadSchema by PqRerankSpec)
-    val short = built.liveCoded.crossJoin(broadcast(q))
+    val short = candidates.crossJoin(broadcast(q))
       .select(col("q_id"), col("q_emb"), col("id"), (-adcExpr).as("neg_dist"))
       .groupBy(col("q_id"), col("q_emb"))
       .agg(TopKByScore(shortlist)(col("neg_dist"), col("id")).as("cand"))

@@ -223,6 +223,46 @@ object QualityQueries extends QueryPack {
     // how a 100 TB tokenization job amortizes (segment the type table,
     // join the token counts back onto occurrences). The per-lang rollup
     // is a 4-group partial agg.
+    // Population-stability-index drift monitor — the standard feature-
+    // level drift metric an ML data pipeline runs between ingest
+    // snapshots (PSI = Σ_bins (p_now - p_ref) · ln(p_now/p_ref); the
+    // conventional alert thresholds are 0.1 warn / 0.25 act).
+    // Snapshots are deterministic halves of the corpus (doc_id parity —
+    // the fixture has no ingest-date column); the monitored feature is
+    // document length binned into 8 fixed-width buckets, rolled up per
+    // source. Scale shape: one map-side bucket assignment + ONE
+    // (source × snapshot × bucket)-sized partial agg — a 100 TB drift
+    // check is a single scan however many features ride the same
+    // grouping. Smoothed (+1) counts keep empty bins finite; the log-sum
+    // goes through the DECIMAL(27,9) rule so per-source PSI is
+    // partition-order independent.
+    "corpus_psi_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("bin", least(lit(7), floor(col("n_chars") / 120)).cast("int"))
+        .withColumn("snap", (col("doc_id") % 2 === 0).cast("int"))
+      val counts = d.groupBy(col("source"), col("bin"))
+        .agg(sum(when(col("snap") === 1, 1L).otherwise(0L)).as("c_ref"),
+          sum(when(col("snap") === 0, 1L).otherwise(0L)).as("c_now"))
+      val tot = counts.groupBy(col("source"))
+        .agg(sum(col("c_ref")).as("t_ref"), sum(col("c_now")).as("t_now"))
+      counts.join(tot, Seq("source"))
+        .select(col("source"),
+          (((col("c_now") + 1).cast("double") / (col("t_now") + 8)) -
+            ((col("c_ref") + 1).cast("double") / (col("t_ref") + 8))).as("dp"),
+          log(((col("c_now") + 1).cast("double") / (col("t_now") + 8)) /
+            ((col("c_ref") + 1).cast("double") / (col("t_ref") + 8))).as("lr"))
+        .select(col("source"), (col("dp") * col("lr"))
+          .cast(DecimalType(27, 9)).as("term"))
+        .groupBy(col("source"))
+        .agg(sum(col("term")).as("psi_dec"))
+        .select(col("source"), round6(col("psi_dec").cast("double")).as("psi"),
+          // decimal-vs-decimal compare (a double 0.1 literal would force
+          // a decimal->double cast and can flip a boundary-value verdict
+          // vs the oracle's exact decimal compare)
+          (col("psi_dec") < lit(new java.math.BigDecimal("0.1"))).as("stable"))
+        .orderBy(col("source"))
+    }),
+
     "corpus_bpe_encode" -> ((s, dir) => {
       val words = t(s, dir, "documents")
         .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("w"))
@@ -409,6 +449,37 @@ object QualityQueries extends QueryPack {
           s"pc AS pair_count FROM b$r")
         .mkString("\n", "\nUNION ALL\n", "\nORDER BY round_idx")
       bpeCte + tail
+    },
+    "corpus_psi_drift" -> {
+      val psiDouble = "CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE)"
+      s"""WITH d AS (
+         |  SELECT source,
+         |    least(7, CAST(floor(n_chars / 120.0) AS BIGINT)) AS bin,
+         |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS snap
+         |  FROM documents
+         |), c AS (
+         |  SELECT source, bin,
+         |    CAST(sum(snap) AS BIGINT) AS c_ref,
+         |    CAST(sum(1 - snap) AS BIGINT) AS c_now
+         |  FROM d GROUP BY source, bin
+         |), t AS (
+         |  SELECT source, CAST(sum(c_ref) AS BIGINT) AS t_ref,
+         |    CAST(sum(c_now) AS BIGINT) AS t_now
+         |  FROM c GROUP BY source
+         |), r AS (
+         |  SELECT c.source,
+         |    ((CAST(c_now + 1 AS DOUBLE) / CAST(t_now + 8 AS DOUBLE))
+         |      - (CAST(c_ref + 1 AS DOUBLE) / CAST(t_ref + 8 AS DOUBLE))) AS dp,
+         |    ln((CAST(c_now + 1 AS DOUBLE) / CAST(t_now + 8 AS DOUBLE))
+         |      / (CAST(c_ref + 1 AS DOUBLE) / CAST(t_ref + 8 AS DOUBLE))) AS lr
+         |  FROM c JOIN t ON c.source = t.source
+         |), s AS (
+         |  SELECT source, CAST(dp * lr AS DECIMAL(27,9)) AS term FROM r
+         |)
+         |SELECT source,
+         |  ${graft.QueryPack.round6Sql(psiDouble)} AS psi,
+         |  (sum(term) < 0.1) AS stable
+         |FROM s GROUP BY source ORDER BY source""".stripMargin
     },
     // The same unrolled merge chain, then: token count per word TYPE from
     // the final representation, joined back onto word occurrences, per-

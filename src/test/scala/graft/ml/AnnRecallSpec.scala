@@ -120,6 +120,44 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
     assert(none.count() == 0)
   }
 
+  test("filtered search across LSH/PQ/IVF-PQ: all in-filter, recall >= 0.9 vs exact filtered top-3") {
+    val pred = col("label") % 4 === 1
+    val allowedIds = emb.filter(pred).select(col("vec_id").as("id"))
+    val allowedSet = allowedIds.collect().map(_.getLong(0)).toSet
+    val q = emb.filter(col("vec_id") < 20)
+    // exact filtered top-3 ground truth
+    val qd = q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = emb.filter(pred).crossJoin(broadcast(qd))
+      .select(col("q_id"), col("vec_id"),
+        cosineSim(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def check(name: String, df: DataFrame): Unit = {
+      val got = df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.forall { case (_, n) => allowedSet.contains(n) },
+        s"$name surfaced an out-of-filter neighbor")
+      val recall = (got & exact).size.toDouble / exact.size
+      assert(recall >= 0.9, s"$name filtered recall $recall")
+    }
+
+    check("lsh", new CosineLsh().knnJoinFiltered(
+      emb, q, "vec_id", "embedding", 3, allowedIds))
+    val pqIdx = new PqIndex(m = 8, kCentroids = 16)
+    check("pq", pqIdx.searchFiltered(
+      pqIdx.build(spark, emb, "vec_id", "embedding"),
+      q, "vec_id", "embedding", 3, allowedIds))
+    val ivfpqIdx = new IvfPqIndex(nCentroids = 8, nProbe = 6,
+      m = 8, kCentroids = 16)
+    check("ivfpq", ivfpqIdx.searchFiltered(
+      ivfpqIdx.build(spark, emb, "vec_id", "embedding"),
+      q, "vec_id", "embedding", 3, allowedIds))
+  }
+
   test("PQ search recall >= 0.9 vs exact top-3 (ADC shortlist + exact re-rank)") {
     val pq = new PqIndex(m = 8, kCentroids = 16)
     val built = pq.build(spark, emb, "vec_id", "embedding")

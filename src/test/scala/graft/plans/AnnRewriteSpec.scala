@@ -144,6 +144,63 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally AnnIndexRegistry.clear()
   }
 
+  test("compaction drops the stale augmented sidecar; filtered plans fall back, re-register restores") {
+    import spark.implicits._
+    // private copy of the corpus: this test mutates the published index
+    val dir = java.nio.file.Files.createTempDirectory("aug-compact").toString
+    corpus.write.parquet(s"$dir/corpus")
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 8)
+    try {
+      val entry = AnnIndexRegistry.register(spark, ivf, s"$dir/corpus",
+        "vec_id", "embedding", nProbe = 8, cacheRoot = s"$dir/cache",
+        payloadCols = Seq("label"))
+      // pick an in-filter id we can kill, then verify it surfaces first
+      val qv = queryVec(1L)
+      def top(): Seq[Long] = filteredFlagshipOn(s"$dir/corpus", qv, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val victim = top().head
+      // delete it (RemoveAsync path), still served from augmented via
+      // the tombstone anti-join
+      Seq(victim).toDF("id").coalesce(1).write.mode("overwrite")
+        .parquet(s"${entry.indexPath}/tombstones")
+      assert(!top().contains(victim), "tombstoned id surfaced via augmented")
+      // the plan display truncates long file paths, so key on the index
+      // table's ReadSchema spelling (id/emb) rather than the dir name —
+      // the corpus scan would read vec_id/embedding instead
+      assert(filteredFlagshipOn(s"$dir/corpus", qv, 10).queryExecution
+        .executedPlan.toString.contains("emb:array"))
+      // compaction folds tombstones into `assigned` and MUST invalidate
+      // the stale augmented sidecar — otherwise the dead row would
+      // resurface once the tombstone file is gone
+      IvfIndex.compactOnDisk(spark, entry.indexPath)
+      val planAfter = filteredFlagshipOn(s"$dir/corpus", qv, 10)
+        .queryExecution.executedPlan.toString
+      assert(!planAfter.contains("emb:array"),
+        "filtered plan still reads the dropped augmented sidecar")
+      // (the fallback is the EXACT corpus scan, where the victim row
+      // legitimately still exists — index deletes are index-view state;
+      // the store's remove path also deletes from the collection)
+      // re-register re-materializes augmented from the compacted cells
+      AnnIndexRegistry.register(spark, ivf, s"$dir/corpus",
+        "vec_id", "embedding", nProbe = 8, cacheRoot = s"$dir/cache",
+        payloadCols = Seq("label"))
+      val planBack = filteredFlagshipOn(s"$dir/corpus", qv, 10)
+        .queryExecution.executedPlan.toString
+      assert(planBack.contains("emb:array"))
+      assert(!top().contains(victim))
+    } finally AnnIndexRegistry.clear()
+  }
+
+  /** [[filteredFlagship]] over an arbitrary corpus path. */
+  private def filteredFlagshipOn(path: String, qv: Array[Float],
+      k: Int): DataFrame =
+    spark.read.parquet(path)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .filter(col("label") % 4 === 1)
+      .withColumn("score", cosineSim(col("embedding"), lit(qv)))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+
   test("the rewrite fires from pure SQL") {
     val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
     try {

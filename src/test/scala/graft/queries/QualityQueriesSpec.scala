@@ -85,6 +85,40 @@ class QualityQueriesSpec extends AnyFunSuite with graft.SparkTestBase {
     assert(rows.forall(_.getLong(2) > 0))
   }
 
+  test("corpus_psi_drift: PSI non-negative, threshold-consistent, manual recompute agrees") {
+    val rows = QualityQueries.queries("corpus_psi_drift")(spark, sf0_001)
+      .collect()
+    assert(rows.nonEmpty)
+    // PSI = sum((p-q)ln(p/q)) >= 0 always (each term has matching signs);
+    // `stable` must agree with the 0.1 threshold on the reported value.
+    // (No distributional claim: at sf0.001 a source has ~50 docs per
+    // parity half, where iid sampling noise legitimately crosses 0.1.)
+    rows.foreach { r =>
+      assert(r.getDouble(1) >= 0.0, s"${r.getString(0)}: negative PSI")
+      assert(r.getBoolean(2) == (r.getDouble(1) < 0.1 + 1e-9) ||
+        math.abs(r.getDouble(1) - 0.1) < 1e-6,
+        s"${r.getString(0)}: stable flag disagrees with psi ${r.getDouble(1)}")
+    }
+    // manual recompute for one source from raw bucket counts
+    val src = rows.head.getString(0)
+    val d = spark.read.parquet(s"$sf0_001/documents.parquet")
+      .filter(col("source") === src)
+      .select(col("doc_id"), least(lit(7), floor(col("n_chars") / 120)).as("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ref = d.filter(_._1 % 2 == 0).groupBy(_._2).view.mapValues(_.length).toMap
+    val now = d.filter(_._1 % 2 != 0).groupBy(_._2).view.mapValues(_.length).toMap
+    val (tr, tn) = (ref.values.sum, now.values.sum)
+    // only bins OBSERVED in either snapshot contribute (a bin empty in
+    // both never forms a row in the query's groupBy) — same skip here
+    val psi = (ref.keySet ++ now.keySet).toSeq.map { b =>
+      val p = (now.getOrElse(b, 0) + 1).toDouble / (tn + 8)
+      val q = (ref.getOrElse(b, 0) + 1).toDouble / (tr + 8)
+      BigDecimal((p - q) * math.log(p / q)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(math.abs(rows.head.getDouble(1) - psi) < 1e-6,
+      s"$src: query PSI ${rows.head.getDouble(1)} vs manual $psi")
+  }
+
   test("corpus_bpe_encode: tokens bound by chars and words; merges really fire") {
     val rows = QualityQueries.queries("corpus_bpe_encode")(spark, sf0_001)
       .collect()
