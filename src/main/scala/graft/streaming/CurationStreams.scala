@@ -149,6 +149,46 @@ object CurationStreams {
       .drop("_toks", "_grams")
   }
 
+  /**
+   * Token-budget admission with the LEARNED tokenizer — the deploy half
+   * of `corpus_bpe_learn`: the batch job learns the merge rules; this
+   * gate applies them FROZEN to every arriving document as a pure column
+   * expression. Each word is pipe-encoded (`|c| |a| |t|`) and the rules
+   * fold over it in learned order as literal replaces — the identical
+   * merge mechanics as the batch learner — then the document's token
+   * count is the per-word symbol counts summed. No shuffle, no state, no
+   * vocab join: the batch encoder (`corpus_bpe_encode`) amortizes
+   * through the word-TYPE table, but a stream has no type table, so
+   * per-occurrence segmentation is the right shape — and the plan is
+   * identical for batch and streaming frames (parity + agreement with
+   * the oracle-checked batch encode pinned by `CurationStreamsSpec`).
+   * Refreshing the rules is the standing tokenizer job's responsibility,
+   * same snapshot contract as the DSIR LM and the ANN index.
+   *
+   * @param mergeRules merge pairs ("left right") in learned order, e.g.
+   *                   collected from the `corpus_bpe_learn` output
+   * @param maxTokens  admit ceiling on the document's BPE token count
+   */
+  def bpeTokenGate(docs: DataFrame, mergeRules: Seq[String],
+      maxTokens: Long): DataFrame = {
+    val mergedRep: org.apache.spark.sql.Column => org.apache.spark.sql.Column = w => {
+      val rep0 = concat(lit("|"),
+        array_join(transform(sequence(lit(1), length(w)),
+          i => w.substr(i, lit(1))), "| |"), lit("|"))
+      mergeRules.foldLeft(rep0) { (rep, rule) =>
+        val Array(l, r) = rule.split(" ", 2)
+        replace(rep, lit(s"|$l| |$r|"), lit(s"|$l$r|"))
+      }
+    }
+    docs
+      .withColumn("_w", split(trim(col("text")), "\\s+"))
+      .withColumn("n_tokens", aggregate(
+        transform(col("_w"), w => size(split(mergedRep(w), " ")).cast("long")),
+        lit(0L), (acc, x) => acc + x))
+      .filter(col("n_tokens") <= maxTokens)
+      .drop("_w")
+  }
+
   def nearDupRejects(docs: DataFrame, refBands: DataFrame,
       refShingles: DataFrame, threshold: Double = 0.5,
       watermark: String = "10 minutes"): DataFrame = {

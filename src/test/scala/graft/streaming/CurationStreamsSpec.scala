@@ -188,4 +188,70 @@ class CurationStreamsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(all(1L) > 0 && all(3L) > 0 && all(2L) < 0)
   }
+
+  test("bpeTokenGate: streamed == batch == greedy-merge reimplementation; budget admits/rejects") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+
+    // learn real rules from the fixture corpus (the oracle-checked job)
+    val merges = graft.queries.QualityQueries
+      .queries("corpus_bpe_learn")(spark, sf0_001)
+      .orderBy(col("round_idx")).collect().map(_.getString(1)).toSeq
+    assert(merges.size == 8)
+
+    val docs = spark.read.parquet(s"$sf0_001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(30)
+      .collect().map(r => StreamDoc(r.getLong(0), r.getString(1),
+        t("2026-01-01 10:00:00")))
+
+    // independent Scala reimplementation of the greedy merge: pipe-encode
+    // each word, apply the rules in order via String.replace (all
+    // non-overlapping occurrences, left-to-right — the same semantics as
+    // the engine's literal replace), count symbols
+    def countTokens(text: String): Long =
+      text.trim.split("\\s+").map { w =>
+        var rep = w.map(c => s"|$c|").mkString(" ")
+        merges.foreach { rule =>
+          val Array(l, r) = rule.split(" ", 2)
+          rep = rep.replace(s"|$l| |$r|", s"|$l$r|")
+        }
+        rep.split(" ").length.toLong
+      }.sum
+
+    val expected = docs.map(d => d.doc_id -> countTokens(d.text)).toMap
+
+    val input = MemoryStream[StreamDoc]
+    val q = CurationStreams.bpeTokenGate(input.toDF(), merges,
+        maxTokens = Long.MaxValue)
+      .writeStream.format("memory").queryName("bpe_gate_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs.take(15): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(15): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("bpe_gate_stream")
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == expected,
+      "streamed token counts diverge from the greedy-merge reimplementation")
+
+    // unified API parity on the bounded frame
+    val batch = CurationStreams.bpeTokenGate(docs.toSeq.toDS().toDF(),
+        merges, maxTokens = Long.MaxValue)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch == expected)
+
+    // the budget really gates: a ceiling at the median excludes exactly
+    // the above-median docs
+    val median = expected.values.toSeq.sorted.apply(expected.size / 2)
+    val admitted = CurationStreams.bpeTokenGate(docs.toSeq.toDS().toDF(),
+        merges, maxTokens = median)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == expected.filter(_._2 <= median).keySet)
+    assert(admitted.nonEmpty && admitted.size < expected.size)
+  }
 }
