@@ -236,6 +236,45 @@ object QualityQueries extends QueryPack {
     // grouping. Smoothed (+1) counts keep empty bins finite; the log-sum
     // goes through the DECIMAL(27,9) rule so per-source PSI is
     // partition-order independent.
+    // Zipf's-law fit — the classic corpus-health check (natural language
+    // follows freq ∝ rank^s with s ≈ −1; generated/templated text bends
+    // the curve): least-squares slope of ln(freq) on ln(rank) over each
+    // language's top-200 word types. Scale shape: ONE (lang, word)
+    // partial-agg shuffle builds the vocab; the rank window runs over
+    // vocab-sized rows per language (an audit job — at extreme vocab
+    // sizes the top-200 cut becomes a bounded partial-agg top-k first);
+    // the regression reduces 200 rows/lang through exact DECIMAL sums so
+    // the slope is partition-order independent.
+    "corpus_zipf_fit" -> ((s, dir) => {
+      val topN = 200
+      val vocab = docs(s, dir)
+        .select(col("lang"), explode(toks).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("w"))
+      val ranked = vocab
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topN)
+        .select(col("lang"),
+          log(col("rk").cast("double")).as("x"),
+          log(col("cnt").cast("double")).as("y"))
+      val dec = (c: Column) => c.cast(DecimalType(27, 9))
+      val sums = ranked.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(dec(col("x"))).cast("double").as("sx"),
+          sum(dec(col("y"))).cast("double").as("sy"),
+          sum(dec(col("x") * col("x"))).cast("double").as("sxx"),
+          sum(dec(col("x") * col("y"))).cast("double").as("sxy"))
+      sums.select(col("lang"), col("n").cast("long").as("n_types"),
+          round6((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n"))).as("zipf_slope"),
+          round6(col("sy") / col("n") -
+            ((col("sxy") - col("sx") * col("sy") / col("n")) /
+              (col("sxx") - col("sx") * col("sx") / col("n"))) *
+              col("sx") / col("n")).as("intercept"))
+        .orderBy(col("lang"))
+    }),
+
     "corpus_psi_drift" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .withColumn("bin", least(lit(7), floor(col("n_chars") / 120)).cast("int"))
@@ -449,6 +488,32 @@ object QualityQueries extends QueryPack {
           s"pc AS pair_count FROM b$r")
         .mkString("\n", "\nUNION ALL\n", "\nORDER BY round_idx")
       bpeCte + tail
+    },
+    "corpus_zipf_fit" -> {
+      def d(e: String) = s"CAST(CAST(sum(CAST($e AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE)"
+      val slope = "(sxy - sx * sy / n) / (sxx - sx * sx / n)"
+      s"""WITH v AS (
+         |  SELECT lang, w, count(*) AS cnt FROM (
+         |    SELECT lang, unnest($toksSql) AS w FROM documents)
+         |  GROUP BY lang, w
+         |), r AS (
+         |  SELECT lang, ln(CAST(rk AS DOUBLE)) AS x,
+         |    ln(CAST(cnt AS DOUBLE)) AS y
+         |  FROM (
+         |    SELECT lang, cnt,
+         |      row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS rk
+         |    FROM v)
+         |  WHERE rk <= 200
+         |), s AS (
+         |  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+         |    ${d("x")} AS sx, ${d("y")} AS sy,
+         |    ${d("x * x")} AS sxx, ${d("x * y")} AS sxy
+         |  FROM r GROUP BY lang
+         |)
+         |SELECT lang, CAST(n AS BIGINT) AS n_types,
+         |  ${graft.QueryPack.round6Sql(slope)} AS zipf_slope,
+         |  ${graft.QueryPack.round6Sql(s"sy / n - ($slope) * sx / n")} AS intercept
+         |FROM s ORDER BY lang""".stripMargin
     },
     "corpus_psi_drift" -> {
       val psiDouble = "CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE)"

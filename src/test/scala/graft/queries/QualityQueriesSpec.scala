@@ -119,6 +119,34 @@ class QualityQueriesSpec extends AnyFunSuite with graft.SparkTestBase {
       s"$src: query PSI ${rows.head.getDouble(1)} vs manual $psi")
   }
 
+  test("corpus_zipf_fit: slope negative, fit consistent with a driver-side least squares") {
+    val rows = QualityQueries.queries("corpus_zipf_fit")(spark, sf0_001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // any corpus with frequency decay fits a negative slope; n_types
+      // caps at the top-200 cut
+      assert(r.getDouble(2) < 0.0, s"${r.getString(0)}: non-negative Zipf slope")
+      assert(r.getLong(1) <= 200)
+    }
+    // recompute one language's fit from raw counts
+    val lang = rows.head.getString(0)
+    val counts = spark.read.parquet(s"$sf0_001/documents.parquet")
+      .filter(col("lang") === lang)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy("w").count()
+      .orderBy(col("count").desc, col("w")).limit(200)
+      .collect().map(_.getLong(1))
+    val xy = counts.zipWithIndex.map { case (c, i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val (sxx, sxy) = (xy.map(p => p._1 * p._1).sum, xy.map(p => p._1 * p._2).sum)
+    val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert(math.abs(rows.head.getDouble(2) - slope) < 1e-4,
+      s"$lang: query slope ${rows.head.getDouble(2)} vs manual $slope")
+  }
+
   test("corpus_bpe_encode: tokens bound by chars and words; merges really fire") {
     val rows = QualityQueries.queries("corpus_bpe_encode")(spark, sf0_001)
       .collect()
