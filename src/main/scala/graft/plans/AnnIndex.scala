@@ -109,6 +109,12 @@ object AnnIndexRegistry {
    */
   private def augment(spark: SparkSession, indexPath: String,
       sourcePath: String, idCol: String, payloadCols: Seq[String]): Unit = {
+    // the cell table owns these spellings; a payload column shadowing one
+    // would make the join/write ambiguous
+    val reserved = Set("id", "emb", "cell", idCol)
+    require(!payloadCols.exists(reserved.contains),
+      s"payload columns may not shadow index columns: " +
+        payloadCols.filter(reserved.contains).mkString(", "))
     val dest = s"$indexPath/augmented"
     val done = new org.apache.hadoop.fs.Path(s"$dest/_SUCCESS")
     val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
