@@ -190,12 +190,12 @@ object ScaleQueries extends QueryPack {
       val D = 4
       val W = 512
       val ds = array((0 until D).map(lit): _*)
-      val bucket = pmod(xxhash64(col("user_id"), col("d")), lit(W))
+      // sketch spelling shared with the STREAMING form (CmsSignals.sketch
+      // is an update-mode aggregation with d×w-bounded state on a stream;
+      // batch↔stream sketch identity pinned by EventStreamsSpec)
+      val bucket = graft.functions.CmsSignals.bucket(col("user_id"), col("d"), W)
       val e = events(s, dir).select(col("user_id"))
-      val cms = e.withColumn("d", explode(ds))
-        .withColumn("bucket", bucket)
-        .groupBy(col("d"), col("bucket"))
-        .agg(count(lit(1)).as("c"))
+      val cms = graft.functions.CmsSignals.sketch(e, "user_id", D, W)
       val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
       // `pass` (VERDICT r7 #8): CMS never undercounts, and the min-over-D
       // overcount stays within 4×N/W expected bucket collisions — the

@@ -252,4 +252,45 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
 
     assert(finalState == batch)
   }
+
+  test("CmsSignals.sketch: streamed sketch == batch sketch; bounded state; estimates never undercount") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.CmsSignals
+    val (d, w) = (4, 64)
+
+    val ids = batchEvents.select(col("user_id")).limit(400)
+      .collect().map(_.getLong(0))
+
+    val input = MemoryStream[Long]
+    val q = CmsSignals.sketch(input.toDF().toDF("user_id"), "user_id", d, w)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(ids.take(150): _*)
+      q.processAllAvailable()
+      input.addData(ids.drop(150): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cms_stream")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // the sketch is bit-identical to the one-shot batch build: counters
+    // are order-independent sums over a deterministic hash spelling
+    val batchSk = CmsSignals.sketch(ids.toSeq.toDF("user_id"), "user_id", d, w)
+    val batch = batchSk
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    // state is bounded by the d×w key space however long the stream runs
+    assert(streamed.size <= d * w)
+
+    // CMS contract: estimate >= exact for every id
+    val exact = ids.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val est = CmsSignals.estimate(batchSk, ids.toSeq.toDF("user_id"),
+        "user_id", d, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (id, n) =>
+      assert(est(id) >= n, s"CMS undercounted id $id: ${est(id)} < $n")
+    }
+  }
 }
