@@ -200,6 +200,61 @@ case class L2Norm(child: Expression) extends UnaryExpression {
 }
 
 /**
+ * Binary quantization: pack the SIGN BIT of each of the first 64
+ * dimensions into one BIGINT (bit `i` set iff `x[i] > 0`). This is the
+ * 1-bit analog of `embedding_quantize_int8` — the compression step binary
+ * vector stores (and the Hamming-shortlist literature: Charikar 2002 sign
+ * random projections, degenerating to the identity hyperplane basis) run
+ * before search: a dim-64 float32 embedding becomes 8 bytes, a 32× scan
+ * reduction, and candidate distance becomes `bit_count(a ^ b)` — two
+ * instructions against Spark's built-in codegen'd `bit_count`/`^`.
+ * Dimensions past 64 are ignored (callers slice wider embeddings into
+ * words with `slice()` per 64 dims); exactly-zero components quantize to
+ * 0, matching the `> 0` convention of [[SimHashBands]].
+ *
+ * Unlike the randomized sketches this mapping is fully deterministic from
+ * the input floats, so queries over it are EXACTLY reproducible by a
+ * DuckDB oracle (sign-mismatch count == Hamming distance) — the one ANN
+ * family whose shortlist can be hash-verified, not just recall-bounded.
+ */
+case class SignPack(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_pack"
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorBinaryExpression.check(prettyName, child.dataType)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), 64)
+    var bits = 0L
+    var i = 0
+    while (i < n) {
+      if (x.getFloat(i) > 0f) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val bits = ctx.freshName("bits")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), 64);
+         |long $bits = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getFloat($i) > 0f) $bits |= (1L << $i);
+         |}
+         |${ev.value} = $bits;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Banded sign-random-projection (SimHash) keys for cosine LSH —
  * `numBands` keys per vector, each the concatenation of `bandBits` sign
  * bits (AND-amplification within a band, OR across bands). Two vectors
@@ -319,6 +374,7 @@ object VectorFunctions {
   def l2Norm(a: Column): Column = c(L2Norm(e(a)))
   def simhashBands(emb: Column, seed: Long, bandBits: Int, numBands: Int): Column =
     c(SimHashBands(e(emb), seed, bandBits, numBands))
+  def signPack(emb: Column): Column = c(SignPack(e(emb)))
 
   // once-per-session guard: createOrReplaceTempFunction on an already-
   // registered name logs a "function replaced" warning per call, which
@@ -341,6 +397,8 @@ object VectorFunctions {
       "l2_distance", es => L2Distance(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "l2_norm", es => L2Norm(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sign_pack", es => SignPack(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash_bands", es => SimHashBands(es(0),
         graft.GraftExtensions.literalArg(es, 1, "seed"),

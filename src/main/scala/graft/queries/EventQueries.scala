@@ -420,6 +420,57 @@ object EventQueries extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // CUSUM changepoint detection (Page 1954) — the mean-shift companion
+    // to the z-score / MAD outlier detectors: those flag single deviant
+    // points, CUSUM localizes a SUSTAINED level shift. The textbook
+    // statistic is recursive (S_k = max(0, S_{k-1} + dev_k)) and looks
+    // un-expressible in window functions, but the drawdown identity
+    // S_k = C_k - min_{0<=j<=k} C_j (C = plain cumsum of deviations,
+    // C_0 = 0 — the empty prefix MUST be in the min, hence the
+    // least(·, 0); proof by induction on k, pinned by CusumIdentitySpec)
+    // turns it into TWO stock running windows — no
+    // UDAF, no iteration, one shuffle. The reported row per series is
+    // the statistic's peak: the maximum-likelihood changepoint location.
+    //
+    // Scale shape: one partitionBy(event_type) window sort serves both
+    // running frames plus the peak argmax (same-keyed windows share one
+    // exchange+sort). event_type is low-cardinality here; the production
+    // form partitions by (series_id) — per-metric, per-tenant — where
+    // cardinality, and thus parallelism, is high; nothing about the plan
+    // changes. Determinism: deviations are round6'd doubles summed as
+    // DECIMAL in a (ts, event_id)-pinned order, so the running state is
+    // exact on both engines; the baseline mean goes through the
+    // exact-DECIMAL sum and one IEEE double division.
+    "events_changepoint_cusum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(col("event_type"), col("ts"),
+        col("event_id"), round6(col("value")).as("v"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(sum(col("v").cast(DecimalType(27, 6))).as("sv"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          round6(col("sv").cast("double") / col("n")).as("mu"), col("n"))
+      val seq = Window.partitionBy("event_type")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = ev.join(broadcast(stats), "event_type")
+        .withColumn("dev",
+          round6(col("v") - col("mu")).cast(DecimalType(27, 6)))
+        .withColumn("cusum", sum(col("dev")).over(seq))
+        .withColumn("stat", col("cusum") -
+          least(min(col("cusum")).over(seq),
+            lit(0).cast(DecimalType(27, 6))))
+      val byPeak = Window.partitionBy("event_type")
+        .orderBy(col("stat").desc, col("ts"), col("event_id"))
+      cum.withColumn("rk", row_number().over(byPeak))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("ts").as("cp_ts"),
+          col("event_id").as("cp_event_id"),
+          col("stat").cast("double").as("cusum_peak"),
+          col("mu").as("mean_value"), col("n").as("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
     // Last-touch attribution: each purchase credits the user's most
     // recent PRIOR non-purchase event within a 3-day lookback, else
     // "(direct)"; rollup = purchases and mean click-to-buy gap per
@@ -699,6 +750,37 @@ object EventQueries extends QueryPack {
          |  ${graft.QueryPack.round6Sql(
                "list_reduce(vals, (acc, x) -> acc * 0.8 + x * 0.2)")} AS ewma20
          |FROM ew ORDER BY event_id""".stripMargin,
+    "events_changepoint_cusum" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      s"""WITH ev AS (
+         |  SELECT event_type, ts, event_id, ${r6("value")} AS v FROM events
+         |), st AS (
+         |  SELECT event_type,
+         |    ${r6("CAST(CAST(sum(CAST(v AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) / count(*)")} AS mu,
+         |    count(*) AS n
+         |  FROM ev GROUP BY event_type
+         |), c1 AS (
+         |  SELECT e.event_type, e.ts, e.event_id, st.mu, st.n,
+         |    sum(CAST(${r6("e.v - st.mu")} AS DECIMAL(27,6))) OVER (
+         |      PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+         |  FROM ev e JOIN st USING (event_type)
+         |), c2 AS (
+         |  SELECT *, cusum - least(min(cusum) OVER (
+         |      PARTITION BY event_type ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    CAST(0 AS DECIMAL(27,6))) AS stat
+         |  FROM c1
+         |), pk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY stat DESC, ts, event_id) AS rk
+         |  FROM c2
+         |)
+         |SELECT event_type, ts AS cp_ts, event_id AS cp_event_id,
+         |  CAST(CAST(stat AS VARCHAR) AS DOUBLE) AS cusum_peak,
+         |  mu AS mean_value, n AS n_events
+         |FROM pk WHERE rk = 1 ORDER BY event_type""".stripMargin
+    },
     "events_attribution" ->
       s"""WITH attr AS (
          |  SELECT event_id, user_id, ts, event_type,

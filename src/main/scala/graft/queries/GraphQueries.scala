@@ -125,6 +125,57 @@ object GraphQueries extends QueryPack {
         .orderBy(col("node"))
     }),
 
+    // Bounded-hop single-source BFS — the reachability-with-distance
+    // member of the iterative family (components = reachability classes,
+    // PageRank = centrality, LPA = communities, BFS = hop distance).
+    // Source is the minimum node id, derived IN-PLAN as a 1-row
+    // broadcast (no driver collect, no corpus-tuned constant).
+    //
+    // Scale shape: textbook Pregel frontier expansion — each of the
+    // `MaxHops` rounds is ONE equi-join of the (shrinking, node-sized)
+    // frontier against the once-repartitioned checkpointed edge table,
+    // a distinct, and a left-anti against the settled-distance table, so
+    // a node is expanded exactly once and the big edge side never
+    // re-shuffles. All state is integer — nothing to round — so a
+    // DuckDB recursive CTE (UNION-deduped (node, d) pairs, hop-bounded)
+    // reproduces it exactly.
+    "graph_shortest_paths" -> ((s, dir) => {
+      val MaxHops = 6
+      val o = t(s, dir, "orders").filter(col("o_custkey") < CustCap)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("cust"),
+          (col("l_suppkey") * 2 + 1).as("supp"))
+        .distinct()
+      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        .repartition(col("src")).localCheckpoint()
+      // symmetrized graph: every node appears as a src, so min(src) is
+      // the global minimum node
+      val src = edges.agg(min(col("src")).as("node"))
+        .withColumn("dist", lit(0))
+      var settled = src.localCheckpoint()
+      var frontier = settled
+      for (h <- 1 to MaxHops) {
+        val next = edges
+          .join(frontier.select(col("node")), edges("src") === col("node"))
+          .select(col("dst").as("node"), lit(h).as("dist"))
+          .distinct()
+          .join(settled.select(col("node").as("seen")),
+            col("node") === col("seen"), "left_anti")
+          .localCheckpoint()
+        settled = settled.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+      settled.select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").as("entity_key"),
+          col("node"), col("dist"))
+        .orderBy(col("node"))
+    }),
+
     // Triangle census over a top-K similarity graph — the motif /
     // local-clustering companion to PageRank. The graph is each
     // supplier's K strongest co-suppliers (most shared parts, tie by
@@ -241,6 +292,26 @@ object GraphQueries extends QueryPack {
          |FROM l4 JOIN sizes USING (lbl)
          |ORDER BY node""".stripMargin
     },
+    "graph_shortest_paths" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT DISTINCT o_custkey * 2 AS cust, l_suppkey * 2 + 1 AS supp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_custkey < $CustCap
+         |), edges AS (
+         |  SELECT cust AS src, supp AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT supp, cust FROM pairs
+         |), bfs(node, d) AS (
+         |  SELECT min(src), 0 FROM edges
+         |  UNION
+         |  SELECT e.dst, b.d + 1
+         |  FROM bfs b JOIN edges e ON e.src = b.node WHERE b.d < 6
+         |)
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+         |    AS node_type,
+         |  node // 2 AS entity_key, node, CAST(min(d) AS INT) AS dist
+         |FROM bfs GROUP BY node
+         |ORDER BY node""".stripMargin,
     "graph_pagerank" -> {
       val r6 = graft.QueryPack.round6Sql _
       def round(i: Int): String = {

@@ -72,6 +72,44 @@ object StoreQueries extends QueryPack {
         .orderBy(col("key"))
     }),
 
+    // MVCC time-travel read ("read the collection AS OF version V") —
+    // the query-side complement of store_snapshot_diff: instead of
+    // diffing two materialized snapshots, reconstruct ONE historical
+    // snapshot from an append-only version log (write-version `_seq`,
+    // op 'U'ploads and 'D'elete tombstones — the Delta/Iceberg log
+    // model distilled to its relational core). Version 2 writes exist
+    // in the log but are INVISIBLE at asOf=1, and version-1 tombstones
+    // must suppress version-0 rows.
+    //
+    // Scale shape: the _seq<=V filter prunes log partitions at the scan
+    // (a real log is partitioned by _seq), then latest-per-key is a
+    // max(struct(_seq, …)) PARTIAL AGG — each task reduces its keys
+    // locally and only one candidate row per (task, key) crosses the
+    // shuffle, unlike the sort-the-world row_number spelling the LWW
+    // upsert uses (there the window is the point; here the agg is).
+    "store_asof_read" -> ((s, dir) => {
+      val base = coll(s, dir).select(col("key"), col("label"))
+      val kl = col("key").cast("long")
+      val log = base
+        .select(col("key"), col("label"), lit(0L).as("_seq"), lit("U").as("op"))
+        .unionByName(base.filter(kl % 5 === 1)
+          .select(col("key"), (col("label") + 1000).as("label"),
+            lit(1L).as("_seq"), lit("U").as("op")))
+        .unionByName(base.filter(kl % 5 === 2)
+          .select(col("key"), lit(null).cast("int").as("label"),
+            lit(1L).as("_seq"), lit("D").as("op")))
+        .unionByName(base.filter(kl % 5 === 3)
+          .select(col("key"), (col("label") + 2000).as("label"),
+            lit(2L).as("_seq"), lit("U").as("op")))
+      log.filter(col("_seq") <= 1)
+        .groupBy(col("key"))
+        .agg(max(struct(col("_seq"), col("op"), col("label"))).as("v"))
+        .filter(col("v.op") =!= "D")
+        .select(col("key"), col("v.label").as("label"),
+          col("v._seq").as("version"))
+        .orderBy(col("key"))
+    }),
+
     // CDC merge: apply one change batch (inserts + updates + deletes) to
     // the collection snapshot in a SINGLE declarative plan — anti-join
     // the deletes, left-join + coalesce the updates, union the inserts.
@@ -280,6 +318,29 @@ object StoreQueries extends QueryPack {
         |  FROM unioned
         |)
         |SELECT key, label FROM ranked WHERE rn = 1 ORDER BY key""".stripMargin,
+    "store_asof_read" ->
+      s"""WITH base AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS key, label FROM embeddings
+         |), log AS (
+         |  SELECT key, label, 0 AS _seq, 'U' AS op FROM base
+         |  UNION ALL
+         |  SELECT key, label + 1000, 1, 'U' FROM base
+         |  WHERE CAST(key AS BIGINT) % 5 = 1
+         |  UNION ALL
+         |  SELECT key, NULL, 1, 'D' FROM base
+         |  WHERE CAST(key AS BIGINT) % 5 = 2
+         |  UNION ALL
+         |  SELECT key, label + 2000, 2, 'U' FROM base
+         |  WHERE CAST(key AS BIGINT) % 5 = 3
+         |), vis AS (
+         |  SELECT * FROM log WHERE _seq <= 1
+         |), latest AS (
+         |  SELECT key, max(_seq) AS ms FROM vis GROUP BY key
+         |)
+         |SELECT v.key, v.label, CAST(v._seq AS BIGINT) AS version
+         |FROM vis v JOIN latest m ON v.key = m.key AND v._seq = m.ms
+         |WHERE v.op <> 'D'
+         |ORDER BY v.key""".stripMargin,
     "store_merge_cdc" ->
       """WITH snap AS (
         |  SELECT CAST(vec_id AS VARCHAR) AS key, label FROM embeddings

@@ -117,6 +117,53 @@ object VectorQueries extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // Binary-quantized Hamming shortlist + exact re-rank — the 1-bit
+    // companion to `embedding_quantize_int8` and the fifth ANN family
+    // (after LSH/IVF/PQ/IVF-PQ), with one property the other four lack:
+    // the sign-bit sketch is DETERMINISTIC from the input floats, so the
+    // whole shortlist→re-rank pipeline is exactly reproducible by the
+    // DuckDB oracle (hash-checked, not merely recall-bounded).
+    //
+    // Scale shape: the shortlist scan reads 16 bytes/row (vec_id +
+    // packed word — a 32× byte reduction vs the float32 embedding
+    // column, and parquet prunes the embedding column away entirely);
+    // distance is codegen'd `bit_count(packed ^ q_packed)` against an
+    // 8-row broadcast query dim; the per-query top-S survives as a
+    // bounded TopKByScore partial agg, so only S × nPartitions candidate
+    // rows per query ever cross the shuffle. Only the S×|Q| shortlist
+    // rows (320 here) fetch their full embeddings for the exact re-rank
+    // — at 100 TB that fetch rides the same id-bucketed pruned-fetch
+    // pattern as the PQ re-rank (`ml/PqIndex.scala`), not a full scan.
+    "knn_binary_rerank" -> ((s, dir) => {
+      import graft.functions.{TopKByScore, VectorFunctions}
+      import org.apache.spark.sql.expressions.Window
+      val (nq, shortK, k) = (8, 40, 10)
+      val emb = t(s, dir, "embeddings")
+        .withColumn("packed", VectorFunctions.signPack(col("embedding")))
+      val q = emb.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("qid"), col("packed").as("q_packed"),
+          col("embedding").as("q_emb"))
+      val short = emb.select(col("vec_id"), col("packed"))
+        .crossJoin(broadcast(q.select(col("qid"), col("q_packed"))))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("ham", expr("bit_count(packed ^ q_packed)"))
+        .groupBy(col("qid"))
+        .agg(TopKByScore(shortK)((-col("ham")).cast("double"), col("vec_id"))
+          .as("hits"))
+        .select(col("qid"), explode(col("hits")).as("h"))
+        .select(col("qid"), col("h.id").as("vec_id"),
+          (-col("h.score")).cast("int").as("hamming"))
+      val rer = short
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(q.select(col("qid"), col("q_emb"))), "qid")
+        .withColumn("score", round6(cosineSim(col("embedding"), col("q_emb"))))
+      val byScore = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("vec_id"))
+      rer.withColumn("rk", row_number().over(byScore)).filter(col("rk") <= k)
+        .select(col("qid"), col("vec_id"), col("hamming"), col("score"))
+        .orderBy(col("qid"), col("score").desc, col("vec_id"))
+    }),
+
     // The same flagship kNN expressed through the SQL surface (the
     // session extension / register() path) — proves the library is usable
     // from pure SQL, not just the Scala DSL.
@@ -169,6 +216,38 @@ object VectorQueries extends QueryPack {
       s"""WITH scored AS (${oracleScored(0)})
          |SELECT vec_id, score FROM scored WHERE score >= 0.0
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+    // Exact replay of the binary-quantized pipeline: Hamming distance is
+    // the sign-mismatch count (bit-for-bit what SignPack + bit_count(^)
+    // computes), the top-40 shortlist repeats the (hamming, vec_id)
+    // total order, and the re-rank repeats the round6'd cosine order.
+    "knn_binary_rerank" -> {
+      val cos = graft.QueryPack.round6Sql(
+        "list_cosine_similarity(e.emb, q.qe)")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 8
+         |), ham AS (
+         |  SELECT q.qid, e.vec_id,
+         |    CAST(len(list_filter(range(64),
+         |      i -> (e.emb[i + 1] > 0) <> (q.qe[i + 1] > 0))) AS INT)
+         |      AS hamming,
+         |    $cos AS score
+         |  FROM e CROSS JOIN q
+         |  WHERE e.vec_id <> q.qid
+         |), short AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY hamming, vec_id) AS rh
+         |  FROM ham
+         |), rer AS (
+         |  SELECT qid, vec_id, hamming, score,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, vec_id) AS rk
+         |  FROM short WHERE rh <= 40
+         |)
+         |SELECT qid, vec_id, hamming, score FROM rer WHERE rk <= 10
+         |ORDER BY qid, score DESC, vec_id""".stripMargin
+    },
     "embedding_quantize_int8" -> {
       val r6 = graft.QueryPack.round6Sql _
       s"""WITH prep AS (

@@ -95,6 +95,35 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getSeq[Long](0) == r.getSeq[Long](1))
   }
 
+  test("sign_pack: known bit pattern, interpreted matches codegen") {
+    // dims 0,2,5 positive; zero and negative dims quantize to 0
+    val emb = Seq(1f, -1f, 0.5f, 0f, -0.25f, 3f)
+    val expected = (1L << 0) | (1L << 2) | (1L << 5)
+    val interp = SignPack(Literal.create(emb, ArrayType(FloatType)))
+      .eval(null).asInstanceOf[Long]
+    val codegen = df(emb, emb)
+      .select(signPack(col("a"))).head.getLong(0)
+    assert(interp == expected)
+    assert(codegen == expected)
+  }
+
+  test("sign_pack caps at 64 dims and fills bit 63") {
+    val emb = Seq.fill(65)(1f) // dim 64 must be ignored, bits 0..63 set
+    val v = df(emb, emb).select(signPack(col("a"))).head.getLong(0)
+    assert(v == -1L) // all 64 bits set
+  }
+
+  test("sign_pack null propagates; hamming via bit_count(^) counts sign flips") {
+    val a = Seq.tabulate(64)(i => math.sin(i * 1.3 + 0.1).toFloat)
+    val b = a.updated(3, -a(3)).updated(17, -a(17)).updated(40, -a(40))
+    val ham = df(a, b)
+      .select(signPack(col("a")).as("pa"), signPack(col("b")).as("pb"))
+      .selectExpr("bit_count(pa ^ pb) AS ham").head.getInt(0)
+    assert(ham == 3)
+    val nullRow = df(Seq(1f, 2f), null).select(signPack(col("b"))).head
+    assert(nullRow.isNullAt(0))
+  }
+
   test("SQL registration works") {
     VectorFunctions.register(spark)
     df(Seq(1f, 0f), Seq(1f, 0f)).createOrReplaceTempView("vf_test")
