@@ -438,9 +438,13 @@ object EventQueries extends QueryPack {
     // form partitions by (series_id) — per-metric, per-tenant — where
     // cardinality, and thus parallelism, is high; nothing about the plan
     // changes. Determinism: deviations are round6'd doubles summed as
-    // DECIMAL in a (ts, event_id)-pinned order, so the running state is
-    // exact on both engines; the baseline mean goes through the
-    // exact-DECIMAL sum and one IEEE double division.
+    // DECIMAL in a (ts, event_id)-pinned order; the running state is
+    // exact DECIMAL on the Spark side, and the DuckDB oracle keeps the
+    // drawdown barrier in DECIMAL via CASE (DuckDB's least() over mixed
+    // DECIMAL widths binds as DOUBLE and would float-noise the stat —
+    // and thus potentially the argmax row on near-tied series). The
+    // baseline mean goes through the exact-DECIMAL sum and one IEEE
+    // double division.
     "events_changepoint_cusum" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val ev = events(s, dir).select(col("event_type"), col("ts"),
@@ -765,12 +769,19 @@ object EventQueries extends QueryPack {
          |      PARTITION BY e.event_type ORDER BY e.ts, e.event_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
          |  FROM ev e JOIN st USING (event_type)
-         |), c2 AS (
-         |  SELECT *, cusum - least(min(cusum) OVER (
+         |), c2m AS (
+         |  SELECT *, min(cusum) OVER (
          |      PARTITION BY event_type ORDER BY ts, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         |    CAST(0 AS DECIMAL(27,6))) AS stat
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
          |  FROM c1
+         |), c2 AS (
+         |  -- CASE, not least(): DuckDB binds least(DECIMAL(38,6),
+         |  -- DECIMAL(27,6)) as DOUBLE, which would float-noise the stat
+         |  -- while the Spark side stays exact DECIMAL. CASE preserves
+         |  -- DECIMAL(38,6), keeping both engines bit-exact.
+         |  SELECT *, cusum - (CASE WHEN mn < 0 THEN mn
+         |    ELSE CAST(0 AS DECIMAL(38,6)) END) AS stat
+         |  FROM c2m
          |), pk AS (
          |  SELECT *, row_number() OVER (PARTITION BY event_type
          |    ORDER BY stat DESC, ts, event_id) AS rk
