@@ -2,50 +2,146 @@ package graft.queries
 
 import graft.QueryPack
 import graft.ml.{CosineLsh, IvfIndex, IvfPqIndex, PqIndex}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
  * Approximate-nearest-neighbor queries — the scale path for similarity
- * search and embedding dedup. These are deliberately NOT oracle-checked
- * (an approximate result has no SQL-exact oracle); the driver records a
- * rows-only check, and recall >= 0.9 against the exact brute-force
- * operators is pinned by CosineLshSpec / IvfIndexSpec. Results are
- * deterministic (fixed projection / KMeans seeds), so row counts are
- * stable across runs.
+ * search and embedding dedup.
+ *
+ * Oracle design (r9): an approximate result set has no SQL-exact oracle —
+ * WHICH neighbors come back depends on index internals no other engine
+ * reproduces. But every CONTRACT these indexes make is deterministic:
+ *  - cardinality: a kNN query over a corpus with >= k candidates returns
+ *    exactly k rows per query (rank 1..k);
+ *  - soundness: filtered search returns only in-filter ids; LSH pair
+ *    search only emits pairs that exactly clear the threshold;
+ *  - recall: the family recall vs the exact in-Spark top-k (itself the
+ *    same spelling DuckDB verifies on the oracle-checked exact queries)
+ *    meets the >= 0.9 bound AnnRecallSpec pins.
+ * So each registered query emits the deterministic skeleton — (q_id,
+ * rank) rows, exact pair sets, corpus id sets — with the contract checks
+ * folded in as boolean columns, and the DuckDB oracle derives the same
+ * skeleton from the same parquet and predicts every boolean true. The
+ * result is fully hash-checked by the driver: a recall regression, a
+ * short result, or a filter leak flips a value and fails the compare.
+ * The informative frames (neighbor ids, scores, per-query recalls) stay
+ * pinned by AnnRecallSpec / AnnLifecycleSpec / AnnRewriteSpec, which
+ * exercise the index APIs directly.
  */
 object AnnQueries extends QueryPack {
 
+  /** Exact top-k per query via the bounded partial-agg top-k (same
+    * tie-break as a row_number window — score desc, id asc — but only
+    * partitions×k candidate rows per query cross the shuffle, never
+    * corpus×|Q|). Returns (q_id, neighbor_id). */
+  private def exactTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qd = queries.select(col("q_id"), col("q_emb"))
+    corpus.crossJoin(broadcast(qd))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.VectorFunctions.cosineSim(col("embedding"), col("q_emb")).as("cos"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore(k)(col("cos"), col("vec_id")).as("hits"))
+      .select(col("q_id"), explode(col("hits.id")).as("neighbor_id"))
+  }
+
+  /** Deterministic verdict rows for a kNN result: the (q_id, rank)
+    * skeleton — |Q|×k cardinality is the driver-checked contract — plus
+    * any per-row invariant columns, with the family recall vs `exact`
+    * folded into `pass` on every row. localCheckpoint keeps the 1-row
+    * recall aggregate from re-running the probe. */
+  private def verdict(approx: DataFrame, exact: DataFrame,
+      extra: Seq[String] = Nil, alsoRequire: Column = lit(true)): DataFrame = {
+    val flagged = approx
+      .join(exact.withColumn("hit_exact", lit(1)), Seq("q_id", "neighbor_id"), "left")
+      .localCheckpoint()
+    val stats = flagged.agg(
+      (sum(coalesce(col("hit_exact"), lit(0))).cast("double") /
+        count(lit(1))).as("recall_all"))
+    flagged.crossJoin(broadcast(stats))
+      .select(Seq(col("q_id"), col("rank")) ++ extra.map(col) :+
+        (col("recall_all") >= 0.9 - 1e-9 && alsoRequire).as("pass"): _*)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private def queriesOf(emb: DataFrame, n: Int): DataFrame =
+    emb.filter(col("vec_id") < n)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** Exact brute-force cosine pairs at threshold — the oracle-checkable
+    * skeleton shared by ann_cosine_pairs / ann_semantic_dedup (same
+    * spelling as the fenced dedup_embedding_pairs_bruteforce). */
+  private def exactPairs(emb: DataFrame, minCos: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("emb_b"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round6(graft.functions.VectorFunctions.cosineSim(col("emb_a"), col("emb_b")))
+          .as("score"))
+      .filter(col("score") >= minCos)
+  }
+
   override def queries: Map[String, Q] = Map(
     // LSH-bucketed embedding near-dup pairs (approx analog of
-    // dedup_embedding_pairs_bruteforce).
-    "ann_cosine_pairs" -> ((s, dir) =>
-      new CosineLsh().similarPairs(
-          t(s, dir, "embeddings"), "vec_id", "embedding", minCos = 0.4)
-        .select(col("a_id"), col("b_id"), round6(col("cos")).as("score"))
-        .orderBy(col("a_id"), col("b_id"))),
+    // dedup_embedding_pairs_bruteforce). Emitted rows = the EXACT pair
+    // set (hash-checked vs DuckDB's own brute force, score included);
+    // `pass` = the LSH probe recovered >= 0.9 of them. LSH soundness
+    // (every emitted pair truly clears the threshold) is structural —
+    // scoring is exact, LSH only prunes candidates — and pinned by
+    // AnnRecallSpec.
+    "ann_cosine_pairs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val found = new CosineLsh().similarPairs(emb, "vec_id", "embedding",
+          minCos = 0.4)
+        .select(col("a_id"), col("b_id"), lit(1).as("found"))
+      val flagged = exactPairs(emb, 0.4)
+        .join(found, Seq("a_id", "b_id"), "left")
+        .localCheckpoint()
+      val stats = flagged.agg(
+        (sum(coalesce(col("found"), lit(0))).cast("double") /
+          count(lit(1))).as("recall"))
+      flagged.crossJoin(broadcast(stats))
+        .select(col("a_id"), col("b_id"), col("score"),
+          (col("recall") >= 0.9 - 1e-9).as("pass"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
 
     // LSH-bucketed batch kNN join (approx analog of knn_join).
     "ann_knn_join" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      new CosineLsh().knnJoin(
-          corpus = emb, queries = emb.filter(col("vec_id") < 20),
-          idCol = "vec_id", embCol = "embedding", k = 3)
-        .select(col("q_id"), col("rank"), col("neighbor_id"),
-          round6(col("cos")).as("score"))
-        .orderBy(col("q_id"), col("rank"))
+      val approx = new CosineLsh().knnJoin(
+        corpus = emb, queries = emb.filter(col("vec_id") < 20),
+        idCol = "vec_id", embCol = "embedding", k = 3)
+      verdict(approx, exactTopK(emb, queriesOf(emb, 20), 3))
     }),
 
     // SemDeDup over the persisted IVF index's own cells — the production
     // path of the oracle-checked dedup_semantic (identical keep rule,
     // clusters = the index's KMeans cells instead of the oracle's seed
-    // assignment). Approximate in the same sense as every ann_ entry
-    // (cell boundaries decide which pairs are compared); the keep-rule
-    // invariant and tombstone interaction are pinned by IndexAppendSpec.
+    // assignment). WHICH rows are dropped depends on cell boundaries, but
+    // two invariants are deterministic and hash-checked: the id set is
+    // exactly the corpus (cardinality), and every drop is justified —
+    // a dropped id has SOME earlier (a_id < id) neighbor at cos >= tau in
+    // the exact pair set, because a cell pair is always a corpus pair.
+    // The keep-rule and tombstone interaction stay pinned by
+    // IndexAppendSpec.
     "ann_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
       val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
       val built = IvfIndex.openOrBuild(s, ivf, s"$dir/embeddings.parquet",
         "vec_id", "embedding")
-      IvfIndex.semanticDedup(built, tau = 0.4)
+      val dd = IvfIndex.semanticDedup(built, tau = 0.4)
+      val justified = exactPairs(emb, 0.4)
+        .select(col("b_id").as("id")).distinct()
+        .withColumn("justified", lit(true))
+      val flagged = dd.join(justified, Seq("id"), "left")
+        .select(col("id"),
+          (col("kept") || coalesce(col("justified"), lit(false)))
+            .as("drop_justified"))
+        .localCheckpoint()
+      val stats = flagged.agg(min(col("drop_justified")).as("all_ok"))
+      flagged.crossJoin(broadcast(stats))
+        .select(col("id"), col("drop_justified"), col("all_ok").as("pass"))
         .orderBy(col("id"))
     }),
 
@@ -59,14 +155,13 @@ object AnnQueries extends QueryPack {
     // persisting it once on first use — the single-node analog of the
     // explicit index job that maintains the IVF table at 100 TB).
     "ann_ivf_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
       val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
       val built = IvfIndex.openOrBuild(s, ivf, s"$dir/embeddings.parquet",
         "vec_id", "embedding")
-      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 20)
-      ivf.search(built, queries, "vec_id", "embedding", k = 3)
-        .select(col("q_id"), col("rank"), col("neighbor_id"),
-          round6(col("cos")).as("score"))
-        .orderBy(col("q_id"), col("rank"))
+      val approx = ivf.search(built, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3)
+      verdict(approx, exactTopK(emb, queriesOf(emb, 20), 3))
     }),
 
     // FILTERED ANN — the approximate analog of the oracle-checked
@@ -75,49 +170,26 @@ object AnnQueries extends QueryPack {
     // cuts the cell-pruned candidates BEFORE scoring, so all k results
     // satisfy the predicate by construction) with over-probing (nProbe 6
     // of 8 vs the unfiltered query's 5) compensating the thinner cells —
-    // the published filtered-ANN recipe. Driver-visible invariants ride
-    // every row: `in_filter` (predicate satisfaction, exact) and `pass`
-    // (overall recall vs the exact filtered top-k >= 0.9 AND all results
-    // in-filter).
+    // the published filtered-ANN recipe. `in_filter` (predicate
+    // satisfaction, exact) rides every row; `pass` = recall vs the exact
+    // FILTERED top-k >= 0.9 AND all results in-filter.
     "ann_ivf_filtered_knn" -> ((s, dir) => {
-      import graft.functions.{TopKByScore, VectorFunctions}
       val emb = t(s, dir, "embeddings")
       val allowed = emb.filter(col("label") % 4 === 1)
         .select(col("vec_id").as("id"))
       val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
       val built = IvfIndex.openOrBuild(s, ivf, s"$dir/embeddings.parquet",
         "vec_id", "embedding")
-      val q = emb.filter(col("vec_id") < 20)
-      val approx = ivf.searchFiltered(built, q, "vec_id", "embedding",
-        k = 3, allowed)
-      // exact filtered top-k (bounded partial-agg, as ann_recall_audit)
-      val qd = q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val exact = emb.filter(col("label") % 4 === 1)
-        .crossJoin(broadcast(qd))
-        .select(col("q_id"), col("vec_id"),
-          VectorFunctions.cosineSim(col("embedding"), col("q_emb")).as("cos"))
-        .groupBy(col("q_id"))
-        .agg(TopKByScore(3)(col("cos"), col("vec_id")).as("hits"))
-        .select(col("q_id"), explode(col("hits.id")).as("neighbor_id"),
-          lit(1).as("hit_exact"))
-      // |Q|×k rows; materialized once so the 1-row invariant aggregate
-      // below doesn't recompute the probe
-      val flagged = approx
+      val approx = ivf.searchFiltered(built, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 3, allowed)
         .join(allowed.select(col("id").as("neighbor_id"),
           lit(true).as("in_filter")), Seq("neighbor_id"), "left")
-        .join(exact, Seq("q_id", "neighbor_id"), "left")
-        .localCheckpoint()
-      val stats = flagged.agg(
-        (sum(coalesce(col("hit_exact"), lit(0))).cast("double") /
-          count(lit(1))).as("recall_all"),
-        (min(coalesce(col("in_filter"), lit(false)).cast("int")) === 1)
-          .as("filter_ok"))
-      flagged.crossJoin(broadcast(stats))
-        .select(col("q_id"), col("rank"), col("neighbor_id"),
-          round6(col("cos")).as("score"),
-          coalesce(col("in_filter"), lit(false)).as("in_filter"),
-          (col("recall_all") >= 0.9 - 1e-9 && col("filter_ok")).as("pass"))
-        .orderBy(col("q_id"), col("rank"))
+        .withColumn("in_filter", coalesce(col("in_filter"), lit(false)))
+      val exact = exactTopK(emb.filter(col("label") % 4 === 1),
+        queriesOf(emb, 20), 3)
+      verdict(approx, exact, extra = Seq("in_filter"),
+        alsoRequire = min(col("in_filter")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
     }),
 
     // Product-quantization batch kNN join — the compressed-index family
@@ -126,14 +198,13 @@ object AnnQueries extends QueryPack {
     // only. Like IVF, the build (m KMeans fits + encode) runs ONLY in
     // the index job; openOrBuild loads the persisted code table here.
     "ann_pq_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
       val pq = new PqIndex(m = 8, kCentroids = 16)
       val built = PqIndex.openOrBuild(s, pq, s"$dir/embeddings.parquet",
         "vec_id", "embedding")
-      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 20)
-      pq.search(built, queries, "vec_id", "embedding", k = 3)
-        .select(col("q_id"), col("rank"), col("neighbor_id"),
-          round6(col("cos")).as("score"))
-        .orderBy(col("q_id"), col("rank"))
+      val approx = pq.search(built, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3)
+      verdict(approx, exactTopK(emb, queriesOf(emb, 20), 3))
     }),
 
     // IVF-PQ composite batch kNN join — the two prunings multiplied:
@@ -141,15 +212,14 @@ object AnnQueries extends QueryPack {
     // PQ bounds WHAT is scanned (m-byte codes); the shortlist re-ranks
     // exactly. Both fits live in the index job via openOrBuild.
     "ann_ivfpq_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
       val ivfpq = new IvfPqIndex(nCentroids = 8, nProbe = 5,
         m = 8, kCentroids = 16)
       val built = IvfPqIndex.openOrBuild(s, ivfpq, s"$dir/embeddings.parquet",
         "vec_id", "embedding")
-      val queries = t(s, dir, "embeddings").filter(col("vec_id") < 20)
-      ivfpq.search(built, queries, "vec_id", "embedding", k = 3)
-        .select(col("q_id"), col("rank"), col("neighbor_id"),
-          round6(col("cos")).as("score"))
-        .orderBy(col("q_id"), col("rank"))
+      val approx = ivfpq.search(built, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3)
+      verdict(approx, exactTopK(emb, queriesOf(emb, 20), 3))
     }),
 
     // The ANN rewrite RULE in action (graft.plans.AnnIndexRule — SURVEY
@@ -158,9 +228,10 @@ object AnnQueries extends QueryPack {
     // top-k — with no index call anywhere in the query code. The
     // registered rule rewrites every branch into the nProbe-cell-pruned
     // scan of the persisted IVF index at optimization time (asserted on
-    // the physical plan by AnnRewriteSpec; recall >= 0.9 there too).
-    // This is the "engine uses its own indexes" path: the same
-    // declarative query an exact engine runs, served from the index.
+    // the physical plan by AnnRewriteSpec). The exact side below is the
+    // partial-agg top-k — an aggregate, not a sort+limit, so the rule
+    // cannot touch it — making `pass` a live recall check ON the
+    // rewritten plans.
     "ann_indexed_rewrite" -> ((s, dir) => {
       val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
       graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
@@ -171,7 +242,7 @@ object AnnQueries extends QueryPack {
       val qvs = emb.filter(col("vec_id") < 5)
         .select("vec_id", "embedding").collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-      qvs.map { case (qid, qv) =>
+      val approx = qvs.map { case (qid, qv) =>
         emb.select(col("vec_id"), col("embedding"))
           .withColumn("score",
             graft.functions.VectorFunctions.cosineSim(col("embedding"), lit(qv)))
@@ -179,9 +250,12 @@ object AnnQueries extends QueryPack {
           .orderBy(col("score").desc, col("vec_id").asc)
           .limit(10)
           .select(lit(qid).as("q_id"), col("vec_id").as("neighbor_id"),
-            round6(col("score")).as("score"))
+            col("score"))
       }.reduce(_ unionByName _)
-        .orderBy(col("q_id"), col("score").desc, col("neighbor_id"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("score").desc, col("neighbor_id"))))
+      verdict(approx, exactTopK(emb, queriesOf(emb, 5), 10))
     }),
 
     // The FILTERED flagship through the rewrite: the query code is the
@@ -191,18 +265,22 @@ object AnnQueries extends QueryPack {
     // AnnIndexRule serves it from the metadata-carrying `augmented`
     // table: cell-partition pruning FIRST, then the label predicate as a
     // pushed parquet filter on the probed cells. AnnRewriteSpec pins the
-    // plan swap, the predicate-satisfaction invariant, the recall, and
-    // the fall-back (an unregistered predicate column keeps the exact
-    // scan).
+    // plan swap and the fall-back (an unregistered predicate column
+    // keeps the exact scan); `in_filter`/`pass` here hash-check the
+    // predicate soundness and recall of the rewritten plans themselves.
+    // nProbe 7/8 (one more than the unfiltered rewrite): the ~25%
+    // predicate thins each probed cell 4x, and at the 2000-vector SF the
+    // 6-cell probe measures recall 0.88 on the uniform-random corpus —
+    // over-probing is the standard filtered-ANN compensation (0.94 at 7).
     "ann_indexed_filtered_rewrite" -> ((s, dir) => {
-      val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
+      val ivf = new IvfIndex(nCentroids = 8, nProbe = 7)
       graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
-        "vec_id", "embedding", nProbe = 6, payloadCols = Seq("label"))
+        "vec_id", "embedding", nProbe = 7, payloadCols = Seq("label"))
       val emb = t(s, dir, "embeddings")
       val qvs = emb.filter(col("vec_id") < 5)
         .select("vec_id", "embedding").collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-      qvs.map { case (qid, qv) =>
+      val approx = qvs.map { case (qid, qv) =>
         emb.select(col("vec_id"), col("label"), col("embedding"))
           .filter(col("label") % 4 === 1)
           .withColumn("score",
@@ -210,9 +288,17 @@ object AnnQueries extends QueryPack {
           .orderBy(col("score").desc, col("vec_id").asc)
           .limit(10)
           .select(lit(qid).as("q_id"), col("vec_id").as("neighbor_id"),
-            col("label"), round6(col("score")).as("score"))
+            col("label"), col("score"))
       }.reduce(_ unionByName _)
-        .orderBy(col("q_id"), col("score").desc, col("neighbor_id"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("score").desc, col("neighbor_id"))))
+        .withColumn("in_filter", col("label") % 4 === 1)
+      val exact = exactTopK(emb.filter(col("label") % 4 === 1),
+        queriesOf(emb, 5), 10)
+      verdict(approx, exact, extra = Seq("in_filter"),
+        alsoRequire = min(col("in_filter")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
     }),
 
     // The same rewrite from PURE SQL: the query text below is exactly
@@ -227,15 +313,15 @@ object AnnQueries extends QueryPack {
       graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
         "vec_id", "embedding", nProbe = 6)
       graft.functions.VectorFunctions.register(s)
-      t(s, dir, "embeddings").createOrReplaceTempView("graft_ann_sql_corpus")
-      val qvs = t(s, dir, "embeddings").filter(col("vec_id") < 3)
+      val emb = t(s, dir, "embeddings")
+      emb.createOrReplaceTempView("graft_ann_sql_corpus")
+      val qvs = emb.filter(col("vec_id") < 3)
         .select("vec_id", "embedding").collect()
         .map(r => r.getLong(0) -> r.getSeq[Float](1))
-      qvs.map { case (qid, qv) =>
+      val approx = qvs.map { case (qid, qv) =>
         val arr = qv.map(f => s"CAST($f AS FLOAT)").mkString("array(", ", ", ")")
         s.sql(
-          s"""SELECT $qid AS q_id, vec_id AS neighbor_id,
-             |  floor(score * 1e6 + 0.5) / 1e6 AS score
+          s"""SELECT $qid AS q_id, vec_id AS neighbor_id, score
              |FROM (
              |  SELECT vec_id, cosine_similarity(embedding, $arr) AS score
              |  FROM graft_ann_sql_corpus
@@ -243,14 +329,19 @@ object AnnQueries extends QueryPack {
              |  ORDER BY score DESC, vec_id LIMIT 10
              |)""".stripMargin)
       }.reduce(_ unionByName _)
-        .orderBy(col("q_id"), col("score").desc, col("neighbor_id"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("score").desc, col("neighbor_id"))))
+      verdict(approx, exactTopK(emb, queriesOf(emb, 3), 10))
     }),
 
-    // Driver-visible ANN correctness: per-(method, query) recall of ALL
-    // approximate paths (LSH, IVF, PQ) against the exact in-Spark top-k
-    // (same contract AnnRecallSpec pins in sbt). A recall regression in
-    // either index flips `pass` to false in the dumped rows — reviewable
-    // without a SQL-expressible ANN oracle.
+    // Driver-visible ANN correctness: per-(method, query) verdict rows
+    // for ALL approximate paths (LSH, IVF, PQ, IVF-PQ) against the exact
+    // in-Spark top-k. `pass` pins the METHOD-aggregate recall >= 0.9
+    // (the AnnRecallSpec contract — single queries legitimately dip on a
+    // uniform-random corpus, the aggregate is the regression signal);
+    // the (method, q_id) skeleton is the oracle-predicted cardinality.
+    // Per-query recall values stay visible in AnnRecallSpec.
     "ann_recall_audit" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 20)
@@ -280,22 +371,9 @@ object AnnQueries extends QueryPack {
         .select(lit("ivfpq").as("method"), col("q_id"), col("neighbor_id"),
           lit(1).as("hit"))
       val approx = lsh.unionByName(ivf).unionByName(pq).unionByName(ivfpq)
-      val qd = q.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      // exact side via the bounded partial-agg top-k (same tie-break as a
-      // row_number window — score desc, id asc — but only partitions×k
-      // candidate rows per query cross the shuffle, never corpus×|Q|)
-      val exact = emb.crossJoin(broadcast(qd))
-        .select(col("q_id"), col("vec_id"),
-          graft.functions.VectorFunctions.cosineSim(col("embedding"), col("q_emb")).as("cos"))
-        .groupBy(col("q_id"))
-        .agg(graft.functions.TopKByScore(k)(col("cos"), col("vec_id")).as("hits"))
-        .select(col("q_id"), explode(col("hits.id")).as("neighbor_id"))
+      val exact = exactTopK(emb, queriesOf(emb, 20), k)
       val methods =
         { import s.implicits._; Seq("lsh", "ivf", "pq", "ivfpq").toDF("method") }
-      // `pass` pins the METHOD-aggregate recall >= 0.9 (the AnnRecallSpec
-      // contract) on every row; per-query recall stays visible for
-      // diagnosis (single queries legitimately dip on a uniform-random
-      // corpus — the aggregate is the regression signal)
       val byQuery = exact.crossJoin(broadcast(methods))
         .join(approx, Seq("method", "q_id", "neighbor_id"), "left")
         .groupBy(col("method"), col("q_id"))
@@ -304,11 +382,51 @@ object AnnQueries extends QueryPack {
       val wm = org.apache.spark.sql.expressions.Window.partitionBy("method")
       byQuery
         .withColumn("method_recall", avg(col("recall")).over(wm))
-        .select(col("method"), col("q_id"), round6(col("recall")).as("recall"),
+        .select(col("method"), col("q_id"),
           (col("method_recall") >= 0.9 - 1e-9).as("pass"))
         .orderBy(col("method"), col("q_id"))
     })
   )
 
-  override def oracleSql: Map[String, String] = Map.empty
+  private val round6 = graft.QueryPack.round6Sql _
+
+  override def oracleSql: Map[String, String] = {
+    // (q_id, rank) skeleton for a |Q|×k kNN verdict: every query id under
+    // `qMax` × ranks 1..k, pass predicted true. A short/long result set
+    // fails the row-count compare; a recall/soundness breach flips pass.
+    def knnSkeleton(qMax: Int, k: Int, extraCols: String = ""): String =
+      s"""SELECT vec_id AS q_id, CAST(r AS INTEGER) AS "rank",$extraCols
+         |  true AS pass
+         |FROM embeddings, (SELECT unnest(generate_series(1, $k)) AS r)
+         |WHERE vec_id < $qMax
+         |ORDER BY q_id, "rank"""".stripMargin
+    Map(
+      "ann_knn_join" -> knnSkeleton(20, 3),
+      "ann_ivf_knn" -> knnSkeleton(20, 3),
+      "ann_pq_knn" -> knnSkeleton(20, 3),
+      "ann_ivfpq_knn" -> knnSkeleton(20, 3),
+      "ann_ivf_filtered_knn" -> knnSkeleton(20, 3, " true AS in_filter,"),
+      "ann_indexed_rewrite" -> knnSkeleton(5, 10),
+      "ann_indexed_filtered_rewrite" -> knnSkeleton(5, 10, " true AS in_filter,"),
+      "ann_indexed_rewrite_sql" -> knnSkeleton(3, 10),
+      "ann_recall_audit" ->
+        """SELECT m.method, vec_id AS q_id, true AS pass
+          |FROM embeddings,
+          |  (SELECT unnest(['ivf', 'ivfpq', 'lsh', 'pq']) AS method) m
+          |WHERE vec_id < 20
+          |ORDER BY method, q_id""".stripMargin,
+      "ann_semantic_dedup" ->
+        """SELECT vec_id AS id, true AS drop_justified, true AS pass
+          |FROM embeddings ORDER BY id""".stripMargin,
+      "ann_cosine_pairs" -> {
+        val cos = "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+          "CAST(b.embedding AS DOUBLE[]))"
+        s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           |  ${round6(cos)} AS score, true AS pass
+           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |WHERE ${round6(cos)} >= 0.4
+           |ORDER BY a_id, b_id""".stripMargin
+      }
+    )
+  }
 }

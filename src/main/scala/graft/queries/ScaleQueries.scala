@@ -27,6 +27,78 @@ import org.apache.spark.sql.functions._
 object ScaleQueries extends QueryPack {
 
   private val Salt = 8
+  // CMS geometry shared by cmsHeavyHittersFull and the recovery verdict
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 512
+
+  /** Informative GK-quantile frame: the sketch values themselves plus the
+    * per-quantile empirical-rank bound checks. ApproxDistinctSpec pins the
+    * values against exact ranks; the registered query projects the
+    * deterministic bound-check columns. */
+  private[graft] def quantilesApproxFull(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val approx = events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile_approx(value, array(0.5, 0.9, 0.99), 10000)").as("qs"))
+      .select(col("event_type"),
+        element_at(col("qs"), 1).as("p50"),
+        element_at(col("qs"), 2).as("p90"),
+        element_at(col("qs"), 3).as("p99"))
+    def rankOk(v: org.apache.spark.sql.Column, q: Double) = {
+      val n = count(lit(1)).cast("double")
+      val le = sum(when(col("value") <= v, 1L).otherwise(0L)) / n
+      val lt = sum(when(col("value") < v, 1L).otherwise(0L)) / n
+      val eps = lit(1.0 / 10000) + lit(2.0) / n
+      lt - eps <= lit(q) && lit(q) <= le + eps
+    }
+    events(s, dir).select(col("event_type"), col("value"))
+      .join(broadcast(approx), Seq("event_type"))
+      .groupBy(col("event_type"), col("p50"), col("p90"), col("p99"))
+      .agg(rankOk(col("p50"), 0.5).as("p50_ok"),
+        rankOk(col("p90"), 0.9).as("p90_ok"),
+        rankOk(col("p99"), 0.99).as("p99_ok"))
+      .withColumn("pass", col("p50_ok") && col("p90_ok") && col("p99_ok"))
+  }
+
+  /** Informative HLL frame: sketch value, exact count, 3σ bound check. */
+  private[graft] def distinctApproxFull(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("approx_users"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          lit(0.15) * col("exact_users")).as("pass"))
+
+  /** Informative CMS frame over ALL keys: per-key estimate, exact count,
+    * overcount, and the CmsSketchSpec error bound as `bound_ok`. The
+    * sketch spelling is shared with the STREAMING form (CmsSignals.sketch
+    * is an update-mode aggregation with d×w-bounded state on a stream;
+    * batch↔stream sketch identity pinned by EventStreamsSpec). */
+  private[graft] def cmsHeavyHittersFull(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val D = CmsD
+    val W = CmsW
+    val ds = array((0 until D).map(lit): _*)
+    val bucket = graft.functions.CmsSignals.bucket(col("user_id"), col("d"), W)
+    val e = events(s, dir).select(col("user_id"))
+    val cms = graft.functions.CmsSignals.sketch(e, "user_id", D, W)
+    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    val total = e.agg(count(lit(1)).as("n_total"))
+    exact
+      .withColumn("d", explode(ds))
+      .withColumn("bucket", bucket)
+      .join(cms, Seq("d", "bucket"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("c")).as("est_n"))
+      .crossJoin(broadcast(total))
+      .select(col("user_id"), col("est_n"), col("exact_n"),
+        (col("est_n") - col("exact_n")).as("overcount"),
+        (col("est_n") >= col("exact_n") &&
+          (col("est_n") - col("exact_n")) * lit(W) <= lit(4) * col("n_total"))
+          .as("bound_ok"))
+  }
 
   override def queries: Map[String, Q] = Map(
     "events_salted_user_counts" -> ((s, dir) =>
@@ -106,50 +178,40 @@ object ScaleQueries extends QueryPack {
     // with bounded per-group state at any row count — the 100 TB
     // companion of the exact query, exactly like the HLL/exact distinct
     // split below. Rank error <= n/accuracy; the empirical-rank test in
-    // ApproxDistinctSpec pins the returned values against the exact ranks.
-    // `pass` makes the GK guarantee driver-visible (VERDICT r7 #8): the
+    // ApproxDistinctSpec pins the returned values against the exact ranks
+    // (via quantilesApproxFull — the informative frame with the sketch
+    // values themselves).
+    //
+    // The REGISTERED surface is the deterministic verdict shape: the GK
+    // values are engine-specific, but the GK GUARANTEE is not — each
     // returned value's empirical rank must sit within q ± (rank error
-    // n/accuracy + value discreteness 2/n) — the same bound
-    // ApproxDistinctSpec pins, recomputed here with one extra aggregate
-    // over the same scan.
-    "events_value_quantiles_approx" -> ((s, dir) => {
-      val approx = events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(expr("percentile_approx(value, array(0.5, 0.9, 0.99), 10000)").as("qs"))
-        .select(col("event_type"),
-          element_at(col("qs"), 1).as("p50"),
-          element_at(col("qs"), 2).as("p90"),
-          element_at(col("qs"), 3).as("p99"))
-      def rankOk(v: org.apache.spark.sql.Column, q: Double) = {
-        val n = count(lit(1)).cast("double")
-        val le = sum(when(col("value") <= v, 1L).otherwise(0L)) / n
-        val lt = sum(when(col("value") < v, 1L).otherwise(0L)) / n
-        val eps = lit(1.0 / 10000) + lit(2.0) / n
-        lt - eps <= lit(q) && lit(q) <= le + eps
-      }
-      events(s, dir).select(col("event_type"), col("value"))
-        .join(broadcast(approx), Seq("event_type"))
-        .groupBy(col("event_type"), col("p50"), col("p90"), col("p99"))
-        .agg((rankOk(col("p50"), 0.5) && rankOk(col("p90"), 0.9) &&
-          rankOk(col("p99"), 0.99)).as("pass"))
-        .orderBy(col("event_type"))
-    }),
+    // n/accuracy + value discreteness 2/n). The per-quantile bound checks
+    // are therefore deterministically TRUE whenever the sketch honors its
+    // contract, which makes the whole row hash-matchable by a DuckDB
+    // oracle that derives the group skeleton and predicts the booleans —
+    // a broken sketch flips a bool and fails the driver's hash compare.
+    "events_value_quantiles_approx" -> ((s, dir) =>
+      quantilesApproxFull(s, dir)
+        .select(col("event_type"), col("p50_ok"), col("p90_ok"),
+          col("p99_ok"), col("pass"))
+        .orderBy(col("event_type"))),
 
     // `pass` = relative error within 3×rsd (the ±3σ HLL guarantee;
-    // ApproxDistinctSpec pins the tighter observed 1σ on the fixture).
+    // ApproxDistinctSpec pins the tighter observed 1σ on the fixture via
+    // distinctApproxFull, which carries the sketch value itself).
     // The exact-distinct column exists ONLY for this audit — it re-adds
     // the per-key distinct shuffle the sketch exists to avoid, which is
     // fine at verification scale; the production 100 TB path is the
     // one-line approx_count_distinct agg without the rider (fixed-size
     // sketch state, single map-side-combined shuffle).
+    //
+    // Registered surface = deterministic verdict shape: the HLL value is
+    // engine-specific, but the exact count and the error-bound boolean
+    // are not, so the row is fully hash-checkable — the DuckDB oracle
+    // recomputes exact_users and predicts pass=true.
     "events_distinct_users_approx" -> ((s, dir) =>
-      events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
-        .select(col("event_type"), col("approx_users"),
-          (abs(col("approx_users") - col("exact_users")) <=
-            lit(0.15) * col("exact_users")).as("pass"))
+      distinctApproxFull(s, dir)
+        .select(col("event_type"), col("exact_users"), col("pass"))
         .orderBy(col("event_type"))),
 
     // Bloom-filter semi join: the build side aggregates urgent custkeys
@@ -186,35 +248,51 @@ object ScaleQueries extends QueryPack {
     // CmsSketchSpec pins est >= exact plus the N/W error bound. Sketch
     // values are hash-layout-specific → no cross-engine oracle
     // (rows-only), same policy as the HLL/GK queries above.
+    // Registered surface = deterministic verdict shape over the EXACT
+    // top-20 heavy hitters (exact_n desc, user_id — both engines derive
+    // the identical row set): the CMS estimates themselves are
+    // hash-layout-specific, but every guarantee the sketch makes is
+    // boolean-checkable against the exact counts, so the row hashes. Per
+    // row: `bound_ok` (est >= exact, and min-over-D overcount within
+    // B = 4×N/W expected collisions — the CmsSketchSpec bound).
+    // Globally: `heavy_recovered_ok`, the CMS recovery THEOREM — any key
+    // whose exact count strictly beats the 20th exact count + B must
+    // appear in the est-ranked top-20 (proof: est never undercounts, so
+    // est(k) >= exact(k) > exact20th + B >= est(j) for every j outside
+    // the exact top-20 once every key honors the bound; only the other
+    // 19 exact-top keys can outrank it). When key counts sit below the
+    // sketch noise floor — e.g. the 1500-uniform-user sf0.1 fixture,
+    // where max(exact)=99 < N/W=195 — NO key qualifies and the check is
+    // vacuously true, which is the honest answer: recovering a top-20 by
+    // frequency that the sketch's own error bars drown is not a CMS
+    // guarantee (at 100 TB you size W against the target heavy-hitter
+    // frequency, W >> N/min_heavy_count, exactly to keep keys above this
+    // floor). cmsHeavyHittersFull keeps the est-ranked informative frame
+    // for CmsSketchSpec, which also pins the empirical >= 15/20 set
+    // overlap on the distinctly-heavy sf0.001 fixture.
     "events_heavy_hitters_cms" -> ((s, dir) => {
-      val D = 4
-      val W = 512
-      val ds = array((0 until D).map(lit): _*)
-      // sketch spelling shared with the STREAMING form (CmsSignals.sketch
-      // is an update-mode aggregation with d×w-bounded state on a stream;
-      // batch↔stream sketch identity pinned by EventStreamsSpec)
-      val bucket = graft.functions.CmsSignals.bucket(col("user_id"), col("d"), W)
-      val e = events(s, dir).select(col("user_id"))
-      val cms = graft.functions.CmsSignals.sketch(e, "user_id", D, W)
-      val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
-      // `pass` (VERDICT r7 #8): CMS never undercounts, and the min-over-D
-      // overcount stays within 4×N/W expected bucket collisions — the
-      // CmsSketchSpec bound, carried on every row for the driver to see.
-      val total = e.agg(count(lit(1)).as("n_total"))
-      exact
-        .withColumn("d", explode(ds))
-        .withColumn("bucket", bucket)
-        .join(cms, Seq("d", "bucket"))
-        .groupBy(col("user_id"), col("exact_n"))
-        .agg(min(col("c")).as("est_n"))
-        .crossJoin(broadcast(total))
-        .select(col("user_id"), col("est_n"), col("exact_n"),
-          (col("est_n") - col("exact_n")).as("overcount"),
-          (col("est_n") >= col("exact_n") &&
-            (col("est_n") - col("exact_n")) * lit(W) <= lit(4) * col("n_total"))
+      val full = cmsHeavyHittersFull(s, dir).localCheckpoint()
+      val exactTop = full.orderBy(col("exact_n").desc, col("user_id"))
+        .limit(20).select(col("user_id"), col("exact_n"), col("bound_ok"))
+      val floor = exactTop
+        .agg(min(col("exact_n")).as("exact20th"))
+      val total = events(s, dir).agg(count(lit(1)).as("n_total"))
+      val est20 = full.orderBy(col("est_n").desc, col("user_id")).limit(20)
+        .select(col("user_id"))
+      // integer-exact spelling of exact_n > exact20th + 4N/W
+      val clearly = full.crossJoin(broadcast(floor)).crossJoin(broadcast(total))
+        .filter(col("exact_n") * lit(CmsW) >
+          col("exact20th") * lit(CmsW) + lit(4) * col("n_total"))
+        .select(col("user_id"))
+      val verdictAgg = clearly.join(est20, Seq("user_id"), "left_anti")
+        .agg((count(lit(1)) === 0).as("heavy_recovered_ok"))
+      val allBounds = full.agg(min(col("bound_ok")).as("all_bounds_ok"))
+      exactTop.crossJoin(broadcast(verdictAgg)).crossJoin(broadcast(allBounds))
+        .select(col("user_id"), col("exact_n"), col("bound_ok"),
+          col("heavy_recovered_ok"),
+          (col("bound_ok") && col("all_bounds_ok") && col("heavy_recovered_ok"))
             .as("pass"))
-        .orderBy(col("est_n").desc, col("user_id"))
-        .limit(20)
+        .orderBy(col("exact_n").desc, col("user_id"))
     }),
 
     // Table profiling (the ANALYZE/SUMMARIZE pass an engine runs before
@@ -316,6 +394,26 @@ object ScaleQueries extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // Sketch-family verdict oracles: the sketch VALUES are engine-specific
+    // (no cross-engine hash), but the deterministic skeleton (group set /
+    // exact counts / exact top-20) plus the guarantee booleans ARE
+    // oracle-predictable — DuckDB derives the skeleton from the same
+    // tables and predicts every bound check true. A sketch regression
+    // flips a boolean (or changes the cardinality) and fails the hash.
+    "events_value_quantiles_approx" ->
+      """SELECT event_type, true AS p50_ok, true AS p90_ok,
+        |  true AS p99_ok, true AS pass
+        |FROM (SELECT DISTINCT event_type FROM events)
+        |ORDER BY event_type""".stripMargin,
+    "events_distinct_users_approx" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  true AS pass
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_heavy_hitters_cms" ->
+      """SELECT user_id, count(*) AS exact_n, true AS bound_ok,
+        |  true AS heavy_recovered_ok, true AS pass
+        |FROM events GROUP BY user_id
+        |ORDER BY exact_n DESC, user_id LIMIT 20""".stripMargin,
     "layout_compaction_plan" ->
       """WITH manifest AS (
         |  SELECT EXTRACT(year FROM o_orderdate) * 100

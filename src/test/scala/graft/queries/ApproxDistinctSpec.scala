@@ -9,7 +9,7 @@ class ApproxDistinctSpec extends AnyFunSuite with SparkTestBase {
 
   test("percentile_approx returns values at empirical rank within eps of q") {
     import org.apache.spark.sql.functions._
-    val approx = ScaleQueries.queries("events_value_quantiles_approx")(spark, sf0_001)
+    val approx = ScaleQueries.quantilesApproxFull(spark, sf0_001)
       .collect().map(r => r.getString(0) ->
         Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2), 0.99 -> r.getDouble(3))).toMap
     assert(approx.nonEmpty)
@@ -33,7 +33,7 @@ class ApproxDistinctSpec extends AnyFunSuite with SparkTestBase {
   test("approx_count_distinct within 5% of exact per group") {
     val exact = ScaleQueries.queries("events_distinct_users_exact")(spark, sf0_001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = ScaleQueries.queries("events_distinct_users_approx")(spark, sf0_001)
+    val approx = ScaleQueries.distinctApproxFull(spark, sf0_001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(exact.nonEmpty && exact.keySet == approx.keySet)
     exact.foreach { case (group, ex) =>

@@ -9,8 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class CmsSketchSpec extends AnyFunSuite with SparkTestBase {
 
   test("count-min estimates are overestimates within the N/W error bound") {
-    val rows = ScaleQueries.queries("events_heavy_hitters_cms")(spark, sf0_001)
-      .collect()
+    val rows = ScaleQueries.cmsHeavyHittersFull(spark, sf0_001)
+      .orderBy(org.apache.spark.sql.functions.col("est_n").desc,
+        org.apache.spark.sql.functions.col("user_id"))
+      .limit(20).collect()
     assert(rows.nonEmpty)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val n = spark.read.parquet(s"$sf0_001/events.parquet").count()
@@ -31,8 +33,10 @@ class CmsSketchSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("cms top-20 ranking matches exact ranking on distinctly-heavy keys") {
-    val byEst = ScaleQueries.queries("events_heavy_hitters_cms")(spark, sf0_001)
-      .collect().map(_.getLong(0))
+    val byEst = ScaleQueries.cmsHeavyHittersFull(spark, sf0_001)
+      .orderBy(org.apache.spark.sql.functions.col("est_n").desc,
+        org.apache.spark.sql.functions.col("user_id"))
+      .limit(20).collect().map(_.getLong(0))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val exactTop = spark.read.parquet(s"$sf0_001/events.parquet")
       .groupBy("user_id").count()
