@@ -27,7 +27,11 @@ case class MediaFeatures(
     n_units: Long,
     features: Array[Float])
 
-case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+/** One sampled decoded frame: `sample_idx` is the dense 0..take-1 output
+  * position, `frame_idx` the decoder frame it was drawn from, geometry is
+  * decoder-read, and `frame` is the standalone PNG re-encode. */
+case class MediaFrame(media_id: Long, sample_idx: Int, frame_idx: Int,
+    frame_w: Int, frame_h: Int, frame: Array[Byte])
 
 /**
  * ====== CODECS ======
@@ -39,15 +43,13 @@ case class MediaFrame(media_id: Long, frame_idx: Int, frame: Array[Byte])
  * both write and demux — animated GIF ([[MediaCodecs.encodeGif]] /
  * [[MediaCodecs.decodeGifFrames]], exercised end-to-end by
  * `multimodal_video_frames`, whose oracle pins decoder-read geometry, and
- * pixel-lossless by spec). Feature extraction therefore decodes REAL
- * payloads on every modality; the one remaining stub is the
- * [[MediaCodecs.sampleFramesStub]] byte-window demuxer for codec-less
- * containers (mkv/mp4 — no demuxer in the JDK, no media libraries in
- * this container), whose slice ARITHMETIC is oracle-checked by
- * `multimodal_frames`. Everything around the codecs — schema, binary
- * columns, per-partition batch shape, explode plumbing,
- * partition-by-modality — is the real Spark design the specs test;
- * swapping in a real demuxer changes only the stub body.
+ * pixel-lossless by spec). Feature extraction, frame cataloging, AND
+ * frame sampling ([[MultimodalOps.sampleVideoFrames]], oracle-checked by
+ * `multimodal_frames` against decoder-read counts and geometry) all
+ * decode REAL payloads on every modality — no stubs remain. Containers
+ * the JDK cannot demux (mkv/mp4 — no media libraries here) would slot in
+ * as another `decode*Frames` body behind the same schema, batch shape,
+ * and partition-by-modality plumbing the specs pin.
  */
 object MediaCodecs {
   // raster-only AWT work; never touch a display
@@ -333,17 +335,21 @@ object MediaCodecs {
     hist
   }
 
-  /** STUB frame demuxer: treats the payload as fixed-size "frames" and
-    * returns `n` evenly spaced ones. A real implementation would call a
-    * video demuxer; the even-spacing *selection logic* is real. */
-  def sampleFramesStub(bytes: Array[Byte], frameSize: Int, n: Int): Seq[Array[Byte]] = {
-    val nFrames = math.max(bytes.length / math.max(frameSize, 1), 1)
-    val take = math.min(n, nFrames)
-    (0 until take).map { i =>
-      val idx = (i.toLong * nFrames / take).toInt
-      val from = idx * frameSize
-      bytes.slice(from, math.min(from + frameSize, bytes.length))
-    }
+  /** Re-encode one decoded frame as a standalone PNG — the portable
+    * per-frame payload a downstream vision model consumes. The frame is
+    * normalized to direct RGB first: GIF frames arrive indexed-color,
+    * and palette images don't survive a PNG round-trip bit-exact on the
+    * JDK writer (palette reordering); the RGB normalize + PNG pair is
+    * lossless. */
+  def encodeFramePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val norm = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = norm.createGraphics()
+    g.drawImage(img, 0, 0, null)
+    g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(norm, "png", out)
+    out.toByteArray
   }
 }
 
@@ -360,13 +366,6 @@ object MediaCodecs {
  */
 object MultimodalOps {
 
-  /** Derive a deterministic media table from `documents` (the container
-    * ships no media files). Image rows carry REAL PNG payloads (JDK PNG
-    * writer), audio rows REAL WAV payloads (JDK WAV writer), and video
-    * rows REAL animated-GIF payloads (JDK GIF sequence writer) — all
-    * decodable by any standard library. The opaque-container fallback
-    * (raw document bytes consumed by the byte-window stub demuxer) is
-    * [[mediaMeta]] itself, which `multimodal_frames` uses. */
   /** The metadata half of the media derivation: pure columnar arithmetic
     * (modality/format routing, dimensions), no codec work — consumable by
     * metadata-only queries without paying encode, and exactly replicable
@@ -383,6 +382,11 @@ object MultimodalOps {
       (col("n_chars") % 48 + 16).cast("int").as("height"),
       (col("n_chars") % 30 + 1).cast("int").as("n_frames"))
 
+  /** Derive a deterministic media table from `documents` (the container
+    * ships no media files). Image rows carry REAL PNG payloads (JDK PNG
+    * writer), audio rows REAL WAV payloads (JDK WAV writer), and video
+    * rows REAL animated-GIF payloads (JDK GIF sequence writer) — all
+    * decodable by any standard library. */
   def fromDocuments(docs: DataFrame, onlyModality: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -497,16 +501,32 @@ object MultimodalOps {
       .toDF("media_id", "frame_idx", "frame_w", "frame_h")
   }
 
-  /** Sample up to `n` frames from each video row; one output row per frame. */
-  def sampleFrames(media: DataFrame, frameSize: Int, n: Int): Dataset[MediaFrame] = {
-    val spark = media.sparkSession
+  /** REAL frame sampling — the frame-extract step of a multimodal
+    * training-data pipeline: demux each video's GIF container through the
+    * JDK reader, pick up to `n` evenly spaced DECODED frames (the same
+    * `i·nFrames/take` spacing a video pipeline uses for keyframe
+    * thumbnails), and re-encode each selected frame as a standalone PNG
+    * payload. One decode per row inside `mapPartitions`-backed Dataset
+    * ops, modality-filtered BEFORE any codec work; frame index and
+    * geometry come from the DECODER, so the `multimodal_frames` oracle
+    * (which re-derives them from the generator's metadata formulas)
+    * proves the container was actually parsed. */
+  def sampleVideoFrames(docs: DataFrame, n: Int, maxFrames: Int = 6): Dataset[MediaFrame] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    media.filter(col("modality") === "video")
-      .select("media_id", "modality", "content", "format", "width", "height", "n_frames")
-      .as[MediaRow]
+    mediaMeta(docs).filter(col("modality") === "video").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map(r => r.copy(content = MediaCodecs.encodeGif(
+          r.media_id, r.width, r.height, math.min(r.n_frames, maxFrames))))
+      }
       .flatMap { r =>
-        MediaCodecs.sampleFramesStub(r.content, frameSize, n).zipWithIndex.map {
-          case (f, i) => MediaFrame(r.media_id, i, f)
+        val frames = MediaCodecs.decodeGifFrames(r.content)
+        val take = math.min(n, frames.size)
+        (0 until take).map { i =>
+          val idx = (i.toLong * frames.size / take).toInt
+          val img = frames(idx)
+          MediaFrame(r.media_id, i, idx, img.getWidth, img.getHeight,
+            MediaCodecs.encodeFramePng(img))
         }
       }
   }

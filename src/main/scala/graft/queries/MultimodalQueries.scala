@@ -140,19 +140,20 @@ object MultimodalQueries extends QueryPack {
       MultimodalOps.videoFrameCatalog(t(s, dir, "documents"))
         .orderBy(col("media_id"), col("frame_idx"))),
 
-    // Frame sampling over the OPAQUE container path (a container with no
-    // JDK demuxer, e.g. mkv/mp4 — here exercised on the raw mediaMeta
-    // payload): one row per sampled frame with its byte length.
-    // Oracle-checked: the demuxer BODY is a stub, but its selection
-    // arithmetic (evenly spaced bounded slices) is a pure function of the
-    // payload byte length, so DuckDB replicates the exact output. (The
-    // REAL demux path is multimodal_video_frames above.)
-    "multimodal_frames" -> ((s, dir) => {
-      val media = MultimodalOps.mediaMeta(t(s, dir, "documents"))
-      MultimodalOps.sampleFrames(media, frameSize = 32, n = 4).toDF()
-        .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_bytes"))
-        .orderBy(col("media_id"), col("frame_idx"))
-    })
+    // REAL frame sampling — the keyframe-extract step of a multimodal
+    // training pipeline: demux each video's GIF through the JDK reader,
+    // select up to 4 evenly spaced DECODED frames, re-encode each as a
+    // standalone PNG payload. The emitted sample/frame indices and
+    // geometry come from the DECODER; the oracle re-derives all of them
+    // from the generator's metadata formulas (nf = min(n_chars%30+1, 6),
+    // idx = i·nf/take), so a demux that dropped or misread a frame could
+    // not match. The PNG payload itself is projected away here (encoder
+    // bytes are engine-specific); MultimodalSpec pins its decodability.
+    "multimodal_frames" -> ((s, dir) =>
+      MultimodalOps.sampleVideoFrames(t(s, dir, "documents"), n = 4).toDF()
+        .select(col("media_id"), col("sample_idx"), col("frame_idx"),
+          col("frame_w"), col("frame_h"))
+        .orderBy(col("media_id"), col("sample_idx")))
   )
 
   /** The aHash derivation CTEs (recomputed from the generator's pixel
@@ -338,25 +339,29 @@ object MultimodalQueries extends QueryPack {
         |  CAST(sum(width) AS BIGINT) AS total_width,
         |  max(height) AS max_height, min(n_frames) AS min_frames
         |FROM m GROUP BY modality, format ORDER BY modality""".stripMargin,
-    // video modality = doc_id % 3 == 2 (fromDocuments' element_at mapping);
-    // payload = text bytes; frameSize 32, up to 4 evenly spaced frames
+    // video modality = doc_id % 3 == 2 (fromDocuments' element_at
+    // mapping); decoded frame count = min(n_chars%30+1, 6) (the encode
+    // cap videoFrameCatalog also uses), up to 4 evenly spaced samples at
+    // idx = i*nf/take, geometry from the same width/height formulas the
+    // decoder must reproduce.
     "multimodal_frames" ->
       """WITH v AS (
-        |  SELECT doc_id AS media_id, strlen(text) AS len FROM documents
-        |  WHERE doc_id % 3 = 2
+        |  SELECT doc_id AS media_id,
+        |    CAST(n_chars % 64 + 16 AS INTEGER) AS frame_w,
+        |    CAST(n_chars % 48 + 16 AS INTEGER) AS frame_h,
+        |    least(n_chars % 30 + 1, 6) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2
         |), f AS (
-        |  SELECT media_id, len,
-        |    greatest(len // 32, 1) AS n_frames,
-        |    least(4, greatest(len // 32, 1)) AS take
+        |  SELECT media_id, frame_w, frame_h, nf, least(4, nf) AS take
         |  FROM v
         |), idx AS (
-        |  SELECT media_id, len, n_frames, take,
-        |    unnest(range(take)) AS frame_idx
+        |  SELECT media_id, frame_w, frame_h, nf, take,
+        |    unnest(range(take)) AS sample_idx
         |  FROM f
         |)
-        |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-        |  CAST(least((frame_idx * n_frames // take) * 32 + 32, len)
-        |    - (frame_idx * n_frames // take) * 32 AS INTEGER) AS frame_bytes
-        |FROM idx ORDER BY media_id, frame_idx""".stripMargin
+        |SELECT media_id, CAST(sample_idx AS INTEGER) AS sample_idx,
+        |  CAST(sample_idx * nf // take AS INTEGER) AS frame_idx,
+        |  frame_w, frame_h
+        |FROM idx ORDER BY media_id, sample_idx""".stripMargin
   )
 }

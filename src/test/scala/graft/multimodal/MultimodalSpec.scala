@@ -17,14 +17,14 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     hist.map(_ / math.max(bytes.length, 1).toFloat)
   }
 
-  test("sampleFramesStub: evenly spaced, bounded, slice-exact") {
-    val bytes = (0 until 100).map(_.toByte).toArray
-    val frames = MediaCodecs.sampleFramesStub(bytes, frameSize = 10, n = 3)
-    assert(frames.size == 3)
-    assert(frames.forall(_.length == 10))
-    assert(frames.head.sameElements(bytes.slice(0, 10)))
-    // asking for more frames than exist caps at available
-    assert(MediaCodecs.sampleFramesStub(bytes, 10, 50).size == 10)
+  test("encodeFramePng round-trips a decoded GIF frame pixel-exact") {
+    val gif = MediaCodecs.encodeGif(7L, 20, 12, 3)
+    val frame = MediaCodecs.decodeGifFrames(gif).head
+    val png = MediaCodecs.encodeFramePng(frame)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(back.getWidth == 20 && back.getHeight == 12)
+    for (x <- 0 until 20; y <- 0 until 12)
+      assert((back.getRGB(x, y) & 0xffffff) == (frame.getRGB(x, y) & 0xffffff))
   }
 
   test("fromDocuments: typed metadata + opaque binary schema") {
@@ -170,15 +170,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("sampleFrames: only video rows, frame_idx dense from 0") {
-    val media = MultimodalOps.fromDocuments(docs.filter(col("doc_id") < 30))
-    val frames = MultimodalOps.sampleFrames(media, frameSize = 32, n = 4).collect()
+  test("sampleVideoFrames: only video rows, dense sample_idx, decoded " +
+      "even-spaced frames with decodable PNG payloads") {
+    val sub = docs.filter(col("doc_id") < 30)
+    val frames = MultimodalOps.sampleVideoFrames(sub, n = 4).collect()
+    val media = MultimodalOps.fromDocuments(sub)
     val videoIds = media.filter(col("modality") === "video")
       .select("media_id").collect().map(_.getLong(0)).toSet
     assert(frames.map(_.media_id).toSet == videoIds)
-    frames.groupBy(_.media_id).foreach { case (_, fs) =>
-      assert(fs.map(_.frame_idx).sorted.toSeq == fs.indices.toSeq)
-      assert(fs.forall(_.frame.length <= 32))
+    val meta = media.filter(col("modality") === "video")
+      .select("media_id", "width", "height", "n_frames").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    frames.groupBy(_.media_id).foreach { case (id, fs) =>
+      val (w, h, nf) = meta(id)
+      val take = math.min(4, math.min(nf, 6))
+      // dense output positions; source frame = even spacing over DECODED count
+      assert(fs.map(_.sample_idx).sorted.toSeq == (0 until take))
+      fs.foreach { f =>
+        assert(f.frame_idx == (f.sample_idx.toLong * math.min(nf, 6) / take).toInt)
+        assert(f.frame_w == w && f.frame_h == h)
+        // each sampled frame is a standalone decodable PNG of that geometry
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(f.frame))
+        assert(img != null && img.getWidth == w && img.getHeight == h)
+      }
     }
   }
 }
