@@ -138,12 +138,14 @@ object QualityQueries extends QueryPack {
     // source pair, re-sketch the union of the two sketches and estimate
     // Jaccard as |both| / |union sketch|. Exact when a source has < k
     // distinct contents (the union sketch is then the true union). The
-    // data-sized work is ONE distinct partial-agg + a per-source top-k;
-    // everything pairwise happens on 20×64 sketch rows. At 100 TB the
-    // per-source top-k becomes a bounded partial agg (TopKByScore over
-    // the hash's 60-bit numeric prefix with full-string residual
-    // compare) or an adaptive hash-prefix pre-filter before the window —
-    // the sketch contract (exact k smallest per source) is unchanged.
+    // data-sized work is ONE distinct partial-agg + a per-source
+    // bounded bottom-k partial agg (`BottomKMins`: each task reduces to
+    // at most k entries per source locally, so only partitions×k rows
+    // cross the shuffle — no corpus-sized window sort anywhere in the
+    // plan, pinned by BottomKMinsSpec); everything pairwise happens on
+    // 20×64 sketch rows. The pair-union re-sketch rides the SAME
+    // aggregate (side flags OR-merge on duplicate fingerprints), which
+    // also deletes the per-pair pre-group the window form needed.
     "corpus_overlap_kmv" -> ((s, dir) => {
       val k = 64
       val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
@@ -157,12 +159,13 @@ object QualityQueries extends QueryPack {
         .withColumn("source", concat(lit("src"),
           ((col("source").substr(lit(4), lit(10)).cast("int") + 1) % 20)
             .cast("string")))
+      val bottomK = graft.functions.BottomKMins(k)
       val f = d.unionByName(crossPosted)
         .select(col("source"), fp.as("h")).distinct()
       val sk = f
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("source")).orderBy(col("h"))))
-        .filter(col("rk") <= k).select(col("source"), col("h"))
+        .groupBy(col("source"))
+        .agg(bottomK(col("h"), lit(0), lit(0)).as("hits"))
+        .select(col("source"), explode(col("hits.h")).as("h"))
         .localCheckpoint()
       val srcs = sk.select(col("source")).distinct()
       val pairs = srcs.select(col("source").as("source_a"))
@@ -174,16 +177,14 @@ object QualityQueries extends QueryPack {
       val bSide = pairs.join(sk, col("source") === col("source_b"))
         .select(col("source_a"), col("source_b"), col("h"),
           lit(0).as("ia"), lit(1).as("ib"))
-      val union = aSide.unionByName(bSide)
-        .groupBy(col("source_a"), col("source_b"), col("h"))
-        .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
-      union
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("source_a"), col("source_b")).orderBy(col("h"))))
-        .filter(col("rk") <= k)
+      aSide.unionByName(bSide)
         .groupBy(col("source_a"), col("source_b"))
-        .agg(count(lit(1)).as("n_union"),
-          sum(col("ia") * col("ib")).as("n_both"))
+        .agg(bottomK(col("h"), col("ia"), col("ib")).as("hits"))
+        .select(col("source_a"), col("source_b"),
+          size(col("hits")).cast("long").as("n_union"),
+          aggregate(col("hits"), lit(0L),
+            (acc, e) => acc +
+              (e.getField("ia") * e.getField("ib")).cast("long")).as("n_both"))
         .select(col("source_a"), col("source_b"), col("n_union"), col("n_both"),
           round6(col("n_both").cast("double") / col("n_union")).as("jaccard_est"))
         .orderBy(col("source_a"), col("source_b"))
