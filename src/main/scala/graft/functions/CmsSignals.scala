@@ -35,6 +35,18 @@ object CmsSignals {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Merge two sketch tables built with the same (d, w) geometry: CMS
+    * counters are additive, so merge(sketch(A), sketch(B)) is EXACTLY
+    * sketch(A ⊎ B) — cell-for-cell, not approximately. This is the
+    * property a sharded 100 TB ingest pipeline rests on: each shard
+    * sketches its own slice, the tiny d×w tables combine with one
+    * (d,w)-keyed partial agg, and no shard is ever rescanned. Exact
+    * equality pinned by CmsSketchSpec and driver-visible via
+    * `events_cms_shard_merge`. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("d"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+
   /** Point estimates from a materialized sketch table: min over the d
     * rows each id hashes to. Never undercounts; overcount bounded by
     * collisions (expected ≤ N/w per row, min over d rows). */

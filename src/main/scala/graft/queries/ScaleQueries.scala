@@ -295,6 +295,68 @@ object ScaleQueries extends QueryPack {
         .orderBy(col("exact_n").desc, col("user_id"))
     }),
 
+    // Sketch MERGE surface — the property a sharded ingest pipeline
+    // needs: two shards sketch independently, the d×w counter tables
+    // combine with one tiny partial agg, and the merged sketch must be
+    // CELL-FOR-CELL identical to sketching the union (CMS counters are
+    // additive — merge is exact, not approximate). The verdict row set
+    // is one row per depth: total_c (= N, every event increments exactly
+    // one cell per depth — oracle-predictable) and `merge_exact`
+    // (full-outer cell compare of merged vs whole-corpus sketch). A
+    // merge bug — dropped cell, double count, geometry drift — breaks
+    // either the predictable total or the equality boolean and fails
+    // the driver hash.
+    "events_cms_shard_merge" -> ((s, dir) => {
+      import graft.functions.CmsSignals
+      val e = events(s, dir).select(col("event_id"), col("user_id"))
+      val shardA = e.filter(pmod(col("event_id"), lit(2)) === 0)
+      val shardB = e.filter(pmod(col("event_id"), lit(2)) === 1)
+      val merged = CmsSignals.merge(
+          CmsSignals.sketch(shardA, "user_id", CmsD, CmsW),
+          CmsSignals.sketch(shardB, "user_id", CmsD, CmsW))
+        .withColumnRenamed("c", "mc")
+      val whole = CmsSignals.sketch(e, "user_id", CmsD, CmsW)
+        .withColumnRenamed("c", "wc")
+      merged.join(whole, Seq("d", "bucket"), "full_outer")
+        .groupBy(col("d"))
+        .agg(sum(coalesce(col("wc"), lit(0L))).as("total_c"),
+          min(coalesce(col("mc"), lit(-1L)) === coalesce(col("wc"), lit(-2L)))
+            .as("merge_exact"))
+        .select(col("d"), col("total_c"), col("merge_exact"),
+          col("merge_exact").as("pass"))
+        .orderBy(col("d"))
+    }),
+
+    // The HLL companion: per-shard DataSketches HLL sketches union'd
+    // with `hll_union_agg` — distinct-count state that merges across
+    // shards without rescanning (register-wise max, the HLL merge law).
+    // Unlike CMS the union estimate is not bit-identical to the
+    // direct-build estimate (union drops the HIP estimator), so the
+    // contract here is the error bound: the union'd estimate must land
+    // within 3σ of the exact distinct count (lgK=12 → rsd ≈ 1.6%, bound
+    // 5%). exact_users and the bound boolean are the oracle-checked
+    // verdict; ApproxDistinctSpec pins union-vs-direct agreement on the
+    // informative values.
+    "events_hll_shard_union" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("event_type"),
+        col("user_id"))
+      val unioned = e
+        .withColumn("shard", pmod(col("event_id"), lit(4)))
+        .groupBy(col("event_type"), col("shard"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy(col("event_type"))
+        .agg(hll_union_agg(col("sk")).as("sk"))
+        .select(col("event_type"),
+          hll_sketch_estimate(col("sk")).as("approx_users"))
+      val exact = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(unioned, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            lit(0.05) * col("exact_users")).as("pass"))
+        .orderBy(col("event_type"))
+    }),
+
     // Table profiling (the ANALYZE/SUMMARIZE pass an engine runs before
     // planning or after ingest): per-column null count, exact distinct
     // count, and min/max over `orders`, one single-row aggregate branch
@@ -414,6 +476,19 @@ object ScaleQueries extends QueryPack {
         |  true AS heavy_recovered_ok, true AS pass
         |FROM events GROUP BY user_id
         |ORDER BY exact_n DESC, user_id LIMIT 20""".stripMargin,
+    // merge is exact, so every boolean is predictably true and total_c
+    // per depth is exactly the event count (each event increments one
+    // cell per depth row).
+    "events_cms_shard_merge" ->
+      """SELECT CAST(d AS INT) AS d,
+        |  (SELECT count(*) FROM events) AS total_c,
+        |  true AS merge_exact, true AS pass
+        |FROM (SELECT unnest([0, 1, 2, 3]) AS d)
+        |ORDER BY d""".stripMargin,
+    "events_hll_shard_union" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  true AS pass
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "layout_compaction_plan" ->
       """WITH manifest AS (
         |  SELECT EXTRACT(year FROM o_orderdate) * 100

@@ -48,4 +48,46 @@ class CmsSketchSpec extends AnyFunSuite with SparkTestBase {
     assert(byEst.toSet.intersect(exactTop.toSet).size >= 15,
       s"cms top-20 recovered only ${byEst.toSet.intersect(exactTop.toSet).size}/20 exact heavy hitters")
   }
+
+  test("shard-merged sketch is cell-for-cell identical to the whole-corpus sketch") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.CmsSignals
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = graft.QueryPack.loadEvents(spark, s"$sf0_001/events.parquet")
+      .select(col("event_id"), col("user_id"))
+    // 3-way split on a different modulus than the registered query uses,
+    // so the law is pinned beyond the one sharding the oracle sees
+    val shards = (0 until 3).map(i =>
+      CmsSignals.sketch(e.filter(pmod(col("event_id"), lit(3)) === i), "user_id"))
+    val merged = shards.reduce(CmsSignals.merge)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val whole = CmsSignals.sketch(e, "user_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == whole, "merged CMS differs from whole-corpus CMS")
+    assert(whole.nonEmpty)
+  }
+
+  test("hll shard union estimate agrees with the direct-build estimate") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = graft.QueryPack.loadEvents(spark, s"$sf0_001/events.parquet")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    val direct = e.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unioned = e.withColumn("shard", pmod(col("event_id"), lit(4)))
+      .groupBy(col("event_type"), col("shard"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(direct.keySet == unioned.keySet)
+    // union drops HIP for the composite estimator, so allow the documented
+    // few-percent drift — but both estimates must describe the same set
+    direct.foreach { case (k, d) =>
+      val u = unioned(k)
+      assert(math.abs(u - d) <= math.max(2L, (0.05 * d).toLong),
+        s"$k: union est $u vs direct est $d")
+    }
+  }
 }
