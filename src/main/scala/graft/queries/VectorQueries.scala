@@ -124,43 +124,38 @@ object VectorQueries extends QueryPack {
     // whole shortlist→re-rank pipeline is exactly reproducible by the
     // DuckDB oracle (hash-checked, not merely recall-bounded).
     //
-    // Scale shape: the shortlist scan reads 16 bytes/row (vec_id +
+    // Scale shape (all in `ml/SignIndex`, persisted via the IndexCache
+    // index-job discipline like the other four families): the shortlist
+    // scan streams the PERSISTED 16-byte/row signature table (vec_id +
     // packed word — a 32× byte reduction vs the float32 embedding
-    // column, and parquet prunes the embedding column away entirely);
-    // distance is codegen'd `bit_count(packed ^ q_packed)` against an
-    // 8-row broadcast query dim; the per-query top-S survives as a
-    // bounded TopKByScore partial agg, so only S × nPartitions candidate
-    // rows per query ever cross the shuffle. Only the S×|Q| shortlist
-    // rows (320 here) fetch their full embeddings for the exact re-rank
-    // — at 100 TB that fetch rides the same id-bucketed pruned-fetch
-    // pattern as the PQ re-rank (`ml/PqIndex.scala`), not a full scan.
+    // column, which never appears in that scan's ReadSchema); distance
+    // is codegen'd `bit_count(packed ^ q_packed)` against an 8-row
+    // broadcast query dim; the per-query top-S survives as a bounded
+    // TopKByScore partial agg, so only S × nPartitions candidate rows
+    // per query ever cross the shuffle. Only the S×|Q| shortlist rows
+    // (320 here) fetch their full embeddings for the exact re-rank,
+    // through a (bucket, id) join against the bucket-PARTITIONED fetch
+    // table that the broadcast shortlist dynamic-partition-prunes — no
+    // full-corpus embedding scan rides the re-rank side (plan pinned by
+    // SignRerankSpec). Final ranking rounds BEFORE ranking so near-tied
+    // scores order identically to the DuckDB oracle.
     "knn_binary_rerank" -> ((s, dir) => {
-      import graft.functions.{TopKByScore, VectorFunctions}
+      import graft.functions.VectorFunctions
       import org.apache.spark.sql.expressions.Window
       val (nq, shortK, k) = (8, 40, 10)
-      val emb = t(s, dir, "embeddings")
-        .withColumn("packed", VectorFunctions.signPack(col("embedding")))
-      val q = emb.filter(col("vec_id") < nq)
-        .select(col("vec_id").as("qid"), col("packed").as("q_packed"),
+      val built = graft.ml.SignIndex.openOrBuild(s, s"$dir/embeddings.parquet",
+        "vec_id", "embedding")
+      val q = t(s, dir, "embeddings").filter(col("vec_id") < nq)
+        .select(col("vec_id").as("q_id"),
+          VectorFunctions.signPack(col("embedding")).as("q_packed"),
           col("embedding").as("q_emb"))
-      val short = emb.select(col("vec_id"), col("packed"))
-        .crossJoin(broadcast(q.select(col("qid"), col("q_packed"))))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("ham", expr("bit_count(packed ^ q_packed)"))
-        .groupBy(col("qid"))
-        .agg(TopKByScore(shortK)((-col("ham")).cast("double"), col("vec_id"))
-          .as("hits"))
-        .select(col("qid"), explode(col("hits")).as("h"))
-        .select(col("qid"), col("h.id").as("vec_id"),
-          (-col("h.score")).cast("int").as("hamming"))
-      val rer = short
-        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-        .join(broadcast(q.select(col("qid"), col("q_emb"))), "qid")
-        .withColumn("score", round6(cosineSim(col("embedding"), col("q_emb"))))
-      val byScore = Window.partitionBy(col("qid"))
-        .orderBy(col("score").desc, col("vec_id"))
-      rer.withColumn("rk", row_number().over(byScore)).filter(col("rk") <= k)
-        .select(col("qid"), col("vec_id"), col("hamming"), col("score"))
+      val scored = graft.ml.SignIndex.scoredShortlist(built, q, shortK)
+        .withColumn("score", round6(col("cos")))
+      val byScore = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("id"))
+      scored.withColumn("rk", row_number().over(byScore)).filter(col("rk") <= k)
+        .select(col("q_id").as("qid"), col("id").as("vec_id"),
+          col("hamming"), col("score"))
         .orderBy(col("qid"), col("score").desc, col("vec_id"))
     }),
 
