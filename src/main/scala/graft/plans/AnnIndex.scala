@@ -144,7 +144,12 @@ object AnnIndexRegistry {
 /**
  * Logical rewrite `Limit(Sort(desc cosine_similarity(emb, literal), …,
  * Project/Filter chain, registered scan))` → same plan over the
- * cell-pruned index scan. See [[AnnIndexRegistry]] for the contract.
+ * cell-pruned index scan. The THRESHOLD-ONLY shape — no limit, but the
+ * chain floors the same cosine at a literal (`score >= t` + sort, the
+ * reference's `minRelevanceScore` path, MerkonMemoryStore.cs:138) — is
+ * served too, with 2× over-probe since a floor query asks for a whole
+ * neighborhood rather than a fixed k. See [[AnnIndexRegistry]] for the
+ * contract.
  *
  * Shape requirements, checked structurally (anything else is left
  * untouched — the rule can only ever narrow a matched plan's candidate
@@ -172,18 +177,35 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     if (conf.getConfString(ConfKey, "true") != "true") plan
     else plan.transformDown {
       case gl @ GlobalLimit(IntegerLiteral(k), LocalLimit(_, inner)) if k > 0 =>
-        rewrite(inner).map { case (rel, replacement) =>
+        rewrite(inner, thresholdOnly = false).map { case (rel, replacement) =>
           gl.transformUp { case r: LogicalRelation if r eq rel => replacement }
         }.getOrElse(gl)
+      // threshold-only flagship (the reference's minRelevanceScore path,
+      // MerkonMemoryStore.cs:138 with limit defaulted away): no limit
+      // anywhere, but the chain under the sort filters on the SAME cosine
+      // against a literal floor — that filter bounds the result to the
+      // high-similarity neighborhood the probed cells cover, so the plan
+      // may ride the index (with over-probe; documented approximate). A
+      // bare sorted-cosine scan without the floor never matches: a full
+      // ranking of the corpus is not an ANN query.
+      case s: Sort =>
+        rewrite(s, thresholdOnly = true).map { case (rel, replacement) =>
+          s.transformUp { case r: LogicalRelation if r eq rel => replacement }
+        }.getOrElse(s)
     }
 
-  /** Match Project*(Sort(Project/Filter*(relation))) under the limit;
-    * return (matched relation, replacement subtree) when every
-    * requirement holds. Projects ABOVE the sort appear when the caller
-    * selects from the top-k result (PushProjectionThroughLimit lands the
-    * pruning Project between LocalLimit and Sort). */
-  private def rewrite(inner: LogicalPlan): Option[(LogicalRelation, LogicalPlan)] = {
-    var refs = AttributeSet(Seq.empty[Attribute])
+  /** Match Project*(Sort(Project/Filter*(relation))) under the limit (or
+    * at `inner` itself for the threshold-only shape); return (matched
+    * relation, replacement subtree) when every requirement holds.
+    * Projects ABOVE the sort appear when the caller selects from the
+    * top-k result (PushProjectionThroughLimit lands the pruning Project
+    * between LocalLimit and Sort). */
+  private def rewrite(inner: LogicalPlan,
+      thresholdOnly: Boolean): Option[(LogicalRelation, LogicalPlan)] = {
+    // the subtree's OUTPUT is referencable by unseen operators above the
+    // match (a select after the limit/sort) — any relation column that
+    // escapes must be index-servable too, or the exact scan must stay
+    var refs = AttributeSet(inner.output)
     var cur = inner
     var order: Seq[SortOrder] = null
     while (order == null) cur match {
@@ -195,16 +217,17 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     }
     val child = cur
     // walk the Project/Filter chain down to a single relation, collecting
-    // alias definitions and every node's references on the way
+    // alias definitions, filter conditions, and every node's references
     var aliases = Map.empty[ExprId, Expression]
+    var conds = Seq.empty[Expression]
     var rel: LogicalRelation = null
     cur = child
     while (rel == null) cur match {
       case p @ Project(projList, c) =>
         aliases ++= projList.collect { case a: Alias => a.exprId -> a.child }
         refs ++= p.references; cur = c
-      case f @ Filter(_, c) =>
-        refs ++= f.references; cur = c
+      case f @ Filter(cond, c) =>
+        conds ++= splitConjuncts(cond); refs ++= f.references; cur = c
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
         rel = lr
       case _ => return None
@@ -226,6 +249,18 @@ object AnnIndexRule extends Rule[LogicalPlan] {
       case _ => return None
     }
     if (embAttr.name != entry.embCol) return None
+    // threshold-only shape: some conjunct below the sort must floor the
+    // SAME cosine at a literal (>= or >) — the bound that makes an
+    // unlimited sorted scan an ANN query
+    if (thresholdOnly && !conds.exists { c =>
+      resolveThrough(c, aliases) match {
+        case GreaterThanOrEqual(l, _: Literal) if l.semanticEquals(resolved) => true
+        case GreaterThan(l, _: Literal) if l.semanticEquals(resolved) => true
+        case LessThanOrEqual(_: Literal, r) if r.semanticEquals(resolved) => true
+        case LessThan(_: Literal, r) if r.semanticEquals(resolved) => true
+        case _ => false
+      }
+    }) return None
     // every relation column the chain touches must exist in the index
     // table (id + emb, plus the registered payload columns when the
     // metadata-carrying sidecar was materialized) — otherwise the exact
@@ -243,8 +278,16 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     val idAttr = rel.output.find(_.name == entry.idCol).getOrElse(return None)
 
     // driver-side routing: nProbe nearest cells by cosine, ties cell-asc
-    // (the same routing + tie-break as IvfIndex.search / indexedKnn)
-    val cells = route(queryVec, entry.centroids, entry.nProbe)
+    // (the same routing + tie-break as IvfIndex.search / indexedKnn).
+    // The threshold shape OVER-PROBES (2× the registered nProbe, capped
+    // at all cells): a floor query asks for the whole neighborhood above
+    // t, not a fixed k, so the candidate set must reach further out —
+    // the standard filtered/threshold-ANN compensation, recall ≥ 0.9 vs
+    // the exact threshold scan pinned by AnnRewriteSpec.
+    val probeN =
+      if (thresholdOnly) math.min(2 * entry.nProbe, entry.centroids.length)
+      else entry.nProbe
+    val cells = route(queryVec, entry.centroids, probeN)
     if (cells.isEmpty) return None
 
     // the replacement: cell-partition-pruned scan of the index table
@@ -272,6 +315,12 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     val byName = pruned.output.map(o => o.name -> o).toMap
     Some((rel, Project(outAttrs.map(a =>
       Alias(byName(a.name), a.name)(exprId = a.exprId)), pruned)))
+  }
+
+  /** Flatten a filter condition into its AND-conjuncts. */
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
   }
 
   /** Substitute chain aliases into `e` to a fixpoint (the sort usually

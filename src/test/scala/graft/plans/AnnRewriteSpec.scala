@@ -220,6 +220,63 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally AnnIndexRegistry.clear()
   }
 
+  /** The naive THRESHOLD-ONLY flagship: relevance floor + sort, NO limit
+    * (the reference's minRelevanceScore path, MerkonMemoryStore.cs:138). */
+  private def thresholdFlagship(qv: Array[Float], t: Double): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
+      .withColumn("score", cosineSim(col("embedding"), lit(qv)))
+      .filter(col("score") >= t)
+      .orderBy(col("score").desc, col("vec_id").asc)
+
+  test("threshold-only plan rides the index with 2x over-probe; recall >= 0.9") {
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 3)
+    try {
+      AnnIndexRegistry.register(spark, ivf, src, "vec_id", "embedding", nProbe = 3)
+      val qv = queryVec(0L)
+      val df = thresholdFlagship(qv, 0.3)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("assigned"), plan.take(3000))
+      assert(!plan.contains("embeddings.parquet"),
+        "threshold plan must not scan the original corpus")
+      // over-probe: 2 x nProbe = 6 of 8 cells in the partition filter
+      // (the k-shaped flagship over the same registration probes 3)
+      def probedCells(p: String): Int =
+        "cell[^ ]* IN \\(([^)]*)\\)".r.findFirstMatchIn(p)
+          .map(_.group(1).split(",").length).getOrElse(-1)
+      assert(probedCells(plan) == 6, s"expected 6 probed cells:\n${plan.take(2000)}")
+      val kPlan = flagship(qv, 10).queryExecution.executedPlan.toString
+      assert(probedCells(kPlan) == 3, s"expected 3 probed cells:\n${kPlan.take(2000)}")
+
+      // every surfaced row honors the floor (the filter stays in the plan)
+      val rows = df.collect()
+      assert(rows.forall(_.getDouble(2) >= 0.3))
+
+      // recall vs the exact threshold scan (kill-switch = ground truth)
+      val qs = (0L until 20L).map(queryVec)
+      spark.conf.set(AnnIndexRule.ConfKey, "false")
+      val exact = try qs.map(q => thresholdFlagship(q, 0.3).select("vec_id")
+          .collect().map(_.getLong(0)).toSet)
+        finally spark.conf.unset(AnnIndexRule.ConfKey)
+      val approx = qs.map(q => thresholdFlagship(q, 0.3).select("vec_id")
+        .collect().map(_.getLong(0)).toSet)
+      // soundness: the rewrite only narrows candidates, never invents
+      approx.zip(exact).foreach { case (a, e) => assert((a -- e).isEmpty) }
+      val pairs = approx.zip(exact).filter(_._2.nonEmpty)
+      val recall = pairs.map { case (a, e) => (a & e).size.toDouble / e.size }
+        .sum / pairs.size
+      assert(recall >= 0.9, s"threshold rewrite recall $recall")
+
+      // a floor-less unlimited sorted scan is NOT an ANN query — exact
+      // plan stays
+      val noFloor = corpus.select(col("vec_id"), col("embedding"))
+        .withColumn("score", cosineSim(col("embedding"), lit(qv)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      assert(noFloor.queryExecution.executedPlan.toString
+        .contains("embeddings.parquet"),
+        "floor-less sort must keep the exact scan")
+    } finally AnnIndexRegistry.clear()
+  }
+
   test("non-matching shapes keep their exact plan") {
     val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
     try {
