@@ -47,6 +47,36 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Hard-negative mining — the contrastive-training data-prep op
+    // (triplet/InfoNCE batches want negatives that sit CLOSEST to the
+    // anchor while carrying a different label; random negatives are too
+    // easy to teach anything). For each anchor: top-3 most-similar
+    // embeddings with label != anchor's. Scale shape: anchors broadcast
+    // (driver-scale batches at any corpus size), the label predicate is
+    // a map-side filter BEFORE any dot product, and the per-anchor top-k
+    // is the bounded TopKByScore partial agg — only partitions×k rows
+    // per anchor cross the shuffle. At 100 TB the corpus pass rides the
+    // filtered-ANN index instead (`IvfIndex.searchFiltered` with the
+    // label-complement allow-list, over-probed — same pre-filter
+    // contract, probed cells only); this exact spelling is the oracle
+    // the index path is recall-checked against.
+    "embedding_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val a = emb.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+          col("embedding").as("a_emb"))
+      val scored = emb.crossJoin(broadcast(a))
+        .filter(col("label") =!= col("a_label"))
+        .select(col("anchor_id"), col("vec_id"),
+          round6(cosineSim(col("embedding"), col("a_emb"))).as("score"))
+      scored.groupBy(col("anchor_id"))
+        .agg(TopKByScore(K)(col("score"), col("vec_id")).as("hits"))
+        .select(col("anchor_id"), posexplode(col("hits")))
+        .select(col("anchor_id"), (col("pos") + 1).as("rank"),
+          col("col.id").as("neighbor_id"), col("col.score").as("score"))
+        .orderBy(col("anchor_id"), col("rank"))
+    }),
+
     // Per-label centroid: mean embedding per label, one row per (label, dim).
     "label_centroid" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -445,6 +475,27 @@ object SimilarityQueries extends QueryPack {
          |SELECT q_id, rank, vec_id AS neighbor_id, score
          |FROM ranked WHERE rank <= $K
          |ORDER BY q_id, rank""".stripMargin
+    },
+    "embedding_hard_negatives" -> {
+      val cos = "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.a_emb)"
+      s"""WITH a AS (
+         |  SELECT vec_id AS anchor_id, label AS a_label,
+         |    CAST(embedding AS DOUBLE[]) AS a_emb
+         |  FROM embeddings WHERE vec_id < $NQ
+         |), scored AS (
+         |  SELECT a.anchor_id, e.vec_id,
+         |    ${graft.QueryPack.round6Sql(cos)} AS score
+         |  FROM embeddings e CROSS JOIN a
+         |  WHERE e.label <> a.a_label
+         |), ranked AS (
+         |  SELECT anchor_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY anchor_id
+         |                       ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT anchor_id, rank, vec_id AS neighbor_id, score
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY anchor_id, rank""".stripMargin
     },
     "embedding_pca_power" -> {
       val r6 = graft.QueryPack.round6Sql _
