@@ -304,6 +304,65 @@ object DedupQueries extends QueryPack {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Duplicated-span EXTENTS — the substring-dedup shape of Lee et al.
+    // 2022 ("Deduplicating Training Data Makes Language Models Better"):
+    // not just WHETHER two docs share copied material
+    // (dedup_span_overlap) but WHERE and HOW LONG, so the pipeline can
+    // excise the span instead of dropping a whole document. Positional
+    // 8-gram hashes matched across docs; a shared substring of n tokens
+    // is exactly a run of n-7 consecutive gram matches at a CONSTANT
+    // position offset, so runs fall out of the islands trick over
+    // (pair, pa - pb) groups — `pa - row_number()` is constant precisely
+    // on consecutive matches. Per qualifying pair (run >= 5 grams = a
+    // 12+-token copy), the longest extent: token start in both docs +
+    // span length. Scale shape: the positional gram table is the
+    // token-sized artifact a substring-dedup job persists; the
+    // doc-frequency cap bounds join fan-out exactly as in
+    // dedup_span_overlap; island windows key on (pair, diff) — bounded
+    // groups, never a global sort. The planted 20-token excerpts are
+    // recovered exactly: span_tokens = 20 at a_start = 6, b_start = 1.
+    "dedup_span_extents" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val tk = toksOf(col("text"))
+      val corpus = d.select(col("doc_id"), trim(col("text")).as("txt"))
+        .unionByName(d.filter(size(tk) >= 25 && col("doc_id") < 60)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat_ws(" ", slice(tk, lit(6), lit(20))).as("txt")))
+      // POSITIONAL 8-grams — position matters, so no array_distinct
+      val grams = spread(s, corpus, "doc_id")
+        .withColumn("toks", toksOf(col("txt")))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("toks")) - 7),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(8))).cast("binary")))))
+        .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("gram"))
+        .localCheckpoint()
+      val rare = grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= 8).select(col("gram"))
+      val g = grams.join(rare, "gram")
+      val hits = g.select(col("gram"), col("doc_id").as("a_id"), col("p").as("pa"))
+        .join(g.select(col("gram"), col("doc_id").as("b_id"), col("p").as("pb")),
+          "gram")
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("pa"), col("pb"),
+          (col("pa") - col("pb")).as("diff"))
+      val wIsl = Window.partitionBy(col("a_id"), col("b_id"), col("diff"))
+        .orderBy(col("pa"))
+      val runs = hits.withColumn("isl", col("pa") - row_number().over(wIsl))
+        .groupBy(col("a_id"), col("b_id"), col("diff"), col("isl"))
+        .agg(count(lit(1)).as("n_grams"),
+          min(col("pa")).as("a_start"), min(col("pb")).as("b_start"))
+        .filter(col("n_grams") >= 5)
+      val best = Window.partitionBy(col("a_id"), col("b_id"))
+        .orderBy(col("n_grams").desc, col("a_start"), col("b_start"))
+      runs.withColumn("rk", row_number().over(best)).filter(col("rk") === 1)
+        .select(col("a_id"), col("b_id"), col("a_start"), col("b_start"),
+          (col("n_grams") + 7).as("span_tokens"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // 16-bit SimHash per document from token-md5 nibble MSBs (majority
     // vote per bit position, token multiplicity preserved).
     "dedup_simhash" -> ((s, dir) =>
@@ -757,6 +816,53 @@ object DedupQueries extends QueryPack {
            |JOIN rare USING (gram)
            |JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
            |GROUP BY 1, 2 HAVING count(*) >= 3
+           |ORDER BY a_id, b_id""".stripMargin,
+      "dedup_span_extents" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, trim(text) AS txt FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 200000,
+           |    array_to_string(string_split_regex(trim(text), '\\s+')[6:25], ' ')
+           |  FROM documents
+           |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 25 AND doc_id < 60
+           |), gl AS (
+           |  SELECT doc_id, list_transform(range(1, len(toks) - 6),
+           |    i -> md5(array_to_string(toks[i:i+7], ' '))) AS gs
+           |  FROM (SELECT doc_id, string_split_regex(trim(txt), '\\s+') AS toks
+           |        FROM corpus)
+           |  WHERE len(toks) >= 8
+           |), gr AS (
+           |  SELECT doc_id, CAST(generate_subscripts(gs, 1) AS INTEGER) AS p,
+           |    unnest(gs) AS gram
+           |  FROM gl
+           |), rare AS (
+           |  SELECT gram FROM gr GROUP BY gram
+           |  HAVING count(DISTINCT doc_id) <= 8
+           |), hits AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.p AS pa, b.p AS pb,
+           |    a.p - b.p AS diff
+           |  FROM gr a
+           |  JOIN rare USING (gram)
+           |  JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id
+           |), runs AS (
+           |  SELECT a_id, b_id, diff,
+           |    pa - row_number() OVER (PARTITION BY a_id, b_id, diff
+           |                            ORDER BY pa) AS isl,
+           |    pa, pb
+           |  FROM hits
+           |), ext AS (
+           |  SELECT a_id, b_id, count(*) AS n_grams,
+           |    min(pa) AS a_start, min(pb) AS b_start
+           |  FROM runs GROUP BY a_id, b_id, diff, isl
+           |  HAVING count(*) >= 5
+           |), best AS (
+           |  SELECT a_id, b_id, a_start, b_start, n_grams + 7 AS span_tokens,
+           |    row_number() OVER (PARTITION BY a_id, b_id
+           |                       ORDER BY n_grams DESC, a_start, b_start) AS rk
+           |  FROM ext
+           |)
+           |SELECT a_id, b_id, a_start, b_start, span_tokens
+           |FROM best WHERE rk = 1
            |ORDER BY a_id, b_id""".stripMargin,
       "dedup_simhash" -> {
         val hashes = "list_transform(string_split_regex(trim(text), '\\s+'), t -> md5(t))"
