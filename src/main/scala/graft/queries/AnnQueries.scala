@@ -192,6 +192,52 @@ object AnnQueries extends QueryPack {
           org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
     }),
 
+    // Hard-negative mining ON the IVF index — the production path of the
+    // oracle-exact `embedding_hard_negatives` (SimilarityQueries): per
+    // anchor label, one `searchFiltered` probe with the label-COMPLEMENT
+    // allow-list (anchors grouped by label, so the driver-side fan-out is
+    // |labels| calls, never |anchors|), nProbe 6/8 since the complement
+    // keeps ~90% of candidates. Verdict rows: (q_id, rank) skeleton +
+    // `in_filter` (every surfaced negative truly carries a different
+    // label) + family recall >= 0.9 vs the exact labeled top-k — all
+    // DuckDB-predicted booleans, hash-checked.
+    "ann_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val k = 3
+      val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
+      val built = IvfIndex.openOrBuild(s, ivf, s"$dir/embeddings.parquet",
+        "vec_id", "embedding")
+      val anchors = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .localCheckpoint()
+      val labels = anchors.select(col("label")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val approx = labels.map { l =>
+        ivf.searchFiltered(built, anchors.filter(col("label") === l),
+          "vec_id", "embedding", k,
+          emb.filter(col("label") =!= l).select(col("vec_id").as("id")))
+      }.reduce(_ unionByName _)
+      val al = anchors.select(col("vec_id").as("q_id"),
+        col("label").as("a_label"), col("embedding").as("q_emb"))
+      val flagged = approx
+        .join(broadcast(al.select(col("q_id"), col("a_label"))), Seq("q_id"))
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), Seq("neighbor_id"))
+        .withColumn("in_filter", col("n_label") =!= col("a_label"))
+        .select(col("q_id"), col("neighbor_id"), col("rank"), col("in_filter"))
+      val exact = emb.crossJoin(broadcast(al))
+        .filter(col("label") =!= col("a_label"))
+        .select(col("q_id"), col("vec_id"),
+          graft.functions.VectorFunctions.cosineSim(col("embedding"), col("q_emb"))
+            .as("cos"))
+        .groupBy(col("q_id"))
+        .agg(graft.functions.TopKByScore(k)(col("cos"), col("vec_id")).as("hits"))
+        .select(col("q_id"), explode(col("hits.id")).as("neighbor_id"))
+      verdict(flagged, exact, extra = Seq("in_filter"),
+        alsoRequire = min(col("in_filter")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+    }),
+
     // Product-quantization batch kNN join — the compressed-index family
     // (codes are m bytes/vector, 32x smaller than float32): ADC lookup
     // shortlist over the code table, then exact re-rank of the shortlist
@@ -445,6 +491,7 @@ object AnnQueries extends QueryPack {
       "ann_pq_knn" -> knnSkeleton(20, 3),
       "ann_ivfpq_knn" -> knnSkeleton(20, 3),
       "ann_ivf_filtered_knn" -> knnSkeleton(20, 3, " true AS in_filter,"),
+      "ann_hard_negatives" -> knnSkeleton(20, 3, " true AS in_filter,"),
       "ann_indexed_rewrite" -> knnSkeleton(5, 10),
       "ann_indexed_filtered_rewrite" -> knnSkeleton(5, 10, " true AS in_filter,"),
       "ann_indexed_rewrite_sql" -> knnSkeleton(3, 10),
