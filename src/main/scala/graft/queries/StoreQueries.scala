@@ -37,6 +37,26 @@ object StoreQueries extends QueryPack {
   private val batchKeys = Seq("7", "19", "23", "111", "9999")
   private def batchKeysSql = batchKeys.map(k => s"'$k'").mkString(", ")
 
+  /** The synthesized versioned mutation log (seq 0..2 of 'U'ploads and
+    * 'D'elete tombstones over the collection) shared by `store_asof_read`
+    * and `store_vacuum` — deterministic from vec_id so the DuckDB oracle
+    * rebuilds it verbatim. */
+  private def mutationLog(s: SparkSession, dir: String): DataFrame = {
+    val base = coll(s, dir).select(col("key"), col("label"))
+    val kl = col("key").cast("long")
+    base
+      .select(col("key"), col("label"), lit(0L).as("_seq"), lit("U").as("op"))
+      .unionByName(base.filter(kl % 5 === 1)
+        .select(col("key"), (col("label") + 1000).as("label"),
+          lit(1L).as("_seq"), lit("U").as("op")))
+      .unionByName(base.filter(kl % 5 === 2)
+        .select(col("key"), lit(null).cast("int").as("label"),
+          lit(1L).as("_seq"), lit("D").as("op")))
+      .unionByName(base.filter(kl % 5 === 3)
+        .select(col("key"), (col("label") + 2000).as("label"),
+          lit(2L).as("_seq"), lit("U").as("op")))
+  }
+
   override def queries: Map[String, Q] = Map(
     "store_point_get" -> ((s, dir) =>
       coll(s, dir).filter(col("key") === "42").select(col("key"), col("label"))),
@@ -88,26 +108,43 @@ object StoreQueries extends QueryPack {
     // shuffle, unlike the sort-the-world row_number spelling the LWW
     // upsert uses (there the window is the point; here the agg is).
     "store_asof_read" -> ((s, dir) => {
-      val base = coll(s, dir).select(col("key"), col("label"))
-      val kl = col("key").cast("long")
-      val log = base
-        .select(col("key"), col("label"), lit(0L).as("_seq"), lit("U").as("op"))
-        .unionByName(base.filter(kl % 5 === 1)
-          .select(col("key"), (col("label") + 1000).as("label"),
-            lit(1L).as("_seq"), lit("U").as("op")))
-        .unionByName(base.filter(kl % 5 === 2)
-          .select(col("key"), lit(null).cast("int").as("label"),
-            lit(1L).as("_seq"), lit("D").as("op")))
-        .unionByName(base.filter(kl % 5 === 3)
-          .select(col("key"), (col("label") + 2000).as("label"),
-            lit(2L).as("_seq"), lit("U").as("op")))
-      log.filter(col("_seq") <= 1)
+      mutationLog(s, dir).filter(col("_seq") <= 1)
         .groupBy(col("key"))
         .agg(max(struct(col("_seq"), col("op"), col("label"))).as("v"))
         .filter(col("v.op") =!= "D")
         .select(col("key"), col("v.label").as("label"),
           col("v._seq").as("version"))
         .orderBy(col("key"))
+    }),
+
+    // VACUUM — the retention pass that keeps a versioned mutation log
+    // from growing without bound (the Delta/Iceberg VACUUM + log-compact
+    // shape, and the missing lifecycle step after store_asof_read /
+    // store_merge_cdc / store_snapshot_diff): at horizon v, every
+    // pre-horizon row that a reader at or after v could still observe is
+    // kept — i.e. exactly the LATEST _seq <= v row per key — and delete
+    // tombstones at the horizon are folded away entirely (the key is
+    // simply absent until a later re-insert). Post-horizon rows are
+    // untouched, so asof(w) for any w >= v is IDENTICAL over the
+    // vacuumed log — which is precisely what the oracle proves: the
+    // retained row set is reproduced from scratch by DuckDB, so a vacuum
+    // that dropped a still-visible row or kept a superseded one cannot
+    // hash-match. Scale shape: one max(struct) PARTIAL AGG over the
+    // pre-horizon slice (one candidate per task × key crosses the
+    // shuffle) + a map-side seq filter — never a whole-log sort; at
+    // 100 TB the pre-horizon slice is the old partitions of a
+    // seq-partitioned log, read once and rewritten compacted.
+    "store_vacuum" -> ((s, dir) => {
+      val horizon = 1L
+      val log = mutationLog(s, dir).localCheckpoint()
+      val keepPre = log.filter(col("_seq") <= horizon)
+        .groupBy(col("key"))
+        .agg(max(struct(col("_seq"), col("op"), col("label"))).as("v"))
+        .filter(col("v.op") =!= "D")
+        .select(col("key"), col("v.label").as("label"),
+          col("v._seq").as("_seq"), col("v.op").as("op"))
+      keepPre.unionByName(log.filter(col("_seq") > horizon))
+        .orderBy(col("key"), col("_seq"))
     }),
 
     // CDC merge: apply one change batch (inserts + updates + deletes) to
@@ -341,6 +378,30 @@ object StoreQueries extends QueryPack {
          |FROM vis v JOIN latest m ON v.key = m.key AND v._seq = m.ms
          |WHERE v.op <> 'D'
          |ORDER BY v.key""".stripMargin,
+    "store_vacuum" ->
+      s"""WITH base AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS key, label FROM embeddings
+         |), log AS (
+         |  SELECT key, label, 0 AS _seq, 'U' AS op FROM base
+         |  UNION ALL
+         |  SELECT key, label + 1000, 1, 'U' FROM base
+         |  WHERE CAST(key AS BIGINT) % 5 = 1
+         |  UNION ALL
+         |  SELECT key, NULL, 1, 'D' FROM base
+         |  WHERE CAST(key AS BIGINT) % 5 = 2
+         |  UNION ALL
+         |  SELECT key, label + 2000, 2, 'U' FROM base
+         |  WHERE CAST(key AS BIGINT) % 5 = 3
+         |), pre AS (
+         |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY _seq DESC) AS rn
+         |  FROM log WHERE _seq <= 1
+         |)
+         |SELECT key, label, CAST(_seq AS BIGINT) AS _seq, op
+         |FROM pre WHERE rn = 1 AND op <> 'D'
+         |UNION ALL
+         |SELECT key, label, CAST(_seq AS BIGINT), op
+         |FROM log WHERE _seq > 1
+         |ORDER BY key, _seq""".stripMargin,
     "store_merge_cdc" ->
       """WITH snap AS (
         |  SELECT CAST(vec_id AS VARCHAR) AS key, label FROM embeddings
