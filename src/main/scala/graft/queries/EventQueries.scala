@@ -35,6 +35,27 @@ object EventQueries extends QueryPack {
         .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
         .orderBy(col("w_start"), col("event_type"))),
 
+    // Per-window top-k ("trending"): the heaviest users of each 1-hour
+    // window. Two bounded partial-agg shuffles — the (window, user)
+    // count, then TopKByScore per window, so only partitions × k
+    // candidate rows per window cross the second shuffle and the final
+    // state is k rows per window however many distinct users exist.
+    // The same two-agg shape runs as an update-mode streaming trending
+    // query with watermark-bounded window state.
+    "events_windowed_topk" -> ((s, dir) => {
+      val counts = events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("user_id"), col("n"))
+      counts.groupBy(col("w_start"))
+        .agg(graft.functions.TopKByScore(3)(col("n").cast("double"),
+          col("user_id")).as("hits"))
+        .select(col("w_start"), posexplode(col("hits")))
+        .select(col("w_start"), (col("pos") + 1).as("rank"),
+          col("col.id").as("user_id"), col("col.score").cast("long").as("n_events"))
+        .orderBy(col("w_start"), col("rank"))
+    }),
+
     // Sliding windows: 1-hour duration every 30 minutes (each event lands
     // in exactly 2 windows).
     "events_sliding_1h_30m" -> ((s, dir) =>
@@ -954,6 +975,19 @@ object EventQueries extends QueryPack {
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_windowed_topk" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS w_start, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT w_start, user_id, n,
+        |    row_number() OVER (PARTITION BY w_start
+        |                       ORDER BY n DESC, user_id) AS rank
+        |  FROM c
+        |)
+        |SELECT w_start, CAST(rank AS INTEGER) AS rank, user_id,
+        |  CAST(n AS BIGINT) AS n_events
+        |FROM r WHERE rank <= 3 ORDER BY w_start, rank""".stripMargin,
     "events_sliding_1h_30m" ->
       """WITH b AS (
         |  SELECT ts, date_trunc('hour', ts)
