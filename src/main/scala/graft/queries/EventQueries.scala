@@ -40,8 +40,9 @@ object EventQueries extends QueryPack {
     // count, then TopKByScore per window, so only partitions × k
     // candidate rows per window cross the second shuffle and the final
     // state is k rows per window however many distinct users exist.
-    // The same two-agg shape runs as an update-mode streaming trending
-    // query with watermark-bounded window state.
+    // The same two-agg shape runs STANDING as
+    // `EventStreams.trendingTopK` (chained stateful aggregations,
+    // append mode, k-rows-per-window state) — parity spec'd.
     "events_windowed_topk" -> ((s, dir) => {
       val counts = events(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))

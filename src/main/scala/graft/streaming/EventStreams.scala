@@ -56,6 +56,29 @@ object EventStreams {
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Per-window top-k heavy users — the standing "trending" query
+    * (streaming form of the oracle-checked `events_windowed_topk`). TWO
+    * CHAINED stateful aggregations riding Spark's multiple-stateful-
+    * operator support: the (window, user) count finalizes at the
+    * watermark and feeds the per-window bounded TopKByScore aggregate,
+    * so the second operator's state is k hits per open window however
+    * many distinct users the stream carries — the state bound that keeps
+    * a trending dashboard alive at 100 TB/day. Append mode: each
+    * window's top-k emits exactly once, when the watermark closes it
+    * (parity with the batch spelling pinned by EventStreamsSpec). */
+  def trendingTopK(events: DataFrame, k: Int = 3,
+      window: String = "1 hour", watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("w"))
+      .agg(graft.functions.TopKByScore(k)(col("n").cast("double"),
+        col("user_id")).as("hits"))
+      .select(col("w.start").as("w_start"), posexplode(col("hits")))
+      .select(col("w_start"), (col("pos") + 1).as("rank"),
+        col("col.id").as("user_id"), col("col.score").cast("long").as("n_events"))
+
   /** Per-user session windows with an inactivity gap (streaming analog of
     * `events_session_2h`; watermark required by Spark in append mode). */
   def sessionCounts(events: DataFrame, gap: String = "2 hours",

@@ -66,6 +66,35 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       s"only ${streamed.size} of ${batch.size} sessions emitted")
   }
 
+  test("trendingTopK: chained stateful aggs emit closed windows matching batch") {
+    val q = EventStreams.trendingTopK(streamEvents)
+      .writeStream.format("memory").queryName("trending_parity")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("trending_parity").collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("w"))
+      .agg(graft.functions.TopKByScore(3)(col("n").cast("double"),
+        col("user_id")).as("hits"))
+      .select(col("w.start").as("w_start"), posexplode(col("hits")))
+      .select(col("w_start"), (col("pos") + 1).as("rank"),
+        col("col.id").as("user_id"), col("col.score").cast("long").as("n_events"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+    // append mode only emits watermark-CLOSED windows; every emitted
+    // top-k row must match batch exactly, and nearly every window closes
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"streamed rows not in batch: ${(streamed -- batch).take(3)}")
+    assert(streamed.size >= (batch.size * 0.9).toInt,
+      s"only ${streamed.size} of ${batch.size} trending rows emitted")
+  }
+
   test("watermark drops events older than the horizon in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
