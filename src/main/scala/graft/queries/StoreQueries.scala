@@ -306,6 +306,84 @@ object StoreQueries extends QueryPack {
     // round-tripped read parallelizes exactly like the parquet scan;
     // the oracle computes the same rollup straight from the parquet
     // table, so the hash match IS the losslessness proof.
+    // CSV interchange — the other line-splittable ingest staple. The
+    // fixture text is CSV-benign, so a CSV-HOSTILE variant (embedded
+    // comma + double quotes) is derived for every 7th doc before the
+    // write: the write must quote those fields and escape the embedded
+    // quotes, and the explicit-schema read must undo both. The oracle
+    // derives the same variant from the parquet table and content-hashes
+    // it, so any quoting/escaping loss (or a schema-inference drift —
+    // the read is explicit-schema, no inference scan) breaks the hash.
+    "source_csv_roundtrip" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft-csv-rt-${Integer.toHexString(dir.hashCode)}"
+      val hostile = t(s, dir, "documents")
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(""", he said "ok"""")))
+          .otherwise(col("text")))
+      hostile.write.mode("overwrite").option("header", "true").csv(path)
+      val back = s.read
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("header", "true").csv(path)
+      back.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash"))
+        .orderBy(col("lang"))
+    }),
+
+    // ORC interchange — the other columnar on-disk format Spark ships
+    // natively (a warehouse migrating to this engine arrives with ORC as
+    // often as parquet). Same lossless-cycle proof as the JSONL/CSV
+    // roundtrips: write ORC, explicit read, per-language rollup with a
+    // content-hash rider; the oracle aggregates the parquet table
+    // directly, so the hash match proves the ORC cycle byte-lossless.
+    "source_orc_roundtrip" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft-orc-rt-${Integer.toHexString(dir.hashCode)}"
+      t(s, dir, "documents").write.mode("overwrite").orc(path)
+      val back = s.read.orc(path)
+      back.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash"))
+        .orderBy(col("lang"))
+    }),
+
+    // Schema EVOLUTION read — the ingest reality a long-lived corpus
+    // faces: early snapshot files lack columns later ones carry. Writes
+    // two generations into one dataset dir (v1 = doc_id/lang only, even
+    // ids; v2 adds text + n_chars, odd ids) and reads them UNIFIED via
+    // parquet mergeSchema; v1 rows surface the added columns as NULL,
+    // which the rollup makes driver-visible (n_with_text vs n_docs).
+    // The oracle recomputes the same split from the parquet table, so a
+    // read that dropped v1 rows, misaligned columns, or invented
+    // non-null defaults cannot hash-match.
+    "source_schema_evolution" -> ((s, dir) => {
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft-evo-${Integer.toHexString(dir.hashCode)}"
+      val d = t(s, dir, "documents")
+      d.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+      d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$path/gen=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("text")).as("n_with_text"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
+
     "source_jsonl_roundtrip" -> ((s, dir) => {
       val path = sys.props("java.io.tmpdir") +
         s"/graft-jsonl-rt-${Integer.toHexString(dir.hashCode)}"
@@ -480,6 +558,33 @@ object StoreQueries extends QueryPack {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
         |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS text_hash
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // same parquet-direct oracle, with the CSV-hostile variant applied
+    // to every 7th doc exactly as the Spark side does before its write
+    "source_csv_roundtrip" ->
+      """WITH v AS (
+        |  SELECT lang, n_chars, doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ', he said "ok"'
+        |         ELSE text END AS text
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS text_hash
+        |FROM v GROUP BY lang ORDER BY lang""".stripMargin,
+    "source_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS text_hash
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "source_schema_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_text,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
