@@ -206,6 +206,52 @@ object MediaCodecs {
     } finally in.close()
   }
 
+  /** Frame-level activity segmentation (VAD shape) over DECODED 16-bit
+    * PCM: 160-sample frames (20 ms at 8 kHz), a frame is ACTIVE iff its
+    * mean |amplitude| exceeds the clip's global mean — compared
+    * cross-multiplied so no float appears and the segmentation is
+    * bit-exact reproducible from the sample values (same discipline as
+    * [[audioFingerprint64]], which is what lets the DuckDB oracle verify
+    * the REAL decode path from the generator formula). Returns
+    * (n_frames, n_active, n_spans, longest_span) where spans are maximal
+    * runs of consecutive active frames — the speech-segment extents an
+    * audio curation pipeline keeps. */
+  def audioVad(bytes: Array[Byte], frameLen: Int = 160): (Int, Int, Int, Int) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected 16-bit mono PCM, got $fmt")
+      val pcm = in.readAllBytes()
+      val n = pcm.length / 2
+      val nFrames = (n + frameLen - 1) / frameLen
+      val fSum = new Array[Long](nFrames)
+      val fN = new Array[Long](nFrames)
+      var totalSum = 0L
+      var i = 0
+      while (i < n) {
+        val lo = pcm(2 * i) & 0xff
+        val hi = pcm(2 * i + 1).toInt
+        val amp = math.abs((hi << 8) | lo).toLong
+        val k = i / frameLen
+        fSum(k) += amp; fN(k) += 1; totalSum += amp
+        i += 1
+      }
+      var nActive = 0; var nSpans = 0; var longest = 0; var cur = 0
+      var k = 0
+      while (k < nFrames) {
+        if (fSum(k) * n > totalSum * fN(k)) {
+          if (cur == 0) nSpans += 1
+          cur += 1; nActive += 1
+          if (cur > longest) longest = cur
+        } else cur = 0
+        k += 1
+      }
+      (nFrames, nActive, nSpans, longest)
+    } finally in.close()
+  }
+
   /** REAL multi-frame video container encode: animated GIF through the
     * JDK GIF sequence writer (the one video-ish container the JDK can
     * both write and demux; no external codec libraries exist here).
@@ -483,6 +529,20 @@ object MultimodalOps {
         (r.media_id, hi, lo)
       }
       .toDF("media_id", "fp_hi", "fp_lo")
+  }
+
+  /** Per-clip activity segmentation ([[MediaCodecs.audioVad]]) over REAL
+    * WAV decodes — the speech-extent audit an audio curation pipeline
+    * runs before transcription (keep clips with speech, drop silence). */
+  def audioVadCatalog(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fromDocuments(docs, Some("audio")).as[MediaRow]
+      .map { r =>
+        val (nf, na, ns, ls) = MediaCodecs.audioVad(r.content)
+        (r.media_id, nf, na, ns, ls)
+      }
+      .toDF("media_id", "n_frames", "n_active", "n_spans", "longest_span")
   }
 
   def videoFrameCatalog(docs: DataFrame, maxFrames: Int = 6): DataFrame = {

@@ -131,6 +131,17 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    // Frame-level activity segmentation (VAD shape) per clip over REAL
+    // WAV decodes: 160-sample frames, active iff frame mean |amplitude|
+    // beats the clip mean (integer cross-multiplied), speech-span
+    // extents via consecutive-run scanning. The oracle re-derives every
+    // count from the generator formula with the islands trick, so a
+    // decode missing any sample — or a segmentation off by one frame —
+    // cannot match.
+    "multimodal_audio_vad" -> ((s, dir) =>
+      MultimodalOps.audioVadCatalog(t(s, dir, "documents"))
+        .orderBy(col("media_id"))),
+
     // REAL video demux: per-doc animated GIFs (JDK GIF writer) parsed
     // back through the JDK GIF reader; frame index and geometry come
     // from the DECODER, and the oracle derives the same values from the
@@ -312,6 +323,46 @@ object MultimodalQueries extends QueryPack {
         |SELECT media_id, fp_hi, fp_lo,
         |  count(*) OVER (PARTITION BY fp_hi, fp_lo) AS dup_group_size
         |FROM hashes ORDER BY media_id""".stripMargin,
+    "multimodal_audio_vad" ->
+      """WITH aud AS (
+        |  SELECT doc_id AS media_id, CAST(256 + doc_id % 512 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), sx AS (
+        |  SELECT media_id, n, unnest(range(n)) AS i FROM aud
+        |), s AS (
+        |  SELECT media_id, n, i // 160 AS k,
+        |    abs(((media_id*131 + i*7919) % 65536) - 32768) AS a
+        |  FROM sx
+        |), fr AS (
+        |  SELECT media_id, k, sum(a) AS fsum, count(*) AS fn
+        |  FROM s GROUP BY media_id, k
+        |), tot AS (
+        |  SELECT media_id, max(n) AS tn, sum(a) AS tsum
+        |  FROM s GROUP BY media_id
+        |), act AS (
+        |  SELECT f.media_id, f.k,
+        |    CASE WHEN f.fsum * t.tn > t.tsum * f.fn THEN 1 ELSE 0 END AS active
+        |  FROM fr f JOIN tot t USING (media_id)
+        |), base AS (
+        |  SELECT media_id, CAST(count(*) AS INTEGER) AS n_frames,
+        |    CAST(sum(active) AS INTEGER) AS n_active
+        |  FROM act GROUP BY media_id
+        |), isl AS (
+        |  SELECT media_id,
+        |    k - row_number() OVER (PARTITION BY media_id ORDER BY k) AS g
+        |  FROM act WHERE active = 1
+        |), runs AS (
+        |  SELECT media_id, g, count(*) AS run FROM isl GROUP BY media_id, g
+        |), per AS (
+        |  SELECT media_id, count(*) AS n_spans, max(run) AS longest
+        |  FROM runs GROUP BY media_id
+        |)
+        |SELECT b.media_id, b.n_frames, b.n_active,
+        |  CAST(coalesce(p.n_spans, 0) AS INTEGER) AS n_spans,
+        |  CAST(coalesce(p.longest, 0) AS INTEGER) AS longest_span
+        |FROM base b LEFT JOIN per p USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
     // videoFrameCatalog caps frames at 6; dims/frame-count formulas match
     // mediaMeta. The decoder must reproduce all three.
     "multimodal_video_frames" ->

@@ -75,6 +75,56 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(bytes.sameElements(MediaCodecs.encodeWav(7, 100)))
   }
 
+  test("audioVad segments frames by integer cross-multiplied activity") {
+    // Hand-built 8-sample clip, frameLen=2 -> 4 frames with mean |amp|
+    // 100, 500, 100, 500 vs clip mean 300: active pattern 0,1,0,1 ->
+    // 2 active frames in 2 spans, longest run 1.
+    val amps = Array(100, 100, 500, 500, 100, 100, 500, 500)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](amps.length * 2)
+    amps.zipWithIndex.foreach { case (a, i) =>
+      pcm(2 * i) = (a & 0xff).toByte; pcm(2 * i + 1) = ((a >> 8) & 0xff).toByte
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, amps.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    assert(MediaCodecs.audioVad(out.toByteArray, frameLen = 2) == ((4, 2, 2, 1)))
+    // One contiguous active block: 100,100,500,500 -> frames 0,1 inactive?
+    // means 100, 500 vs clip mean 300 -> pattern 0,1 -> 1 span of length 1;
+    // flip to 500,500,100,100 -> pattern 1,0 -> still 1 span, starts at 0.
+    val amps2 = Array(500, 500, 100, 100)
+    val pcm2 = new Array[Byte](amps2.length * 2)
+    amps2.zipWithIndex.foreach { case (a, i) =>
+      pcm2(2 * i) = (a & 0xff).toByte; pcm2(2 * i + 1) = ((a >> 8) & 0xff).toByte
+    }
+    val out2 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm2), fmt, amps2.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out2)
+    assert(MediaCodecs.audioVad(out2.toByteArray, frameLen = 2) == ((2, 1, 1, 1)))
+  }
+
+  test("audioVad on an encodeWav clip matches a scalar re-derivation") {
+    val id = 13L; val n = 256 + (id % 512).toInt
+    val amps = (0 until n).map(i => math.abs(((id * 131 + i.toLong * 7919) % 65536) - 32768))
+    val frames = amps.grouped(160).toArray
+    val total = amps.sum; val nTot = amps.length.toLong
+    val active = frames.map(f => f.sum * nTot > total * f.length)
+    val runs = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var cur = 0
+      active.foreach { a => if (a) cur += 1 else { if (cur > 0) b += cur; cur = 0 } }
+      if (cur > 0) b += cur
+      b.toSeq
+    }
+    val expected = (frames.length, active.count(identity), runs.length,
+      if (runs.isEmpty) 0 else runs.max)
+    assert(MediaCodecs.audioVad(MediaCodecs.encodeWav(id, n)) == expected)
+  }
+
   test("decodeAudioFeatures computes the histogram of the DECODED samples") {
     // 2 samples: min (-32768 -> bin 0) and max (32767 -> bin 15)
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
