@@ -191,39 +191,7 @@ object GraphQueries extends QueryPack {
     // naive canonical 3-way-join oracle proves the orientation finds
     // every triangle exactly once.
     "graph_knn_triangles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val K = 5
-      // Discriminative-part cut: a part supplied by everyone carries no
-      // co-supply signal and contributes C(fan, 2) pair rows — the same
-      // document-frequency cut as dedup_span_overlap's stop-gram cap.
-      // The threshold is DERIVED FROM THE FAN DISTRIBUTION in-plan
-      // (mean fan — the classic above-average-df stopword rule), not a
-      // corpus-tuned constant (r5 shipped FanCap=24, correct for sf0.1
-      // only): the 1-row mean broadcasts into the filter, so the same
-      // code binds proportionally at every SF. At sf0.1 this keeps the
-      // pair build at 6.6M rows vs the dense 17.4M of the COMPLETE
-      // co-occurrence graph, where per-pair partial aggregation stops
-      // compressing because nearly all supplier pairs co-occur.
-      val psAll = t(s, dir, "lineitem")
-        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-        .distinct()
-      val fans = psAll.groupBy(col("pk")).agg(count(lit(1)).as("fan"))
-      val meanFan = fans.agg(avg(col("fan")).as("cap"))
-      val rareParts = fans.crossJoin(broadcast(meanFan))
-        .filter(col("fan") <= col("cap"))
-        .select(col("pk"))
-      val ps = psAll.join(broadcast(rareParts), Seq("pk"), "left_semi")
-      val co = ps.as("x").join(ps.as("y"),
-          col("x.pk") === col("y.pk") && col("x.sk") =!= col("y.sk"))
-        .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))
-        .agg(count(lit(1)).as("n_shared"))
-      val byStrength = Window.partitionBy("u")
-        .orderBy(col("n_shared").desc, col("v"))
-      val edges = co.withColumn("rk", row_number().over(byStrength))
-        .filter(col("rk") <= K)
-        .select(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b"))
-        .distinct().localCheckpoint()
+      val edges = coSupplyKnnEdges(s, dir, 5)
       val deg = edges.select(col("a").as("n"))
         .unionByName(edges.select(col("b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -254,8 +222,94 @@ object GraphQueries extends QueryPack {
         .select(col("s_suppkey"), col("deg"), col("n_triangles"))
         .orderBy(col("n_triangles").desc, col("s_suppkey"))
         .limit(20)
+    }),
+
+    // Link prediction over the same K-NN co-supply graph — the graph
+    // family's fourth member (components = reachability, PageRank =
+    // centrality, LPA = communities, this = missing-edge inference, the
+    // "suppliers who should co-supply but don't" recommendation). Every
+    // non-adjacent pair with >= 1 common neighbor is scored by
+    // common-neighbor count, Jaccard overlap, and the resource-allocation
+    // index (Zhou, Lü & Zhang 2009, Σ_m 1/deg(m) over shared neighbors m)
+    // — RA rather than Adamic-Adar because 1/deg is an EXACTLY-ROUNDED
+    // IEEE division (log is not even 1-ulp-pinned across libm builds), so
+    // per-term round6 + DECIMAL sum is bit-identical on both engines:
+    // the graph_pagerank determinism discipline.
+    //
+    // Scale shape: candidate generation is ONE self-equi-join of the
+    // adjacency list on the middle node, whose fan-out is bounded by the
+    // kNN construction (deg <= 2K whatever the corpus size) — no hub
+    // blowup, no all-pairs anywhere. Scores are partial-agg sums, the
+    // non-edge check is one anti-join on the ordered pair, and only the
+    // 50-row answer ever sorts (TakeOrdered, not a global sort).
+    "graph_link_predict" -> ((s, dir) => {
+      val edges = coSupplyKnnEdges(s, dir, 5)
+      val adj = edges.select(col("a").as("mid"), col("b").as("nb"))
+        .unionByName(edges.select(col("b").as("mid"), col("a").as("nb")))
+      val deg = adj.groupBy(col("mid")).agg(count(lit(1)).as("deg"))
+      val adjDeg = adj.join(deg, "mid")
+      val cand = adjDeg.as("x").join(adjDeg.as("y"),
+          col("x.mid") === col("y.mid") && col("x.nb") < col("y.nb"))
+        .groupBy(col("x.nb").as("u"), col("y.nb").as("v"))
+        .agg(count(lit(1)).as("cn"),
+          sum(round6(lit(1.0) / col("x.deg"))
+            .cast(DecimalType(27, 6))).as("ra_sum"))
+      val nonEdges = cand.join(edges,
+        cand("u") === edges("a") && cand("v") === edges("b"), "left_anti")
+      nonEdges
+        .join(deg.select(col("mid").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("mid").as("v"), col("deg").as("dv")), "v")
+        .select(col("u"), col("v"), col("cn"),
+          round6(col("cn") / (col("du") + col("dv") - col("cn")))
+            .as("jaccard"),
+          round6(col("ra_sum").cast("double")).as("ra"))
+        .orderBy(col("cn").desc, col("ra").desc, col("u"), col("v"))
+        .limit(50)
     })
   )
+
+  /** Each supplier's K strongest co-suppliers (most shared parts, tie by
+    * id) as an undirected `(a < b)` edge list — the shared graph base of
+    * `graph_knn_triangles` and `graph_link_predict`. Shape: the same as
+    * an embedding kNN graph, scale-stable at any SF because K bounds
+    * out-degree regardless of corpus size (an absolute co-supply
+    * threshold goes empty at sf0.001 and dense at sf0.1).
+    *
+    * Discriminative-part cut: a part supplied by everyone carries no
+    * co-supply signal and contributes C(fan, 2) pair rows — the same
+    * document-frequency cut as dedup_span_overlap's stop-gram cap. The
+    * threshold is DERIVED FROM THE FAN DISTRIBUTION in-plan (mean fan —
+    * the classic above-average-df stopword rule), not a corpus-tuned
+    * constant (r5 shipped FanCap=24, correct for sf0.1 only): the 1-row
+    * mean broadcasts into the filter, so the same code binds
+    * proportionally at every SF. At sf0.1 this keeps the pair build at
+    * 6.6M rows vs the dense 17.4M of the COMPLETE co-occurrence graph,
+    * where per-pair partial aggregation stops compressing because nearly
+    * all supplier pairs co-occur. */
+  private def coSupplyKnnEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val psAll = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct()
+    val fans = psAll.groupBy(col("pk")).agg(count(lit(1)).as("fan"))
+    val meanFan = fans.agg(avg(col("fan")).as("cap"))
+    val rareParts = fans.crossJoin(broadcast(meanFan))
+      .filter(col("fan") <= col("cap"))
+      .select(col("pk"))
+    val ps = psAll.join(broadcast(rareParts), Seq("pk"), "left_semi")
+    val co = ps.as("x").join(ps.as("y"),
+        col("x.pk") === col("y.pk") && col("x.sk") =!= col("y.sk"))
+      .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))
+      .agg(count(lit(1)).as("n_shared"))
+    val byStrength = Window.partitionBy("u")
+      .orderBy(col("n_shared").desc, col("v"))
+    co.withColumn("rk", row_number().over(byStrength))
+      .filter(col("rk") <= k)
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct().localCheckpoint()
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "graph_communities" -> {
@@ -388,6 +442,57 @@ object GraphQueries extends QueryPack {
         |)
         |SELECT p.s_suppkey, d.deg, p.n_triangles
         |FROM pernode p JOIN deg d ON d.n = p.s_suppkey
-        |ORDER BY p.n_triangles DESC, p.s_suppkey LIMIT 20""".stripMargin
+        |ORDER BY p.n_triangles DESC, p.s_suppkey LIMIT 20""".stripMargin,
+
+    // Same kNN edge derivation as graph_knn_triangles, then textbook
+    // CN/Jaccard/RA from the adjacency list. The RA sum mirrors the
+    // pagerank decimal discipline: round6 per term, DECIMAL(27,6) sum,
+    // VARCHAR->DOUBLE conversion (DuckDB's direct decimal->double cast
+    // is not correctly rounded).
+    "graph_link_predict" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      val raSum = "CAST(CAST(sum(CAST(" +
+        r6("1e0 / d.deg") + " AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)"
+      s"""WITH ps_all AS (
+         |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+         |), ps AS (
+         |  SELECT pk, sk FROM ps_all
+         |  WHERE pk IN (SELECT pk FROM ps_all GROUP BY pk
+         |               HAVING count(*) <= (
+         |                 SELECT avg(fan) FROM (
+         |                   SELECT count(*) AS fan FROM ps_all GROUP BY pk)))
+         |), co AS (
+         |  SELECT x.sk AS u, y.sk AS v, count(*) AS n_shared
+         |  FROM ps x JOIN ps y ON x.pk = y.pk AND x.sk <> y.sk
+         |  GROUP BY x.sk, y.sk
+         |), knn AS (
+         |  SELECT u, v FROM (
+         |    SELECT u, v, row_number() OVER (
+         |      PARTITION BY u ORDER BY n_shared DESC, v) AS rk
+         |    FROM co)
+         |  WHERE rk <= 5
+         |), edges AS MATERIALIZED (
+         |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM knn
+         |), adj AS (
+         |  SELECT a AS mid, b AS nb FROM edges
+         |  UNION ALL SELECT b, a FROM edges
+         |), deg AS (
+         |  SELECT mid, count(*) AS deg FROM adj GROUP BY mid
+         |), cand AS (
+         |  SELECT x.nb AS u, y.nb AS v, count(*) AS cn, $raSum AS ra_raw
+         |  FROM adj x
+         |  JOIN adj y ON x.mid = y.mid AND x.nb < y.nb
+         |  JOIN deg d ON d.mid = x.mid
+         |  GROUP BY x.nb, y.nb
+         |)
+         |SELECT c.u, c.v, c.cn,
+         |  ${r6("c.cn / (du.deg + dv.deg - c.cn)")} AS jaccard,
+         |  ${r6("ra_raw")} AS ra
+         |FROM cand c
+         |JOIN deg du ON du.mid = c.u
+         |JOIN deg dv ON dv.mid = c.v
+         |WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.a = c.u AND e.b = c.v)
+         |ORDER BY cn DESC, ra DESC, u, v LIMIT 50""".stripMargin
+    }
   )
 }
