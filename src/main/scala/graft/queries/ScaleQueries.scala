@@ -452,6 +452,56 @@ object ScaleQueries extends QueryPack {
           min(floor(col("o_totalprice")).cast("long")).as("lo"),
           max(floor(col("o_totalprice")).cast("long")).as("hi"))
         .orderBy(col("o_orderpriority"), col("tile"))
+    }),
+
+    // Bucketed co-location — the layout feature that DELETES the shuffle
+    // instead of surviving it (the salting/AQE patterns above make skewed
+    // shuffles safe; bucketing makes the recurring fact-to-fact join
+    // shuffle not exist). Both tables are written `bucketBy(8, orderkey)
+    // .sortBy(orderkey)`; a bucketed scan exposes hash-partitioning on
+    // the bucket key, so the merge join's clustering requirement is
+    // already satisfied — and the per-ORDER aggregate's too, because
+    // hash(o_orderkey) co-locates every (o_orderkey, o_orderpriority)
+    // group. The whole join + aggregate runs with ZERO exchanges (limit
+    // is TakeOrdered, also exchange-free), which at 100 TB is the
+    // difference between re-shuffling both fact tables on every join of
+    // a hot key path and never shuffling them after the one-time layout
+    // write. The `shuffle_free` column is read off the EXECUTED plan
+    // (no ShuffleExchange + the join is the hinted SortMergeJoin), so the
+    // driver's hash compare fails if the layout ever stops eliding the
+    // shuffle; the revenue rows hash-check against DuckDB's plain join.
+    "layout_bucketed_join" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val wh = java.nio.file.Files.createTempDirectory("graft_buckets")
+        .toString
+      def bucketWrite(df: org.apache.spark.sql.DataFrame, key: String,
+          table: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        df.write.bucketBy(8, key).sortBy(key)
+          .option("path", s"$wh/$table").mode("overwrite").saveAsTable(table)
+      }
+      bucketWrite(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        "o_orderkey", "graft_orders_bucketed")
+      bucketWrite(t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        "l_orderkey", "graft_lineitem_bucketed")
+      val one = lit(1).cast(DecimalType(4, 3))
+      val agg = s.table("graft_orders_bucketed").hint("merge")
+        .join(s.table("graft_lineitem_bucketed"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 3)) *
+            (one - col("l_discount").cast(DecimalType(4, 3))))
+            .cast("double").as("revenue"))
+      val plan = agg.queryExecution.executedPlan.toString
+      val shuffleFree = !plan.contains("ShuffleExchange") &&
+        plan.contains("SortMergeJoin")
+      agg.select(col("o_orderkey"), col("o_orderpriority"), col("n_items"),
+          col("revenue"), lit(shuffleFree).as("shuffle_free"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(20)
     })
   )
 
@@ -508,6 +558,17 @@ object ScaleQueries extends QueryPack {
         |  CAST(sum(file_bytes) AS BIGINT) AS bin_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
         |FROM binned GROUP BY part, bin ORDER BY part, bin""".stripMargin,
+    // The plain join over the un-bucketed tables — equality proves the
+    // layout changed the PLAN, not the answer; shuffle_free is the
+    // plan-derived contract bit.
+    "layout_bucketed_join" ->
+      """SELECT o_orderkey, o_orderpriority, count(*) AS n_items,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  true AS shuffle_free
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
     "layout_range_boundaries" ->
       """WITH tiled AS (
         |  SELECT o_orderpriority, o_totalprice,
