@@ -502,6 +502,52 @@ object ScaleQueries extends QueryPack {
           col("revenue"), lit(shuffleFree).as("shuffle_free"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(20)
+    }),
+
+    // Dynamic partition pruning — the third layout lever next to
+    // bucketing (shuffle deletion) and Z-order (row-group pruning):
+    // date-partitioned fact + a dim whose filter is NOT statically
+    // inferable (busy days = above-average volume, a data-derived cut),
+    // so the only way the fact scan avoids reading every partition is
+    // Spark's runtime DPP subquery — at 100 TB the difference between
+    // scanning the full history and only the qualifying days' files.
+    // The filter is deliberately on a dim ATTRIBUTE (n_day vs the
+    // broadcast mean), not on the join key, so InferFiltersFromConstraints
+    // cannot turn it into a static partition predicate. `partition_pruned`
+    // is read off the EXECUTED plan (the scan's PartitionFilters carry a
+    // dynamicpruning expression), so the driver hash fails if DPP ever
+    // stops firing; the per-day rows hash-check against DuckDB's plain
+    // join, and n_day == n_events is a built-in cross-check (dim-side
+    // and fact-side counts of the same partition must agree).
+    "layout_partition_pruning" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+      val ev = events(s, dir)
+      ev.withColumn("event_date", to_date(col("ts")))
+        .write.partitionBy("event_date").mode("overwrite")
+        .parquet(s"$wh/events_by_date")
+      val fact = s.read.parquet(s"$wh/events_by_date")
+      val dayCounts = ev.groupBy(to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("n_day"))
+      // one tiny driver scalar (as pagerank's node count): the cut must
+      // be a literal comparison for PartitionPruning's isLikelySelective
+      // check to accept the dim filter — an attr-vs-attr compare (the
+      // broadcast-mean crossJoin spelling) is not considered selective
+      // and DPP never fires
+      val cap = dayCounts.agg(avg(col("n_day"))).head.getDouble(0)
+      val busy = dayCounts.filter(col("n_day") > lit(cap))
+        .select(col("event_date"), col("n_day"))
+      val agg = fact.join(broadcast(busy), "event_date")
+        .groupBy(col("event_date"), col("n_day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+      val plan = agg.queryExecution.executedPlan.toString
+      val pruned = plan.contains("dynamicpruning")
+      // DATE surfaces as python date objects via parquet->pandas but
+      // datetime64 via DuckDB — emit as timestamp so dtypes agree
+      agg.select(col("event_date").cast("timestamp").as("event_day"),
+          col("n_day"), col("n_events"),
+          col("n_users"), lit(pruned).as("partition_pruned"))
+        .orderBy(col("event_day"))
     })
   )
 
@@ -569,6 +615,23 @@ object ScaleQueries extends QueryPack {
         |GROUP BY o_orderkey, o_orderpriority
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 20""".stripMargin,
+    // Plain join over the unpartitioned table — equality proves the
+    // partitioned layout + DPP changed the PLAN, not the answer.
+    "layout_partition_pruning" ->
+      """WITH days AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_day
+        |  FROM events GROUP BY 1
+        |), busy AS (
+        |  SELECT event_date, n_day FROM days
+        |  WHERE n_day > (SELECT avg(n_day) FROM days)
+        |)
+        |SELECT CAST(b.event_date AS TIMESTAMP) AS event_day, b.n_day,
+        |  count(*) AS n_events,
+        |  count(DISTINCT e.user_id) AS n_users,
+        |  true AS partition_pruned
+        |FROM events e JOIN busy b ON CAST(e.ts AS DATE) = b.event_date
+        |GROUP BY b.event_date, b.n_day
+        |ORDER BY event_day""".stripMargin,
     "layout_range_boundaries" ->
       """WITH tiled AS (
         |  SELECT o_orderpriority, o_totalprice,
