@@ -399,6 +399,39 @@ object StoreQueries extends QueryPack {
           sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
             .cast("long")).as("text_hash"))
         .orderBy(col("lang"))
+    }),
+
+    // Write-time constraint enforcement (Delta CHECK-constraint /
+    // expectations shape): declared row-level rules evaluated in ONE
+    // map-only pass over the ingest batch, per-rule violation counts
+    // plus the quarantine metric (rows violating ANY rule — a union,
+    // not a sum: one row can break several rules). This is the gate a
+    // store runs BEFORE upsert: violators route to quarantine, the
+    // audit table is what the operator alarms on. Map-only + single
+    // 5-column agg ⇒ no shuffle at all at any batch size; the explode
+    // at the end is over one 5-element row.
+    "store_constraint_audit" -> ((s, dir) => {
+      val ok = Map(
+        "totalprice_max" -> (col("o_totalprice") <= 400000),
+        "status_domain" -> col("o_orderstatus").isin("O", "F"),
+        "date_horizon" -> (col("o_orderdate") < lit("2001-01-01").cast("timestamp")),
+        "custkey_not_null" -> col("o_custkey").isNotNull)
+      val viol = ok.map { case (n, c) =>
+        sum(when(!coalesce(c, lit(false)), 1L).otherwise(0L)).as(n) }.toSeq
+      val anyViol = sum(when(
+        ok.values.map(c => !coalesce(c, lit(false))).reduce(_ || _), 1L)
+        .otherwise(0L)).as("quarantined")
+      val a = t(s, dir, "orders")
+        .agg(count(lit(1)).as("n_rows"), viol :+ anyViol: _*)
+      a.select(col("n_rows"), explode(array(
+          (ok.keys.toSeq.sorted.map(n =>
+            struct(lit(n).as("rule"), col(n).as("n_violations"))) :+
+            struct(lit("_any_rule").as("rule"),
+              col("quarantined").as("n_violations"))): _*)).as("r"))
+        .select(col("r.rule").as("rule"), col("r.n_violations"),
+          col("n_rows"),
+          round6(col("r.n_violations") / col("n_rows")).as("violation_rate"))
+        .orderBy(col("rule"))
     })
   )
 
@@ -553,6 +586,36 @@ object StoreQueries extends QueryPack {
          |FROM embeddings WHERE vec_id < 300 ORDER BY key""".stripMargin,
     // Oracle reads the parquet table directly: the roundtripped JSONL
     // must aggregate (and content-hash) identically.
+    "store_constraint_audit" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      s"""WITH a AS (
+         |  SELECT count(*) AS n_rows,
+         |    CAST(sum(CASE WHEN NOT coalesce(o_totalprice <= 400000, false)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS totalprice_max,
+         |    CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F'), false)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS status_domain,
+         |    CAST(sum(CASE WHEN NOT coalesce(
+         |        o_orderdate < TIMESTAMP '2001-01-01', false)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS date_horizon,
+         |    CAST(sum(CASE WHEN o_custkey IS NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS custkey_not_null,
+         |    CAST(sum(CASE WHEN NOT coalesce(o_totalprice <= 400000, false)
+         |        OR NOT coalesce(o_orderstatus IN ('O','F'), false)
+         |        OR NOT coalesce(o_orderdate < TIMESTAMP '2001-01-01', false)
+         |        OR o_custkey IS NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS quarantined
+         |  FROM orders
+         |)
+         |SELECT rule, n_violations, n_rows,
+         |  ${r6("n_violations / n_rows")} AS violation_rate
+         |FROM (
+         |  SELECT '_any_rule' AS rule, quarantined AS n_violations, n_rows FROM a
+         |  UNION ALL SELECT 'custkey_not_null', custkey_not_null, n_rows FROM a
+         |  UNION ALL SELECT 'date_horizon', date_horizon, n_rows FROM a
+         |  UNION ALL SELECT 'status_domain', status_domain, n_rows FROM a
+         |  UNION ALL SELECT 'totalprice_max', totalprice_max, n_rows FROM a
+         |) ORDER BY rule""".stripMargin
+    },
     "source_jsonl_roundtrip" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
