@@ -339,6 +339,48 @@ object MediaCodecs {
     (hi, lo)
   }
 
+  /** Difference hash (dHash): 8 rows × 9 columns of block mean
+    * luminances, bit (r,c) = mean(r,c) > mean(r,c+1) — the horizontal
+    * GRADIENT sign, robust to global brightness/contrast shifts that
+    * flip every aHash bit at once (the classic aHash failure mode a
+    * re-encode with gamma correction triggers). Same integer discipline
+    * as [[aHash64]]: block sums compared cross-multiplied by block
+    * pixel counts, so no float appears and the 64 bits are bit-exact
+    * reproducible from the pixel values alone. */
+  def dHash64(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val blockSum = new Array[Long](72)
+    val blockN = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        val k = (y * 8 / h) * 9 + (x * 9 / w)
+        blockSum(k) += lum; blockN(k) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L; var lo = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val a = r * 9 + c; val b = a + 1
+        if (blockSum(a) * blockN(b) > blockSum(b) * blockN(a)) {
+          val idx = r * 8 + c
+          if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+        }
+        c += 1
+      }
+      r += 1
+    }
+    (hi, lo)
+  }
+
   /** REAL video demux: the JDK GIF reader, one decoded image per frame.
     * This is the actual parse-the-container path — frame count and
     * geometry come from the DECODER, not from metadata. */
@@ -514,6 +556,24 @@ object MultimodalOps {
         (r.media_id, hi, lo)
       }
       .toDF("media_id", "ahash_hi", "ahash_lo")
+  }
+
+  /** Gradient-hash catalog ([[MediaCodecs.dHash64]]) over the same REAL
+    * PNG decodes — the brightness-shift-robust companion signature to
+    * [[imageHashCatalog]]; pipelines bucket on BOTH (a pair is a near-dup
+    * candidate if either hash is hamming-close). */
+  def imageDHashCatalog(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fromDocuments(docs, Some("image")).as[MediaRow]
+      .map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        require(img != null, s"undecodable image payload (media ${r.media_id})")
+        val (hi, lo) = MediaCodecs.dHash64(img)
+        (r.media_id, hi, lo)
+      }
+      .toDF("media_id", "dhash_hi", "dhash_lo")
   }
 
   /** Audio-dedup signatures: encode (ingest-side codec), REAL

@@ -71,6 +71,20 @@ object MultimodalQueries extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    // Gradient (difference) hash over the same REAL decodes: 8×9 block
+    // means, bit = horizontal gradient sign — robust to the global
+    // brightness/contrast shifts that flip every aHash bit at once.
+    // Same integer cross-multiplied discipline, same oracle contract:
+    // DuckDB recomputes all 64 bits from the pixel formula, so a decode
+    // missing any pixel (or a block-boundary off-by-one) cannot match.
+    "multimodal_image_dhash" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("dhash_hi", "dhash_lo")
+      MultimodalOps.imageDHashCatalog(t(s, dir, "documents"))
+        .withColumn("dup_group_size", count(lit(1)).over(w))
+        .orderBy(col("media_id"))
+    }),
+
     // Perceptual near-dup image PAIRS — the join the aHash exists for:
     // pairs within hamming <= 2 of the 64-bit hash, found by the same
     // PIGEONHOLE banding as dedup_simhash_hamming (4 x 16-bit bands; a
@@ -266,6 +280,43 @@ object MultimodalQueries extends QueryPack {
          |SELECT media_id, ahash_hi, ahash_lo,
          |  count(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS dup_group_size
          |FROM hashes ORDER BY media_id""".stripMargin,
+    // Same pixel formula, 8×9 grid, bit = left-vs-right block mean
+    // (cross-multiplied); bit index (k//9)*8 + k%9 for left block k.
+    "multimodal_image_dhash" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(n_chars % 64 + 16 AS BIGINT) AS w,
+        |    CAST(n_chars % 48 + 16 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), xs AS (
+        |  SELECT media_id, w, h, unnest(range(w)) AS x FROM img
+        |), px AS (
+        |  SELECT media_id,
+        |    (((media_id*31 + x*7 + y*13) % 256) * 299 +
+        |     ((media_id*17 + x*11 + y*3) % 256) * 587 +
+        |     ((media_id*5 + x*2 + y*23) % 256) * 114) // 1000 AS lum,
+        |    (y*8 // h)*9 + (x*9 // w) AS k
+        |  FROM (SELECT media_id, w, h, x, unnest(range(h)) AS y FROM xs)
+        |), blocks AS (
+        |  SELECT media_id, k, sum(lum) AS bsum, count(*) AS bn
+        |  FROM px GROUP BY media_id, k
+        |), bits AS (
+        |  SELECT l.media_id, (l.k // 9)*8 + (l.k % 9) AS idx,
+        |    CASE WHEN l.bsum * r.bn > r.bsum * l.bn THEN 1 ELSE 0 END AS bit
+        |  FROM blocks l
+        |  JOIN blocks r ON r.media_id = l.media_id AND r.k = l.k + 1
+        |  WHERE l.k % 9 < 8
+        |), hashes AS MATERIALIZED (
+        |  SELECT media_id,
+        |    CAST(sum(CASE WHEN bit = 1 AND idx >= 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(idx - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |    CAST(sum(CASE WHEN bit = 1 AND idx < 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(idx AS INTEGER)) ELSE 0 END) AS BIGINT) AS dhash_lo
+        |  FROM bits GROUP BY media_id
+        |)
+        |SELECT media_id, dhash_hi, dhash_lo,
+        |  count(*) OVER (PARTITION BY dhash_hi, dhash_lo) AS dup_group_size
+        |FROM hashes ORDER BY media_id""".stripMargin,
     // All-pairs hamming over originals + 1-bit-drift variants (the
     // naive form) — equality with the banded Spark plan proves the
     // pigeonhole blocking loses no pair, same as dedup_simhash_hamming.

@@ -75,6 +75,26 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(bytes.sameElements(MediaCodecs.encodeWav(7, 100)))
   }
 
+  test("dHash64 encodes the horizontal gradient sign per 8x9 block") {
+    // 9x8 gray image, one pixel per block, brightness DECREASING left to
+    // right -> every left block outshines its right neighbor -> all 64
+    // bits set. Increasing -> no bits. A global brightness shift (+50)
+    // changes neither (the aHash failure mode dHash is robust to).
+    def gray(v: Int): Int = (v << 16) | (v << 8) | v
+    def img(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) im.setRGB(x, y, gray(f(x, y)))
+      im
+    }
+    assert(MediaCodecs.dHash64(img((x, _) => 200 - x * 10)) ==
+      ((0xffffffffL, 0xffffffffL)))
+    assert(MediaCodecs.dHash64(img((x, _) => 100 + x * 10)) == ((0L, 0L)))
+    val base = MediaCodecs.dHash64(img((x, y) => 60 + ((x * 13 + y * 7) % 100)))
+    val shifted = MediaCodecs.dHash64(img((x, y) => 110 + ((x * 13 + y * 7) % 100)))
+    assert(base == shifted)
+  }
+
   test("audioVad segments frames by integer cross-multiplied activity") {
     // Hand-built 8-sample clip, frameLen=2 -> 4 frames with mean |amp|
     // 100, 500, 100, 500 vs clip mean 300: active pattern 0,1,0,1 ->
