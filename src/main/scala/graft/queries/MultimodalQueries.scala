@@ -156,6 +156,23 @@ object MultimodalQueries extends QueryPack {
       MultimodalOps.audioVadCatalog(t(s, dir, "documents"))
         .orderBy(col("media_id"))),
 
+    // Ingest-time validation gate over REAL codecs (the streaming-ready
+    // stateless map in [[graft.streaming.MultimodalStreams]]): every
+    // 13th payload is deterministically truncated to 20 bytes (valid
+    // magic, unreadable body), and the gate must quarantine exactly
+    // those while reporting decoder-read unit counts for the rest. The
+    // oracle predicts ok from the corruption rule and n_units from the
+    // generator formulas — an accepted corrupt blob, a rejected good
+    // one, or a miscounted decode all fail the hash.
+    "multimodal_ingest_gate" -> ((s, dir) => {
+      val media = MultimodalOps.fromDocuments(t(s, dir, "documents"))
+        .withColumn("content",
+          when(col("media_id") % 13 === 0, expr("substring(content, 1, 20)"))
+            .otherwise(col("content")))
+      graft.streaming.MultimodalStreams.mediaIngestGate(media)
+        .orderBy(col("media_id"))
+    }),
+
     // REAL video demux: per-doc animated GIFs (JDK GIF writer) parsed
     // back through the JDK GIF reader; frame index and geometry come
     // from the DECODER, and the oracle derives the same values from the
@@ -374,6 +391,22 @@ object MultimodalQueries extends QueryPack {
         |SELECT media_id, fp_hi, fp_lo,
         |  count(*) OVER (PARTITION BY fp_hi, fp_lo) AS dup_group_size
         |FROM hashes ORDER BY media_id""".stripMargin,
+    "multimodal_ingest_gate" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    n_chars % 64 + 16 AS w, n_chars % 48 + 16 AS h,
+        |    least(n_chars % 30 + 1, 6) AS nf
+        |  FROM documents
+        |)
+        |SELECT media_id, modality,
+        |  media_id % 13 <> 0 AS ok,
+        |  CAST(CASE WHEN media_id % 13 = 0 THEN 0
+        |    WHEN modality = 'image' THEN w * h
+        |    WHEN modality = 'audio' THEN 256 + media_id % 512
+        |    ELSE w * h * nf END AS BIGINT) AS n_units
+        |FROM m ORDER BY media_id""".stripMargin,
     "multimodal_audio_vad" ->
       """WITH aud AS (
         |  SELECT doc_id AS media_id, CAST(256 + doc_id % 512 AS BIGINT) AS n
