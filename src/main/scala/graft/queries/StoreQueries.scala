@@ -410,6 +410,50 @@ object StoreQueries extends QueryPack {
     // audit table is what the operator alarms on. Map-only + single
     // 5-column agg ⇒ no shuffle at all at any batch size; the explode
     // at the end is over one 5-element row.
+    // Incremental maintenance of a JOIN view (the delta-rule companion
+    // to store_mv_incremental's aggregate view): with base updates ΔA
+    // (new orders) and ΔB (new lineitems), the join view refreshes as
+    // J ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — the standing A⋈B is NEVER recomputed,
+    // which at 100 TB is the whole point: each delta term equi-joins a
+    // batch-sized delta against a standing table (broadcast the delta,
+    // stream the big side), then the per-order aggregate merges via the
+    // same full_outer count/sum fold as the aggregate MV. The oracle is
+    // the from-scratch join — the hash match PROVES incremental == full,
+    // including the ΔA⋈ΔB cross term a naive two-term refresh drops.
+    "store_mv_join_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val one = lit(1).cast(DecimalType(4, 3))
+      val rev = col("l_extendedprice").cast(DecimalType(18, 3)) *
+        (one - col("l_discount").cast(DecimalType(4, 3)))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val (aOld, dA) = (o.filter(col("o_orderkey") % 10 =!= 7),
+        o.filter(col("o_orderkey") % 10 === 7))
+      val (bOld, dB) = (li.filter(col("l_suppkey") % 10 =!= 3),
+        li.filter(col("l_suppkey") % 10 === 3))
+      def agg(j: org.apache.spark.sql.DataFrame) = j
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(rev).as("r"))
+      val on = col("o_orderkey") === col("l_orderkey")
+      val mv = agg(aOld.join(bOld, on)).localCheckpoint()
+      val deltaAgg = agg(
+        broadcast(dA).join(bOld, on)
+          .unionByName(aOld.join(broadcast(dB), on))
+          .unionByName(broadcast(dA).join(dB, on)))
+      mv.select(col("o_orderkey"), col("n").as("n0"), col("r").as("r0"))
+        .join(deltaAgg.select(col("o_orderkey"), col("n").as("n1"),
+          col("r").as("r1")), Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
+            .as("n_items"),
+          (coalesce(col("r0"), lit(0).cast(DecimalType(28, 6))) +
+            coalesce(col("r1"), lit(0).cast(DecimalType(28, 6))))
+            .cast("double").as("revenue"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "store_constraint_audit" -> ((s, dir) => {
       val ok = Map(
         "totalprice_max" -> (col("o_totalprice") <= 400000),
@@ -586,6 +630,13 @@ object StoreQueries extends QueryPack {
          |FROM embeddings WHERE vec_id < 300 ORDER BY key""".stripMargin,
     // Oracle reads the parquet table directly: the roundtripped JSONL
     // must aggregate (and content-hash) identically.
+    // From-scratch recompute: the hash match proves the incremental
+    // four-term refresh (incl. the ΔA⋈ΔB cross term) == full join.
+    "store_mv_join_incremental" ->
+      """SELECT o_orderkey, count(*) AS n_items,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3)))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "store_constraint_audit" -> {
       val r6 = graft.QueryPack.round6Sql _
       s"""WITH a AS (
