@@ -127,6 +127,21 @@ object EventQueries extends QueryPack {
         .orderBy(col("err_id"), col("click_id"))
     }),
 
+    // The LEFT OUTER band join — errors with NO follow-up click inside
+    // the window ride along null-padded (the alerting shape: an
+    // unacknowledged error IS the signal). Registered through the SAME
+    // unified function the stream runs
+    // ([[graft.streaming.EventStreams.errorClickJoin]] with
+    // joinType=left_outer): on a batch frame it's a plain outer join;
+    // under a stream the null row emits once the watermark proves no
+    // qualifying click can still arrive (EventStreamsSpec pins the null
+    // rows cross-batch). Oracle is DuckDB's LEFT JOIN with the band in
+    // the ON clause.
+    "events_range_join_outer" -> ((s, dir) =>
+      graft.streaming.EventStreams.errorClickJoin(
+          events(s, dir), joinType = "left_outer")
+        .orderBy(col("err_id"), col("click_id"))),
+
     // Exact interpolated quantiles of value per event type (continuous
     // definition, identical in DuckDB's quantile_cont).
     "events_value_quantiles" -> ((s, dir) =>
@@ -1039,6 +1054,20 @@ object EventQueries extends QueryPack {
         |)
         |SELECT e.err_id, c.click_id, e.user_id, e.err_ts, c.click_ts
         |FROM errors e JOIN clicks c
+        |  ON e.user_id = c.user_id
+        | AND c.click_ts > e.err_ts
+        | AND c.click_ts <= e.err_ts + INTERVAL 600 SECOND
+        |ORDER BY err_id, click_id""".stripMargin,
+    "events_range_join_outer" ->
+      """WITH errors AS (
+        |  SELECT event_id AS err_id, user_id, ts AS err_ts
+        |  FROM events WHERE event_type = 'error'
+        |), clicks AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'
+        |)
+        |SELECT e.err_id, c.click_id, e.user_id, e.err_ts, c.click_ts
+        |FROM errors e LEFT JOIN clicks c
         |  ON e.user_id = c.user_id
         | AND c.click_ts > e.err_ts
         | AND c.click_ts <= e.err_ts + INTERVAL 600 SECOND

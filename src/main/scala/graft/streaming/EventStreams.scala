@@ -176,9 +176,16 @@ object EventStreams {
     * condition bounds event time in both directions, so Spark can expire
     * join state — the requirement for a stream-stream join to run with
     * finite memory at 100 TB/day. The same call on batch frames is a
-    * plain inner join with the identical semantics (parity-pinned). */
+    * plain inner join with the identical semantics (parity-pinned).
+    *
+    * `joinType = "left_outer"` gives the UNMATCHED-ERROR semantics an
+    * alerting pipeline needs (errors with NO follow-up click): in
+    * streaming, the null-padded row emits only once the watermark proves
+    * no qualifying click can still arrive — the same rows a batch left
+    * join produces, just certified late (parity-pinned incl. the null
+    * rows). */
   def errorClickJoin(events: DataFrame, gapSeconds: Long = 600,
-      watermark: String = "30 minutes"): DataFrame = {
+      watermark: String = "30 minutes", joinType: String = "inner"): DataFrame = {
     val errors = events.withWatermark("ts", watermark)
       .filter(col("event_type") === "error")
       .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
@@ -190,7 +197,8 @@ object EventStreams {
     errors.join(clicks,
         col("err_user") === col("click_user") &&
           col("click_ts") > col("err_ts") &&
-          col("click_ts") <= col("err_ts") + expr(s"INTERVAL $gapSeconds SECOND"))
+          col("click_ts") <= col("err_ts") + expr(s"INTERVAL $gapSeconds SECOND"),
+        joinType)
       .select(col("err_id"), col("click_id"), col("err_user").as("user_id"),
         col("err_ts"), col("click_ts"))
   }

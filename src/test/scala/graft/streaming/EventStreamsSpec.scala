@@ -144,6 +144,57 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("errorClickJoin left_outer: unmatched error emits null-padded after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, ts: String, user: Long, typ: String) =
+      Event(id, java.sql.Timestamp.valueOf(ts), user, typ, 1.0, "{}")
+
+    val b1 = Seq(
+      ev(1, "2026-01-01 10:00:00", 1, "error"),
+      ev(2, "2026-01-01 10:05:00", 1, "click"), // matches error 1 (300s)
+      ev(3, "2026-01-01 10:00:00", 2, "error"), // no click ever
+      ev(4, "2026-01-01 10:30:00", 1, "error"),
+      ev(5, "2026-01-01 10:50:00", 1, "click")) // 1200s after 4: outside band
+    // advance batches carry BOTH types: the branch filters push below the
+    // watermark nodes, so the global watermark is the MIN across branches
+    // — a click-only batch leaves the error branch's watermark (and
+    // therefore null-row eviction) frozen. That min-of-branches rule is
+    // itself the semantics under test here.
+    val b2 = Seq(ev(8, "2026-01-01 13:00:00", 98, "error"),
+      ev(9, "2026-01-01 13:00:00", 99, "click"))
+    val b3 = Seq(ev(11, "2026-01-01 15:00:00", 96, "error"),
+      ev(10, "2026-01-01 15:00:00", 99, "click"))
+
+    val input = MemoryStream[Event]
+    val q = EventStreams.errorClickJoin(input.toDS().toDF(), joinType = "left_outer")
+      .writeStream.format("memory").queryName("ss_outer_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("err_id", "click_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+    val streamed = pairs(spark.table("ss_outer_join"))
+    // certainties by the b3-era watermark (12:30, past every b1 band
+    // end): the matched pair emitted at match time, the b1 unmatched
+    // errors emitted null-padded at state eviction
+    val certain = Set(1L -> Some(2L), 3L -> (None: Option[Long]),
+      4L -> (None: Option[Long]))
+    assert(certain.subsetOf(streamed))
+    // no spurious rows: everything emitted is a row of the batch answer
+    // (the tail errors 8/11 may still be open — certified-late, not lost)
+    val batch = pairs(EventStreams.errorClickJoin(
+      (b1 ++ b2 ++ b3).toDS().toDF(), joinType = "left_outer"))
+    assert(batch == certain ++ Set(8L -> None, 11L -> None))
+    assert(streamed.subsetOf(batch))
+  }
+
   test("dedupById collapses re-deliveries across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
