@@ -25,6 +25,24 @@ import org.apache.spark.sql.types.DecimalType
  */
 object CurationQueries extends QueryPack {
 
+  /** 16-dim signed hashed term-frequency vector per doc as (doc_id, dim,
+    * weight) rows: dim and sign both come from md5(token), weights are
+    * exact signed-count integers. Shared by `corpus_feature_hashing` and
+    * `search_hashed_cosine`. */
+  private def hashedFeatures(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    spread(s, t(s, dir, "documents"), "doc_id")
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("h", md5(col("token").cast("binary")))
+      .select(col("doc_id"),
+        (conv(substring(col("h"), 1, 8), 16, 10).cast("long") % 16).as("dim"),
+        when(conv(substring(col("h"), 9, 1), 16, 10).cast("long") % 2 === 0,
+          1L).otherwise(-1L).as("sign"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sign")).as("weight"))
+
   override def queries: Map[String, Q] = Map(
     // Deterministic 1/8 corpus sample: keep a doc iff the first hex char
     // of md5(doc_id) is in 0..1 (2/16 of the hash space). Per-language
@@ -188,6 +206,43 @@ object CurationQueries extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
+
+    // Feature hashing (the hashing trick, Weinberger et al. 2009): each
+    // token folds into one of 16 signed buckets via a hash of the token
+    // itself, so the featurizer needs NO vocabulary table — the property
+    // that makes it the 100 TB featurizer (a vocab join at that scale is
+    // a billion-row dimension; the hash is map-side arithmetic). Signed
+    // buckets make collisions cancel in expectation instead of biasing
+    // upward. Weights stay exact integers (signed term frequencies), so
+    // the oracle reproduces the vectors bit-for-bit from md5.
+    "corpus_feature_hashing" -> ((s, dir) =>
+      hashedFeatures(s, dir).orderBy(col("doc_id"), col("dim"))),
+
+    // Retrieval in the hashed space — cosine top-10 against doc 0's
+    // hashed vector, proving the 16-dim signed-bucket geometry is
+    // queryable end to end. Dot products and squared norms are exact
+    // integer sums (order-free), sqrt/divide are correctly-rounded IEEE,
+    // so scores and ranking are bit-identical cross-engine with no
+    // verdict skeleton needed. The query vector joins as a 16-row
+    // broadcast; only the 10-row answer sorts.
+    "search_hashed_cosine" -> ((s, dir) => {
+      val fv = hashedFeatures(s, dir).localCheckpoint()
+      val q = fv.filter(col("doc_id") === 0)
+        .select(col("dim"), col("weight").as("qw"))
+      val dots = fv.join(broadcast(q), "dim")
+        .groupBy(col("doc_id")).agg(sum(col("weight") * col("qw")).as("dot"))
+      val norms = fv.groupBy(col("doc_id"))
+        .agg(sum(col("weight") * col("weight")).as("nsq"))
+      dots.join(norms, "doc_id")
+        .crossJoin(broadcast(norms.filter(col("doc_id") === 0)
+          .select(col("nsq").as("qnsq"))))
+        .filter(col("doc_id") =!= 0)
+        .select(col("doc_id"),
+          round6(col("dot") / (sqrt(col("nsq")) * sqrt(col("qnsq"))))
+            .as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
 
     // Bigram collocations: global adjacent-pair frequencies, top 50 —
     // the counting pass behind BPE merge selection and collocation
@@ -778,6 +833,47 @@ object CurationQueries extends QueryPack {
         |)
         |SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id FROM ranked
         |WHERE rk <= 25 ORDER BY lang, rk""".stripMargin,
+    "corpus_feature_hashing" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 16 AS dim,
+        |    CASE WHEN CAST(('0x' || substr(md5(token), 9, 1)) AS BIGINT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS sign
+        |  FROM tok WHERE length(token) > 0
+        |)
+        |SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS weight
+        |FROM f GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin,
+    "search_hashed_cosine" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 16 AS dim,
+         |    CASE WHEN CAST(('0x' || substr(md5(token), 9, 1)) AS BIGINT) % 2 = 0
+         |      THEN 1 ELSE -1 END AS sign
+         |  FROM tok WHERE length(token) > 0
+         |), fv AS (
+         |  SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS weight
+         |  FROM f GROUP BY doc_id, dim
+         |), q AS (SELECT dim, weight AS qw FROM fv WHERE doc_id = 0),
+         |dots AS (
+         |  SELECT fv.doc_id, CAST(sum(fv.weight * q.qw) AS BIGINT) AS dot
+         |  FROM fv JOIN q USING (dim) GROUP BY fv.doc_id
+         |), norms AS (
+         |  SELECT doc_id, CAST(sum(weight * weight) AS BIGINT) AS nsq
+         |  FROM fv GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  ${r6("d.dot / (sqrt(n.nsq) * sqrt((SELECT nsq FROM norms WHERE doc_id = 0)))")} AS score
+         |FROM dots d JOIN norms n USING (doc_id)
+         |WHERE d.doc_id <> 0
+         |ORDER BY score DESC, d.doc_id LIMIT 10""".stripMargin
+    },
     "corpus_vocab_topk" ->
       """WITH toks AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token

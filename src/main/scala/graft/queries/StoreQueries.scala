@@ -419,6 +419,37 @@ object StoreQueries extends QueryPack {
     // audit table is what the operator alarms on. Map-only + single
     // 5-column agg ⇒ no shuffle at all at any batch size; the explode
     // at the end is over one 5-element row.
+    // PERMISSIVE-mode JSON parsing with corrupt-record quarantine — the
+    // text-source twin of multimodal_ingest_gate: every 11th serialized
+    // record is truncated mid-value (malformed JSON), and the parser
+    // must salvage nothing from it (all-null fields + the raw line in
+    // _corrupt_record) while parsing the rest losslessly. The oracle
+    // predicts both halves from the corruption rule; a parser that
+    // half-salvages a corrupt line or drops a good one fails the hash.
+    // Map-only at any scale — this is exactly how a 100 TB JSONL ingest
+    // quarantines poison lines without dying (FAILFAST) or silently
+    // swallowing them (DROPMALFORMED).
+    "source_json_corrupt_quarantine" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType),
+        StructField("_corrupt_record", StringType)))
+      t(s, dir, "documents")
+        .select(col("doc_id").as("gen_id"),
+          to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("raw"))
+        .withColumn("raw",
+          when(col("gen_id") % 11 === 0,
+            expr("substring(raw, 1, length(raw) - 3)")).otherwise(col("raw")))
+        .select(col("gen_id"), from_json(col("raw"), schema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("p"))
+        .select(col("gen_id"), col("p.doc_id").as("doc_id"),
+          col("p.lang").as("lang"), col("p.n_chars").as("n_chars"),
+          col("p._corrupt_record").isNull.as("ok"))
+        .orderBy(col("gen_id"))
+    }),
+
     // Incremental maintenance of a JOIN view (the delta-rule companion
     // to store_mv_incremental's aggregate view): with base updates ΔA
     // (new orders) and ΔB (new lineitems), the join view refreshes as
@@ -639,6 +670,13 @@ object StoreQueries extends QueryPack {
          |FROM embeddings WHERE vec_id < 300 ORDER BY key""".stripMargin,
     // Oracle reads the parquet table directly: the roundtripped JSONL
     // must aggregate (and content-hash) identically.
+    "source_json_corrupt_quarantine" ->
+      """SELECT doc_id AS gen_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE doc_id END AS doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE n_chars END AS n_chars,
+        |  doc_id % 11 <> 0 AS ok
+        |FROM documents ORDER BY gen_id""".stripMargin,
     // From-scratch recompute: the hash match proves the incremental
     // four-term refresh (incl. the ΔA⋈ΔB cross term) == full join.
     "store_mv_join_incremental" ->
