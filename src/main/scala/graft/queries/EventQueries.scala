@@ -142,6 +142,38 @@ object EventQueries extends QueryPack {
           events(s, dir), joinType = "left_outer")
         .orderBy(col("err_id"), col("click_id"))),
 
+    // Out-of-orderness profile — the analytic that PICKS the watermark
+    // the streaming operators above assume: how late does an event
+    // arrive relative to the max event time already ingested? Arrival
+    // order is the ingest sequence (event_id); lateness is measured
+    // against the max event time of STRICTLY EARLIER arrival buckets,
+    // so the whole computation is one bucket-level rollup (N/1000
+    // rows), a running max over that TINY table (the only window —
+    // single-partition but bucket-count-sized, never row-sized), and a
+    // broadcast join back. Per type: late-row counts at the 1m/10m
+    // horizons and the max observed lateness — read off directly what
+    // `withWatermark` delay bounds the loss rate.
+    "events_lateness_profile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+        .withColumn("bucket", expr("event_id div 1000"))
+        .withColumn("us", unix_micros(col("ts")))
+      val bmax = ev.groupBy(col("bucket")).agg(max(col("us")).as("bmax"))
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prior = bmax.select(col("bucket"),
+        max(col("bmax")).over(w).as("prior_max"))
+      ev.join(broadcast(prior), "bucket")
+        .withColumn("late_us",
+          greatest(lit(0L), coalesce(col("prior_max") - col("us"), lit(0L))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("late_us") > 60L * 1000000L).cast("long")).as("n_late_1m"),
+          sum((col("late_us") > 600L * 1000000L).cast("long")).as("n_late_10m"),
+          max(col("late_us")).as("max_late_us"))
+        .orderBy(col("event_type"))
+    }),
+
     // Exact interpolated quantiles of value per event type (continuous
     // definition, identical in DuckDB's quantile_cont).
     "events_value_quantiles" -> ((s, dir) =>
@@ -1058,6 +1090,26 @@ object EventQueries extends QueryPack {
         | AND c.click_ts > e.err_ts
         | AND c.click_ts <= e.err_ts + INTERVAL 600 SECOND
         |ORDER BY err_id, click_id""".stripMargin,
+    "events_lateness_profile" ->
+      """WITH e AS (
+        |  SELECT event_id // 1000 AS bucket, epoch_us(ts) AS us, event_type
+        |  FROM events
+        |), bm AS (
+        |  SELECT bucket, max(us) AS bmax FROM e GROUP BY bucket
+        |), pr AS (
+        |  SELECT bucket, max(bmax) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+        |  FROM bm
+        |), l AS (
+        |  SELECT e.event_type,
+        |    greatest(0, coalesce(pr.prior_max - e.us, 0)) AS late_us
+        |  FROM e JOIN pr USING (bucket)
+        |)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1m,
+        |  CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_10m,
+        |  max(late_us) AS max_late_us
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_range_join_outer" ->
       """WITH errors AS (
         |  SELECT event_id AS err_id, user_id, ts AS err_ts

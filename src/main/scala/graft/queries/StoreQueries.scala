@@ -419,6 +419,40 @@ object StoreQueries extends QueryPack {
     // audit table is what the operator alarms on. Map-only + single
     // 5-column agg ⇒ no shuffle at all at any batch size; the explode
     // at the end is over one 5-element row.
+    // Idempotent backfill via DYNAMIC partition overwrite (Hive's
+    // INSERT OVERWRITE ... PARTITION semantics): re-running a corrected
+    // day replaces exactly that day's files and leaves every other
+    // partition byte-untouched — the reprocessing primitive a 100 TB
+    // date-partitioned lake runs daily. The revised day doubles its
+    // values (×2 is exact in binary, so the oracle reproduces it); the
+    // hash proves BOTH halves: the revised day carries the corrected
+    // sums AND the untouched days still exist — static overwrite mode
+    // (which deletes every partition first) or a double-write would
+    // each fail the compare.
+    "store_partition_overwrite" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val wh = java.nio.file.Files.createTempDirectory("graft_overwrite")
+        .toString
+      val path = s"$wh/events_by_date"
+      val ev = events(s, dir).withColumn("event_date", to_date(col("ts")))
+      ev.write.partitionBy("event_date").mode("overwrite").parquet(path)
+      val minDay = ev.agg(min(col("event_date"))).head.getDate(0)
+      ev.filter(col("event_date") === lit(minDay))
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_date").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 3))).cast("double")
+            .as("total_value"))
+        .select(col("event_date").cast("timestamp").as("event_day"),
+          col("n"), col("total_value"),
+          (col("event_date") === lit(minDay)).as("revised"))
+        .orderBy(col("event_day"))
+    }),
+
     // PERMISSIVE-mode JSON parsing with corrupt-record quarantine — the
     // text-source twin of multimodal_ingest_gate: every 11th serialized
     // record is truncated mid-value (malformed JSON), and the parser
@@ -670,6 +704,15 @@ object StoreQueries extends QueryPack {
          |FROM embeddings WHERE vec_id < 300 ORDER BY key""".stripMargin,
     // Oracle reads the parquet table directly: the roundtripped JSONL
     // must aggregate (and content-hash) identically.
+    "store_partition_overwrite" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, value FROM events
+        |), md AS (SELECT min(event_date) AS m FROM d)
+        |SELECT CAST(event_date AS TIMESTAMP) AS event_day, count(*) AS n,
+        |  CAST(CAST(sum(CAST(CASE WHEN event_date = (SELECT m FROM md)
+        |    THEN value * 2 ELSE value END AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS total_value,
+        |  event_date = (SELECT m FROM md) AS revised
+        |FROM d GROUP BY event_date ORDER BY event_day""".stripMargin,
     "source_json_corrupt_quarantine" ->
       """SELECT doc_id AS gen_id,
         |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE doc_id END AS doc_id,
