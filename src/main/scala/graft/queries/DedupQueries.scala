@@ -304,6 +304,54 @@ object DedupQueries extends QueryPack {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ASYMMETRIC containment — the metric Jaccard near-dup misses: a
+    // 20-token excerpt inside a 300-token original has Jaccard ≈ 0.04
+    // (invisible to every resemblance cut above) but containment 1.0.
+    // Containment(a ⊆ b) = |g(a)∩g(b)| / |g(a)| over the RARE distinct
+    // 8-gram sets (numerator and denominator both post-df-cap, so the
+    // stop-gram cut cannot skew the ratio) — the Broder 1997 distinction
+    // between resemblance and containment, and the reason quote/excerpt
+    // dedup needs its own query. Scale shape identical to
+    // dedup_span_overlap: one gram equi-join with df-bounded fan-out,
+    // plus a broadcast-sized per-doc gram-count table; the planted
+    // excerpts must surface with containment exactly 1.0.
+    "dedup_containment" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tk = toksOf(col("text"))
+      val corpus = d.select(col("doc_id"), trim(col("text")).as("txt"))
+        .unionByName(d.filter(size(tk) >= 25 && col("doc_id") < 60)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat_ws(" ", slice(tk, lit(6), lit(20))).as("txt")))
+      val grams = spread(s, corpus, "doc_id")
+        .withColumn("toks", toksOf(col("txt")))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - 7),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(8))).cast("binary")))))
+          .as("gram"))
+        .localCheckpoint()
+      val rare = grams.groupBy(col("gram"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 8)
+        .select(col("gram"))
+      val g = grams.join(rare, "gram")
+      val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      val inter = g.select(col("gram"), col("doc_id").as("a_id"))
+        .join(g.select(col("gram"), col("doc_id").as("b_id")), "gram")
+        .filter(col("a_id") =!= col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"),
+          col("n_grams").as("n_grams_contained")), "a_id")
+        .withColumn("containment",
+          round6(col("n_shared") / col("n_grams_contained")))
+        .filter(col("containment") >= 0.8 && col("n_grams_contained") >= 5)
+        .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+          col("n_shared"), col("n_grams_contained"), col("containment"))
+        .orderBy(col("contained_id"), col("container_id"))
+    }),
+
     // Duplicated-span EXTENTS — the substring-dedup shape of Lee et al.
     // 2022 ("Deduplicating Training Data Makes Language Models Better"):
     // not just WHETHER two docs share copied material
@@ -791,6 +839,40 @@ object DedupQueries extends QueryPack {
            |)
            |SELECT component_id, doc_id AS kept_id, q AS kept_quality, n_members
            |FROM ranked WHERE rk = 1 ORDER BY component_id""".stripMargin
+      },
+      "dedup_containment" -> {
+        val r6 = graft.QueryPack.round6Sql _
+        s"""WITH corpus AS (
+           |  SELECT doc_id, trim(text) AS txt FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 200000,
+           |    array_to_string(string_split_regex(trim(text), '\\s+')[6:25], ' ')
+           |  FROM documents
+           |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 25 AND doc_id < 60
+           |), gr AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, len(toks) - 6),
+           |    i -> md5(array_to_string(toks[i:i+7], ' '))))) AS gram
+           |  FROM (SELECT doc_id, string_split_regex(trim(txt), '\\s+') AS toks
+           |        FROM corpus)
+           |  WHERE len(toks) >= 8
+           |), rare AS (
+           |  SELECT gram FROM gr GROUP BY gram HAVING count(*) <= 8
+           |), g AS (
+           |  SELECT gr.doc_id, gr.gram FROM gr JOIN rare USING (gram)
+           |), sizes AS (
+           |  SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id
+           |), inter AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+           |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+           |  GROUP BY 1, 2
+           |)
+           |SELECT i.a_id AS contained_id, i.b_id AS container_id,
+           |  i.n_shared, s.n_grams AS n_grams_contained,
+           |  ${r6("i.n_shared / s.n_grams")} AS containment
+           |FROM inter i JOIN sizes s ON s.doc_id = i.a_id
+           |WHERE ${r6("i.n_shared / s.n_grams")} >= 0.8 AND s.n_grams >= 5
+           |ORDER BY contained_id, container_id""".stripMargin
       },
       "dedup_span_overlap" ->
         s"""WITH corpus AS (
