@@ -337,6 +337,48 @@ object ScaleQueries extends QueryPack {
     // 5%). exact_users and the bound boolean are the oracle-checked
     // verdict; ApproxDistinctSpec pins union-vs-direct agreement on the
     // informative values.
+    // The SKETCH CUBE — one pass builds per-(type, day) HLL cells; every
+    // coarser distinct-count rolls up by UNIONING CELL SKETCHES (register
+    // max), never rescanning the raw table: the OLAP property that lets a
+    // 100 TB events store answer "distinct users last quarter, by type,
+    // overall" from kilobytes of pre-aggregated cells. The exact-distinct
+    // columns exist only as the verification rider (they re-add the
+    // distinct shuffle the cube exists to avoid); `pass` pins every
+    // level's union-estimate within 5% of exact, so a broken union (e.g.
+    // summing estimates instead of unioning registers — the classic cube
+    // mistake that double-counts cross-cell users) flips a boolean and
+    // fails the driver hash.
+    "events_sketch_cube" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("day", to_date(col("ts")))
+        .select(col("event_type"), col("day"), col("user_id"))
+      val cells = e.groupBy(col("event_type"), col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk")).localCheckpoint()
+      def verdict(approx: org.apache.spark.sql.Column,
+          exact: org.apache.spark.sql.Column) =
+        (abs(approx - exact) <= lit(0.05) * exact).as("pass")
+      val cellLvl = e.groupBy(col("event_type"), col("day"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .join(cells, Seq("event_type", "day"))
+        .select(lit("cell").as("level"), col("event_type"),
+          col("day").cast("timestamp").as("event_day"), col("exact_users"),
+          verdict(hll_sketch_estimate(col("sk")), col("exact_users")))
+      val typeLvl = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .join(cells.groupBy(col("event_type"))
+          .agg(hll_union_agg(col("sk")).as("sk")), Seq("event_type"))
+        .select(lit("type").as("level"), col("event_type"),
+          lit(null).cast("timestamp").as("event_day"), col("exact_users"),
+          verdict(hll_sketch_estimate(col("sk")), col("exact_users")))
+      val allLvl = e.agg(countDistinct(col("user_id")).as("exact_users"))
+        .crossJoin(cells.agg(hll_union_agg(col("sk")).as("sk")))
+        .select(lit("all").as("level"),
+          lit(null).cast("string").as("event_type"),
+          lit(null).cast("timestamp").as("event_day"), col("exact_users"),
+          verdict(hll_sketch_estimate(col("sk")), col("exact_users")))
+      cellLvl.unionByName(typeLvl).unionByName(allLvl)
+        .orderBy(col("level"), col("event_type"), col("event_day"))
+    }),
+
     "events_hll_shard_union" -> ((s, dir) => {
       val e = events(s, dir).select(col("event_id"), col("event_type"),
         col("user_id"))
@@ -585,6 +627,23 @@ object ScaleQueries extends QueryPack {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  true AS pass
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_sketch_cube" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+        |)
+        |SELECT 'cell' AS level, event_type,
+        |  CAST(day AS TIMESTAMP) AS event_day,
+        |  count(DISTINCT user_id) AS exact_users, true AS pass
+        |FROM base GROUP BY event_type, day
+        |UNION ALL
+        |SELECT 'type', event_type, CAST(NULL AS TIMESTAMP),
+        |  count(DISTINCT user_id), true
+        |FROM base GROUP BY event_type
+        |UNION ALL
+        |SELECT 'all', CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP),
+        |  count(DISTINCT user_id), true
+        |FROM base
+        |ORDER BY level, event_type, event_day""".stripMargin,
     "layout_compaction_plan" ->
       """WITH manifest AS (
         |  SELECT EXTRACT(year FROM o_orderdate) * 100
