@@ -47,6 +47,41 @@ object SimilarityQueries extends QueryPack {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // kNN label purity — the embedding-quality audit a training pipeline
+    // runs after every re-embed: if an embedding space is any good, a
+    // vector's nearest neighbors mostly share its label (the kNN-
+    // classifier leave-one-out accuracy, reported per label so a
+    // degraded class is visible instead of averaged away). Exact
+    // all-pairs spelling kept oracle-able at fixture scale; the per-
+    // anchor top-5 is the bounded TopKByScore partial agg (partitions×5
+    // rows per anchor cross the shuffle, never the N² scored pairs), and
+    // at 100 TB the scoring pass rides the IVF index exactly as
+    // ann_recall_audit pins. Purity is an exact integer ratio
+    // (matches / neighbors), so the rows hash bit-for-bit.
+    "embedding_knn_label_purity" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("label").as("a_label"))
+      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+      val topk = a.join(b, col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("a_label"),
+          round6(cosineSim(col("a_emb"), col("b_emb"))).as("cos"), col("b_id"))
+        .groupBy(col("a_id"), col("a_label"))
+        .agg(TopKByScore(5)(col("cos"), col("b_id")).as("hits"))
+        .select(col("a_id"), col("a_label"), explode(col("hits")).as("h"))
+        .select(col("a_id"), col("a_label"), col("h.id").as("b_id"))
+      val lbl = emb.select(col("vec_id").as("b_id"), col("label").as("b_label"))
+      topk.join(broadcast(lbl), "b_id")
+        .groupBy(col("a_label"))
+        .agg(countDistinct(col("a_id")).as("n_vectors"),
+          sum((col("b_label") === col("a_label")).cast("long")).as("n_matches"),
+          count(lit(1)).as("n_neighbors"))
+        .select(col("a_label").as("label"), col("n_vectors"),
+          col("n_matches"),
+          round6(col("n_matches") / col("n_neighbors")).as("purity"))
+        .orderBy(col("label"))
+    }),
+
     // Hard-negative mining — the contrastive-training data-prep op
     // (triplet/InfoNCE batches want negatives that sit CLOSEST to the
     // anchor while carrying a different label; random negatives are too
@@ -458,6 +493,28 @@ object SimilarityQueries extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "embedding_knn_label_purity" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      val cos = "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
+        "CAST(b.embedding AS DOUBLE[]))"
+      s"""WITH sc AS (
+         |  SELECT a.vec_id AS a_id, a.label AS a_label, b.vec_id AS b_id,
+         |    b.label AS b_label, ${r6(cos)} AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |), top AS (
+         |  SELECT a_id, a_label, b_label FROM (
+         |    SELECT a_id, a_label, b_label,
+         |      row_number() OVER (PARTITION BY a_id
+         |        ORDER BY cos DESC, b_id) AS rn
+         |    FROM sc) WHERE rn <= 5
+         |)
+         |SELECT a_label AS label, count(DISTINCT a_id) AS n_vectors,
+         |  CAST(sum(CASE WHEN b_label = a_label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_matches,
+         |  ${r6("sum(CASE WHEN b_label = a_label THEN 1 ELSE 0 END) / count(*)")}
+         |    AS purity
+         |FROM top GROUP BY a_label ORDER BY label""".stripMargin
+    },
     "knn_join" -> {
       val cos = "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.q_emb)"
       s"""WITH q AS (
