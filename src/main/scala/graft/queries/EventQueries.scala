@@ -654,6 +654,54 @@ object EventQueries extends QueryPack {
     // THAT profile (never a second scan) and broadcast back. Sums go
     // through exact DECIMAL so the double conversion happens once per
     // group, not once per task-completion order.
+    // Seasonal-adjusted anomaly detection (STL-lite): a 9-to-5 workload
+    // makes every evening look anomalous to a raw z-score, so the MAD
+    // robust-z runs on RESIDUALS against the (type, hour) seasonal
+    // baseline — the deseasonalize-then-detect composition
+    // events_seasonal_hourly and events_mad_outliers each do half of.
+    // The baseline is an exact DECIMAL ratio (24×types rows, broadcast
+    // back), residual medians use the same rank-median (exact avg of the
+    // two central values), and the final robust-z is one broadcast join
+    // — three passes total, no window over raw rows except the per-type
+    // rank which every exact median intrinsically needs.
+    "events_seasonal_residual_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.DataFrame
+      val ev = events(s, dir).select(col("event_id"), col("event_type"),
+        hour(col("ts")).as("hr"), col("value"))
+      val hourly = ev
+        .withColumn("v", col("value").cast(DecimalType(18, 3)))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+        .select(col("event_type"), col("hr"),
+          (col("sv").cast("double") / col("n")).as("hour_avg"))
+      val resid = ev.join(broadcast(hourly), Seq("event_type", "hr"))
+        .withColumn("resid", col("value") - col("hour_avg"))
+      def rankMedian(df: DataFrame, v: String, out: String): DataFrame = {
+        val w = Window.partitionBy("event_type").orderBy(col(v), col("event_id"))
+        val all = Window.partitionBy("event_type")
+        df.select(col("event_type"), col(v),
+            row_number().over(w).as("rn"), count(lit(1)).over(all).as("n"))
+          .filter(col("rn") === expr("(n + 1) div 2") ||
+            col("rn") === expr("n div 2 + 1"))
+          .groupBy(col("event_type")).agg(avg(col(v)).as(out))
+      }
+      val med = rankMedian(
+        resid.select(col("event_id"), col("event_type"), col("resid")),
+        "resid", "med")
+      val dev = resid.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("resid") - col("med")))
+      val mad = rankMedian(
+        dev.select(col("event_id"), col("event_type"), col("dev")), "dev", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("mad") > 0)
+        .withColumn("z", lit(0.6745) * (col("resid") - col("med")) / col("mad"))
+        .filter(abs(col("z")) > 3.5)
+        .select(col("event_id"), col("event_type"), col("hr"), col("value"),
+          round6(col("resid")).as("resid"), round6(col("z")).as("robust_z"))
+        .orderBy(col("event_id"))
+    }),
+
     "events_seasonal_hourly" -> ((s, dir) => {
       val hourly = events(s, dir)
         .select(col("event_type"), hour(col("ts")).as("hr"),
@@ -767,6 +815,47 @@ object EventQueries extends QueryPack {
          |  ${graft.QueryPack.round6Sql("d.med")} AS med,
          |  ${graft.QueryPack.round6Sql("a.mad")} AS mad,
          |  ${graft.QueryPack.round6Sql(z)} AS robust_z
+         |FROM dev d JOIN mad a USING (event_type)
+         |WHERE a.mad > 0 AND abs($z) > 3.5
+         |ORDER BY event_id""".stripMargin
+    },
+    "events_seasonal_residual_outliers" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      val z = "0.6745 * (d.resid - d.med) / a.mad"
+      s"""WITH ev AS (
+         |  SELECT event_id, event_type, extract(hour FROM ts) AS hr, value
+         |  FROM events),
+         |hourly AS (
+         |  SELECT event_type, hr,
+         |    CAST(CAST(sum(CAST(value AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE)
+         |      / count(*) AS hour_avg
+         |  FROM ev GROUP BY 1, 2),
+         |res AS (
+         |  SELECT e.event_id, e.event_type, e.hr, e.value,
+         |    e.value - h.hour_avg AS resid
+         |  FROM ev e JOIN hourly h USING (event_type, hr)),
+         |r1 AS (
+         |  SELECT event_id, event_type, resid,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY resid, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM res),
+         |med AS (
+         |  SELECT event_type, avg(resid) AS med FROM r1
+         |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY event_type),
+         |dev AS (
+         |  SELECT r.event_id, r.event_type, r.hr, r.value, r.resid, m.med,
+         |    abs(r.resid - m.med) AS dev
+         |  FROM res r JOIN med m USING (event_type)),
+         |r2 AS (
+         |  SELECT event_id, event_type, dev,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM dev),
+         |mad AS (
+         |  SELECT event_type, avg(dev) AS mad FROM r2
+         |  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1 GROUP BY event_type)
+         |SELECT d.event_id, d.event_type, d.hr, d.value,
+         |  ${r6("d.resid")} AS resid, ${r6(z)} AS robust_z
          |FROM dev d JOIN mad a USING (event_type)
          |WHERE a.mad > 0 AND abs($z) > 3.5
          |ORDER BY event_id""".stripMargin

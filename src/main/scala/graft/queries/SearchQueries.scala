@@ -184,6 +184,42 @@ object SearchQueries extends QueryPack {
       perQuery.reduce(_ unionByName _).orderBy(col("query_id"))
     }),
 
+    // The rank-position half of retrieval eval, next to search_eval_ndcg's
+    // graded-gain half: MRR (how fast does the FIRST relevant doc
+    // appear), recall@10 (what fraction of all relevant docs the cutoff
+    // keeps) and precision@10 — the triple an embedding/BM25 A/B gate
+    // reports. Same per-query shape as nDCG: corpus stats are a 1-row
+    // broadcast, the ranking window orders only bm25-positive docs, and
+    // the three metrics are one aggregate over the ranked frame. All
+    // ratios are exact-integer / round6, bit-identical cross-engine.
+    "search_eval_mrr" -> ((s, dir) => {
+      val perQuery = evalQueries.map { case (qid, qt) =>
+        val (base, stats) = bm25Base(s, dir, qt)
+        val rel = qt.map(tm =>
+          when(col(s"tf_$tm") >= 2, 1).otherwise(0)).reduce(_ + _)
+        val scored = base
+          .filter(qt.map(tm => col(s"tf_$tm") > 0).reduce(_ || _))
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), rel.as("rel"),
+            round6(qt.map(termScore).reduce(_ + _)).as("bm25"))
+          .filter(col("bm25") > 0.0)
+        val ranked = scored.withColumn("pos", row_number()
+          .over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        ranked.agg(
+            coalesce(min(when(col("rel") >= 1, col("pos"))), lit(0))
+              .as("first_pos"),
+            sum((col("rel") >= 1).cast("long")).as("n_rel"),
+            sum((col("rel") >= 1 && col("pos") <= 10).cast("long"))
+              .as("rel_top10"))
+          .select(lit(qid).as("query_id"),
+            round6(when(col("first_pos") === 0, lit(0.0))
+              .otherwise(lit(1.0) / col("first_pos"))).as("rr"),
+            round6(col("rel_top10") / col("n_rel")).as("recall10"),
+            round6(col("rel_top10") / lit(10.0)).as("precision10"))
+      }
+      perQuery.reduce(_ unionByName _).orderBy(col("query_id"))
+    }),
+
     // Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 top-50
     // and the exact-cosine top-50 (query vector = vec_id 0, ids aligned
     // doc_id == vec_id). A hit missing from one list contributes 0 from
@@ -283,7 +319,10 @@ object SearchQueries extends QueryPack {
 
   /** DuckDB replica of one `search_eval_ndcg` query's CTE chain (no
     * leading WITH; chains share the `tk_src` token CTE). */
-  private def evalNdcgCte(qid: Int, qt: Seq[String]): String = {
+  /** Shared eval prefix: per-doc tf/rel/bm25 CTEs down to `scpos_<qid>`
+    * (scored docs with bm25 > 0), consumed by both the nDCG and the
+    * MRR/recall oracle chains. */
+  private def evalScoredCte(qid: Int, qt: Seq[String]): String = {
     val tfCols = qt.map(tm =>
       s"len(list_filter(tk, t -> t = '$tm')) AS tf_$tm").mkString(", ")
     val dfCols = qt.map(tm =>
@@ -296,7 +335,6 @@ object SearchQueries extends QueryPack {
     }.mkString(" + ")
     val rel = qt.map(tm => s"CASE WHEN tf_$tm >= 2 THEN 1 ELSE 0 END").mkString(" + ")
     val anyTf = qt.map(tm => s"tf_$tm > 0").mkString(" OR ")
-    val gain = "sum((pow(2.0, rel) - 1.0) / log2(CAST(pos AS DOUBLE) + 1.0))"
     s"""base_$qid AS (
        |  SELECT doc_id, len(tk) AS dl, $tfCols FROM tk_src
        |), stats0_$qid AS (
@@ -307,7 +345,12 @@ object SearchQueries extends QueryPack {
        |), sc_$qid AS (
        |  SELECT doc_id, $rel AS rel, ${round6(score)} AS bm25
        |  FROM base_$qid, stats_$qid WHERE $anyTf
-       |), scpos_$qid AS (SELECT * FROM sc_$qid WHERE bm25 > 0.0),
+       |), scpos_$qid AS (SELECT * FROM sc_$qid WHERE bm25 > 0.0)""".stripMargin
+  }
+
+  private def evalNdcgCte(qid: Int, qt: Seq[String]): String = {
+    val gain = "sum((pow(2.0, rel) - 1.0) / log2(CAST(pos AS DOUBLE) + 1.0))"
+    s"""${evalScoredCte(qid, qt)},
        |top_$qid AS (
        |  SELECT rel, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS pos
        |  FROM scpos_$qid ORDER BY bm25 DESC, doc_id LIMIT 10
@@ -318,6 +361,19 @@ object SearchQueries extends QueryPack {
        |idcg_$qid AS (SELECT $gain AS idcg10 FROM ideal_$qid)""".stripMargin
   }
 
+  private def evalMrrCte(qid: Int, qt: Seq[String]): String =
+    s"""${evalScoredCte(qid, qt)},
+       |ranked_$qid AS (
+       |  SELECT rel, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS pos
+       |  FROM scpos_$qid
+       |), agg_$qid AS (
+       |  SELECT
+       |    coalesce(min(CASE WHEN rel >= 1 THEN pos END), 0) AS first_pos,
+       |    sum(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS n_rel,
+       |    sum(CASE WHEN rel >= 1 AND pos <= 10 THEN 1 ELSE 0 END) AS rel_top10
+       |  FROM ranked_$qid
+       |)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "search_eval_ndcg" -> {
       val chains = evalQueries.map { case (qid, qt) => evalNdcgCte(qid, qt) }
@@ -325,6 +381,21 @@ object SearchQueries extends QueryPack {
         s"""SELECT $qid AS query_id, ${round6("dcg10")} AS dcg10,
            |  ${round6("idcg10")} AS idcg10, ${round6("dcg10 / idcg10")} AS ndcg10
            |FROM dcg_$qid, idcg_$qid""".stripMargin
+      }
+      s"""WITH tk_src AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+         |), ${chains.mkString(",\n")}
+         |${selects.mkString("\nUNION ALL\n")}
+         |ORDER BY query_id""".stripMargin
+    },
+    "search_eval_mrr" -> {
+      val chains = evalQueries.map { case (qid, qt) => evalMrrCte(qid, qt) }
+      val selects = evalQueries.map { case (qid, _) =>
+        s"""SELECT $qid AS query_id,
+           |  ${round6("CASE WHEN first_pos = 0 THEN 0.0 ELSE 1.0 / first_pos END")} AS rr,
+           |  ${round6("rel_top10 / n_rel")} AS recall10,
+           |  ${round6("rel_top10 / 10.0")} AS precision10
+           |FROM agg_$qid""".stripMargin
       }
       s"""WITH tk_src AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
