@@ -13,11 +13,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  * per-session `register()` call, no driver code.
  *
  * This is the idiomatic way a Spark library ships Catalyst additions:
- * the SQL function family plus the one custom optimizer rule
- * ([[graft.plans.AnnIndexRule]] — the SURVEY §4 ANN rewrite, which
+ * the SQL function family plus the two registered-artifact optimizer
+ * rules ([[graft.plans.AnnIndexRule]] — the SURVEY §4 ANN rewrite, which
  * serves registered literal-query kNN plans from the persisted IVF
- * index). Sessions not built with the extension get the rule installed
- * at [[graft.plans.AnnIndexRegistry.register]] time instead.
+ * index — and [[graft.plans.RollupRewriteRule]], aggregate navigation
+ * over registered pre-aggregated rollups). Sessions not built with the
+ * extension get each rule installed at its registry's `register` time
+ * instead.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -26,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.AnnIndexRule)
+    ext.injectOptimizerRule(_ => graft.plans.RollupRewriteRule)
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(a, b) - cosine similarity of two ARRAY<FLOAT>"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))

@@ -1,0 +1,184 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit, sum}
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Aggregate navigation — the second registered-artifact optimizer rule
+ * next to [[AnnIndexRule]]: a fact table with a REGISTERED rollup
+ * (pre-aggregated on a dim set, COUNT + exact-DECIMAL SUM measures) gets
+ * its matching aggregation plans
+ *
+ *   Aggregate(dims' ⊆ dims, count(1) / sum(CAST(measure AS DEC(18,3))),
+ *     [Filter on dims] scan(fact))
+ *
+ * rewritten to re-aggregate the (tiny) rollup table instead of scanning
+ * the fact: count(1) becomes sum(_cnt), each decimal sum becomes
+ * sum(_sum_<m>) cast back to the original result type, dim filters remap
+ * onto the rollup's columns. At 100 TB this is the BI-engine move
+ * (Calcite's materialized-view navigation): a dashboard's GROUP BY reads
+ * kilobytes of cells, not the fact — and because COUNT and DECIMAL SUM
+ * are exactly re-aggregable (order-free), the rewrite is EXACT, not
+ * approximate; the oracle hash over the rewritten query proves it.
+ *
+ * Soundness gates (anything else keeps its exact plan):
+ *  - only explicitly registered fact paths match;
+ *  - grouping keys are plain dim attributes (subset of the rollup dims);
+ *  - every filter conjunct references dim columns only;
+ *  - aggregates are exactly count(1) (non-distinct) or
+ *    sum(CAST(m AS DECIMAL(18,3))) over a registered measure — the house
+ *    exact-sum spelling; a raw double sum is NOT re-aggregable from
+ *    partials and never matches;
+ *  - projects in the chain are pure column pruning.
+ * Kill switch: `spark.graft.rollup.rewrite.enabled` = false.
+ */
+object RollupRegistry {
+
+  case class Entry(rollupPath: String, dims: Seq[String], measures: Seq[String])
+
+  private val entries = scala.collection.mutable.Map.empty[String, Entry]
+
+  private def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** The rollup job + registration: build (or reuse) the pre-aggregated
+    * table for `sourcePath` over `dims`, with `_cnt` plus an exact
+    * DECIMAL(28,3) `_sum_<m>` per measure, and register it so
+    * [[RollupRewriteRule]] serves matching aggregations from it. */
+  def register(spark: SparkSession, sourcePath: String, dims: Seq[String],
+      measures: Seq[String],
+      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-rollup"): Entry = {
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        (normalize(sourcePath) +: dims) ++ measures mkString "|").toLong & 0xffffffffL)
+    val dest = s"$cacheRoot/rollup_$key"
+    val done = new org.apache.hadoop.fs.Path(s"$dest/_SUCCESS")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      spark.read.parquet(sourcePath)
+        .groupBy(dims.map(col): _*)
+        .agg(count(lit(1)).as("_cnt"),
+          measures.map(m =>
+            sum(col(m).cast(DecimalType(18, 3))).as(s"_sum_$m")): _*)
+        .write.mode("overwrite").parquet(dest)
+    }
+    val entry = Entry(dest, dims, measures)
+    entries.synchronized { entries.put(normalize(sourcePath), entry) }
+    RollupRewriteRule.install(spark)
+    entry
+  }
+
+  def lookup(path: String): Option[Entry] =
+    entries.synchronized { entries.get(normalize(path)) }
+
+  def deregister(sourcePath: String): Unit =
+    entries.synchronized { entries.remove(normalize(sourcePath)) }
+
+  def clear(): Unit = entries.synchronized { entries.clear() }
+}
+
+object RollupRewriteRule extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.rollup.rewrite.enabled"
+
+  /** Idempotent session install (the runtime path; GraftExtensions is
+    * the static-conf path). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(RollupRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RollupRewriteRule
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString(ConfKey, "true") != "true") plan
+    else plan.transformDown {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    // walk pruning-Project / Filter chain to a single registered relation
+    var conds = Seq.empty[Expression]
+    var cur = agg.child
+    var rel: LogicalRelation = null
+    while (rel == null) cur match {
+      case Project(projList, c) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        cur = c
+      case Filter(cond, c) =>
+        conds ++= splitConjuncts(cond); cur = c
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        rel = lr
+      case _ => return None
+    }
+    val roots = rel.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
+    if (roots.size != 1) return None
+    val entry = RollupRegistry.lookup(roots.head.toString).getOrElse(return None)
+    val dimSet = entry.dims.toSet
+
+    // grouping keys: plain dim attributes of the fact relation
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference if dimSet.contains(a.name) &&
+        rel.outputSet.contains(a) => a
+      case _ => return None
+    }
+    // filters may touch dims only (then they remap onto the rollup)
+    if (!conds.forall(_.references.forall(a => dimSet.contains(a.name))))
+      return None
+
+    val spark = SparkSession.active
+    val rollup = spark.read.parquet(entry.rollupPath).queryExecution.analyzed
+    val byName = rollup.output.map(o => o.name -> o).toMap
+    val measureSet = entry.measures.toSet
+
+    // each output: a grouping dim, count(1), or the exact decimal sum —
+    // optionally under an outer Cast (the house `.cast("double")` spelling)
+    def rewriteAgg(ae: AggregateExpression): Option[Expression] =
+      if (ae.isDistinct || ae.filter.nonEmpty) None
+      else ae.aggregateFunction match {
+        case c: Count if c.children.forall {
+          case Literal(_, _) => true; case _ => false
+        } && c.children.nonEmpty =>
+          Some(Sum(byName("_cnt")).toAggregateExpression())
+        case s: Sum => s.child match {
+          case cst: Cast if cst.dataType == DecimalType(18, 3) =>
+            cst.child match {
+              case m: AttributeReference if measureSet.contains(m.name) =>
+                Some(Cast(Sum(byName(s"_sum_${m.name}")).toAggregateExpression(),
+                  ae.dataType))
+              case _ => None
+            }
+          case _ => None
+        }
+        case _ => None
+      }
+    val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
+        Alias(byName(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(ae: AggregateExpression, name) =>
+        Alias(rewriteAgg(ae).getOrElse(return None), name)(exprId = al.exprId)
+      case al @ Alias(outer: Cast, name) => outer.child match {
+        case ae: AggregateExpression =>
+          Alias(Cast(rewriteAgg(ae).getOrElse(return None), outer.dataType),
+            name)(exprId = al.exprId)
+        case _ => return None
+      }
+      case _ => return None
+    }
+    val filtered = conds
+      .map(_.transform {
+        case a: AttributeReference => byName(a.name)
+      })
+      .reduceOption(And)
+      .fold(rollup)(c => Filter(c, rollup))
+    Some(Aggregate(groupAttrs.map(g => byName(g.name)), newAggs, filtered))
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}

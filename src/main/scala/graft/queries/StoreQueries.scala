@@ -419,6 +419,38 @@ object StoreQueries extends QueryPack {
     // audit table is what the operator alarms on. Map-only + single
     // 5-column agg ⇒ no shuffle at all at any batch size; the explode
     // at the end is over one 5-element row.
+    // Aggregate navigation in action ([[graft.plans.RollupRewriteRule]],
+    // the second registered-artifact optimizer rule next to the ANN
+    // rewrite): the query code below is the NAIVE dashboard plan — scan
+    // the fact, filter a dim, GROUP BY a dim, count + exact-decimal sum
+    // — and the rule serves it from the registered pre-aggregated rollup
+    // (count(1) → sum(_cnt), sum(dec) → sum(_sum_m), dim filter remapped)
+    // without touching the fact. COUNT and DECIMAL SUM re-aggregate
+    // exactly, so unlike the ANN rewrite this one is EXACT: the oracle
+    // hash over the rewritten plan's rows proves it, and the `rewritten`
+    // bit (rollup-only `_cnt` in the executed scan's schema) proves the
+    // fact scan was actually replaced. Soundness fences (raw double sums,
+    // non-dim groupings/filters, distinct aggs never match; kill switch)
+    // are pinned by RollupRewriteSpec.
+    "store_rollup_rewrite" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val factPath = s"$dir/orders.parquet"
+      graft.plans.RollupRegistry.register(s, factPath,
+        dims = Seq("o_orderstatus", "o_orderpriority"),
+        measures = Seq("o_totalprice"))
+      val naive = s.read.parquet(factPath)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 3))).cast("double")
+            .as("total"))
+      val rewritten = naive.queryExecution.executedPlan.toString
+        .contains("_cnt")
+      naive.select(col("o_orderstatus"), col("n"), col("total"),
+          lit(rewritten).as("rewritten"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Idempotent backfill via DYNAMIC partition overwrite (Hive's
     // INSERT OVERWRITE ... PARTITION semantics): re-running a corrected
     // day replaces exactly that day's files and leaves every other
@@ -704,6 +736,14 @@ object StoreQueries extends QueryPack {
          |FROM embeddings WHERE vec_id < 300 ORDER BY key""".stripMargin,
     // Oracle reads the parquet table directly: the roundtripped JSONL
     // must aggregate (and content-hash) identically.
+    // Plain fact-side aggregation — equality proves the rollup rewrite
+    // is exact, not approximate.
+    "store_rollup_rewrite" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS total,
+        |  true AS rewritten
+        |FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "store_partition_overwrite" ->
       """WITH d AS (
         |  SELECT CAST(ts AS DATE) AS event_date, value FROM events
