@@ -419,6 +419,43 @@ object StoreQueries extends QueryPack {
     // audit table is what the operator alarms on. Map-only + single
     // 5-column agg ⇒ no shuffle at all at any batch size; the explode
     // at the end is over one 5-element row.
+    // Change-data-feed read (Delta CDF's table_changes shape) over the
+    // shared versioned mutation log: the NET per-key change between two
+    // versions — update_preimage/update_postimage pairs, deletes with
+    // their last-visible row, inserts (none in this log: every key
+    // exists at v0; the arm is the symmetric mirror of delete) — and
+    // crucially NOTHING for untouched keys or churn that nets out, which
+    // is what makes a CDF consumer cheaper than a snapshot diff of raw
+    // log rows. Shape: two keep-latest partial aggs + ONE full-outer
+    // join on key; the change classification is a map-side expression.
+    "store_cdf_read" -> ((s, dir) => {
+      def stateAt(v: Int) = mutationLog(s, dir).filter(col("_seq") <= v)
+        .groupBy(col("key"))
+        .agg(max(struct(col("_seq"), col("op"), col("label"))).as("v"))
+        .filter(col("v.op") =!= "D")
+        .select(col("key"), col("v.label").as("label"))
+      val s0 = stateAt(0).select(col("key"), col("label").as("l0"))
+      val s2 = stateAt(2).select(col("key"), col("label").as("l2"))
+      s0.join(s2, Seq("key"), "full_outer")
+        .select(col("key"), explode(
+          when(col("l0").isNull,
+            array(struct(lit("insert").as("_change_type"),
+              col("l2").as("label"))))
+          .when(col("l2").isNull,
+            array(struct(lit("delete").as("_change_type"),
+              col("l0").as("label"))))
+          .when(col("l0") =!= col("l2"),
+            array(
+              struct(lit("update_preimage").as("_change_type"),
+                col("l0").as("label")),
+              struct(lit("update_postimage").as("_change_type"),
+                col("l2").as("label"))))
+          .otherwise(lit(null))).as("c"))
+        .select(col("key"), col("c._change_type").as("_change_type"),
+          col("c.label").as("label"))
+        .orderBy(col("key"), col("_change_type"))
+    }),
+
     // Aggregate navigation in action ([[graft.plans.RollupRewriteRule]],
     // the second registered-artifact optimizer rule next to the ANN
     // rewrite): the query code below is the NAIVE dashboard plan — scan
@@ -736,6 +773,45 @@ object StoreQueries extends QueryPack {
          |FROM embeddings WHERE vec_id < 300 ORDER BY key""".stripMargin,
     // Oracle reads the parquet table directly: the roundtripped JSONL
     // must aggregate (and content-hash) identically.
+    "store_cdf_read" ->
+      s"""WITH base AS (
+         |  SELECT CAST(vec_id AS VARCHAR) AS key, label FROM embeddings
+         |), log AS (
+         |  SELECT key, label, 0 AS _seq, 'U' AS op FROM base
+         |  UNION ALL
+         |  SELECT key, label + 1000, 1, 'U' FROM base
+         |  WHERE CAST(key AS BIGINT) % 5 = 1
+         |  UNION ALL
+         |  SELECT key, NULL, 1, 'D' FROM base
+         |  WHERE CAST(key AS BIGINT) % 5 = 2
+         |  UNION ALL
+         |  SELECT key, label + 2000, 2, 'U' FROM base
+         |  WHERE CAST(key AS BIGINT) % 5 = 3
+         |), s0 AS (
+         |  SELECT key, label AS l0 FROM (
+         |    SELECT key, label, op,
+         |      row_number() OVER (PARTITION BY key ORDER BY _seq DESC) AS rn
+         |    FROM log WHERE _seq <= 0) WHERE rn = 1 AND op <> 'D'
+         |), s2 AS (
+         |  SELECT key, label AS l2 FROM (
+         |    SELECT key, label, op,
+         |      row_number() OVER (PARTITION BY key ORDER BY _seq DESC) AS rn
+         |    FROM log WHERE _seq <= 2) WHERE rn = 1 AND op <> 'D'
+         |), j AS (
+         |  SELECT coalesce(s0.key, s2.key) AS key, l0, l2,
+         |    s0.key IS NULL AS no0, s2.key IS NULL AS no2
+         |  FROM s0 FULL OUTER JOIN s2 ON s0.key = s2.key
+         |)
+         |SELECT key, 'insert' AS _change_type, l2 AS label FROM j WHERE no0
+         |UNION ALL
+         |SELECT key, 'delete', l0 FROM j WHERE no2 AND NOT no0
+         |UNION ALL
+         |SELECT key, 'update_preimage', l0 FROM j
+         |WHERE NOT no0 AND NOT no2 AND l0 <> l2
+         |UNION ALL
+         |SELECT key, 'update_postimage', l2 FROM j
+         |WHERE NOT no0 AND NOT no2 AND l0 <> l2
+         |ORDER BY key, _change_type""".stripMargin,
     // Plain fact-side aggregation — equality proves the rollup rewrite
     // is exact, not approximate.
     "store_rollup_rewrite" ->
