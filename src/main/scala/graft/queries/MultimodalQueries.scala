@@ -156,6 +156,36 @@ object MultimodalQueries extends QueryPack {
       MultimodalOps.audioVadCatalog(t(s, dir, "documents"))
         .orderBy(col("media_id"))),
 
+    // The multimodal curation POLICY — the pipeline_curate of the media
+    // families: every signal below comes from a REAL decode (aHash dup
+    // groups, VAD activity ratio, demuxed frame count) and the keep/drop
+    // verdict per modality is pure integer arithmetic over them (the
+    // activity band 0.2..0.9 is cross-multiplied, no float), so the
+    // whole policy hash-checks against the generator formulas. Image:
+    // drop perceptual dups. Audio: drop silence/wall-of-noise (activity
+    // outside the band). Video: drop single-frame stills.
+    "pipeline_multimodal_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("ahash_hi", "ahash_lo")
+      val img = MultimodalOps.imageHashCatalog(docs)
+        .withColumn("keep", count(lit(1)).over(w) === 1)
+        .select(col("media_id"), lit("image").as("modality"), col("keep"),
+          when(col("keep"), "ok").otherwise("dup_image").as("reason"))
+      val aud = MultimodalOps.audioVadCatalog(docs)
+        .withColumn("keep",
+          col("n_active") * 5 >= col("n_frames") &&
+            col("n_active") * 10 <= col("n_frames") * 9)
+        .select(col("media_id"), lit("audio").as("modality"), col("keep"),
+          when(col("keep"), "ok").otherwise("silence_or_noise").as("reason"))
+      val vid = MultimodalOps.videoFrameCatalog(docs)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+        .withColumn("keep", col("nf") >= 2)
+        .select(col("media_id"), lit("video").as("modality"), col("keep"),
+          when(col("keep"), "ok").otherwise("single_frame").as("reason"))
+      img.unionByName(aud).unionByName(vid).orderBy(col("media_id"))
+    }),
+
     // Ingest-time validation gate over REAL codecs (the streaming-ready
     // stateless map in [[graft.streaming.MultimodalStreams]]): every
     // 13th payload is deterministically truncated to 20 bytes (valid
@@ -391,6 +421,51 @@ object MultimodalQueries extends QueryPack {
         |SELECT media_id, fp_hi, fp_lo,
         |  count(*) OVER (PARTITION BY fp_hi, fp_lo) AS dup_group_size
         |FROM hashes ORDER BY media_id""".stripMargin,
+    // All three modality verdicts re-derived from the generator
+    // formulas; CTE names prefixed to dodge the ahash chain's img/tot.
+    "pipeline_multimodal_curate" ->
+      s"""WITH $ahashCtes,
+         |imgv AS (
+         |  SELECT media_id, 'image' AS modality,
+         |    (count(*) OVER (PARTITION BY ahash_hi, ahash_lo)) = 1 AS keep,
+         |    'dup_image' AS bad FROM hashes
+         |), a_aud AS (
+         |  SELECT doc_id AS media_id, CAST(256 + doc_id % 512 AS BIGINT) AS n
+         |  FROM documents WHERE doc_id % 3 = 1
+         |), a_sx AS (
+         |  SELECT media_id, n, unnest(range(n)) AS i FROM a_aud
+         |), a_s AS (
+         |  SELECT media_id, n, i // 160 AS k,
+         |    abs(((media_id*131 + i*7919) % 65536) - 32768) AS a
+         |  FROM a_sx
+         |), a_fr AS (
+         |  SELECT media_id, k, sum(a) AS fsum, count(*) AS fn
+         |  FROM a_s GROUP BY media_id, k
+         |), a_tot AS (
+         |  SELECT media_id, max(n) AS tn, sum(a) AS tsum
+         |  FROM a_s GROUP BY media_id
+         |), a_act AS (
+         |  SELECT f.media_id,
+         |    CASE WHEN f.fsum * t.tn > t.tsum * f.fn THEN 1 ELSE 0 END AS active
+         |  FROM a_fr f JOIN a_tot t USING (media_id)
+         |), a_vb AS (
+         |  SELECT media_id, count(*) AS n_frames, sum(active) AS n_active
+         |  FROM a_act GROUP BY media_id
+         |), audv AS (
+         |  SELECT media_id, 'audio' AS modality,
+         |    (5 * n_active >= n_frames AND 10 * n_active <= 9 * n_frames) AS keep,
+         |    'silence_or_noise' AS bad FROM a_vb
+         |), vidv AS (
+         |  SELECT doc_id AS media_id, 'video' AS modality,
+         |    least(n_chars % 30 + 1, 6) >= 2 AS keep,
+         |    'single_frame' AS bad
+         |  FROM documents WHERE doc_id % 3 = 2
+         |)
+         |SELECT media_id, modality, keep,
+         |  CASE WHEN keep THEN 'ok' ELSE bad END AS reason
+         |FROM (SELECT * FROM imgv UNION ALL SELECT * FROM audv
+         |      UNION ALL SELECT * FROM vidv)
+         |ORDER BY media_id""".stripMargin,
     "multimodal_ingest_gate" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
