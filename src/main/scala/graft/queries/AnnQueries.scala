@@ -427,6 +427,43 @@ object AnnQueries extends QueryPack {
     // uniform-random corpus, the aggregate is the regression signal);
     // the (method, q_id) skeleton is the oracle-predicted cardinality.
     // Per-query recall values stay visible in AnnRecallSpec.
+    // The nProbe tuning sweep — the curve an operator reads before
+    // setting an IVF index's probe budget: mean recall vs exact top-3
+    // at nProbe 1, 2, 4, 8 over the 8-cell index. Two invariants are
+    // STRUCTURAL, so the verdict rows are deterministic: recall is
+    // non-decreasing in nProbe (the candidate set only grows), and at
+    // nProbe == nCentroids the probe is exhaustive, so recall is exactly
+    // 1.0. A broken router (cells dropped, wrong distance, tie-break
+    // drift) breaks one of the two bits and fails the driver hash.
+    "ann_nprobe_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 20)
+      val k = 3
+      val levels = Seq(1, 2, 4, 8)
+      val approx = levels.map { p =>
+        val idx = new IvfIndex(nCentroids = 8, nProbe = p)
+        idx.search(IvfIndex.openOrBuild(s, idx, s"$dir/embeddings.parquet",
+            "vec_id", "embedding"), q, "vec_id", "embedding", k)
+          .select(lit(p).as("n_probe"), col("q_id"), col("neighbor_id"),
+            lit(1).as("hit"))
+      }.reduce(_ unionByName _)
+      val exact = exactTopK(emb, queriesOf(emb, 20), k)
+      val recalls = exact.crossJoin(broadcast(levels.toDF("n_probe")))
+        .join(approx, Seq("n_probe", "q_id", "neighbor_id"), "left")
+        .groupBy(col("n_probe"))
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
+          count(lit(1))).as("recall"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("n_probe")
+      recalls.withColumn("prev", lag(col("recall"), 1).over(w))
+        .select(col("n_probe"),
+          coalesce(col("recall") >= col("prev") - 1e-9, lit(true))
+            .as("monotone_ok"),
+          when(col("n_probe") === 8, col("recall") >= 1.0 - 1e-9)
+            .otherwise(lit(true)).as("full_exact"))
+        .orderBy(col("n_probe"))
+    }),
+
     "ann_recall_audit" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 20)
@@ -508,6 +545,11 @@ object AnnQueries extends QueryPack {
            |WHERE $cos >= 0.35
            |ORDER BY q_id, score DESC, neighbor_id""".stripMargin
       },
+      "ann_nprobe_sweep" ->
+        """SELECT CAST(p AS INTEGER) AS n_probe, true AS monotone_ok,
+          |  true AS full_exact
+          |FROM (SELECT unnest([1, 2, 4, 8]) AS p)
+          |ORDER BY n_probe""".stripMargin,
       "ann_recall_audit" ->
         """SELECT m.method, vec_id AS q_id, true AS pass
           |FROM embeddings,

@@ -207,6 +207,32 @@ object CurationQueries extends QueryPack {
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
 
+    // Skip-gram (center, context) pair extraction — the data-prep pass a
+    // word2vec/SGNS embedding run makes over the corpus (Mikolov 2013):
+    // every token paired with its neighbors within a ±2 window,
+    // DIRECTIONAL (both orders count, as SGNS training does). Entirely
+    // map-side: the window pairs come from nested array transforms over
+    // the token array (no self-join on position — a join would shuffle
+    // every token row to pair it with neighbors already sitting next to
+    // it in the same array), then one partial-agg count and a
+    // TakeOrdered top-50, the corpus_vocab_topk shape.
+    "corpus_skipgram_pairs" -> ((s, dir) => {
+      val tk = col("toks")
+      val pairs = flatten(transform(sequence(lit(1), size(tk)), i =>
+        filter(
+          transform(sequence(i - 2, i + 2), j =>
+            when(j >= 1 && j <= size(tk) && j =!= i,
+              concat_ws(" ", element_at(tk, i), element_at(tk, j)))),
+          x => x.isNotNull)))
+      spread(s, t(s, dir, "documents"), "doc_id")
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(pairs).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(50)
+    }),
+
     // Feature hashing (the hashing trick, Weinberger et al. 2009): each
     // token folds into one of 16 signed buckets via a hash of the token
     // itself, so the featurizer needs NO vocabulary table — the property
@@ -833,6 +859,19 @@ object CurationQueries extends QueryPack {
         |)
         |SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id FROM ranked
         |WHERE rk <= 25 ORDER BY lang, rk""".stripMargin,
+    "corpus_skipgram_pairs" ->
+      """WITH tok AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), pr AS (
+        |  SELECT unnest(flatten(list_transform(range(1, len(toks) + 1), i ->
+        |    list_transform(
+        |      list_filter(range(i - 2, i + 3),
+        |        j -> j >= 1 AND j <= len(toks) AND j <> i),
+        |      j -> toks[i] || ' ' || toks[j])))) AS pair
+        |  FROM tok WHERE len(toks) >= 2
+        |)
+        |SELECT pair, count(*) AS n FROM pr
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "corpus_feature_hashing" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
