@@ -233,6 +233,34 @@ object CurationQueries extends QueryPack {
         .limit(50)
     }),
 
+    // The SGNS negative-sampling (noise) distribution that pairs with
+    // corpus_skipgram_pairs: unigram counts raised to 3/4 (Mikolov
+    // 2013's smoothing — flattens the head so frequent words aren't
+    // oversampled as negatives), normalized over the top-50 vocabulary.
+    // Determinism: each pow term is round6'd (the only libm call), the
+    // normalizer is an exact DECIMAL sum of those 6-dp terms
+    // (order-free), and the final probability divides exact decimals —
+    // the pagerank discipline applied to a sampling table.
+    "corpus_negative_sampling" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val top = spread(s, t(s, dir, "documents"), "doc_id")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+        .withColumn("w",
+          round6(pow(col("n").cast("double"), 0.75))
+            .cast(DecimalType(27, 6)))
+        .localCheckpoint()
+      val tot = top.agg(sum(col("w")).as("tw"))
+      top.crossJoin(broadcast(tot))
+        .select(col("token"), col("n"),
+          round6(col("w").cast("double") / col("tw").cast("double"))
+            .as("prob"))
+        .orderBy(col("n").desc, col("token"))
+    }),
+
     // Feature hashing (the hashing trick, Weinberger et al. 2009): each
     // token folds into one of 16 signed buckets via a hash of the token
     // itself, so the featurizer needs NO vocabulary table — the property
@@ -859,6 +887,23 @@ object CurationQueries extends QueryPack {
         |)
         |SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id FROM ranked
         |WHERE rk <= 25 ORDER BY lang, rk""".stripMargin,
+    "corpus_negative_sampling" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      s"""WITH top AS (
+         |  SELECT token, count(*) AS n
+         |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+         |        FROM documents)
+         |  WHERE length(token) > 0
+         |  GROUP BY token ORDER BY n DESC, token LIMIT 50
+         |), wt AS (
+         |  SELECT token, n,
+         |    CAST(${r6("pow(CAST(n AS DOUBLE), 0.75)")} AS DECIMAL(27,6)) AS w
+         |  FROM top
+         |), tot AS (SELECT sum(w) AS tw FROM wt)
+         |SELECT token, n,
+         |  ${r6("CAST(CAST(w AS VARCHAR) AS DOUBLE) / CAST(CAST(tw AS VARCHAR) AS DOUBLE)")} AS prob
+         |FROM wt, tot ORDER BY n DESC, token""".stripMargin
+    },
     "corpus_skipgram_pairs" ->
       """WITH tok AS (
         |  SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents

@@ -205,6 +205,37 @@ object EventQueries extends QueryPack {
           pu.agg(count(lit(1)).as("n_purchase_after_click")))
     }),
 
+    // The funnel with a CONVERSION DEADLINE — product-analytics funnel
+    // semantics proper: each stage counts only within 72 h of the
+    // previous stage's first completion (an unbounded funnel credits a
+    // purchase a year later to last spring's campaign). Same
+    // stage-chained min-aggregate shape as events_funnel — per stage one
+    // filter + one per-user partial agg, each join keyed on user — plus
+    // exact-ratio conversion rates; the deadline is the only delta, so
+    // diffing the two queries' counts shows exactly what the window
+    // excludes.
+    "events_funnel_windowed" -> ((s, dir) => {
+      val win = expr("INTERVAL 72 HOURS")
+      val ev = events(s, dir)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      val cl = ev.filter(col("event_type") === "click")
+        .join(su, "user_id")
+        .filter(col("ts") > col("s_ts") && col("ts") <= col("s_ts") + win)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(cl, "user_id")
+        .filter(col("ts") > col("c_ts") && col("ts") <= col("c_ts") + win)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      su.agg(count(lit(1)).as("n_signup")).crossJoin(
+          cl.agg(count(lit(1)).as("n_click_72h"))).crossJoin(
+          pu.agg(count(lit(1)).as("n_purchase_72h")))
+        .select(col("n_signup"), col("n_click_72h"), col("n_purchase_72h"),
+          round6(col("n_click_72h") / col("n_signup")).as("click_rate"),
+          round6(col("n_purchase_72h") / col("n_click_72h"))
+            .as("purchase_rate"))
+    }),
+
     // Cohort retention: users grouped by first-seen day; D1/D7 retention
     // = share of the cohort active again exactly N days later. Two
     // aggregations and one equi-join on user_id — the multi-day activity
@@ -1249,6 +1280,33 @@ object EventQueries extends QueryPack {
         |SELECT (SELECT count(*) FROM su) AS n_signup,
         |       (SELECT count(*) FROM cl) AS n_click_after_signup,
         |       (SELECT count(*) FROM pu) AS n_purchase_after_click""".stripMargin,
+    "events_funnel_windowed" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      s"""WITH su AS (
+         |  SELECT user_id, min(ts) AS s_ts FROM events
+         |  WHERE event_type = 'signup' GROUP BY user_id
+         |), cl AS (
+         |  SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+         |  JOIN su ON e.user_id = su.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > su.s_ts
+         |    AND e.ts <= su.s_ts + INTERVAL 72 HOUR
+         |  GROUP BY e.user_id
+         |), pu AS (
+         |  SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+         |  JOIN cl ON e.user_id = cl.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > cl.c_ts
+         |    AND e.ts <= cl.c_ts + INTERVAL 72 HOUR
+         |  GROUP BY e.user_id
+         |), c AS (
+         |  SELECT (SELECT count(*) FROM su) AS n_signup,
+         |         (SELECT count(*) FROM cl) AS n_click_72h,
+         |         (SELECT count(*) FROM pu) AS n_purchase_72h
+         |)
+         |SELECT n_signup, n_click_72h, n_purchase_72h,
+         |  ${r6("n_click_72h / n_signup")} AS click_rate,
+         |  ${r6("n_purchase_72h / n_click_72h")} AS purchase_rate
+         |FROM c""".stripMargin
+    },
     "events_user_lag" ->
       """SELECT event_id, user_id, ts,
         |  CAST(epoch(date_trunc('second', ts)) -
