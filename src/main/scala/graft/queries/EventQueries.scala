@@ -214,6 +214,31 @@ object EventQueries extends QueryPack {
     // exact-ratio conversion rates; the deadline is the only delta, so
     // diffing the two queries' counts shows exactly what the window
     // excludes.
+    // First-order Markov transition matrix over per-user event journeys
+    // — the model behind events_path_topk's raw paths (next-step
+    // prediction, absorbing-state detection, journey simulation). One
+    // per-user lead window (the same keyed sort path_topk pays), then
+    // transition counts and an exact-rational row-normalized probability:
+    // P(to|from) = n(from,to) / n(from,*) as a round6'd integer ratio.
+    // The matrix is |types|² tiny at any corpus size — the whole model
+    // fits in a broadcast once the one shuffle is paid.
+    "events_markov_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = events(s, dir)
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val outTotals = trans.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("n_out"))
+      trans.join(broadcast(outTotals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round6(col("n") / col("n_out")).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     "events_funnel_windowed" -> ((s, dir) => {
       val win = expr("INTERVAL 72 HOURS")
       val ev = events(s, dir)
@@ -1280,6 +1305,25 @@ object EventQueries extends QueryPack {
         |SELECT (SELECT count(*) FROM su) AS n_signup,
         |       (SELECT count(*) FROM cl) AS n_click_after_signup,
         |       (SELECT count(*) FROM pu) AS n_purchase_after_click""".stripMargin,
+    "events_markov_transitions" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      s"""WITH tr AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS to_type
+         |  FROM events
+         |), cnt AS (
+         |  SELECT from_type, to_type, count(*) AS n
+         |  FROM tr WHERE to_type IS NOT NULL
+         |  GROUP BY from_type, to_type
+         |), outs AS (
+         |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out
+         |  FROM cnt GROUP BY from_type
+         |)
+         |SELECT c.from_type, c.to_type, c.n, ${r6("c.n / o.n_out")} AS p
+         |FROM cnt c JOIN outs o USING (from_type)
+         |ORDER BY from_type, to_type""".stripMargin
+    },
     "events_funnel_windowed" -> {
       val r6 = graft.QueryPack.round6Sql _
       s"""WITH su AS (

@@ -419,6 +419,52 @@ object StoreQueries extends QueryPack {
     // audit table is what the operator alarms on. Map-only + single
     // 5-column agg ⇒ no shuffle at all at any batch size; the explode
     // at the end is over one 5-element row.
+    // Write-audit-publish — the staged-commit protocol (Iceberg's WAP
+    // pattern) that turns store_constraint_audit from a report into a
+    // GATE: each batch lands in an isolated staging dir, the audit runs
+    // against the staged files, and only a clean batch is PUBLISHED via
+    // a filesystem rename (atomic dir move — readers of the published
+    // root never see a half-written or dirty batch). Here batch A is
+    // clean and publishes; batch B carries constraint violators and
+    // stays quarantined in staging. The oracle derives the final
+    // published state (clean batch only) plus the per-batch verdicts —
+    // a leaked dirty row, a lost clean one, or a mis-verdict all fail
+    // the hash.
+    "store_write_audit_publish" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      val wh = java.nio.file.Files.createTempDirectory("graft_wap").toString
+      val o = t(s, dir, "orders")
+      def runWap(df: org.apache.spark.sql.DataFrame, name: String): Boolean = {
+        val staged = s"$wh/stage/$name"
+        df.write.mode("overwrite").parquet(staged)
+        // the audit reads the STAGED FILES, not the input frame: what is
+        // validated is exactly what would be published
+        val nViol = s.read.parquet(staged)
+          .filter(col("o_totalprice") > 400000).count()
+        val ok = nViol == 0
+        if (ok) {
+          hfs.mkdirs(new org.apache.hadoop.fs.Path(s"$wh/published"))
+          hfs.rename(new org.apache.hadoop.fs.Path(staged),
+            new org.apache.hadoop.fs.Path(s"$wh/published/$name"))
+        }
+        ok
+      }
+      val pubA = runWap(o.filter(col("o_orderkey") % 10 === 4 &&
+        col("o_totalprice") <= 400000), "batch_a")
+      val pubB = runWap(o.filter(col("o_orderkey") % 10 === 7), "batch_b")
+      s.read.option("recursiveFileLookup", "true")
+        .parquet(s"$wh/published")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 3))).cast("double")
+            .as("total"))
+        .select(col("o_orderstatus"), col("n"), col("total"),
+          lit(pubA).as("batch_a_published"), lit(pubB).as("batch_b_published"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Change-data-feed read (Delta CDF's table_changes shape) over the
     // shared versioned mutation log: the NET per-key change between two
     // versions — update_preimage/update_postimage pairs, deletes with
@@ -773,6 +819,14 @@ object StoreQueries extends QueryPack {
          |FROM embeddings WHERE vec_id < 300 ORDER BY key""".stripMargin,
     // Oracle reads the parquet table directly: the roundtripped JSONL
     // must aggregate (and content-hash) identically.
+    // Final published state = the clean batch only, verdicts predicted.
+    "store_write_audit_publish" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS total,
+        |  true AS batch_a_published, false AS batch_b_published
+        |FROM orders
+        |WHERE o_orderkey % 10 = 4 AND o_totalprice <= 400000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "store_cdf_read" ->
       s"""WITH base AS (
          |  SELECT CAST(vec_id AS VARCHAR) AS key, label FROM embeddings
