@@ -214,6 +214,68 @@ object EventQueries extends QueryPack {
     // exact-ratio conversion rates; the deadline is the only delta, so
     // diffing the two queries' counts shows exactly what the window
     // excludes.
+    // Peak concurrency — the classic boundary-sweep interval problem
+    // (how many 30-minute activity intervals overlap at the worst
+    // moment, per event type): each event contributes +1 at ts and -1 at
+    // ts+30m, the running sum over type-ordered boundaries is the live
+    // concurrency, and its max (earliest instant on ties) is the answer
+    // capacity planning reads. Deltas order (time asc, delta asc) so an
+    // end meeting a start closes FIRST — touching intervals don't
+    // overlap. The window is keyed per type (bounded groups); the 100 TB
+    // form shards the sweep by day and stitches boundary carries, the
+    // same decomposition as the sketch shard merges.
+    "events_peak_concurrency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val bounds = ev.select(col("event_type"), col("ts").as("t"),
+          lit(1).as("delta"))
+        .unionByName(ev.select(col("event_type"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("t"),
+          lit(-1).as("delta")))
+      val w = Window.partitionBy("event_type").orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val live = bounds.withColumn("live", sum(col("delta")).over(w))
+      val peaks = live.groupBy(col("event_type"))
+        .agg(max(col("live")).as("peak"))
+      live.join(broadcast(peaks), "event_type")
+        .filter(col("live") === col("peak"))
+        .groupBy(col("event_type"), col("peak"))
+        .agg(min(col("t")).as("peak_at"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Merged-interval coverage — the interval-union dual of the sweep
+    // above: per user, how much wall-clock the 30-minute activity
+    // intervals actually COVER once overlaps merge (billing/engagement
+    // time, not event counts), plus how many merged sessions they form.
+    // Islands construction: an interval starts a new island iff its
+    // start exceeds the running max end of all earlier intervals; both
+    // engines spell the same running-max window, and coverage sums
+    // per-island (max end - min start) as exact integer seconds.
+    "events_interval_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byStart = Window.partitionBy("user_id")
+        .orderBy(col("s"), col("e"), col("event_id"))
+      val iv = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("s"),
+        (unix_timestamp(col("ts")) + 1800L).as("e"))
+      val isl = iv
+        .withColumn("prev_max_e",
+          max(col("e")).over(byStart.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          (col("prev_max_e").isNull || col("s") > col("prev_max_e"))
+            .cast("long"))
+        .withColumn("island",
+          sum(col("new_island")).over(byStart
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      isl.groupBy(col("user_id"), col("island"))
+        .agg(min(col("s")).as("is_s"), max(col("e")).as("is_e"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("is_e") - col("is_s")).as("covered_sec"))
+        .orderBy(col("user_id"))
+    }),
+
     // First-order Markov transition matrix over per-user event journeys
     // — the model behind events_path_topk's raw paths (next-step
     // prediction, absorbing-state detection, journey simulation). One
@@ -1305,6 +1367,49 @@ object EventQueries extends QueryPack {
         |SELECT (SELECT count(*) FROM su) AS n_signup,
         |       (SELECT count(*) FROM cl) AS n_click_after_signup,
         |       (SELECT count(*) FROM pu) AS n_purchase_after_click""".stripMargin,
+    "events_peak_concurrency" ->
+      """WITH b AS (
+        |  SELECT event_type, ts AS t, 1 AS delta FROM events
+        |  UNION ALL
+        |  SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events
+        |), l AS (
+        |  SELECT event_type, t,
+        |    sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+        |  FROM b
+        |), p AS (
+        |  SELECT event_type, CAST(max(live) AS BIGINT) AS peak
+        |  FROM l GROUP BY event_type
+        |)
+        |SELECT l.event_type, p.peak, min(l.t) AS peak_at
+        |FROM l JOIN p ON l.event_type = p.event_type AND l.live = p.peak
+        |GROUP BY l.event_type, p.peak
+        |ORDER BY l.event_type""".stripMargin,
+    "events_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id,
+        |    epoch(date_trunc('second', ts)) AS s,
+        |    epoch(date_trunc('second', ts)) + 1800 AS e
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, event_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+        |  FROM iv
+        |), isl AS (
+        |  SELECT user_id, s, e,
+        |    sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+        |      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY s, e, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m
+        |), g AS (
+        |  SELECT user_id, island, min(s) AS is_s, max(e) AS is_e
+        |  FROM isl GROUP BY user_id, island
+        |)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(is_e - is_s) AS BIGINT) AS covered_sec
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_markov_transitions" -> {
       val r6 = graft.QueryPack.round6Sql _
       s"""WITH tr AS (
