@@ -327,6 +327,31 @@ object EventQueries extends QueryPack {
     // = share of the cohort active again exactly N days later. Two
     // aggregations and one equi-join on user_id — the multi-day activity
     // matrix never materializes, only (user, day) distinct pairs.
+    // The full cohort-retention TRIANGLE (the d1/d7 spot checks above,
+    // generalized): distinct active users per (first-seen cohort day,
+    // day offset 0..7), with the retention rate as an exact ratio
+    // against the cohort size (= the offset-0 cell, so the matrix is
+    // self-normalizing). One distinct (user, day) pass, a per-user min,
+    // one join back — the same shapes events_retention already pays,
+    // just kept at matrix grain instead of two hand-picked offsets.
+    "events_retention_matrix" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+      val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      val cells = first.join(ev, "user_id")
+        .withColumn("day_offset", datediff(col("d"), col("d0")))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("d0"), col("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
+      val cohorts = cells.filter(col("day_offset") === 0)
+        .select(col("d0"), col("n_active").as("n_cohort"))
+      cells.join(broadcast(cohorts), "d0")
+        .select(col("d0").cast("timestamp").as("cohort_day"),
+          col("day_offset"), col("n_active"),
+          round6(col("n_active") / col("n_cohort")).as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     "events_retention" -> ((s, dir) => {
       val ev = events(s, dir).select(col("user_id"), col("ts").cast("date").as("d"))
       val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
@@ -1336,6 +1361,27 @@ object EventQueries extends QueryPack {
         s"${graft.QueryPack.round6Sql(s"quantile_cont(value, $p)")} AS $name"
       s"""SELECT event_type, ${q("0.5", "p50")}, ${q("0.9", "p90")}, ${q("0.99", "p99")}
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+    "events_retention_matrix" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      s"""WITH a AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+         |), f AS (
+         |  SELECT user_id, min(d) AS d0 FROM a GROUP BY user_id
+         |), cells AS (
+         |  SELECT f.d0, a.d - f.d0 AS day_offset,
+         |    count(DISTINCT a.user_id) AS n_active
+         |  FROM f JOIN a USING (user_id)
+         |  WHERE a.d - f.d0 <= 7
+         |  GROUP BY f.d0, a.d - f.d0
+         |), cohorts AS (
+         |  SELECT d0, n_active AS n_cohort FROM cells WHERE day_offset = 0
+         |)
+         |SELECT CAST(c.d0 AS TIMESTAMP) AS cohort_day,
+         |  CAST(c.day_offset AS INTEGER) AS day_offset, c.n_active,
+         |  ${r6("c.n_active / h.n_cohort")} AS retention
+         |FROM cells c JOIN cohorts h USING (d0)
+         |ORDER BY cohort_day, day_offset""".stripMargin
     },
     "events_retention" ->
       """WITH f AS (

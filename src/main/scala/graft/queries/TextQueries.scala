@@ -65,6 +65,44 @@ object TextQueries extends QueryPack {
         .orderBy(col("doc_id"))),
 
     // Composite quality score: length, stopword density, token shape.
+    // Character-level Shannon entropy per doc — the gibberish/garbage
+    // detector orthogonal to the token-ratio quality score (mojibake and
+    // base64 blobs read HIGH, stuck-key repetition reads LOW; natural
+    // text sits in a band, and the band check is the filter). Exactness:
+    // each character's term -p·log2(p) is round6'd (p is an exact
+    // integer ratio; log2 is the one libm call) and the per-doc sum runs
+    // as DECIMAL — order-free, so partitioning can't change the hash.
+    // Shape: one explode to (doc, char) + two partial aggs; at 100 TB
+    // the explode is map-side and the grain is bounded by |alphabet| per
+    // doc.
+    "text_entropy_score" -> ((s, dir) => {
+      val chars = spread(s, t(s, dir, "documents"), "doc_id")
+        // materialize the trimmed text BEFORE the per-char lambda (the
+        // HOF rule: an attribute ref per element is cheap, an inlined
+        // trim() would re-run per character)
+        .withColumn("t", trim(col("text")))
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, length(t)), i -> substring(t, i, 1))"))
+            .as("ch"))
+      val freq = chars.groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("cnt"))
+      val total = freq.groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("tot"))
+      freq.join(total, "doc_id")
+        .withColumn("p", col("cnt").cast("double") / col("tot"))
+        .withColumn("term",
+          round6(-col("p") * log2(col("p"))).cast(DecimalType(27, 6)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct_chars"),
+          sum(col("term")).cast("double").as("entropy_bits"))
+        .select(col("doc_id"), col("n_distinct_chars"),
+          round6(col("entropy_bits")).as("entropy_bits"),
+          (col("entropy_bits") >= 2.0 && col("entropy_bits") <= 5.5)
+            .as("in_natural_band"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_quality_score" -> ((s, dir) => {
       val nTokens = size(toks).cast("double")
       val stopRatio = hits(enStops).cast("double") / nTokens
@@ -353,6 +391,34 @@ object TextQueries extends QueryPack {
     s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   override def oracleSql: Map[String, String] = Map(
+    "text_entropy_score" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      val p = "(CAST(cnt AS DOUBLE) / tot)"
+      s"""WITH tx AS (
+         |  SELECT doc_id, trim(text) AS t FROM documents
+         |), ch AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, length(t) + 1), i -> t[i:i])) AS ch
+         |  FROM tx
+         |), freq AS (
+         |  SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY doc_id, ch
+         |), tot AS (
+         |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tot
+         |  FROM freq GROUP BY doc_id
+         |), terms AS (
+         |  SELECT f.doc_id,
+         |    CAST(${r6(s"-$p * log2($p)")} AS DECIMAL(27,6)) AS term
+         |  FROM freq f JOIN tot USING (doc_id)
+         |), e AS (
+         |  SELECT doc_id, count(*) AS n_distinct_chars,
+         |    CAST(CAST(sum(term) AS VARCHAR) AS DOUBLE) AS entropy_bits
+         |  FROM terms GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_distinct_chars,
+         |  ${r6("entropy_bits")} AS entropy_bits,
+         |  entropy_bits >= 2.0 AND entropy_bits <= 5.5 AS in_natural_band
+         |FROM e ORDER BY doc_id""".stripMargin
+    },
     "text_token_stats" ->
       s"""SELECT doc_id, lang,
          |  len($toksSql) AS n_tokens,
