@@ -605,6 +605,30 @@ object MultimodalOps {
       .toDF("media_id", "n_frames", "n_active", "n_spans", "longest_span")
   }
 
+  /** Per-FRAME perceptual hashes over the REAL GIF demux — the signal
+    * behind scene-change detection (consecutive-frame hamming) and
+    * frame-level near-dup lookup. One decode pass; each decoded frame
+    * runs the same integer-exact [[MediaCodecs.aHash64]] as still
+    * images (gray frames: lum == sample exactly, so the oracle
+    * re-derives every bit from the generator formula). */
+  def videoFrameHashCatalog(docs: DataFrame, maxFrames: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    mediaMeta(docs).filter(col("modality") === "video").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map(r => r.copy(content = MediaCodecs.encodeGif(
+          r.media_id, r.width, r.height, math.min(r.n_frames, maxFrames))))
+      }
+      .flatMap { r =>
+        MediaCodecs.decodeGifFrames(r.content).zipWithIndex.map {
+          case (img, i) =>
+            val (hi, lo) = MediaCodecs.aHash64(img)
+            (r.media_id, i, hi, lo)
+        }
+      }
+      .toDF("media_id", "frame_idx", "hash_hi", "hash_lo")
+  }
+
   def videoFrameCatalog(docs: DataFrame, maxFrames: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -156,6 +156,27 @@ object MultimodalQueries extends QueryPack {
       MultimodalOps.audioVadCatalog(t(s, dir, "documents"))
         .orderBy(col("media_id"))),
 
+    // Scene-change detection over the REAL video demux: per-frame aHash
+    // (gray frames make lum == sample exactly, so every bit re-derives
+    // from the generator formula), hamming between consecutive frames
+    // via xor + bit_count, cut iff hamming > 16 — the boundary signal a
+    // frame-sampling pipeline keys on (sample AT cuts, not blindly every
+    // Nth frame). One decode pass; the lag window is keyed per video
+    // over ≤6 frames.
+    "multimodal_scene_changes" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id").orderBy("frame_idx")
+      MultimodalOps.videoFrameHashCatalog(t(s, dir, "documents"))
+        .withColumn("ph", lag(col("hash_hi"), 1).over(w))
+        .withColumn("pl", lag(col("hash_lo"), 1).over(w))
+        .filter(col("ph").isNotNull)
+        .select(col("media_id"), col("frame_idx"),
+          (bit_count(col("hash_hi").bitwiseXOR(col("ph"))) +
+            bit_count(col("hash_lo").bitwiseXOR(col("pl")))).as("hamming"))
+        .withColumn("is_cut", col("hamming") > 16)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // The multimodal curation POLICY — the pipeline_curate of the media
     // families: every signal below comes from a REAL decode (aHash dup
     // groups, VAD activity ratio, demuxed frame count) and the keep/drop
@@ -421,6 +442,54 @@ object MultimodalQueries extends QueryPack {
         |SELECT media_id, fp_hi, fp_lo,
         |  count(*) OVER (PARTITION BY fp_hi, fp_lo) AS dup_group_size
         |FROM hashes ORDER BY media_id""".stripMargin,
+    // Per-frame aHash re-derived from the gray pixel formula, then the
+    // same lag/xor/bit_count as the Spark side.
+    "multimodal_scene_changes" ->
+      """WITH vid AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(n_chars % 64 + 16 AS BIGINT) AS w,
+        |    CAST(n_chars % 48 + 16 AS BIGINT) AS h,
+        |    CAST(least(n_chars % 30 + 1, 6) AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), fr AS (
+        |  SELECT media_id, w, h, unnest(range(nf)) AS f FROM vid
+        |), xs AS (
+        |  SELECT media_id, w, h, f, unnest(range(w)) AS x FROM fr
+        |), px AS (
+        |  SELECT media_id, f, w, h,
+        |    (media_id*31 + f*41 + x*7 + y*13) % 256 AS g,
+        |    (y*8 // h)*8 + (x*8 // w) AS k
+        |  FROM (SELECT media_id, w, h, f, x, unnest(range(h)) AS y FROM xs)
+        |), blocks AS (
+        |  SELECT media_id, f, k, sum(g) AS bsum, count(*) AS bn
+        |  FROM px GROUP BY media_id, f, k
+        |), tots AS (
+        |  SELECT media_id, f, max(w * h) AS tn, sum(g) AS tsum
+        |  FROM px GROUP BY media_id, f
+        |), bits AS (
+        |  SELECT b.media_id, b.f, b.k,
+        |    CASE WHEN b.bsum * t.tn > t.tsum * b.bn THEN 1 ELSE 0 END AS bit
+        |  FROM blocks b JOIN tots t USING (media_id, f)
+        |), hashes AS (
+        |  SELECT media_id, f,
+        |    CAST(sum(CASE WHEN bit = 1 AND k >= 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS hash_hi,
+        |    CAST(sum(CASE WHEN bit = 1 AND k < 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END) AS BIGINT) AS hash_lo
+        |  FROM bits GROUP BY media_id, f
+        |), lagd AS (
+        |  SELECT media_id, CAST(f AS INTEGER) AS frame_idx, hash_hi, hash_lo,
+        |    lag(hash_hi) OVER (PARTITION BY media_id ORDER BY f) AS ph,
+        |    lag(hash_lo) OVER (PARTITION BY media_id ORDER BY f) AS pl
+        |  FROM hashes
+        |)
+        |SELECT media_id, frame_idx,
+        |  CAST(bit_count(xor(hash_hi, ph)) + bit_count(xor(hash_lo, pl))
+        |    AS INTEGER) AS hamming,
+        |  (bit_count(xor(hash_hi, ph)) + bit_count(xor(hash_lo, pl))) > 16
+        |    AS is_cut
+        |FROM lagd WHERE ph IS NOT NULL
+        |ORDER BY media_id, frame_idx""".stripMargin,
     // All three modality verdicts re-derived from the generator
     // formulas; CTE names prefixed to dodge the ahash chain's img/tot.
     "pipeline_multimodal_curate" ->
