@@ -327,6 +327,34 @@ object EventQueries extends QueryPack {
     // = share of the cohort active again exactly N days later. Two
     // aggregations and one equi-join on user_id — the multi-day activity
     // matrix never materializes, only (user, day) distinct pairs.
+    // DAU / WAU / MAU — the rolling-distinct-actives triple every
+    // product dashboard leads with. Distinct (user, day) reduces the
+    // corpus once; each calendar day then joins the activity rows inside
+    // its trailing 1/7/30-day band (a 30-row broadcast of days against
+    // the day-keyed activity table — never a per-event window, and
+    // windows can't express a rolling DISTINCT anyway), and one
+    // conditional distinct-count aggregate produces all three horizons.
+    // Stickiness = DAU/MAU as an exact ratio.
+    "events_active_users_rolling" -> ((s, dir) => {
+      val act = events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+        .localCheckpoint()
+      val days = act.select(col("d").as("day")).distinct()
+      act.join(broadcast(days),
+          datediff(col("day"), col("d")).between(0, 29))
+        .groupBy(col("day"))
+        .agg(
+          count_distinct(when(datediff(col("day"), col("d")) === 0,
+            col("user_id"))).as("dau"),
+          count_distinct(when(datediff(col("day"), col("d")) <= 6,
+            col("user_id"))).as("wau"),
+          count_distinct(col("user_id")).as("mau"))
+        .select(col("day").cast("timestamp").as("day"),
+          col("dau"), col("wau"), col("mau"),
+          round6(col("dau") / col("mau")).as("stickiness"))
+        .orderBy(col("day"))
+    }),
+
     // The full cohort-retention TRIANGLE (the d1/d7 spot checks above,
     // generalized): distinct active users per (first-seen cohort day,
     // day offset 0..7), with the retention rate as an exact ratio
@@ -1361,6 +1389,24 @@ object EventQueries extends QueryPack {
         s"${graft.QueryPack.round6Sql(s"quantile_cont(value, $p)")} AS $name"
       s"""SELECT event_type, ${q("0.5", "p50")}, ${q("0.9", "p90")}, ${q("0.99", "p99")}
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+    "events_active_users_rolling" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      s"""WITH a AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+         |), days AS (
+         |  SELECT DISTINCT d AS day FROM a
+         |), j AS (
+         |  SELECT days.day, a.user_id, days.day - a.d AS age
+         |  FROM days JOIN a ON a.d <= days.day AND a.d >= days.day - 29
+         |)
+         |SELECT CAST(day AS TIMESTAMP) AS day,
+         |  count(DISTINCT CASE WHEN age = 0 THEN user_id END) AS dau,
+         |  count(DISTINCT CASE WHEN age <= 6 THEN user_id END) AS wau,
+         |  count(DISTINCT user_id) AS mau,
+         |  ${r6("count(DISTINCT CASE WHEN age = 0 THEN user_id END) " +
+            "/ count(DISTINCT user_id)")} AS stickiness
+         |FROM j GROUP BY day ORDER BY day""".stripMargin
     },
     "events_retention_matrix" -> {
       val r6 = graft.QueryPack.round6Sql _
