@@ -327,6 +327,34 @@ object EventQueries extends QueryPack {
     // = share of the cohort active again exactly N days later. Two
     // aggregations and one equi-join on user_id — the multi-day activity
     // matrix never materializes, only (user, day) distinct pairs.
+    // Pareto concentration — how top-heavy is the workload (the
+    // skew-planning twin of events_salted_user_counts: THIS measures the
+    // concentration that query defends against): smallest user set
+    // covering 80% of events, found on the cumulative sum over the
+    // per-USER rollup (users ≪ events; the one ordered window runs over
+    // that rollup, never raw rows). The 80% cut compares
+    // cross-multiplied integers (cum*5 >= total*4), so the threshold
+    // row — and the hash — is exact.
+    "events_pareto_concentration" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val uc = events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n").desc, col("user_id"))
+      val cum = uc
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cum", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = uc.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_users"))
+      cum.crossJoin(broadcast(tot))
+        .filter(col("cum") * 5 >= col("total") * 4)
+        .agg(min(col("rk")).as("users_for_80pct"),
+          max(col("total")).as("n_events"),
+          max(col("n_users")).as("n_users"))
+        .select(col("n_users"), col("n_events"), col("users_for_80pct"),
+          round6(col("users_for_80pct") / col("n_users")).as("user_share"))
+    }),
+
     // DAU / WAU / MAU — the rolling-distinct-actives triple every
     // product dashboard leads with. Distinct (user, day) reduces the
     // corpus once; each calendar day then joins the activity rows inside
@@ -1389,6 +1417,26 @@ object EventQueries extends QueryPack {
         s"${graft.QueryPack.round6Sql(s"quantile_cont(value, $p)")} AS $name"
       s"""SELECT event_type, ${q("0.5", "p50")}, ${q("0.9", "p90")}, ${q("0.99", "p99")}
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+    "events_pareto_concentration" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      s"""WITH uc AS (
+         |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+         |), cum AS (
+         |  SELECT user_id, n,
+         |    row_number() OVER (ORDER BY n DESC, user_id) AS rk,
+         |    sum(n) OVER (ORDER BY n DESC, user_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM uc
+         |), tot AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_users FROM uc
+         |)
+         |SELECT t.n_users, t.total AS n_events,
+         |  CAST(min(c.rk) AS INTEGER) AS users_for_80pct,
+         |  ${r6("min(c.rk) / t.n_users")} AS user_share
+         |FROM cum c, tot t
+         |WHERE c.cum * 5 >= t.total * 4
+         |GROUP BY t.n_users, t.total""".stripMargin
     },
     "events_active_users_rolling" -> {
       val r6 = graft.QueryPack.round6Sql _
