@@ -64,6 +64,21 @@ object TextQueries extends QueryPack {
             .as("avg_token_len"))
         .orderBy(col("doc_id"))),
 
+    // Lexical diversity — type-token ratio plus Guiraud's length-
+    // corrected index (types/√tokens; raw TTR shrinks with length, so a
+    // long clean doc reads "repetitive" under a flat TTR cut). The
+    // repetitive flag is the cross-multiplied TTR < 0.2 band. Map-only:
+    // array_distinct + size on the already-materialized token column.
+    "text_ttr" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("n_types", size(array_distinct(toks)))
+        .withColumn("n_tokens", size(toks))
+        .select(col("doc_id"), col("n_types"), col("n_tokens"),
+          round6(col("n_types") / col("n_tokens")).as("ttr"),
+          round6(col("n_types") / sqrt(col("n_tokens"))).as("guiraud"),
+          (col("n_types") * 5 < col("n_tokens")).as("repetitive"))
+        .orderBy(col("doc_id"))),
+
     // Composite quality score: length, stopword density, token shape.
     // Character-level Shannon entropy per doc — the gibberish/garbage
     // detector orthogonal to the token-ratio quality score (mojibake and
@@ -390,6 +405,20 @@ object TextQueries extends QueryPack {
     s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   override def oracleSql: Map[String, String] = Map(
+    "text_ttr" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_distinct($toksSql)) AS INTEGER) AS n_types,
+         |    CAST(len($toksSql) AS INTEGER) AS n_tokens
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_types, n_tokens,
+         |  ${r6("n_types / CAST(n_tokens AS DOUBLE)")} AS ttr,
+         |  ${r6("n_types / sqrt(CAST(n_tokens AS DOUBLE))")} AS guiraud,
+         |  n_types * 5 < n_tokens AS repetitive
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
     "text_entropy_score" -> {
       val r6 = graft.QueryPack.round6Sql _
       val p = "(CAST(cnt AS DOUBLE) / tot)"
