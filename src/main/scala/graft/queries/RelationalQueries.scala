@@ -356,6 +356,27 @@ object RelationalQueries extends QueryPack {
     // values, so output is deterministic), while row_number/ntile/lag/
     // lead order by the UNIQUE (date, orderkey) pair because their
     // values depend on intra-tie order.
+    // Customer-value decile segmentation (the CRM cut every retention
+    // campaign starts from): lifetime revenue per customer as an exact
+    // DECIMAL rollup, ntile(10) over (revenue desc, custkey) — the
+    // unique tie-break ntile needs — then per-decile size and revenue
+    // range. The ordered window runs over the CUSTOMER rollup, never
+    // order rows; at 100 TB the exact ntile swaps for sampled range
+    // boundaries, the layout_range_boundaries split.
+    "q_customer_deciles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 3))).as("rev"))
+      val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+      rev.withColumn("decile", ntile(10).over(w))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev")).cast("double").as("total_rev"),
+          min(col("rev")).cast("double").as("min_rev"),
+          max(col("rev")).cast("double").as("max_rev"))
+        .orderBy(col("decile"))
+    }),
+
     "q_window_ranks" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
@@ -808,6 +829,21 @@ object RelationalQueries extends QueryPack {
         |  AND s_suppkey NOT IN (SELECT l_suppkey FROM active)
         |GROUP BY s_nationkey
         |ORDER BY s_nationkey""".stripMargin,
+    "q_customer_deciles" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,3))) AS rev
+        |  FROM orders GROUP BY o_custkey
+        |), dec AS (
+        |  SELECT o_custkey, rev,
+        |    ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+        |  FROM rev
+        |)
+        |SELECT CAST(decile AS INTEGER) AS decile, count(*) AS n_customers,
+        |  CAST(CAST(sum(rev) AS VARCHAR) AS DOUBLE) AS total_rev,
+        |  CAST(CAST(min(rev) AS VARCHAR) AS DOUBLE) AS min_rev,
+        |  CAST(CAST(max(rev) AS VARCHAR) AS DOUBLE) AS max_rev
+        |FROM dec GROUP BY decile ORDER BY decile""".stripMargin,
     "q_window_ranks" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  row_number() OVER bykey AS rn,
