@@ -30,8 +30,11 @@ import org.apache.spark.sql.types.DecimalType
  * Soundness gates (anything else keeps its exact plan):
  *  - only explicitly registered fact paths match;
  *  - grouping keys are plain dim attributes (subset of the rollup dims);
- *  - every filter conjunct references dim columns only;
- *  - aggregates are exactly count(1) (non-distinct) or
+ *  - every filter conjunct is DETERMINISTIC and references dim columns
+ *    only (a nondeterministic conjunct — e.g. rand() sampling — would
+ *    re-evaluate per pre-aggregated cell instead of per fact row);
+ *  - aggregates are exactly count(1) (non-distinct, non-null literal —
+ *    count(NULL) counts zero and must not become the group size) or
  *    sum(CAST(m AS DECIMAL(18,3))) over a registered measure — the house
  *    exact-sum spelling; a raw double sum is NOT re-aggregable from
  *    partials and never matches;
@@ -51,16 +54,41 @@ object RollupRegistry {
     * table for `sourcePath` over `dims`, with `_cnt` plus an exact
     * DECIMAL(28,3) `_sum_<m>` per measure, and register it so
     * [[RollupRewriteRule]] serves matching aggregations from it. */
+  /** Source-data signature (sorted name:size:mtime of every data file):
+    * folded into the cache key so a changed/appended fact at the same
+    * path builds a FRESH rollup instead of silently serving stale
+    * aggregates while the rule claims exactness — the same staleness
+    * discipline the ANN/sign indexes get from IndexCache. */
+  private def sourceSignature(spark: SparkSession, sourcePath: String): String = {
+    val src = new org.apache.hadoop.fs.Path(sourcePath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(src, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (!st.getPath.getName.startsWith("_"))
+        parts += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+    }
+    parts.sorted.mkString(",")
+  }
+
   def register(spark: SparkSession, sourcePath: String, dims: Seq[String],
       measures: Seq[String],
       cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-rollup"): Entry = {
     val key = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(
-        (normalize(sourcePath) +: dims) ++ measures mkString "|").toLong & 0xffffffffL)
+        ((normalize(sourcePath) +: dims) ++ measures :+
+          sourceSignature(spark, sourcePath)) mkString "|").toLong & 0xffffffffL)
     val dest = s"$cacheRoot/rollup_$key"
     val done = new org.apache.hadoop.fs.Path(s"$dest/_SUCCESS")
     val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(done)) {
+      // the build aggregation is EXACTLY the shape the rule matches — if
+      // an older rollup of this same path is still registered, the build
+      // would be rewritten to re-aggregate the stale rollup instead of
+      // scanning the fact. Deregister first so the build always scans
+      // the source; the fresh entry is installed below.
+      deregister(sourcePath)
       spark.read.parquet(sourcePath)
         .groupBy(dims.map(col): _*)
         .agg(count(lit(1)).as("_cnt"),
@@ -125,8 +153,13 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
         rel.outputSet.contains(a) => a
       case _ => return None
     }
-    // filters may touch dims only (then they remap onto the rollup)
-    if (!conds.forall(_.references.forall(a => dimSet.contains(a.name))))
+    // filters must be deterministic AND touch dims only (then they remap
+    // onto the rollup). The determinism gate matters: a reference-free
+    // nondeterministic conjunct (rand() < 0.5 sampling) vacuously passes
+    // the dims-only forall but would evaluate per rollup CELL instead of
+    // per fact row — silently different results.
+    if (!conds.forall(c => c.deterministic &&
+        c.references.forall(a => dimSet.contains(a.name))))
       return None
 
     val spark = SparkSession.active
@@ -140,9 +173,15 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
       if (ae.isDistinct || ae.filter.nonEmpty) None
       else ae.aggregateFunction match {
         case c: Count if c.children.forall {
-          case Literal(_, _) => true; case _ => false
+          // non-null literals only: count(NULL) counts ZERO rows, so
+          // rewriting it to the group size would be wrong
+          case Literal(v, _) => v != null; case _ => false
         } && c.children.nonEmpty =>
-          Some(Sum(byName("_cnt")).toAggregateExpression())
+          // coalesce to 0 so the UNGROUPED shape stays exact: an empty
+          // selection makes count(1) return 0 on the fact but
+          // sum(_cnt) return NULL on the rollup
+          Some(Coalesce(Seq(
+            Sum(byName("_cnt")).toAggregateExpression(), Literal(0L))))
         case s: Sum => s.child match {
           case cst: Cast if cst.dataType == DecimalType(18, 3) =>
             cst.child match {

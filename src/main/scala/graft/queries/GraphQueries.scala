@@ -297,7 +297,13 @@ object GraphQueries extends QueryPack {
     val rareParts = fans.crossJoin(broadcast(meanFan))
       .filter(col("fan") <= col("cap"))
       .select(col("pk"))
-    val ps = psAll.join(broadcast(rareParts), Seq("pk"), "left_semi")
+    // NO broadcast hint on rareParts: the below-mean-fan allow-list is
+    // proportional to |parts| — the one operand here not bounded by
+    // construction, so at 100× part cardinality a forced broadcast is a
+    // driver OOM. Let the left-semi join plan itself (AQE broadcasts it
+    // while it is small, shuffles it when it is not); the df-derived cut
+    // is the scale lever, not the join strategy.
+    val ps = psAll.join(rareParts, Seq("pk"), "left_semi")
     val co = ps.as("x").join(ps.as("y"),
         col("x.pk") === col("y.pk") && col("x.sk") =!= col("y.sk"))
       .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))

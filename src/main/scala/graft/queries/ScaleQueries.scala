@@ -537,9 +537,18 @@ object ScaleQueries extends QueryPack {
           sum(col("l_extendedprice").cast(DecimalType(18, 3)) *
             (one - col("l_discount").cast(DecimalType(4, 3))))
             .cast("double").as("revenue"))
-      val plan = agg.queryExecution.executedPlan.toString
-      val shuffleFree = !plan.contains("ShuffleExchange") &&
-        plan.contains("SortMergeJoin")
+      // collect real ShuffleExchangeExec NODES (the node's string name is
+      // just "Exchange", so a substring test on "ShuffleExchange" is
+      // vacuously true and can never fire) — unwrap the AQE wrapper the
+      // way BucketedJoinSpec does
+      val exec = agg.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val shuffleFree = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty && exec.toString.contains("SortMergeJoin")
       agg.select(col("o_orderkey"), col("o_orderpriority"), col("n_items"),
           col("revenue"), lit(shuffleFree).as("shuffle_free"))
         .orderBy(col("revenue").desc, col("o_orderkey"))

@@ -68,4 +68,57 @@ class RollupRewriteSpec extends AnyFunSuite with SparkTestBase {
       RollupRegistry.clear()
     }
   }
+
+  test("edge gates: ungrouped empty count, count(NULL), nondeterministic filter") {
+    RollupRegistry.clear()
+    RollupRegistry.register(spark, factPath,
+      dims = Seq("o_orderstatus", "o_orderpriority"),
+      measures = Seq("o_totalprice"))
+    try {
+      // UNGROUPED count over an empty dim selection: fact answer is 0;
+      // the rewritten Sum(_cnt) is NULL without the coalesce guard
+      val emptySel = spark.read.parquet(factPath)
+        .filter(col("o_orderstatus") === "ZZ-ABSENT")
+        .agg(count(lit(1)).as("n"))
+      assert(planOf(emptySel).contains("_cnt"), planOf(emptySel)) // it rewrites...
+      assert(emptySel.collect().head.getLong(0) == 0L)            // ...and is exact
+      // count(NULL) counts zero rows — must NOT become the group size
+      val countNull = spark.read.parquet(factPath)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(null)).as("n"))
+      assert(!planOf(countNull).contains("_cnt"), planOf(countNull))
+      assert(countNull.collect().forall(_.getLong(1) == 0L))
+      // nondeterministic reference-free conjunct (sampling): evaluating
+      // it per rollup CELL instead of per fact row changes semantics —
+      // the determinism gate must keep the fact scan
+      val sampled = spark.read.parquet(factPath)
+        .filter(rand(7) < 0.5)
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      assert(!planOf(sampled).contains("_cnt"), planOf(sampled))
+    } finally RollupRegistry.clear()
+  }
+
+  test("changed fact data at the same path rebuilds the rollup (no stale serve)") {
+    RollupRegistry.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_stale")
+      .toString
+    import spark.implicits._
+    Seq(("A", 1.0), ("A", 2.0), ("B", 3.0)).toDF("k", "m")
+      .write.mode("overwrite").parquet(dir)
+    def q = spark.read.parquet(dir).groupBy(col("k"))
+      .agg(sum(col("m").cast(DecimalType(18, 3))).cast("double").as("t"))
+    RollupRegistry.register(spark, dir, dims = Seq("k"), measures = Seq("m"))
+    try {
+      assert(planOf(q).contains("_sum_m"))
+      assert(q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        == Map("A" -> 3.0, "B" -> 3.0))
+      // overwrite the fact: a re-register must key on the NEW file
+      // signature and rebuild, not serve the stale cells
+      Seq(("A", 10.0), ("C", 5.0)).toDF("k", "m")
+        .write.mode("overwrite").parquet(dir)
+      RollupRegistry.register(spark, dir, dims = Seq("k"), measures = Seq("m"))
+      assert(q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        == Map("A" -> 10.0, "C" -> 5.0))
+    } finally RollupRegistry.clear()
+  }
 }

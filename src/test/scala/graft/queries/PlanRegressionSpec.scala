@@ -52,8 +52,19 @@ class PlanRegressionSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("knn_topk: top-k is TakeOrdered, never a global sort") {
-    val p = plan("knn_topk")
-    assert(p.contains("TakeOrderedAndProject"), p)
-    assert(!p.contains("ShuffleExchange") || p.contains("SinglePartition"), p)
+    val df = SparkEntry.queries("knn_topk")(spark, sf0_001)
+    df.collect()
+    val exec = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(exec.toString.contains("TakeOrderedAndProject"), exec.toString)
+    // real node collect — the node prints as "Exchange", so a substring
+    // test on "ShuffleExchange" would be vacuous
+    val shuffles = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, shuffles.mkString("\n"))
   }
 }
