@@ -658,6 +658,36 @@ object MultimodalOps {
   def sampleVideoFrames(docs: DataFrame, n: Int, maxFrames: Int = 6): Dataset[MediaFrame] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    sampledDecodedFrames(docs, n, maxFrames) { (r, i, idx, img) =>
+      MediaFrame(r.media_id, i, idx, img.getWidth, img.getHeight,
+        MediaCodecs.encodeFramePng(img))
+    }
+  }
+
+  /** The geometry-only half of [[sampleVideoFrames]]: same demux, same
+    * evenly-spaced sample selection, NO PNG re-encode. `multimodal_frames`
+    * projects the payload away, so building it there paid ~3 s of encoder
+    * work per bench run for bytes nobody read — a consumer that wants the
+    * payload calls [[sampleVideoFrames]] (whose pixel-exactness
+    * MultimodalSpec pins); a consumer that wants the frame catalog calls
+    * this and the encode never runs. */
+  def sampleVideoFrameGeometry(docs: DataFrame, n: Int, maxFrames: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    sampledDecodedFrames(docs, n, maxFrames) { (r, i, idx, img) =>
+      (r.media_id, i, idx, img.getWidth, img.getHeight)
+    }.toDF("media_id", "sample_idx", "frame_idx", "frame_w", "frame_h")
+  }
+
+  /** Shared demux + evenly-spaced frame selection behind both sampled
+    * variants: one GIF decode pass per video row, modality-filtered
+    * before any codec work; `build` sees the DECODED frame so indices
+    * and geometry always come from the parser. */
+  private def sampledDecodedFrames[T: org.apache.spark.sql.Encoder](
+      docs: DataFrame, n: Int, maxFrames: Int)(
+      build: (MediaRow, Int, Int, java.awt.image.BufferedImage) => T): Dataset[T] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     mediaMeta(docs).filter(col("modality") === "video").as[MediaRow]
       .mapPartitions { rows =>
         rows.map(r => r.copy(content = MediaCodecs.encodeGif(
@@ -668,9 +698,7 @@ object MultimodalOps {
         val take = math.min(n, frames.size)
         (0 until take).map { i =>
           val idx = (i.toLong * frames.size / take).toInt
-          val img = frames(idx)
-          MediaFrame(r.media_id, i, idx, img.getWidth, img.getHeight,
-            MediaCodecs.encodeFramePng(img))
+          build(r, i, idx, frames(idx))
         }
       }
   }

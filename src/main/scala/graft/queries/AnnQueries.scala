@@ -45,6 +45,26 @@ object AnnQueries extends QueryPack {
       .select(col("q_id"), explode(col("hits.id")).as("neighbor_id"))
   }
 
+  /** One exact-top-k frame per (session, dir, corpus-slice, |Q|, k),
+    * computed once and localCheckpoint-pinned: the `ann_*` family's
+    * verdict riders all compare against the same handful of exact frames
+    * (6 queries share the (full, 20, 3) frame alone), so recomputing the
+    * brute-force probe per query paid the corpus×|Q| scan up to 6× per
+    * Verify/Bench session for identical rows. Keyed by session identity
+    * so a restarted session never serves checkpoints of a stopped one;
+    * entries are |Q|×k rows — driver-trivial. */
+  private val exactTopKCache =
+    scala.collection.mutable.Map.empty[(Int, String, String, Int, Int), DataFrame]
+
+  private def exactTopKCached(s: SparkSession, dir: String, sliceTag: String,
+      corpus: => DataFrame, queriesDf: => DataFrame, nQueries: Int,
+      k: Int): DataFrame =
+    exactTopKCache.synchronized {
+      exactTopKCache.getOrElseUpdate(
+        (System.identityHashCode(s), dir, sliceTag, nQueries, k),
+        exactTopK(corpus, queriesDf, k).localCheckpoint())
+    }
+
   /** Deterministic verdict rows for a kNN result: the (q_id, rank)
     * skeleton — |Q|×k cardinality is the driver-checked contract — plus
     * any per-row invariant columns, with the family recall vs `exact`
@@ -112,7 +132,7 @@ object AnnQueries extends QueryPack {
       val approx = new CosineLsh().knnJoin(
         corpus = emb, queries = emb.filter(col("vec_id") < 20),
         idCol = "vec_id", embCol = "embedding", k = 3)
-      verdict(approx, exactTopK(emb, queriesOf(emb, 20), 3))
+      verdict(approx, exactTopKCached(s, dir, "full", emb, queriesOf(emb, 20), 20, 3))
     }),
 
     // SemDeDup over the persisted IVF index's own cells — the production
@@ -161,7 +181,7 @@ object AnnQueries extends QueryPack {
         "vec_id", "embedding")
       val approx = ivf.search(built, emb.filter(col("vec_id") < 20),
         "vec_id", "embedding", k = 3)
-      verdict(approx, exactTopK(emb, queriesOf(emb, 20), 3))
+      verdict(approx, exactTopKCached(s, dir, "full", emb, queriesOf(emb, 20), 20, 3))
     }),
 
     // FILTERED ANN — the approximate analog of the oracle-checked
@@ -185,8 +205,8 @@ object AnnQueries extends QueryPack {
         .join(allowed.select(col("id").as("neighbor_id"),
           lit(true).as("in_filter")), Seq("neighbor_id"), "left")
         .withColumn("in_filter", coalesce(col("in_filter"), lit(false)))
-      val exact = exactTopK(emb.filter(col("label") % 4 === 1),
-        queriesOf(emb, 20), 3)
+      val exact = exactTopKCached(s, dir, "label4eq1",
+        emb.filter(col("label") % 4 === 1), queriesOf(emb, 20), 20, 3)
       verdict(approx, exact, extra = Seq("in_filter"),
         alsoRequire = min(col("in_filter")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
@@ -250,7 +270,7 @@ object AnnQueries extends QueryPack {
         "vec_id", "embedding")
       val approx = pq.search(built, emb.filter(col("vec_id") < 20),
         "vec_id", "embedding", k = 3)
-      verdict(approx, exactTopK(emb, queriesOf(emb, 20), 3))
+      verdict(approx, exactTopKCached(s, dir, "full", emb, queriesOf(emb, 20), 20, 3))
     }),
 
     // IVF-PQ composite batch kNN join — the two prunings multiplied:
@@ -265,7 +285,7 @@ object AnnQueries extends QueryPack {
         "vec_id", "embedding")
       val approx = ivfpq.search(built, emb.filter(col("vec_id") < 20),
         "vec_id", "embedding", k = 3)
-      verdict(approx, exactTopK(emb, queriesOf(emb, 20), 3))
+      verdict(approx, exactTopKCached(s, dir, "full", emb, queriesOf(emb, 20), 20, 3))
     }),
 
     // The ANN rewrite RULE in action (graft.plans.AnnIndexRule — SURVEY
@@ -301,7 +321,7 @@ object AnnQueries extends QueryPack {
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("q_id")
             .orderBy(col("score").desc, col("neighbor_id"))))
-      verdict(approx, exactTopK(emb, queriesOf(emb, 5), 10))
+      verdict(approx, exactTopKCached(s, dir, "full", emb, queriesOf(emb, 5), 5, 10))
     }),
 
     // The FILTERED flagship through the rewrite: the query code is the
@@ -340,8 +360,8 @@ object AnnQueries extends QueryPack {
           org.apache.spark.sql.expressions.Window.partitionBy("q_id")
             .orderBy(col("score").desc, col("neighbor_id"))))
         .withColumn("in_filter", col("label") % 4 === 1)
-      val exact = exactTopK(emb.filter(col("label") % 4 === 1),
-        queriesOf(emb, 5), 10)
+      val exact = exactTopKCached(s, dir, "label4eq1",
+        emb.filter(col("label") % 4 === 1), queriesOf(emb, 5), 5, 10)
       verdict(approx, exact, extra = Seq("in_filter"),
         alsoRequire = min(col("in_filter")).over(
           org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
@@ -417,7 +437,7 @@ object AnnQueries extends QueryPack {
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("q_id")
             .orderBy(col("score").desc, col("neighbor_id"))))
-      verdict(approx, exactTopK(emb, queriesOf(emb, 3), 10))
+      verdict(approx, exactTopKCached(s, dir, "full", emb, queriesOf(emb, 3), 3, 10))
     }),
 
     // Driver-visible ANN correctness: per-(method, query) verdict rows
@@ -448,7 +468,7 @@ object AnnQueries extends QueryPack {
           .select(lit(p).as("n_probe"), col("q_id"), col("neighbor_id"),
             lit(1).as("hit"))
       }.reduce(_ unionByName _)
-      val exact = exactTopK(emb, queriesOf(emb, 20), k)
+      val exact = exactTopKCached(s, dir, "full", emb, queriesOf(emb, 20), 20, k)
       val recalls = exact.crossJoin(broadcast(levels.toDF("n_probe")))
         .join(approx, Seq("n_probe", "q_id", "neighbor_id"), "left")
         .groupBy(col("n_probe"))
@@ -493,7 +513,7 @@ object AnnQueries extends QueryPack {
         .select(lit("ivfpq").as("method"), col("q_id"), col("neighbor_id"),
           lit(1).as("hit"))
       val approx = lsh.unionByName(ivf).unionByName(pq).unionByName(ivfpq)
-      val exact = exactTopK(emb, queriesOf(emb, 20), k)
+      val exact = exactTopKCached(s, dir, "full", emb, queriesOf(emb, 20), 20, k)
       val methods =
         { import s.implicits._; Seq("lsh", "ivf", "pq", "ivfpq").toDF("method") }
       val byQuery = exact.crossJoin(broadcast(methods))

@@ -235,17 +235,17 @@ object MultimodalQueries extends QueryPack {
 
     // REAL frame sampling — the keyframe-extract step of a multimodal
     // training pipeline: demux each video's GIF through the JDK reader,
-    // select up to 4 evenly spaced DECODED frames, re-encode each as a
-    // standalone PNG payload. The emitted sample/frame indices and
-    // geometry come from the DECODER; the oracle re-derives all of them
-    // from the generator's metadata formulas (nf = min(n_chars%30+1, 6),
-    // idx = i·nf/take), so a demux that dropped or misread a frame could
-    // not match. The PNG payload itself is projected away here (encoder
-    // bytes are engine-specific); MultimodalSpec pins its decodability.
+    // select up to 4 evenly spaced DECODED frames. The emitted
+    // sample/frame indices and geometry come from the DECODER; the
+    // oracle re-derives all of them from the generator's metadata
+    // formulas (nf = min(n_chars%30+1, 6), idx = i·nf/take), so a demux
+    // that dropped or misread a frame could not match. This query never
+    // consumes a frame PAYLOAD, so it rides the geometry-only helper —
+    // the PNG re-encode (engine-specific bytes) runs only in the
+    // payload-bearing sampleVideoFrames, whose pixel-exactness
+    // MultimodalSpec pins.
     "multimodal_frames" -> ((s, dir) =>
-      MultimodalOps.sampleVideoFrames(t(s, dir, "documents"), n = 4).toDF()
-        .select(col("media_id"), col("sample_idx"), col("frame_idx"),
-          col("frame_w"), col("frame_h"))
+      MultimodalOps.sampleVideoFrameGeometry(t(s, dir, "documents"), n = 4)
         .orderBy(col("media_id"), col("sample_idx")))
   )
 

@@ -266,4 +266,17 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("sampleVideoFrameGeometry matches the payload-bearing variant " +
+      "row-for-row (minus the payload)") {
+    val sub = docs.filter(col("doc_id") < 30)
+    val full = MultimodalOps.sampleVideoFrames(sub, n = 4).collect()
+      .map(f => (f.media_id, f.sample_idx, f.frame_idx, f.frame_w, f.frame_h))
+      .toSet
+    val geom = MultimodalOps.sampleVideoFrameGeometry(sub, n = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+      .toSet
+    assert(geom == full)
+  }
 }
