@@ -331,24 +331,29 @@ object EventQueries extends QueryPack {
     // skew-planning twin of events_salted_user_counts: THIS measures the
     // concentration that query defends against): smallest user set
     // covering 80% of events, found on the cumulative sum over the
-    // per-USER rollup (users ≪ events; the one ordered window runs over
-    // that rollup, never raw rows). The 80% cut compares
-    // cross-multiplied integers (cum*5 >= total*4), so the threshold
-    // row — and the hash — is exact.
+    // per-USER rollup (users ≪ events). The ordered cut rides
+    // GlobalOrder.rankCumsum — exact window below the row threshold,
+    // range-partitioned two-pass rank/prefix-sum above it, so no
+    // single-task sort stage however many users exist; both branches are
+    // bit-identical and each is oracle-hash-checked at the SFs where it
+    // runs. The 80% cut compares cross-multiplied integers
+    // (cum*5 >= total*4), so the threshold row — and the hash — is exact.
     "events_pareto_concentration" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val uc = events(s, dir).groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"))
-      val w = Window.orderBy(col("n").desc, col("user_id"))
-      val cum = uc
-        .withColumn("rk", row_number().over(w))
-        .withColumn("cum", sum(col("n")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .localCheckpoint() // rankCumsum + tot reuse it; never recompute events
+      // 1000-row threshold (vs the 10k default): the events fixture has
+      // 15/150/1500 users across SFs, so sf0.1 — and the 10x blow-up —
+      // exercise the distributed branch in the real query, not only in
+      // GlobalOrderSpec
+      val cum = graft.ml.GlobalOrder.rankCumsum(uc,
+        Seq(col("n").desc, col("user_id")), valueCol = Some("n"),
+        exactWindowMaxRows = 1000L)
       val tot = uc.agg(sum(col("n")).as("total"),
         count(lit(1)).as("n_users"))
       cum.crossJoin(broadcast(tot))
         .filter(col("cum") * 5 >= col("total") * 4)
-        .agg(min(col("rk")).as("users_for_80pct"),
+        .agg(min(col("rk")).cast("int").as("users_for_80pct"),
           max(col("total")).as("n_events"),
           max(col("n_users")).as("n_users"))
         .select(col("n_users"), col("n_events"), col("users_for_80pct"),

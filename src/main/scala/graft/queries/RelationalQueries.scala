@@ -358,17 +358,24 @@ object RelationalQueries extends QueryPack {
     // values depend on intra-tie order.
     // Customer-value decile segmentation (the CRM cut every retention
     // campaign starts from): lifetime revenue per customer as an exact
-    // DECIMAL rollup, ntile(10) over (revenue desc, custkey) — the
-    // unique tie-break ntile needs — then per-decile size and revenue
-    // range. The ordered window runs over the CUSTOMER rollup, never
-    // order rows; at 100 TB the exact ntile swaps for sampled range
-    // boundaries, the layout_range_boundaries split.
+    // DECIMAL rollup, deciles over (revenue desc, custkey) — the unique
+    // tie-break ntile needs — then per-decile size and revenue range.
+    // The ordered cut rides GlobalOrder.rankCumsum (exact window below
+    // the row threshold, range-partitioned two-pass rank above it — no
+    // single-task sort however many customers exist), and the bucket is
+    // recomputed from the exact rank with ntileFromRank, bit-identical
+    // to the window ntile at every scale; the oracle's window ntile
+    // hash-proves it on both branches.
     "q_customer_deciles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val rev = t(s, dir, "orders").groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast(DecimalType(18, 3))).as("rev"))
-      val w = Window.orderBy(col("rev").desc, col("o_custkey"))
-      rev.withColumn("decile", ntile(10).over(w))
+        .localCheckpoint() // rankCumsum scans it up to 3x; never recompute orders
+      val ranked = graft.ml.GlobalOrder.rankCumsum(rev,
+        Seq(col("rev").desc, col("o_custkey")))
+      val tot = ranked.agg(max(col("rk")).as("n_rows"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("decile",
+          graft.ml.GlobalOrder.ntileFromRank(col("rk"), col("n_rows"), 10))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_customers"),
           sum(col("rev")).cast("double").as("total_rev"),

@@ -471,6 +471,119 @@ object ScaleQueries extends QueryPack {
         .orderBy(col("part"), col("bin"))
     }),
 
+    // Compaction EXECUTOR — the write half of the layout story (VERDICT
+    // r9 ask #4; reference anchor: the whole-file Save() rewrite,
+    // MerkonDatabase.cs:149-162, which rewrote the ENTIRE store per
+    // mutation — this rewrites only the planned bins). Flow:
+    //  1. materialize a genuinely fragmented table: one REAL parquet
+    //     file per (order year, o_orderkey % 8) — repartition on the
+    //     write-partition keys puts each group in exactly one task, so
+    //     each dir gets exactly one file;
+    //  2. bin-pack on the DETERMINISTIC logical size (per-file
+    //     floor-price sum — physical parquet bytes are engine-specific,
+    //     so the oracle could not predict them), target = total size /
+    //     3 bins per partition in pure integer arithmetic;
+    //  3. rewrite: ONE shuffle keyed (part, bin) — each bin is built by
+    //     exactly one task, so each part=/bin= dir holds exactly one
+    //     output file; partition boundaries are never crossed, matching
+    //     the plan's contract;
+    //  4. prove it: `one_file_out` is counted off the REAL filesystem
+    //     (every planned bin exists, exactly one data file, no extras),
+    //     and `content_ok` compares per-part row counts and XOR-reduced
+    //     full-row xxhash64 between the ORIGINAL orders and the
+    //     compacted read — a lost/duplicated/corrupted row flips it.
+    //     DuckDB re-derives the (part, bin, n_files, bin_bytes, n_rows)
+    //     skeleton from orders and predicts both booleans true, so the
+    //     driver hash fails on any rewrite defect.
+    "layout_compaction_apply" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_compact")
+        .toString
+      val orders = t(s, dir, "orders")
+      val keyed = orders
+        .withColumn("part", year(col("o_orderdate")).cast("long"))
+        .withColumn("file_id", (col("o_orderkey") % 8).cast("long"))
+      // 1. fragmented source: one real file per (part, file_id)
+      keyed.repartition(col("part"), col("file_id"))
+        .write.partitionBy("part", "file_id").mode("overwrite")
+        .parquet(s"$wh/frag")
+      val frag = s.read.parquet(s"$wh/frag")
+        .withColumn("part", col("part").cast("long"))
+        .withColumn("file_id", col("file_id").cast("long"))
+      // 2. the plan: logical manifest -> integer bin-pack, ~3 bins/part
+      val manifest = frag.groupBy(col("part"), col("file_id"))
+        .agg(sum(floor(col("o_totalprice")).cast("long")).as("file_bytes"))
+        .localCheckpoint()
+      val tgt = manifest
+        .agg(sum(col("file_bytes")).as("sz"),
+          (countDistinct(col("part")) * 3).as("p3"))
+        .select(expr("(sz + p3 - 1) div p3").as("target")) // ceil, pure ints
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("part").orderBy("file_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val planned = manifest
+        .withColumn("cum_excl",
+          coalesce(sum(col("file_bytes")).over(w), lit(0L)))
+        .crossJoin(broadcast(tgt))
+        .withColumn("bin", expr("cum_excl div target"))
+        .select(col("part"), col("file_id"), col("file_bytes"), col("bin"))
+        .localCheckpoint()
+      // 3. execute: one shuffle keyed (part, bin) -> one file per bin
+      frag.join(planned.select("part", "file_id", "bin"),
+          Seq("part", "file_id"))
+        .drop("file_id") // the old file identity dies with the rewrite
+        .repartition(col("part"), col("bin"))
+        .write.partitionBy("part", "bin").mode("overwrite")
+        .parquet(s"$wh/compacted")
+      // 4a. filesystem proof: every planned bin -> exactly one data file
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val binDirRe = ".*/part=(-?\\d+)/bin=(-?\\d+)/[^/]+\\.parquet$".r
+      val outFiles = {
+        val it = fs.listFiles(
+          new org.apache.hadoop.fs.Path(s"$wh/compacted"), true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        while (it.hasNext) {
+          val p = it.next().getPath.toString
+          p match {
+            case binDirRe(pt, b) => buf += ((pt.toLong, b.toLong))
+            case _ =>
+          }
+        }
+        buf.groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      }
+      val outCounts = s.createDataFrame(outFiles.toSeq)
+        .toDF("part", "bin", "files_out")
+      // 4b. content proof: original orders vs the compacted read —
+      // per-part row count and XOR of full-row hashes must both agree
+      // bit_xor, not sum: an order-free reduction of full-row hashes
+      // that cannot overflow (ANSI mode makes a long-sum of hashes throw)
+      val hashExpr = s"xxhash64(${orders.columns.mkString(", ")})"
+      def sig(df: org.apache.spark.sql.DataFrame,
+          partCol: org.apache.spark.sql.Column) = df
+        .groupBy(partCol.as("part"))
+        .agg(count(lit(1)).as("nr"),
+          expr(s"bit_xor($hashExpr)").as("hs"))
+      val contentOk = sig(orders, year(col("o_orderdate")).cast("long"))
+        .as("a")
+        .join(sig(s.read.parquet(s"$wh/compacted"),
+          col("part").cast("long")).as("b"), Seq("part"), "full")
+        .agg(min(coalesce(col("a.nr") === col("b.nr") &&
+          col("a.hs") === col("b.hs"), lit(false))).as("content_ok"))
+      val rowsPerBin = frag
+        .join(planned.select("part", "file_id", "bin"), Seq("part", "file_id"))
+        .groupBy(col("part"), col("bin")).agg(count(lit(1)).as("n_rows"))
+      planned.groupBy(col("part"), col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("file_bytes")).as("bin_bytes"))
+        .join(rowsPerBin, Seq("part", "bin"))
+        .join(outCounts, Seq("part", "bin"), "left")
+        .crossJoin(broadcast(contentOk))
+        .select(col("part"), col("bin"), col("n_files"), col("bin_bytes"),
+          col("n_rows"),
+          coalesce(col("files_out") === 1L, lit(false)).as("one_file_out"),
+          col("content_ok"))
+        .orderBy(col("part"), col("bin"))
+    }),
+
     // Equi-depth range-partition boundaries — the split-point planning a
     // sorted/bucketed write or a range shuffle needs: per order
     // priority, 8 same-size value buckets of o_totalprice with their
@@ -671,6 +784,33 @@ object ScaleQueries extends QueryPack {
         |SELECT part, bin, count(*) AS n_files,
         |  CAST(sum(file_bytes) AS BIGINT) AS bin_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
+        |FROM binned GROUP BY part, bin ORDER BY part, bin""".stripMargin,
+    // The executor's skeleton re-derived from orders alone (logical
+    // sizes, integer bin-pack, per-bin row counts); the two rewrite
+    // proofs — one real file per bin, content equality — are
+    // Spark-verified booleans DuckDB predicts true, so a rewrite defect
+    // flips a hashed value and fails the gate.
+    "layout_compaction_apply" ->
+      """WITH m AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS part,
+        |    o_orderkey % 8 AS file_id,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS fb,
+        |    count(*) AS nr
+        |  FROM orders GROUP BY 1, 2
+        |), tgt AS (
+        |  SELECT (CAST(sum(fb) AS BIGINT) + count(DISTINCT part) * 3 - 1)
+        |    // (count(DISTINCT part) * 3) AS target FROM m
+        |), binned AS (
+        |  SELECT part, file_id, fb, nr,
+        |    CAST(COALESCE(sum(fb) OVER (PARTITION BY part ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // t.target AS BIGINT) AS bin
+        |  FROM m, tgt t
+        |)
+        |SELECT part, bin, count(*) AS n_files,
+        |  CAST(sum(fb) AS BIGINT) AS bin_bytes,
+        |  CAST(sum(nr) AS BIGINT) AS n_rows,
+        |  true AS one_file_out, true AS content_ok
         |FROM binned GROUP BY part, bin ORDER BY part, bin""".stripMargin,
     // The plain join over the un-bucketed tables — equality proves the
     // layout changed the PLAN, not the answer; shuffle_free is the
