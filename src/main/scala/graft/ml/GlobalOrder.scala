@@ -61,6 +61,19 @@ object GlobalOrder {
         it.foreach { r => cnt += 1L; vIdx.foreach(i => s += r.getLong(i)) }
         Iterator.single((pid, cnt, s))
       }.collect().sortBy(_._1)
+      // Exactness depends on pass 1 and pass 2 observing IDENTICAL
+      // partition contents (shared lazy `sorted.rdd` + shuffle-output
+      // reuse). That is an assumption, so make its failure LOUD: the
+      // pass-1 totals must reproduce the count job's n, otherwise a
+      // nondeterministic input or a recomputed shuffle has shifted rows
+      // between passes and every offset below would be silently wrong.
+      val seen = stats.map(_._2).sum
+      require(seen == n,
+        s"GlobalOrder: pass-1 partition counts ($seen) != count() ($n); " +
+          "input is nondeterministic or shuffle output was recomputed — " +
+          "checkpoint the input before calling rankCumsum")
+      require(stats.map(_._1).toSeq == (0 until stats.length),
+        "GlobalOrder: missing/duplicate partition ids in pass-1 stats")
       val rankOff = stats.scanLeft(0L)((acc, st) => acc + st._2).init
       val sumOff = stats.scanLeft(0L)((acc, st) => acc + st._3).init
       val rankOffB = spark.sparkContext.broadcast(rankOff)
@@ -86,12 +99,16 @@ object GlobalOrder {
     * `n div B + 1` rows, the rest `n div B` — so the bucketing matches
     * the window ntile bit-for-bit without the single-task window. */
   def ntileFromRank(rk: Column, nRows: Column, buckets: Int): Column = {
-    val q = nRows - (nRows % buckets)
-    val qs = (q / buckets).cast(LongType) // n div B
+    // Pure-long arithmetic throughout: Column `/` is a double Divide
+    // whose floor is only exact below 2^53 — `div` (IntegralDivide)
+    // keeps the any-scale bit-identical claim honest. All numerators
+    // here are >= 0 and divisors > 0, so floor == integral division.
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val qs = idiv(nRows, lit(buckets.toLong)) // n div B
     val r = nRows % buckets
     val bigSpan = r * (qs + 1L)
-    when(rk <= bigSpan, floor((rk - 1L) / (qs + 1L)) + 1L)
-      .otherwise(r + floor((rk - bigSpan - 1L) / greatest(qs, lit(1L))) + 1L)
+    when(rk <= bigSpan, idiv(rk - 1L, qs + 1L) + 1L)
+      .otherwise(r + idiv(rk - bigSpan - 1L, greatest(qs, lit(1L))) + 1L)
       .cast("int")
   }
 }

@@ -75,10 +75,15 @@ object RollupRegistry {
   def register(spark: SparkSession, sourcePath: String, dims: Seq[String],
       measures: Seq[String],
       cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-rollup"): Entry = {
-    val key = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        ((normalize(sourcePath) +: dims) ++ measures :+
-          sourceSignature(spark, sourcePath)) mkString "|").toLong & 0xffffffffL)
+    // 256-bit digest, not a 32-bit hash: this key gates an EXACTNESS
+    // claim — a collision would serve another registration's (or a stale
+    // state's) cells as exact answers, and at 32 bits that is a
+    // birthday-plausible event across long-lived cache roots.
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest((((normalize(sourcePath) +: dims) ++ measures :+
+        sourceSignature(spark, sourcePath)) mkString "|")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
     val dest = s"$cacheRoot/rollup_$key"
     val done = new org.apache.hadoop.fs.Path(s"$dest/_SUCCESS")
     val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -50,18 +50,29 @@ object AnnQueries extends QueryPack {
     * verdict riders all compare against the same handful of exact frames
     * (6 queries share the (full, 20, 3) frame alone), so recomputing the
     * brute-force probe per query paid the corpus×|Q| scan up to 6× per
-    * Verify/Bench session for identical rows. Keyed by session identity
-    * so a restarted session never serves checkpoints of a stopped one;
-    * entries are |Q|×k rows — driver-trivial. */
+    * Verify/Bench session for identical rows. The outer map keys the
+    * SparkSession OBJECT (not an identity hash, which can collide and
+    * so could serve a dead session's checkpoint to a new one), and
+    * every access first purges entries whose SparkContext has stopped —
+    * a WeakHashMap alone would not reclaim them, because the cached
+    * DataFrames strongly reference their session and so the value would
+    * pin the weak key. Entries are |Q|×k rows — driver-trivial. */
   private val exactTopKCache =
-    scala.collection.mutable.Map.empty[(Int, String, String, Int, Int), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, String, Int, Int), DataFrame]]()
 
   private def exactTopKCached(s: SparkSession, dir: String, sliceTag: String,
       corpus: => DataFrame, queriesDf: => DataFrame, nQueries: Int,
       k: Int): DataFrame =
     exactTopKCache.synchronized {
-      exactTopKCache.getOrElseUpdate(
-        (System.identityHashCode(s), dir, sliceTag, nQueries, k),
+      val it = exactTopKCache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+      var perSession = exactTopKCache.get(s)
+      if (perSession == null) {
+        perSession = scala.collection.mutable.Map.empty
+        exactTopKCache.put(s, perSession)
+      }
+      perSession.getOrElseUpdate((dir, sliceTag, nQueries, k),
         exactTopK(corpus, queriesDf, k).localCheckpoint())
     }
 

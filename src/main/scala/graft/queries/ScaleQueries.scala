@@ -572,7 +572,7 @@ object ScaleQueries extends QueryPack {
       val rowsPerBin = frag
         .join(planned.select("part", "file_id", "bin"), Seq("part", "file_id"))
         .groupBy(col("part"), col("bin")).agg(count(lit(1)).as("n_rows"))
-      planned.groupBy(col("part"), col("bin"))
+      val verdictFrame = planned.groupBy(col("part"), col("bin"))
         .agg(count(lit(1)).as("n_files"), sum(col("file_bytes")).as("bin_bytes"))
         .join(rowsPerBin, Seq("part", "bin"))
         .join(outCounts, Seq("part", "bin"), "left")
@@ -582,6 +582,13 @@ object ScaleQueries extends QueryPack {
           coalesce(col("files_out") === 1L, lit(false)).as("one_file_out"),
           col("content_ok"))
         .orderBy(col("part"), col("bin"))
+        // pin the ~20 verdict rows eagerly, then drop the scratch
+        // warehouse: the frame must not lazily re-read $wh after the
+        // delete, and without the delete every Verify/Bench/spec run
+        // leaves two dataset-sized parquet copies in java.io.tmpdir
+        .localCheckpoint()
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      verdictFrame
     }),
 
     // Equi-depth range-partition boundaries — the split-point planning a
