@@ -130,13 +130,16 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (conf.getConfString(ConfKey, "true") != "true") plan
     else plan.transformDown {
-      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+      case agg: Aggregate =>
+        tryRewrite(agg).orElse(tryRewriteGroupingSets(agg)).getOrElse(agg)
     }
 
-  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    // walk pruning-Project / Filter chain to a single registered relation
+  /** Walk a pruning-Project / Filter chain to a single registered fact
+    * relation; returns (filter conjuncts, fact relation, registration). */
+  private def walkToFact(start: LogicalPlan)
+      : Option[(Seq[Expression], LogicalRelation, RollupRegistry.Entry)] = {
     var conds = Seq.empty[Expression]
-    var cur = agg.child
+    var cur = start
     var rel: LogicalRelation = null
     while (rel == null) cur match {
       case Project(projList, c) if projList.forall(_.isInstanceOf[AttributeReference]) =>
@@ -149,7 +152,50 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
     }
     val roots = rel.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
     if (roots.size != 1) return None
-    val entry = RollupRegistry.lookup(roots.head.toString).getOrElse(return None)
+    RollupRegistry.lookup(roots.head.toString).map((conds, rel, _))
+  }
+
+  /** Filters must be deterministic AND touch dims only (then they remap
+    * onto the rollup). The determinism gate matters: a reference-free
+    * nondeterministic conjunct (rand() < 0.5 sampling) vacuously passes
+    * the dims-only forall but would evaluate per rollup CELL instead of
+    * per fact row — silently different results. */
+  private def condsRemappable(conds: Seq[Expression], dimSet: Set[String]): Boolean =
+    conds.forall(c => c.deterministic &&
+      c.references.forall(a => dimSet.contains(a.name)))
+
+  /** Each aggregate: exactly count(1) (non-distinct, non-null literal) or
+    * the house exact-decimal sum over a registered measure — rewritten to
+    * re-aggregate the rollup's `_cnt` / `_sum_<m>` columns. */
+  private def rewriteAggFn(ae: AggregateExpression, byName: Map[String, Attribute],
+      measureSet: Set[String]): Option[Expression] =
+    if (ae.isDistinct || ae.filter.nonEmpty) None
+    else ae.aggregateFunction match {
+      case c: Count if c.children.forall {
+        // non-null literals only: count(NULL) counts ZERO rows, so
+        // rewriting it to the group size would be wrong
+        case Literal(v, _) => v != null; case _ => false
+      } && c.children.nonEmpty =>
+        // coalesce to 0 so the UNGROUPED shape stays exact: an empty
+        // selection makes count(1) return 0 on the fact but
+        // sum(_cnt) return NULL on the rollup
+        Some(Coalesce(Seq(
+          Sum(byName("_cnt")).toAggregateExpression(), Literal(0L))))
+      case s: Sum => s.child match {
+        case cst: Cast if cst.dataType == DecimalType(18, 3) =>
+          cst.child match {
+            case m: AttributeReference if measureSet.contains(m.name) =>
+              Some(Cast(Sum(byName(s"_sum_${m.name}")).toAggregateExpression(),
+                ae.dataType))
+            case _ => None
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (conds, rel, entry) = walkToFact(agg.child).getOrElse(return None)
     val dimSet = entry.dims.toSet
 
     // grouping keys: plain dim attributes of the fact relation
@@ -158,56 +204,25 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
         rel.outputSet.contains(a) => a
       case _ => return None
     }
-    // filters must be deterministic AND touch dims only (then they remap
-    // onto the rollup). The determinism gate matters: a reference-free
-    // nondeterministic conjunct (rand() < 0.5 sampling) vacuously passes
-    // the dims-only forall but would evaluate per rollup CELL instead of
-    // per fact row — silently different results.
-    if (!conds.forall(c => c.deterministic &&
-        c.references.forall(a => dimSet.contains(a.name))))
-      return None
+    if (!condsRemappable(conds, dimSet)) return None
 
     val spark = SparkSession.active
     val rollup = spark.read.parquet(entry.rollupPath).queryExecution.analyzed
     val byName = rollup.output.map(o => o.name -> o).toMap
     val measureSet = entry.measures.toSet
 
-    // each output: a grouping dim, count(1), or the exact decimal sum —
+    // each output: a grouping dim, count(1), or the exact decimal sum --
     // optionally under an outer Cast (the house `.cast("double")` spelling)
-    def rewriteAgg(ae: AggregateExpression): Option[Expression] =
-      if (ae.isDistinct || ae.filter.nonEmpty) None
-      else ae.aggregateFunction match {
-        case c: Count if c.children.forall {
-          // non-null literals only: count(NULL) counts ZERO rows, so
-          // rewriting it to the group size would be wrong
-          case Literal(v, _) => v != null; case _ => false
-        } && c.children.nonEmpty =>
-          // coalesce to 0 so the UNGROUPED shape stays exact: an empty
-          // selection makes count(1) return 0 on the fact but
-          // sum(_cnt) return NULL on the rollup
-          Some(Coalesce(Seq(
-            Sum(byName("_cnt")).toAggregateExpression(), Literal(0L))))
-        case s: Sum => s.child match {
-          case cst: Cast if cst.dataType == DecimalType(18, 3) =>
-            cst.child match {
-              case m: AttributeReference if measureSet.contains(m.name) =>
-                Some(Cast(Sum(byName(s"_sum_${m.name}")).toAggregateExpression(),
-                  ae.dataType))
-              case _ => None
-            }
-          case _ => None
-        }
-        case _ => None
-      }
     val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
         Alias(byName(a.name), a.name)(exprId = a.exprId)
       case al @ Alias(ae: AggregateExpression, name) =>
-        Alias(rewriteAgg(ae).getOrElse(return None), name)(exprId = al.exprId)
+        Alias(rewriteAggFn(ae, byName, measureSet).getOrElse(return None),
+          name)(exprId = al.exprId)
       case al @ Alias(outer: Cast, name) => outer.child match {
         case ae: AggregateExpression =>
-          Alias(Cast(rewriteAgg(ae).getOrElse(return None), outer.dataType),
-            name)(exprId = al.exprId)
+          Alias(Cast(rewriteAggFn(ae, byName, measureSet).getOrElse(return None),
+            outer.dataType), name)(exprId = al.exprId)
         case _ => return None
       }
       case _ => return None
@@ -219,6 +234,94 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
       .reduceOption(And)
       .fold(rollup)(c => Filter(c, rollup))
     Some(Aggregate(groupAttrs.map(g => byName(g.name)), newAggs, filtered))
+  }
+
+  /** ROLLUP/CUBE/GROUPING SETS navigation (VERDICT r10 ask #7): the
+    * analyzer lowers grouping sets to Aggregate-over-Expand — one Expand
+    * projection per grouping set, emitting each dim either as itself or
+    * NULL plus the spark_grouping_id literal. COUNT and DECIMAL SUM
+    * re-aggregate exactly per grouping set, so the SAME registered
+    * rollup serves every set: rebuild the Expand over the rollup's cells
+    * (the `_cnt`/`_sum_*` columns pass through every projection, kept
+    * dims remap onto the rollup's columns, the NULL/grouping-id literals
+    * stay verbatim) and re-aggregate. The Expand-created dim copies and
+    * the grouping-id attribute are REUSED in the new plan, so the
+    * Aggregate's grouping expressions and any grouping()/grouping_id()
+    * output expressions stay valid untouched. Fences: same fact-walk,
+    * dim-only-filter, and count(1)/exact-decimal-sum gates as the flat
+    * rewrite; non-rewritable aggregates (even ones that only touch kept
+    * attrs) keep the exact plan — a duplicate-sensitive aggregate over
+    * cells would differ from one over rows. */
+  private def tryRewriteGroupingSets(agg: Aggregate): Option[LogicalPlan] = {
+    // locate the Expand, tolerating pruning Projects the optimizer adds
+    var cur = agg.child
+    var done = false
+    while (!done) cur match {
+      case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        cur = p.child
+      case _ => done = true
+    }
+    val expand = cur match {
+      case e: Expand => e
+      case _ => return None
+    }
+    val (conds, _, entry) = walkToFact(expand.child).getOrElse(return None)
+    val dimSet = entry.dims.toSet
+    if (!condsRemappable(conds, dimSet)) return None
+
+    // grouping keys must be attributes the Expand produced (the dim
+    // copies + spark_grouping_id)
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: Attribute if expand.outputSet.contains(a) => a
+      case _ => return None
+    }
+    val keepSet = AttributeSet(groupAttrs)
+    val keptIdx = expand.output.zipWithIndex.filter { case (a, _) => keepSet.contains(a) }
+    if (keptIdx.isEmpty) return None
+
+    val spark = SparkSession.active
+    val rollup = spark.read.parquet(entry.rollupPath).queryExecution.analyzed
+    val byName = rollup.output.map(o => o.name -> o).toMap
+    val measureSet = entry.measures.toSet
+    val passthrough: Seq[Attribute] =
+      rollup.output.filter(a => a.name == "_cnt" || a.name.startsWith("_sum_"))
+
+    // per grouping set: kept slots remap (fact dim -> rollup column;
+    // NULL / grouping-id literals verbatim); anything computed bails
+    val newProjections = expand.projections.map { proj =>
+      passthrough ++ keptIdx.map { case (_, i) =>
+        proj(i) match {
+          case a: AttributeReference if dimSet.contains(a.name) =>
+            byName(a.name): Expression
+          case l: Literal => l: Expression
+          case _ => return None
+        }
+      }
+    }
+    val newOutput: Seq[Attribute] = passthrough ++ keptIdx.map(_._1)
+
+    val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case al @ Alias(ae: AggregateExpression, name) =>
+        Alias(rewriteAggFn(ae, byName, measureSet).getOrElse(return None),
+          name)(exprId = al.exprId)
+      case al @ Alias(outer: Cast, name)
+          if outer.child.isInstanceOf[AggregateExpression] =>
+        Alias(Cast(rewriteAggFn(outer.child.asInstanceOf[AggregateExpression],
+            byName, measureSet).getOrElse(return None),
+          outer.dataType), name)(exprId = al.exprId)
+      // grouping dims / grouping_id()-style outputs: reused attrs, so
+      // they pass through — but never an un-rewritten aggregate, whose
+      // value over cells could differ from its value over fact rows
+      case ne if ne.references.subsetOf(keepSet) &&
+          !ne.exists(_.isInstanceOf[AggregateExpression]) => ne
+      case _ => return None
+    }
+    val filtered = conds
+      .map(_.transform { case a: AttributeReference => byName(a.name) })
+      .reduceOption(And)
+      .fold(rollup)(c => Filter(c, rollup))
+    Some(Aggregate(groupAttrs, newAggs,
+      Expand(newProjections, newOutput, filtered)))
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

@@ -517,14 +517,10 @@ object ScaleQueries extends QueryPack {
         .agg(sum(col("file_bytes")).as("sz"),
           (countDistinct(col("part")) * 3).as("p3"))
         .select(expr("(sz + p3 - 1) div p3").as("target")) // ceil, pure ints
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("part").orderBy("file_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val planned = manifest
-        .withColumn("cum_excl",
-          coalesce(sum(col("file_bytes")).over(w), lit(0L)))
-        .crossJoin(broadcast(tgt))
-        .withColumn("bin", expr("cum_excl div target"))
+      // the shared bin-pack skeleton — the same call MerkonStore
+      // .compactSaved plans its targeted rewrite with
+      val planned = graft.store.LayoutCompaction
+        .assignBins(manifest, Seq("part"), Seq("file_id"), "file_bytes", tgt)
         .select(col("part"), col("file_id"), col("file_bytes"), col("bin"))
         .localCheckpoint()
       // 3. execute: one shuffle keyed (part, bin) -> one file per bin
@@ -669,10 +665,17 @@ object ScaleQueries extends QueryPack {
       val shuffleFree = exec.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }.isEmpty && exec.toString.contains("SortMergeJoin")
-      agg.select(col("o_orderkey"), col("o_orderpriority"), col("n_items"),
-          col("revenue"), lit(shuffleFree).as("shuffle_free"))
+      val out = agg.select(col("o_orderkey"), col("o_orderpriority"),
+          col("n_items"), col("revenue"), lit(shuffleFree).as("shuffle_free"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(20)
+        // pin the 20 rows, then drop the bucket warehouse (no tmpdir
+        // litter; the catalog entries are recreated per invocation)
+        .localCheckpoint()
+      new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
     }),
 
     // Dynamic partition pruning — the third layout lever next to
@@ -715,10 +718,16 @@ object ScaleQueries extends QueryPack {
       val pruned = plan.contains("dynamicpruning")
       // DATE surfaces as python date objects via parquet->pandas but
       // datetime64 via DuckDB — emit as timestamp so dtypes agree
-      agg.select(col("event_date").cast("timestamp").as("event_day"),
+      val out = agg.select(col("event_date").cast("timestamp").as("event_day"),
           col("n_day"), col("n_events"),
           col("n_users"), lit(pruned).as("partition_pruned"))
         .orderBy(col("event_day"))
+        // pin, then drop the partitioned scratch table (no tmpdir litter)
+        .localCheckpoint()
+      new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
     })
   )
 

@@ -454,7 +454,7 @@ object StoreQueries extends QueryPack {
       val pubA = runWap(o.filter(col("o_orderkey") % 10 === 4 &&
         col("o_totalprice") <= 400000), "batch_a")
       val pubB = runWap(o.filter(col("o_orderkey") % 10 === 7), "batch_b")
-      s.read.option("recursiveFileLookup", "true")
+      val out = s.read.option("recursiveFileLookup", "true")
         .parquet(s"$wh/published")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
@@ -463,6 +463,10 @@ object StoreQueries extends QueryPack {
         .select(col("o_orderstatus"), col("n"), col("total"),
           lit(pubA).as("batch_a_published"), lit(pubB).as("batch_b_published"))
         .orderBy(col("o_orderstatus"))
+        // pin, then drop the staging+published scratch (no tmpdir litter)
+        .localCheckpoint()
+      hfs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
     }),
 
     // Change-data-feed read (Delta CDF's table_changes shape) over the
@@ -534,6 +538,35 @@ object StoreQueries extends QueryPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Grouping-sets navigation (VERDICT r10 ask #7): the same registered
+    // rollup serves a CUBE — all 2^2 grouping-set marginals — because
+    // COUNT/DECIMAL-SUM re-aggregate exactly per set. The naive plan is
+    // Aggregate over Expand over the fact scan; the rule rebuilds the
+    // Expand over the rollup's cells with the grouping-id skeleton
+    // untouched, so grand totals, both one-dim marginals, and the full
+    // cells all come out of kilobytes of pre-aggregated state. The
+    // `rewritten` bit (rollup-only `_cnt` in the executed plan) proves
+    // the fact scan was replaced; the oracle hash proves every marginal
+    // is still exact.
+    "store_rollup_rewrite_cube" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val factPath = s"$dir/orders.parquet"
+      graft.plans.RollupRegistry.register(s, factPath,
+        dims = Seq("o_orderstatus", "o_orderpriority"),
+        measures = Seq("o_totalprice"))
+      val naive = s.read.parquet(factPath)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 3))).cast("double")
+            .as("total"))
+      val rewritten = naive.queryExecution.executedPlan.toString
+        .contains("_cnt")
+      naive.select(col("o_orderstatus"), col("o_orderpriority"),
+          col("n"), col("total"), lit(rewritten).as("rewritten"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
     // Idempotent backfill via DYNAMIC partition overwrite (Hive's
     // INSERT OVERWRITE ... PARTITION semantics): re-running a corrected
     // day replaces exactly that day's files and leaves every other
@@ -557,7 +590,7 @@ object StoreQueries extends QueryPack {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_date").parquet(path)
-      s.read.parquet(path)
+      val out = s.read.parquet(path)
         .groupBy(col("event_date"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 3))).cast("double")
@@ -566,6 +599,13 @@ object StoreQueries extends QueryPack {
           col("n"), col("total_value"),
           (col("event_date") === lit(minDay)).as("revised"))
         .orderBy(col("event_day"))
+        // pin the per-day rows eagerly, then drop the scratch table —
+        // same no-tmpdir-litter discipline as layout_compaction_apply
+        .localCheckpoint()
+      new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(wh), true)
+      out
     }),
 
     // PERMISSIVE-mode JSON parsing with corrupt-record quarantine — the
@@ -665,6 +705,46 @@ object StoreQueries extends QueryPack {
           col("n_rows"),
           round6(col("r.n_violations") / col("n_rows")).as("violation_rate"))
         .orderBy(col("rule"))
+    }),
+
+    // Collection DDL from PURE SQL (VERDICT r10 ask #2) — A1 AddCollection,
+    // A3 GetCollections, A5 IsCollectionExists, A6 RemoveCollection
+    // (MerkonDatabase.cs:18-56) driven through CREATE/SHOW/DROP TABLE on
+    // the [[graft.store.MerkonCatalog]] V2 TableCatalog, the way
+    // `knn_topk_sql` proves the query surface. The INSERT and the final
+    // SELECT run through Spark's own DSv2 parquet table (full pushdown),
+    // so the verdict rows are real data read back from a catalog-created
+    // collection, with the DDL-observable counters (table counts before/
+    // after DROP, LIKE-existence bits) riding every row — DuckDB predicts
+    // all of it from `documents` plus the DDL contract.
+    "store_ddl_sql" -> ((s, dir) => {
+      val store = new graft.store.MerkonStore(s)
+      val wh = sys.props("java.io.tmpdir") + "/graft-ddl-store"
+      // fresh warehouse per invocation: the catalog instance is cached per
+      // session but lists the directory dynamically, so clearing the dir
+      // resets state and keeps the query idempotent across bench reruns
+      val whPath = new org.apache.hadoop.fs.Path(s"$wh/collections")
+      val fs = whPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(whPath, true)
+      store.attachSqlCatalog("merkon_sql", wh)
+      s.sql("CREATE TABLE merkon_sql.docs_slice (key STRING, lang STRING, n_chars BIGINT)")
+      s.sql("CREATE TABLE merkon_sql.scratch (key STRING)")
+      val afterCreate = s.sql("SHOW TABLES IN merkon_sql").count()
+      s.sql(s"INSERT INTO merkon_sql.docs_slice " +
+        s"SELECT CAST(doc_id AS STRING), lang, n_chars " +
+        s"FROM parquet.`$dir/documents.parquet` WHERE doc_id % 7 = 0")
+      s.sql("DROP TABLE merkon_sql.scratch")
+      val afterDrop = s.sql("SHOW TABLES IN merkon_sql").count()
+      val scratchExists = s.sql("SHOW TABLES IN merkon_sql LIKE 'scratch'").count() > 0
+      val docsExists = s.sql("SHOW TABLES IN merkon_sql LIKE 'docs_slice'").count() > 0
+      s.sql("SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars " +
+          "FROM merkon_sql.docs_slice GROUP BY lang")
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          lit(afterCreate).as("tables_after_create"),
+          lit(afterDrop).as("tables_after_drop"),
+          lit(scratchExists).as("scratch_exists"),
+          lit(docsExists).as("docs_exists"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -672,6 +752,24 @@ object StoreQueries extends QueryPack {
     "sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))"
 
   override def oracleSql: Map[String, String] = Map(
+    // Full-recompute CUBE oracle: the hash match proves the rollup-served
+    // marginals equal the fact-scan marginals on every grouping set.
+    "store_rollup_rewrite_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS total,
+        |  true AS rewritten
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    // DDL contract: 2 tables after the CREATEs, 1 after the DROP, LIKE
+    // sees the survivor only; data rows re-derived from documents.
+    "store_ddl_sql" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(2 AS BIGINT) AS tables_after_create,
+        |  CAST(1 AS BIGINT) AS tables_after_drop,
+        |  false AS scratch_exists, true AS docs_exists
+        |FROM documents WHERE doc_id % 7 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // Full-recompute oracle: the hash match proves incremental == full.
     "store_mv_incremental" ->
       """SELECT o_custkey, count(*) AS n_orders,

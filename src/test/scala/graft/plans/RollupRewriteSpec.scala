@@ -98,6 +98,74 @@ class RollupRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally RollupRegistry.clear()
   }
 
+  test("CUBE/ROLLUP ride the rollup through the Expand, exactly") {
+    RollupRegistry.clear()
+    def cubeQ = spark.read.parquet(factPath)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 3))).cast("double")
+          .as("total"))
+    def rollupQ = spark.read.parquet(factPath)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .rollup(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val cubeExact = cubeQ.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val rollupExact = rollupQ.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    RollupRegistry.register(spark, factPath,
+      dims = Seq("o_orderstatus", "o_orderpriority"),
+      measures = Seq("o_totalprice"))
+    try {
+      val pc = planOf(cubeQ)
+      assert(pc.contains("_cnt"), pc)      // the Expand reads rollup cells
+      assert(pc.contains("Expand"), pc)    // grouping-set skeleton intact
+      assert(!pc.contains("o_custkey"), pc)
+      assert(cubeQ.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap == cubeExact)
+      // dim-only filter remaps below the rebuilt Expand
+      val pr = planOf(rollupQ)
+      assert(pr.contains("_cnt"), pr)
+      assert(rollupQ.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == rollupExact)
+    } finally RollupRegistry.clear()
+  }
+
+  test("grouping-sets fences: duplicate-sensitive aggs and non-dim sets keep the fact") {
+    RollupRegistry.clear()
+    RollupRegistry.register(spark, factPath,
+      dims = Seq("o_orderstatus", "o_orderpriority"),
+      measures = Seq("o_totalprice"))
+    try {
+      // avg over cells != avg over rows: must NOT rewrite
+      val avgQ = spark.read.parquet(factPath)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(avg(col("o_totalprice")).as("a"))
+      assert(!planOf(avgQ).contains("_cnt"), planOf(avgQ))
+      // a non-dim column in the cube: must NOT rewrite
+      val badDim = spark.read.parquet(factPath)
+        .cube(col("o_orderstatus"), col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      assert(!planOf(badDim).contains("_cnt"), planOf(badDim))
+      // non-dim filter below the cube: must NOT rewrite
+      val badFilter = spark.read.parquet(factPath)
+        .filter(col("o_custkey") < 100)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      assert(!planOf(badFilter).contains("_cnt"), planOf(badFilter))
+      // kill switch applies to the grouping-sets path too
+      spark.conf.set(RollupRewriteRule.ConfKey, "false")
+      val cubeQ = spark.read.parquet(factPath)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      assert(!planOf(cubeQ).contains("_cnt"))
+    } finally {
+      spark.conf.set(RollupRewriteRule.ConfKey, "true")
+      RollupRegistry.clear()
+    }
+  }
+
   test("changed fact data at the same path rebuilds the rollup (no stale serve)") {
     RollupRegistry.clear()
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup_stale")

@@ -1,0 +1,109 @@
+package graft.store
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-catalog face of the store (A1/A3/A5/A6 from pure SQL) and the
+  * targeted on-disk compaction facade. */
+class MerkonCatalogSpec extends AnyFunSuite with SparkTestBase {
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("CREATE/SHOW/INSERT/SELECT/DROP round-trip through the catalog") {
+    val wh = freshDir("graft_cat")
+    val store = new MerkonStore(spark)
+    store.attachSqlCatalog("merkon_t1", wh)
+    spark.sql("CREATE TABLE merkon_t1.alpha (key STRING, v BIGINT)")
+    spark.sql("CREATE TABLE merkon_t1.beta (key STRING)")
+    assert(spark.sql("SHOW TABLES IN merkon_t1").collect()
+      .map(_.getString(1)).toSet == Set("alpha", "beta"))
+    spark.sql("INSERT INTO merkon_t1.alpha VALUES ('a', 1), ('b', 2)")
+    spark.sql("INSERT INTO merkon_t1.alpha VALUES ('c', 3)")
+    assert(spark.sql("SELECT sum(v) FROM merkon_t1.alpha")
+      .collect().head.getLong(0) == 6L)
+    // A5: LIKE-existence
+    assert(spark.sql("SHOW TABLES IN merkon_t1 LIKE 'beta'").count() == 1)
+    spark.sql("DROP TABLE merkon_t1.beta")
+    assert(spark.sql("SHOW TABLES IN merkon_t1 LIKE 'beta'").count() == 0)
+    assert(spark.sql("SHOW TABLES IN merkon_t1").count() == 1)
+    // idempotent-create guard: second CREATE of a live table fails
+    intercept[Exception] {
+      spark.sql("CREATE TABLE merkon_t1.alpha (key STRING, v BIGINT)")
+    }
+  }
+
+  test("catalog tables and store collections are one set of directories") {
+    val root = freshDir("graft_cat_store")
+    val wh = s"$root/db"
+    val store = new MerkonStore(spark)
+    import spark.implicits._
+    // store-side save -> visible as a catalog table
+    store.createCollection("from scala!") // name needing path encoding
+    store.upsertBatch("from scala!", Seq(
+      MemoryRecord("k1", MemoryMetadata(id = "k1", text = "t"), Array(1f, 2f)))
+      .toDF())
+    store.save(wh)
+    store.attachSqlCatalog("merkon_t2", wh)
+    assert(spark.sql("SHOW TABLES IN merkon_t2").collect()
+      .map(_.getString(1)).toSet == Set("from scala!"))
+    assert(spark.sql("SELECT key FROM merkon_t2.`from scala!`")
+      .collect().map(_.getString(0)).toSeq == Seq("k1"))
+    // catalog-side CREATE+INSERT -> picked up by store.load even though
+    // it post-dates the manifest
+    spark.sql("CREATE TABLE merkon_t2.from_sql (key STRING, metadata " +
+      "STRUCT<is_reference: BOOLEAN, external_source_name: STRING, id: STRING, " +
+      "description: STRING, text: STRING, additional_metadata: STRING>, " +
+      "embedding ARRAY<FLOAT>, timestamp TIMESTAMP)")
+    spark.sql("INSERT INTO merkon_t2.from_sql VALUES " +
+      "('k9', named_struct('is_reference', false, 'external_source_name', " +
+      "CAST(NULL AS STRING), 'id', 'k9', 'description', CAST(NULL AS STRING), " +
+      "'text', 'hello', 'additional_metadata', CAST(NULL AS STRING)), " +
+      "array(CAST(0.5 AS FLOAT)), NULL)")
+    val store2 = new MerkonStore(spark)
+    store2.load(wh)
+    assert(store2.getCollections.toSet == Set("from scala!", "from_sql"))
+    assert(store2.get("from_sql", "k9").collect().length == 1)
+  }
+
+  test("compactSaved bin-packs small files, preserves rows, leaves big files") {
+    val root = freshDir("graft_compact_facade")
+    val store = new MerkonStore(spark)
+    import spark.implicits._
+    store.createCollection("frag")
+    store.save(root)
+    store.attachSqlCatalog("merkon_t3", root)
+    // fragment via repeated SQL INSERT appends — the exact small-file
+    // pattern the facade exists for
+    (0 until 6).foreach { i =>
+      spark.sql("INSERT INTO merkon_t3.frag SELECT " +
+        s"CAST(id + $i * 100 AS STRING), named_struct('is_reference', false, " +
+        "'external_source_name', CAST(NULL AS STRING), 'id', CAST(id AS STRING), " +
+        "'description', CAST(NULL AS STRING), 'text', 'x', 'additional_metadata', " +
+        "CAST(NULL AS STRING)), array(CAST(id AS FLOAT)), CAST(NULL AS TIMESTAMP) " +
+        "FROM range(50)")
+    }
+    val before = spark.sql("SELECT key FROM merkon_t3.frag")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(before.length == 300)
+    val colDir = new org.apache.hadoop.fs.Path(
+      s"$root/collections/${MerkonStore.pathSafe("frag")}")
+    val fs = colDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nDataFiles = fs.listStatus(colDir).count(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    val fragFiles = nDataFiles
+    assert(fragFiles >= 6, s"expected >= 6 fragment files, got $fragFiles")
+    // target large enough that ALL small files pack into one bin
+    val (b, a) = store.compactSaved(root, "frag", targetBytes = 1L << 30)
+    assert(b == fragFiles && a == 1, s"before=$b after=$a")
+    assert(nDataFiles == 1)
+    val after = spark.sql("SELECT key FROM merkon_t3.frag")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(after == before) // content identical post-compact
+    // files at/above target are left in place: with a tiny target every
+    // file is its own bin and nothing is rewritten
+    val (b2, a2) = store.compactSaved(root, "frag", targetBytes = 1L)
+    assert(b2 == 1 && a2 == 1)
+  }
+}
