@@ -112,6 +112,30 @@ object AnnQueries extends QueryPack {
       .filter(col("score") >= minCos)
   }
 
+  /** One exact-pair frame per (session, dir, threshold) — the pairs
+    * analog of [[exactTopKCached]], and the r9→r10 cost attribution for
+    * ann_semantic_dedup: its 1.3 s over the r8 number was exactly the
+    * O(N²/2) justification rider added with the verdict oracle, computed
+    * AGAIN after ann_cosine_pairs had already built the identical frame.
+    * Same stopped-session purge discipline as the top-k cache. */
+  private val exactPairsCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, Double), DataFrame]]()
+
+  private def exactPairsCached(s: SparkSession, dir: String, emb: => DataFrame,
+      minCos: Double): DataFrame =
+    exactPairsCache.synchronized {
+      val it = exactPairsCache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+      var perSession = exactPairsCache.get(s)
+      if (perSession == null) {
+        perSession = scala.collection.mutable.Map.empty
+        exactPairsCache.put(s, perSession)
+      }
+      perSession.getOrElseUpdate((dir, minCos),
+        exactPairs(emb, minCos).localCheckpoint())
+    }
+
   override def queries: Map[String, Q] = Map(
     // LSH-bucketed embedding near-dup pairs (approx analog of
     // dedup_embedding_pairs_bruteforce). Emitted rows = the EXACT pair
@@ -125,7 +149,7 @@ object AnnQueries extends QueryPack {
       val found = new CosineLsh().similarPairs(emb, "vec_id", "embedding",
           minCos = 0.4)
         .select(col("a_id"), col("b_id"), lit(1).as("found"))
-      val flagged = exactPairs(emb, 0.4)
+      val flagged = exactPairsCached(s, dir, emb, 0.4)
         .join(found, Seq("a_id", "b_id"), "left")
         .localCheckpoint()
       val stats = flagged.agg(
@@ -162,7 +186,7 @@ object AnnQueries extends QueryPack {
       val built = IvfIndex.openOrBuild(s, ivf, s"$dir/embeddings.parquet",
         "vec_id", "embedding")
       val dd = IvfIndex.semanticDedup(built, tau = 0.4)
-      val justified = exactPairs(emb, 0.4)
+      val justified = exactPairsCached(s, dir, emb, 0.4)
         .select(col("b_id").as("id")).distinct()
         .withColumn("justified", lit(true))
       val flagged = dd.join(justified, Seq("id"), "left")
