@@ -50,31 +50,17 @@ object AnnQueries extends QueryPack {
     * verdict riders all compare against the same handful of exact frames
     * (6 queries share the (full, 20, 3) frame alone), so recomputing the
     * brute-force probe per query paid the corpus×|Q| scan up to 6× per
-    * Verify/Bench session for identical rows. The outer map keys the
-    * SparkSession OBJECT (not an identity hash, which can collide and
-    * so could serve a dead session's checkpoint to a new one), and
-    * every access first purges entries whose SparkContext has stopped —
-    * a WeakHashMap alone would not reclaim them, because the cached
-    * DataFrames strongly reference their session and so the value would
-    * pin the weak key. Entries are |Q|×k rows — driver-trivial. */
+    * Verify/Bench session for identical rows. [[graft.util.SessionCache]]
+    * owns the stopped-session eviction contract (spec-pinned in
+    * `SessionCacheSpec`). Entries are |Q|×k rows — driver-trivial. */
   private val exactTopKCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[(String, String, Int, Int), DataFrame]]()
+    new graft.util.SessionCache[(String, String, Int, Int), DataFrame]()
 
   private def exactTopKCached(s: SparkSession, dir: String, sliceTag: String,
       corpus: => DataFrame, queriesDf: => DataFrame, nQueries: Int,
       k: Int): DataFrame =
-    exactTopKCache.synchronized {
-      val it = exactTopKCache.entrySet().iterator()
-      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
-      var perSession = exactTopKCache.get(s)
-      if (perSession == null) {
-        perSession = scala.collection.mutable.Map.empty
-        exactTopKCache.put(s, perSession)
-      }
-      perSession.getOrElseUpdate((dir, sliceTag, nQueries, k),
-        exactTopK(corpus, queriesDf, k).localCheckpoint())
-    }
+    exactTopKCache.getOrElseUpdate(s, (dir, sliceTag, nQueries, k))(
+      exactTopK(corpus, queriesDf, k).localCheckpoint())
 
   /** Deterministic verdict rows for a kNN result: the (q_id, rank)
     * skeleton — |Q|×k cardinality is the driver-checked contract — plus
@@ -116,25 +102,14 @@ object AnnQueries extends QueryPack {
     * analog of [[exactTopKCached]], and the r9→r10 cost attribution for
     * ann_semantic_dedup: its 1.3 s over the r8 number was exactly the
     * O(N²/2) justification rider added with the verdict oracle, computed
-    * AGAIN after ann_cosine_pairs had already built the identical frame.
-    * Same stopped-session purge discipline as the top-k cache. */
+    * AGAIN after ann_cosine_pairs had already built the identical frame. */
   private val exactPairsCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[(String, Double), DataFrame]]()
+    new graft.util.SessionCache[(String, Double), DataFrame]()
 
   private def exactPairsCached(s: SparkSession, dir: String, emb: => DataFrame,
       minCos: Double): DataFrame =
-    exactPairsCache.synchronized {
-      val it = exactPairsCache.entrySet().iterator()
-      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
-      var perSession = exactPairsCache.get(s)
-      if (perSession == null) {
-        perSession = scala.collection.mutable.Map.empty
-        exactPairsCache.put(s, perSession)
-      }
-      perSession.getOrElseUpdate((dir, minCos),
-        exactPairs(emb, minCos).localCheckpoint())
-    }
+    exactPairsCache.getOrElseUpdate(s, (dir, minCos))(
+      exactPairs(emb, minCos).localCheckpoint())
 
   override def queries: Map[String, Q] = Map(
     // LSH-bucketed embedding near-dup pairs (approx analog of

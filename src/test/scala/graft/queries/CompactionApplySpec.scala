@@ -15,8 +15,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class CompactionApplySpec extends AnyFunSuite with SparkTestBase {
 
   test("every planned bin lands as exactly one file with identical content") {
+    def scratchDirs = {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      Option(tmp.list()).toSeq.flatten.filter(_.startsWith("graft_compact")).toSet
+    }
+    val before = scratchDirs
     val rows = SparkEntry.queries("layout_compaction_apply")(spark, sf0_001)
       .collect()
+    // the scratch warehouse is deleted once the verdict rows are pinned —
+    // repeated Verify/Bench runs must not litter java.io.tmpdir
+    assert(scratchDirs == before,
+      s"leaked compaction scratch dirs: ${scratchDirs -- before}")
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Boolean]("one_file_out")),
       rows.filterNot(_.getAs[Boolean]("one_file_out")).mkString("\n"))
