@@ -130,25 +130,35 @@ object SimilarityQueries extends QueryPack {
     // every non-English document, the best English counterpart scored by
     // margin = cos(f, e) / ((mean top-4 cos of f) + (mean top-4 cos of
     // e)) / 2 — raw cosine over-pairs hub sentences; the margin
-    // normalizes by both sides' neighborhood density. Exact form is the
-    // oracle anchor: pairs are scored once (checkpoint) and feed BOTH
-    // neighborhood means via bounded TopKByScore(4) partial aggs (never
-    // a corpus×corpus window shuffle) plus the final margin argmax. At
-    // 100 TB both kNN passes ride the persisted IVF index
-    // (IvfIndex.search / AnnIndexRule) — the margin algebra is the same.
+    // normalizes by both sides' neighborhood density. As published, the
+    // margin argmax runs over each f's top-k FORWARD NEIGHBORS (k = 16
+    // here), not the full row of the similarity matrix — which is also
+    // what makes the plan scale: the r11 10× measurement caught the
+    // first spelling (full-matrix localCheckpoint + margin join + argmax
+    // over every pair) at 45.6× for 10× data, because it materialized
+    // and shuffled the N_f×N_e matrix. Now NOTHING quadratic ever
+    // persists or shuffles: the pair stream is consumed by three
+    // bounded TopKByScore partial aggs (both neighborhood means + the
+    // 16-NN candidate cut, each moving only partitions×k rows), and the
+    // margin algebra runs on the 16·N_f candidate table. At 100 TB the
+    // three scoring passes ride the persisted IVF index
+    // (IvfIndex.search / AnnIndexRule) — same algebra, same cut.
     "corpus_bitext_mine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id").as("doc_id"), col("embedding"))
-      val byLang = emb.join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+      // linear-sized, consumed by all three passes — checkpoint once
+      val byLang = emb
+        .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+        .localCheckpoint()
       val en = byLang.filter(col("lang") === "en")
         .select(col("doc_id").as("e_id"), col("embedding").as("e_emb"))
       val fr = byLang.filter(col("lang") =!= "en")
         .select(col("doc_id").as("f_id"), col("lang").as("f_lang"),
           col("embedding").as("f_emb"))
-      val scored = fr.crossJoin(broadcast(en))
+      // the pair STREAM: re-derived per pass, never materialized
+      def scored = fr.crossJoin(broadcast(en))
         .select(col("f_id"), col("f_lang"), col("e_id"),
           round6(cosineSim(col("f_emb"), col("e_emb"))).as("cos"))
-        .localCheckpoint()
       // mean of the 4 strongest scores per side, DECIMAL-exact (a 4-row
       // double sum is still summation-order-dependent across engines)
       def nbrMean(key: String, other: String, out: String): DataFrame =
@@ -158,7 +168,12 @@ object SimilarityQueries extends QueryPack {
           .groupBy(col(key))
           .agg(round6(sum(col("cs").cast(DecimalType(27, 9))).cast("double") /
             count(lit(1))).as(out))
-      val best = scored
+      val cand = scored.groupBy(col("f_id"), col("f_lang"))
+        .agg(TopKByScore(16)(col("cos"), col("e_id")).as("h"))
+        .select(col("f_id"), col("f_lang"), explode(col("h")).as("c"))
+        .select(col("f_id"), col("f_lang"), col("c.id").as("e_id"),
+          col("c.score").as("cos"))
+      val best = cand
         .join(nbrMean("f_id", "e_id", "mf"), "f_id")
         .join(nbrMean("e_id", "f_id", "me"), "e_id")
         .withColumn("margin", round6(col("cos") /
@@ -168,7 +183,7 @@ object SimilarityQueries extends QueryPack {
         .select(col("f_id"), col("f_lang"),
           element_at(col("best.id"), 1).as("e_id"),
           element_at(col("best.score"), 1).as("margin"))
-      best.join(scored.select(col("f_id"), col("e_id"), col("cos")),
+      best.join(cand.select(col("f_id"), col("e_id"), col("cos")),
           Seq("f_id", "e_id"))
         .select(col("f_id"), col("f_lang"), col("e_id"), col("cos"), col("margin"))
         .orderBy(col("f_id"))
@@ -639,10 +654,15 @@ object SimilarityQueries extends QueryPack {
          |    SELECT e_id, cos, row_number() OVER (
          |      PARTITION BY e_id ORDER BY cos DESC, f_id) AS rk
          |    FROM scored) WHERE rk <= 4 GROUP BY e_id
+         |), cand AS (
+         |  SELECT f_id, f_lang, e_id, cos FROM (
+         |    SELECT f_id, f_lang, e_id, cos, row_number() OVER (
+         |      PARTITION BY f_id ORDER BY cos DESC, e_id) AS crk
+         |    FROM scored) WHERE crk <= 16
          |), m AS (
          |  SELECT s.f_id, s.f_lang, s.e_id, s.cos,
          |    ${r6("s.cos / NULLIF((mf.mf + me.me) / 2, 0)")} AS margin
-         |  FROM scored s JOIN mf USING (f_id) JOIN me USING (e_id)
+         |  FROM cand s JOIN mf USING (f_id) JOIN me USING (e_id)
          |), r AS (
          |  SELECT f_id, f_lang, e_id, cos, margin, row_number() OVER (
          |    PARTITION BY f_id ORDER BY margin DESC, e_id) AS rk
