@@ -72,9 +72,16 @@ object Bench {
       else math.min(a, b)
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Session caches (near-dup pair table, exact top-k / exact-pair
+    // frames) amortize one expensive build into the warmup pass, so the
+    // consumer queries' own numbers no longer contain it — emit each
+    // cache's accumulated build seconds as an explicit entry so the
+    // sidecar sums to the TRUE session cost (VERDICT r11 ask #3).
+    val shared = graft.util.SharedBuilds.snapshot.toSeq.sortBy(_._1)
+      .map { case (n, sec) => s"_shared_build:$n" -> sec }
+    val qs = (results ++ shared).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = (results ++ shared).map(_._2).sum
     // the driver's stdout tail can front-truncate the one-line JSON (r4 judge
     // could only audit 59/87 per-query times) — also write the full map to a
     // sidecar file so every round's per-query timings stay parseable.

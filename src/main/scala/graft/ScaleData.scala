@@ -43,6 +43,16 @@ object ScaleData {
   private def rot(alpha: String, i: Int): String =
     alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
 
+  /** The per-copy Caesar rotation wraps at 26, so copy 26 would carry
+    * VERBATIM copy-0 text — reintroducing the exact cross-copy dup
+    * cliques the construction exists to prevent, and silently
+    * contaminating every weak-scaling ratio measured on the corpus.
+    * Enforce the invariant instead of assuming it. */
+  def requireFactor(factor: Int): Unit =
+    require(factor >= 1 && factor <= 26,
+      s"weak-scaling factor must be in [1, 26] (the text rotation is " +
+        s"bijective per copy only below the 26-letter wrap); got $factor")
+
   /** Offset every listed key column by copy*KeyOffset. */
   private def offsetKeys(df: DataFrame, copy: Int, keys: Seq[String]): DataFrame =
     keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(copy * KeyOffset)))
@@ -72,6 +82,7 @@ object ScaleData {
     require(args.length == 3, "usage: ScaleData <srcDir> <destDir> <factor>")
     val Array(src, dest, factorStr) = args
     val factor = factorStr.toInt
+    requireFactor(factor)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

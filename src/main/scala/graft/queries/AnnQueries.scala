@@ -54,7 +54,8 @@ object AnnQueries extends QueryPack {
     * owns the stopped-session eviction contract (spec-pinned in
     * `SessionCacheSpec`). Entries are |Q|×k rows — driver-trivial. */
   private val exactTopKCache =
-    new graft.util.SessionCache[(String, String, Int, Int), DataFrame]()
+    new graft.util.SessionCache[(String, String, Int, Int), DataFrame](
+      buildName = Some("exact_topk"))
 
   private def exactTopKCached(s: SparkSession, dir: String, sliceTag: String,
       corpus: => DataFrame, queriesDf: => DataFrame, nQueries: Int,
@@ -104,12 +105,17 @@ object AnnQueries extends QueryPack {
     * O(N²/2) justification rider added with the verdict oracle, computed
     * AGAIN after ann_cosine_pairs had already built the identical frame. */
   private val exactPairsCache =
-    new graft.util.SessionCache[(String, Double), DataFrame]()
+    new graft.util.SessionCache[(String, Double), DataFrame](
+      buildName = Some("exact_pairs"))
 
-  private def exactPairsCached(s: SparkSession, dir: String, emb: => DataFrame,
+  /** The embeddings frame is derived from `dir` INSIDE the build (not
+    * taken as a parameter) so the cache key fully determines the cached
+    * value — a caller with a filtered slice cannot be served the
+    * full-corpus pair set as its exactness oracle. */
+  private def exactPairsCached(s: SparkSession, dir: String,
       minCos: Double): DataFrame =
     exactPairsCache.getOrElseUpdate(s, (dir, minCos))(
-      exactPairs(emb, minCos).localCheckpoint())
+      exactPairs(t(s, dir, "embeddings"), minCos).localCheckpoint())
 
   override def queries: Map[String, Q] = Map(
     // LSH-bucketed embedding near-dup pairs (approx analog of
@@ -124,7 +130,7 @@ object AnnQueries extends QueryPack {
       val found = new CosineLsh().similarPairs(emb, "vec_id", "embedding",
           minCos = 0.4)
         .select(col("a_id"), col("b_id"), lit(1).as("found"))
-      val flagged = exactPairsCached(s, dir, emb, 0.4)
+      val flagged = exactPairsCached(s, dir, 0.4)
         .join(found, Seq("a_id", "b_id"), "left")
         .localCheckpoint()
       val stats = flagged.agg(
@@ -156,12 +162,11 @@ object AnnQueries extends QueryPack {
     // The keep-rule and tombstone interaction stay pinned by
     // IndexAppendSpec.
     "ann_semantic_dedup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
       val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
       val built = IvfIndex.openOrBuild(s, ivf, s"$dir/embeddings.parquet",
         "vec_id", "embedding")
       val dd = IvfIndex.semanticDedup(built, tau = 0.4)
-      val justified = exactPairsCached(s, dir, emb, 0.4)
+      val justified = exactPairsCached(s, dir, 0.4)
         .select(col("b_id").as("id")).distinct()
         .withColumn("justified", lit(true))
       val flagged = dd.join(justified, Seq("id"), "left")

@@ -89,7 +89,8 @@ object DedupQueries extends QueryPack {
     * exactTopKCached. At 100 TB this IS the design: the pair table is a
     * persisted artifact of the dedup index job, not a per-query scan.
     * Eviction contract lives in graft.util.SessionCache. */
-  private val nearDupPairsCache = new graft.util.SessionCache[String, DataFrame]()
+  private val nearDupPairsCache = new graft.util.SessionCache[String, DataFrame](
+    buildName = Some("near_dup_pairs"))
 
   private def verifiedNearDupPairsCached(s: SparkSession, dir: String): DataFrame =
     nearDupPairsCache.getOrElseUpdate(s, dir)(

@@ -37,6 +37,18 @@ object StoreQueries extends QueryPack {
   private val batchKeys = Seq("7", "19", "23", "111", "9999")
   private def batchKeysSql = batchKeys.map(k => s"'$k'").mkString(", ")
 
+  /** One scratch warehouse per (session, tag): PROCESS-UNIQUE, so two
+    * concurrent bench/verify sessions on one box can never clobber each
+    * other's warehouses mid-query (the old fixed tmpdir paths could) —
+    * yet stable WITHIN a session, because Spark caches a SQL catalog's
+    * `warehouse` conf at first resolution, so a fresh dir per invocation
+    * would dangle the cached catalog on re-runs. Queries still clear the
+    * collections dir per invocation and delete-after-pin as before. */
+  private val scratchDirs = new graft.util.SessionCache[String, String]()
+  private def sessionScratch(s: SparkSession, tag: String): String =
+    scratchDirs.getOrElseUpdate(s, tag)(
+      java.nio.file.Files.createTempDirectory(s"graft-$tag-").toString)
+
   /** The synthesized versioned mutation log (seq 0..2 of 'U'ploads and
     * 'D'elete tombstones over the collection) shared by `store_asof_read`
     * and `store_vacuum` — deterministic from vec_id so the DuckDB oracle
@@ -720,7 +732,7 @@ object StoreQueries extends QueryPack {
     // exactly the small-file bins.
     "store_compact_facade" -> ((s, dir) => {
       val store = new graft.store.MerkonStore(s)
-      val wh = sys.props("java.io.tmpdir") + "/graft-compact-facade"
+      val wh = sessionScratch(s, "compact-facade")
       val whPath = new org.apache.hadoop.fs.Path(s"$wh/collections")
       val fs = whPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(whPath, true)
@@ -762,7 +774,7 @@ object StoreQueries extends QueryPack {
     // all of it from `documents` plus the DDL contract.
     "store_ddl_sql" -> ((s, dir) => {
       val store = new graft.store.MerkonStore(s)
-      val wh = sys.props("java.io.tmpdir") + "/graft-ddl-store"
+      val wh = sessionScratch(s, "ddl-store")
       // fresh warehouse per invocation: the catalog instance is cached per
       // session but lists the directory dynamically, so clearing the dir
       // resets state and keeps the query idempotent across bench reruns

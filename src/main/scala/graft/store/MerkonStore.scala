@@ -324,9 +324,36 @@ class MerkonStore(spark: SparkSession) {
             st.getPath.getName.stripPrefix("c-"), "UTF-8"))
       else Seq.empty
     (names ++ onDisk.filterNot(names.contains)).foreach { n =>
-      val reader = spark.read.format(format)
-      val typed = if (format == "parquet") reader else reader.schema(recordSchema)
-      collections(n) = typed.load(collectionPath(dir, n))
+      val path = collectionPath(dir, n)
+      // A still-empty catalog-created collection (dir holding only the
+      // _merkon_schema.json sidecar, no data files) would fail parquet
+      // schema inference and break loading the ENTIRE store — bind it
+      // as an empty frame with the sidecar's CREATE schema instead,
+      // the same resolution MerkonCatalog.loadTable applies.
+      val p = new org.apache.hadoop.fs.Path(path)
+      val hasData = format != "parquet" || !fs.exists(p) ||
+        fs.listStatus(p).exists(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      collections(n) =
+        if (hasData) {
+          val reader = spark.read.format(format)
+          val typed = if (format == "parquet") reader
+                      else reader.schema(recordSchema)
+          typed.load(path)
+        } else {
+          val sidecar = new org.apache.hadoop.fs.Path(p, "_merkon_schema.json")
+          val schema =
+            if (fs.exists(sidecar)) {
+              val in = fs.open(sidecar)
+              val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+              org.apache.spark.sql.types.DataType.fromJson(json)
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+            } else recordSchema
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
     }
   }
 
@@ -506,19 +533,37 @@ class MerkonStore(spark: SparkSession) {
           .repartition(col("_bin"))
           .write.partitionBy("_bin").mode("overwrite").parquet(tmp.toString)
         val runId = java.util.UUID.randomUUID().toString.take(8)
-        fs.listStatus(tmp).filter(_.getPath.getName.startsWith("_bin=")).foreach { d =>
-          val bin = d.getPath.getName.stripPrefix("_bin=")
-          fs.listStatus(d.getPath)
-            .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-            .zipWithIndex.foreach { case (f, i) =>
-              fs.rename(f.getPath, new org.apache.hadoop.fs.Path(colDir,
-                s"compact-$runId-bin$bin-$i.parquet"))
-            }
+        // Hadoop FileSystem.rename signals failure by RETURNING FALSE,
+        // not throwing — collect every move's outcome and only delete
+        // the originals once all of them landed, or a failed bin's rows
+        // silently vanish from the collection.
+        val moves = fs.listStatus(tmp)
+          .filter(_.getPath.getName.startsWith("_bin=")).flatMap { d =>
+            val bin = d.getPath.getName.stripPrefix("_bin=")
+            fs.listStatus(d.getPath)
+              .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+              .zipWithIndex.map { case (f, i) =>
+                val dest = new org.apache.hadoop.fs.Path(colDir,
+                  s"compact-$runId-bin$bin-$i.parquet")
+                (dest, fs.rename(f.getPath, dest))
+              }
+          }
+        if (moves.forall(_._2)) {
+          files.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(colDir, f), false))
+          fs.delete(tmp, true)
+          if (collections.contains(name))
+            collections(name) = spark.read.parquet(colDir.toString)
+        } else {
+          // abort: pull back the moved-in compacted files (their rows
+          // still live in the retained originals — leaving them would
+          // DUPLICATE those bins), keep _compact_tmp for inspection
+          moves.collect { case (dest, true) => dest }
+            .foreach(fs.delete(_, false))
+          throw new java.io.IOException(
+            s"compactSaved: rename into $colDir failed for " +
+              s"${moves.count(!_._2)} file(s); originals retained, " +
+              s"${tmp} kept for inspection")
         }
-        files.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(colDir, f), false))
-        fs.delete(tmp, true)
-        if (collections.contains(name))
-          collections(name) = spark.read.parquet(colDir.toString)
       }
     }
     (before.size, dataFiles.size)

@@ -83,4 +83,12 @@ class ScaleDataSpec extends AnyFunSuite with SparkTestBase {
     assert(paired.filter(
       slice(col("e0"), 2, 100000) =!= slice(col("e1"), 2, 100000)).count() == 0)
   }
+
+  test("factor beyond the 26-letter rotation wrap is rejected") {
+    // copy 26's rotation would be the identity — verbatim copy-0 text,
+    // N-way exact-dup cliques, contaminated weak-scaling ratios
+    ScaleData.requireFactor(26) // boundary: still bijective
+    intercept[IllegalArgumentException](ScaleData.requireFactor(27))
+    intercept[IllegalArgumentException](ScaleData.requireFactor(0))
+  }
 }

@@ -67,6 +67,30 @@ class MerkonCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(store2.get("from_sql", "k9").collect().length == 1)
   }
 
+  test("a still-empty catalog table does not break loading the store") {
+    // CREATE TABLE writes only the _merkon_schema.json sidecar — parquet
+    // schema inference over the dataless dir would throw and one empty
+    // table would make the WHOLE store unloadable (ADVICE r11)
+    val root = freshDir("graft_cat_empty")
+    val wh = s"$root/db"
+    val store = new MerkonStore(spark)
+    import spark.implicits._
+    store.createCollection("full")
+    store.upsertBatch("full", Seq(
+      MemoryRecord("k1", MemoryMetadata(id = "k1", text = "t"), Array(1f)))
+      .toDF())
+    store.save(wh)
+    store.attachSqlCatalog("merkon_t4", wh)
+    spark.sql("CREATE TABLE merkon_t4.empty_one (key STRING, v BIGINT)")
+    val store2 = new MerkonStore(spark)
+    store2.load(wh) // must not throw
+    assert(store2.getCollections.toSet == Set("full", "empty_one"))
+    // the data-bearing collection is unaffected and the empty one is
+    // point-gettable (its CREATE schema has `key`), returning zero rows
+    assert(store2.get("full", "k1").collect().length == 1)
+    assert(store2.get("empty_one", "nope").collect().isEmpty)
+  }
+
   test("compactSaved bin-packs small files, preserves rows, leaves big files") {
     val root = freshDir("graft_compact_facade")
     val store = new MerkonStore(spark)

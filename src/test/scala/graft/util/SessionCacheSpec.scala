@@ -40,4 +40,58 @@ class SessionCacheSpec extends AnyFunSuite with SparkTestBase {
     stopped -= other
     assert(cache.getOrElseUpdate(other, "a")(42) == 42)
   }
+
+  test("a running build never holds the cache-wide lock (VERDICT r11 #4)") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val cache = new SessionCache[String, Int]()
+    val slowEntered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val fastDone = new CountDownLatch(1)
+    val slow = new Thread(() => { cache.getOrElseUpdate(spark, "slow") {
+      slowEntered.countDown()
+      assert(release.await(10, TimeUnit.SECONDS)); 1
+    }; () })
+    slow.start()
+    assert(slowEntered.await(10, TimeUnit.SECONDS))
+    // while the slow build is mid-flight, an UNRELATED key must build
+    // without waiting — a multi-second Spark job in one query cannot
+    // serialize every other session-cache lookup in the JVM
+    val fast = new Thread(() => {
+      assert(cache.getOrElseUpdate(spark, "fast")(2) == 2)
+      fastDone.countDown()
+    })
+    fast.start()
+    assert(fastDone.await(10, TimeUnit.SECONDS),
+      "unrelated key blocked behind a running build")
+    release.countDown()
+    slow.join(10000)
+    assert(cache.getOrElseUpdate(spark, "slow")(99) == 1)
+  }
+
+  test("two racers on one key share exactly one build") {
+    import java.util.concurrent.CountDownLatch
+    val cache = new SessionCache[String, Int]()
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val ts = (1 to 2).map { _ =>
+      new Thread(() => {
+        start.await()
+        results.add(cache.getOrElseUpdate(spark, "k") {
+          Thread.sleep(50); builds.incrementAndGet()
+        })
+      })
+    }
+    ts.foreach(_.start()); start.countDown(); ts.foreach(_.join(10000))
+    assert(builds.get == 1, "same-key racers must share one build")
+    import scala.jdk.CollectionConverters._
+    assert(results.size == 2 && results.asScala.forall(_ == 1))
+  }
+
+  test("a build that throws is not cached; the next caller retries") {
+    val cache = new SessionCache[String, Int]()
+    intercept[RuntimeException](
+      cache.getOrElseUpdate(spark, "k")(throw new RuntimeException("boom")))
+    assert(cache.getOrElseUpdate(spark, "k")(7) == 7)
+  }
 }
