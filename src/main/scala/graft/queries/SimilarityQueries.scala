@@ -30,6 +30,183 @@ object SimilarityQueries extends QueryPack {
   private val NQ = 20
   private val Dim = 64
 
+  /** The exact margin-mining frame (f_id, f_lang, e_id, cos, margin),
+    * unordered — built once per (session, dir) and shared by
+    * `corpus_bitext_mine` (which IS this frame, ordered) and
+    * `ann_bitext_mine` (which uses the e_id picks as its agreement
+    * oracle). N_f rows — driver-trivial once checkpointed; the build
+    * cost surfaces in the bench as `_shared_build:bitext_exact`. */
+  private val bitextExactCache = new graft.util.SessionCache[String, DataFrame](
+    buildName = Some("bitext_exact"))
+
+  private def bitextExactCached(s: SparkSession, dir: String): DataFrame =
+    bitextExactCache.getOrElseUpdate(s, dir)(
+      bitextMineExact(s, dir).localCheckpoint())
+
+  /** The CCMatrix/LASER margin criterion, exact spelling — see the
+    * `corpus_bitext_mine` scaladoc for the full scale design. */
+  private def bitextMineExact(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    // linear-sized, consumed by all three passes — checkpoint once
+    val byLang = emb
+      .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+      .localCheckpoint()
+    val en = byLang.filter(col("lang") === "en")
+      .select(col("doc_id").as("e_id"), col("embedding").as("e_emb"))
+    val fr = byLang.filter(col("lang") =!= "en")
+      .select(col("doc_id").as("f_id"), col("lang").as("f_lang"),
+        col("embedding").as("f_emb"))
+    // the pair STREAM: re-derived per pass, never materialized
+    def scored = fr.crossJoin(broadcast(en))
+      .select(col("f_id"), col("f_lang"), col("e_id"),
+        round6(cosineSim(col("f_emb"), col("e_emb"))).as("cos"))
+    // mean of the 4 strongest scores per side, DECIMAL-exact (a 4-row
+    // double sum is still summation-order-dependent across engines)
+    def nbrMean(key: String, other: String, out: String): DataFrame =
+      scored.groupBy(col(key))
+        .agg(TopKByScore(4)(col("cos"), col(other)).as("h"))
+        .select(col(key), explode(col("h.score")).as("cs"))
+        .groupBy(col(key))
+        .agg(round6(sum(col("cs").cast(DecimalType(27, 9))).cast("double") /
+          count(lit(1))).as(out))
+    val cand = scored.groupBy(col("f_id"), col("f_lang"))
+      .agg(TopKByScore(16)(col("cos"), col("e_id")).as("h"))
+      .select(col("f_id"), col("f_lang"), explode(col("h")).as("c"))
+      .select(col("f_id"), col("f_lang"), col("c.id").as("e_id"),
+        col("c.score").as("cos"))
+    val best = cand
+      .join(nbrMean("f_id", "e_id", "mf"), "f_id")
+      .join(nbrMean("e_id", "f_id", "me"), "e_id")
+      .withColumn("margin", round6(col("cos") /
+        when((col("mf") + col("me")) =!= 0, (col("mf") + col("me")) / 2)))
+      .groupBy(col("f_id"), col("f_lang"))
+      .agg(TopKByScore(1)(col("margin"), col("e_id")).as("best"))
+      .select(col("f_id"), col("f_lang"),
+        element_at(col("best.id"), 1).as("e_id"),
+        element_at(col("best.score"), 1).as("margin"))
+    best.join(cand.select(col("f_id"), col("e_id"), col("cos")),
+        Seq("f_id", "e_id"))
+      .select(col("f_id"), col("f_lang"), col("e_id"), col("cos"),
+        col("margin"))
+  }
+
+  /** Per-f agreement rows (f_id, f_lang, agree) between the INDEXED
+    * margin miner and the exact one — the measurable core of
+    * `ann_bitext_mine`, exposed so `BitextPuritySpec` pins the real
+    * agreement value, not just the >= 0.9 boolean. */
+  private[graft] def bitextAgreement(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.IvfIndex
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val byLang = emb
+      .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+      .localCheckpoint()
+    val en = byLang.filter(col("lang") === "en")
+    val fr = byLang.filter(col("lang") =!= "en")
+    val enIds = en.select(col("doc_id").as("id"))
+    val frIds = fr.select(col("doc_id").as("id"))
+    // nProbe 7/8: the margin ARGMAX is more probe-sensitive than a plain
+    // top-k (a missed neighborhood member shifts mf/me and can flip a
+    // near-tie), and the lang allow-lists thin each probed cell ~2x —
+    // measured agreement on the uniform-random corpus is 0.82-0.86 at
+    // nProbe 6 and >= 0.9 at 7 (BitextPuritySpec pins it); real
+    // embedding corpora cluster and probe far fewer cells
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 7)
+    val built = IvfIndex.openOrBuild(s, ivf, s"$dir/embeddings.parquet",
+      "vec_id", "embedding")
+    // forward probe: top-16 en candidates per f; consumed twice
+    // (candidate table + mf), so pin it
+    val fwd = ivf.searchFiltered(built, fr, "doc_id", "embedding",
+        k = 16, enIds)
+      .select(col("q_id").as("f_id"), col("rank"),
+        col("neighbor_id").as("e_id"), round6(col("cos")).as("cos"))
+      .localCheckpoint()
+    val mf = fwd.filter(col("rank") <= 4)
+      .groupBy(col("f_id"))
+      .agg(round6(sum(col("cos").cast(DecimalType(27, 9))).cast("double") /
+        count(lit(1))).as("mf"))
+    val me = ivf.searchFiltered(built, en, "doc_id", "embedding",
+        k = 4, frIds)
+      .select(col("q_id").as("e_id"), round6(col("cos")).as("bcos"))
+      .groupBy(col("e_id"))
+      .agg(round6(sum(col("bcos").cast(DecimalType(27, 9))).cast("double") /
+        count(lit(1))).as("me"))
+    val best = fwd
+      .join(mf, "f_id")
+      .join(me, "e_id")
+      .withColumn("margin", round6(col("cos") /
+        when((col("mf") + col("me")) =!= 0, (col("mf") + col("me")) / 2)))
+      .groupBy(col("f_id"))
+      .agg(TopKByScore(1)(col("margin"), col("e_id")).as("best"))
+      .select(col("f_id"), element_at(col("best.id"), 1).as("idx_e"))
+    val exact = bitextExactCached(s, dir)
+      .select(col("f_id"), col("e_id").as("exact_e"))
+    fr.select(col("doc_id").as("f_id"), col("lang").as("f_lang"))
+      .join(best, Seq("f_id"), "left")
+      .join(exact, Seq("f_id"), "left")
+      .withColumn("agree",
+        coalesce(col("idx_e") === col("exact_e"), lit(false)))
+      .select(col("f_id"), col("f_lang"), col("agree"))
+  }
+
+  /** The pinned index-vs-exact purity tolerance for `ann_label_purity`:
+    * measured drift is far below it at every SF (BitextPuritySpec pins
+    * the measured values); the slack covers probe-recall variation on
+    * regenerated corpora, not systematic error. */
+  private[graft] val PurityTol = 0.1
+
+  /** Per-label (a_label, n_anchors, p_exact, p_idx) over the bounded
+    * deterministic anchor sample — the measurable core of
+    * `ann_label_purity`. */
+  private[graft] def labelPurityCompare(s: SparkSession, dir: String): DataFrame = {
+    import graft.ml.IvfIndex
+    val emb = t(s, dir, "embeddings")
+    // deterministic bounded sample: the 200 smallest vec_ids of the
+    // %5 stratum (TakeOrderedAndProject — no full sort, no rand())
+    val anchors = emb.filter(col("vec_id") % 5 === 0)
+      .orderBy(col("vec_id")).limit(200)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .localCheckpoint()
+    val anchorLbl = anchors
+      .select(col("vec_id").as("q_id"), col("label").as("a_label"))
+    val lbl = emb
+      .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
+    val built = IvfIndex.openOrBuild(s, ivf, s"$dir/embeddings.parquet",
+      "vec_id", "embedding")
+    // indexed top-5 excluding self: probe k = 6 — the anchor's own
+    // cell is always its nearest, so the self-hit is always among the
+    // 6 and exactly 5 survive the filter
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("rank"))
+    val idxNbrs = ivf.search(built, anchors, "vec_id", "embedding", k = 6)
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("neighbor_id"))
+    // exact top-5 on the SAME anchors: |A|×N scored pairs reduced by
+    // the bounded partial-agg top-k (anchors broadcast)
+    val exactNbrs = emb.crossJoin(broadcast(anchors
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round6(cosineSim(col("embedding"), col("q_emb"))).as("cos"))
+      .groupBy(col("q_id"))
+      .agg(TopKByScore(5)(col("cos"), col("vec_id")).as("hits"))
+      .select(col("q_id"), explode(col("hits.id")).as("neighbor_id"))
+    def purityOf(nbrs: DataFrame, out: String): DataFrame = nbrs
+      .join(broadcast(anchorLbl), "q_id")
+      .join(lbl, "neighbor_id")
+      .groupBy(col("a_label"))
+      .agg((sum((col("n_label") === col("a_label")).cast("long"))
+        .cast("double") / count(lit(1))).as(out))
+    anchors.groupBy(col("label").as("a_label"))
+      .agg(count(lit(1)).as("n_anchors"))
+      .join(purityOf(exactNbrs, "p_exact"), "a_label")
+      .join(purityOf(idxNbrs, "p_idx"), "a_label")
+  }
+
   override def queries: Map[String, Q] = Map(
     // Batch kNN join: corpus × 20 query vectors -> top-3 each.
     "knn_join" -> ((s, dir) => {
@@ -143,51 +320,59 @@ object SimilarityQueries extends QueryPack {
     // margin algebra runs on the 16·N_f candidate table. At 100 TB the
     // three scoring passes ride the persisted IVF index
     // (IvfIndex.search / AnnIndexRule) — same algebra, same cut.
-    "corpus_bitext_mine" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .select(col("vec_id").as("doc_id"), col("embedding"))
-      // linear-sized, consumed by all three passes — checkpoint once
-      val byLang = emb
-        .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
-        .localCheckpoint()
-      val en = byLang.filter(col("lang") === "en")
-        .select(col("doc_id").as("e_id"), col("embedding").as("e_emb"))
-      val fr = byLang.filter(col("lang") =!= "en")
-        .select(col("doc_id").as("f_id"), col("lang").as("f_lang"),
-          col("embedding").as("f_emb"))
-      // the pair STREAM: re-derived per pass, never materialized
-      def scored = fr.crossJoin(broadcast(en))
-        .select(col("f_id"), col("f_lang"), col("e_id"),
-          round6(cosineSim(col("f_emb"), col("e_emb"))).as("cos"))
-      // mean of the 4 strongest scores per side, DECIMAL-exact (a 4-row
-      // double sum is still summation-order-dependent across engines)
-      def nbrMean(key: String, other: String, out: String): DataFrame =
-        scored.groupBy(col(key))
-          .agg(TopKByScore(4)(col("cos"), col(other)).as("h"))
-          .select(col(key), explode(col("h.score")).as("cs"))
-          .groupBy(col(key))
-          .agg(round6(sum(col("cs").cast(DecimalType(27, 9))).cast("double") /
-            count(lit(1))).as(out))
-      val cand = scored.groupBy(col("f_id"), col("f_lang"))
-        .agg(TopKByScore(16)(col("cos"), col("e_id")).as("h"))
-        .select(col("f_id"), col("f_lang"), explode(col("h")).as("c"))
-        .select(col("f_id"), col("f_lang"), col("c.id").as("e_id"),
-          col("c.score").as("cos"))
-      val best = cand
-        .join(nbrMean("f_id", "e_id", "mf"), "f_id")
-        .join(nbrMean("e_id", "f_id", "me"), "e_id")
-        .withColumn("margin", round6(col("cos") /
-          when((col("mf") + col("me")) =!= 0, (col("mf") + col("me")) / 2)))
-        .groupBy(col("f_id"), col("f_lang"))
-        .agg(TopKByScore(1)(col("margin"), col("e_id")).as("best"))
+    "corpus_bitext_mine" -> ((s, dir) =>
+      bitextExactCached(s, dir).orderBy(col("f_id"))),
+
+    // Indexed bitext mining — the production spelling of
+    // corpus_bitext_mine (VERDICT r11 ask #1, mirroring
+    // ann_hard_negatives): all three scoring passes ride the persisted
+    // IVF index instead of the fr × en cosine stream —
+    //   forward candidates: one searchFiltered probe per f with the
+    //     en-id allow-list (k = 16, the same published candidate cut);
+    //   mf (f's neighborhood mean): top-4 of the SAME probe;
+    //   me (e's neighborhood mean): one searchFiltered probe per e with
+    //     the fr-id allow-list (k = 4).
+    // Margin algebra and argmax are verbatim from the exact miner. At
+    // 100 TB each probe touches nProbe/nCentroids of the cell table —
+    // nothing ever streams |fr| × |en| pairs. WHICH counterpart wins can
+    // differ where probe recall misses a neighborhood member, so the
+    // verdict rows are the deterministic skeleton (one row per non-en
+    // doc) with `pass` = family agreement >= 0.9 vs the exact miner's
+    // oracle-green picks — a recall regression in any of the three
+    // probes flips `pass` and fails the driver hash.
+    // Reference anchor: the indexed escape from MerkonMemoryStore.cs:
+    // 133-146's brute force applied to the mining shape.
+    "ann_bitext_mine" -> ((s, dir) => {
+      val flagged = bitextAgreement(s, dir).localCheckpoint()
+      val stats = flagged.agg(
+        (sum(col("agree").cast("long")).cast("double") /
+          count(lit(1))).as("agreement"))
+      flagged.crossJoin(broadcast(stats))
         .select(col("f_id"), col("f_lang"),
-          element_at(col("best.id"), 1).as("e_id"),
-          element_at(col("best.score"), 1).as("margin"))
-      best.join(cand.select(col("f_id"), col("e_id"), col("cos")),
-          Seq("f_id", "e_id"))
-        .select(col("f_id"), col("f_lang"), col("e_id"), col("cos"), col("margin"))
+          (col("agreement") >= 0.9 - 1e-9).as("pass"))
         .orderBy(col("f_id"))
     }),
+
+    // Indexed/sampled label-purity audit — the production spelling of
+    // embedding_knn_label_purity (VERDICT r11 ask #2). The exact audit
+    // is N² BY CONTRACT (leave-one-out over every vector); the 100 TB
+    // form estimates purity on a FIXED-SIZE anchor sample (200 here)
+    // whose confidence interval depends on anchor count, not corpus
+    // size, and serves each anchor's top-5 from the IVF index — so the
+    // probe side is nProbe/nCentroids of the cell table per anchor and
+    // the exact comparator folded into the verdict is |A|×N (linear in
+    // the corpus), never N². The verdict rows are the deterministic
+    // per-label skeleton (label, n_anchors — both DuckDB-derivable from
+    // the same sample rule) with `pass` = the index-served purity lands
+    // within 0.1 of the exact purity ON THE SAME ANCHORS (sampling
+    // error cancels; the tolerance bounds pure index-recall effects —
+    // measured max per-label drift is 0.05 / 0.04 at the two fixture
+    // SFs, pinned with its magnitude by BitextPuritySpec).
+    "ann_label_purity" -> ((s, dir) =>
+      labelPurityCompare(s, dir)
+        .select(col("a_label").as("label"), col("n_anchors"),
+          (abs(col("p_idx") - col("p_exact")) <= PurityTol + 1e-9).as("pass"))
+        .orderBy(col("label"))),
 
     // Embedding outlier audit: distance-to-global-centroid z-score — the
     // corrupted-embedding sweep (bad encoder batches, zeroed rows) a
@@ -508,6 +693,21 @@ object SimilarityQueries extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // Verdict skeletons for the two indexed miners: deterministic row
+    // structure from the same parquet + all-pass booleans; an agreement
+    // or tolerance breach flips a value and fails the driver hash.
+    "ann_bitext_mine" ->
+      """SELECT e.vec_id AS f_id, d.lang AS f_lang, true AS pass
+        |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |WHERE d.lang <> 'en'
+        |ORDER BY f_id""".stripMargin,
+    "ann_label_purity" ->
+      """WITH a AS (
+        |  SELECT vec_id, label FROM embeddings
+        |  WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT 200
+        |)
+        |SELECT label, count(*) AS n_anchors, true AS pass
+        |FROM a GROUP BY label ORDER BY label""".stripMargin,
     "embedding_knn_label_purity" -> {
       val r6 = graft.QueryPack.round6Sql _
       val cos = "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), " +
