@@ -94,8 +94,29 @@ object SimilarityQueries extends QueryPack {
   /** Per-f agreement rows (f_id, f_lang, agree) between the INDEXED
     * margin miner and the exact one — the measurable core of
     * `ann_bitext_mine`, exposed so `BitextPuritySpec` pins the real
-    * agreement value, not just the >= 0.9 boolean. */
-  private[graft] def bitextAgreement(s: SparkSession, dir: String): DataFrame = {
+    * agreement value, not just the >= 0.9 boolean.
+    *
+    * nProbe 7/8 on the fixture corpus: the margin ARGMAX is more
+    * probe-sensitive than a plain top-k (a missed neighborhood member
+    * shifts mf/me and can flip a near-tie), and the lang allow-lists thin
+    * each probed cell ~2x — measured agreement on the uniform-random
+    * corpus is 0.82-0.86 at nProbe 6 and >= 0.9 at 7 (BitextPuritySpec
+    * pins it). That near-full probing is a property of the CORPUS
+    * GEOMETRY, not the plan: uniform-random embeddings have no cluster
+    * structure for the coarse quantizer to exploit.
+    * BitextClusteredSpec runs this same code over a clustered corpus at
+    * nProbe 4 of 32 cells and measures agreement >= 0.9 with the probed
+    * candidate volume a small fraction of the exact pair stream — the
+    * green-test form of "real embedding corpora cluster". */
+  private[graft] def bitextAgreement(s: SparkSession, dir: String): DataFrame =
+    bitextAgreement(s, dir, new graft.ml.IvfIndex(nCentroids = 8, nProbe = 7))
+
+  /** [[bitextAgreement]] with the index geometry (cell count / probe
+    * width) supplied by the caller — the corpus decides how many probes
+    * a recall contract needs, so specs exercise other geometries on
+    * other corpora through the SAME miner code. */
+  private[graft] def bitextAgreement(s: SparkSession, dir: String,
+      ivf: graft.ml.IvfIndex): DataFrame = {
     import graft.ml.IvfIndex
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id").as("doc_id"), col("embedding"))
@@ -106,13 +127,6 @@ object SimilarityQueries extends QueryPack {
     val fr = byLang.filter(col("lang") =!= "en")
     val enIds = en.select(col("doc_id").as("id"))
     val frIds = fr.select(col("doc_id").as("id"))
-    // nProbe 7/8: the margin ARGMAX is more probe-sensitive than a plain
-    // top-k (a missed neighborhood member shifts mf/me and can flip a
-    // near-tie), and the lang allow-lists thin each probed cell ~2x —
-    // measured agreement on the uniform-random corpus is 0.82-0.86 at
-    // nProbe 6 and >= 0.9 at 7 (BitextPuritySpec pins it); real
-    // embedding corpora cluster and probe far fewer cells
-    val ivf = new IvfIndex(nCentroids = 8, nProbe = 7)
     val built = IvfIndex.openOrBuild(s, ivf, s"$dir/embeddings.parquet",
       "vec_id", "embedding")
     // forward probe: top-16 en candidates per f; consumed twice
@@ -158,8 +172,18 @@ object SimilarityQueries extends QueryPack {
 
   /** Per-label (a_label, n_anchors, p_exact, p_idx) over the bounded
     * deterministic anchor sample — the measurable core of
-    * `ann_label_purity`. */
-  private[graft] def labelPurityCompare(s: SparkSession, dir: String): DataFrame = {
+    * `ann_label_purity`. nProbe 6/8 suffices here (unlike the margin
+    * miner, a purity RATIO tolerates an individually-swapped neighbor);
+    * as with the miner, the near-full probing is the uniform-random
+    * fixture's geometry — BitextClusteredSpec pins drift 0 at
+    * nProbe 4/32 on a clustered corpus through this same code. */
+  private[graft] def labelPurityCompare(s: SparkSession, dir: String): DataFrame =
+    labelPurityCompare(s, dir, new graft.ml.IvfIndex(nCentroids = 8, nProbe = 6))
+
+  /** [[labelPurityCompare]] with caller-supplied index geometry (see
+    * the two-arg [[bitextAgreement]] for why). */
+  private[graft] def labelPurityCompare(s: SparkSession, dir: String,
+      ivf: graft.ml.IvfIndex): DataFrame = {
     import graft.ml.IvfIndex
     val emb = t(s, dir, "embeddings")
     // deterministic bounded sample: the 200 smallest vec_ids of the
@@ -172,7 +196,6 @@ object SimilarityQueries extends QueryPack {
       .select(col("vec_id").as("q_id"), col("label").as("a_label"))
     val lbl = emb
       .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
-    val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
     val built = IvfIndex.openOrBuild(s, ivf, s"$dir/embeddings.parquet",
       "vec_id", "embedding")
     // indexed top-5 excluding self: probe k = 6 — the anchor's own

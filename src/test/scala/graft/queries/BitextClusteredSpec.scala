@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.SparkTestBase
+import graft.functions.VectorFunctions.cosineSim
+import graft.ml.IvfIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The clustered-corpus contract behind the two r12 indexed audits'
+ * 100 TB claims.
+ *
+ * On the uniform-random fixture corpus the indexed miner must probe 7
+ * of 8 cells to hold agreement >= 0.9 (BitextPuritySpec) — the coarse
+ * quantizer has no cluster structure to exploit, so the probes touch
+ * most of the corpus and the indexed path cannot beat the bounded exact
+ * stream (SCALE.md r12 measured exactly that). The scale story rests on
+ * real embedding corpora CLUSTERING, where the probed fraction is
+ * nProbe/nCentroids. This spec turns that sentence into a measurement:
+ * a 32-cluster corpus (tight Gaussian clusters around near-orthogonal
+ * 64-d centers, en/fr split and one label per cluster) is served by the
+ * SAME `bitextAgreement` / `labelPurityCompare` code at nProbe 4 of 32
+ * cells, and the spec pins
+ *  - miner agreement with the exact margin argmax >= 0.9 (measured 1.0),
+ *  - the probed candidate volume at a small fraction of the exact
+ *    fr x en pair stream (expected ~ nProbe/nCentroids = 0.125), and
+ *  - index-served label purity within PurityTol of exact (measured
+ *    drift 0).
+ */
+class BitextClusteredSpec extends AnyFunSuite with SparkTestBase
+    with BeforeAndAfterAll {
+
+  private val NClusters = 32
+  private val PerCluster = 60
+  private val Dim = 64
+  private val NProbe = 4
+
+  private lazy val dir = java.nio.file.Files
+    .createTempDirectory("graft_bitext_clustered").toString
+  private lazy val ivf = new IvfIndex(nCentroids = NClusters, nProbe = NProbe)
+  // built once, deleted in afterAll (the corpus dir is per-run, so its
+  // entry in the shared IVF cache root would otherwise be orphaned)
+  private lazy val indexPath: String = {
+    writeClusteredCorpus(dir)
+    IvfIndex.openOrBuildPath(spark, ivf,
+      s"$dir/embeddings.parquet", "vec_id", "embedding")
+  }
+
+  override def afterAll(): Unit = {
+    deleteRecursively(new java.io.File(dir))
+    deleteRecursively(new java.io.File(indexPath))
+    super.afterAll()
+  }
+
+  /** Deterministic clustered corpus: cluster centers are seeded random
+    * Gaussian directions (near-orthogonal at 64-d), members are
+    * center + N(0, 0.05) noise, langs alternate inside each cluster so
+    * every cluster holds both sides of the mining join, label = cluster. */
+  private def writeClusteredCorpus(dir: String): Unit = {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(NClusters) {
+      val v = Array.fill(Dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = for {
+      c <- 0 until NClusters
+      j <- 0 until PerCluster
+    } yield {
+      val emb = centers(c).map(x => x + (rnd.nextGaussian() * 0.05).toFloat)
+      val id = (c * PerCluster + j).toLong
+      val lang = if (j % 2 == 0) "en" else "fr"
+      (id, emb, c, lang)
+    }
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding", "label", "lang")
+      .localCheckpoint()
+    df.select(col("vec_id"), col("embedding"), col("label"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    df.select(col("vec_id").as("doc_id"), col("lang"))
+      .write.parquet(s"$dir/documents.parquet")
+  }
+
+  /** Candidate rows one indexed scoring pass touches: for each query,
+    * the allow-listed rows of its NProbe nearest cells — an independent
+    * window-function spelling of the searchCore routing, so it also
+    * cross-checks the TopKByScore route. */
+  private def probedCandidates(built: IvfIndex.Built, queries: DataFrame,
+      allowIds: DataFrame): Long = {
+    val cellSizes = built.live.join(allowIds, Seq("id"), "left_semi")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("q_id").orderBy(col("s").desc, col("cell"))
+    queries.crossJoin(broadcast(built.centroids))
+      .select(col("q_id"), col("cell"),
+        cosineSim(col("q_emb"), col("centroid")).as("s"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= NProbe)
+      .join(cellSizes, "cell")
+      .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
+  test("indexed miner holds agreement >= 0.9 probing 4 of 32 cells on a clustered corpus") {
+    indexPath // force fixture + index build
+    val flagged = SimilarityQueries.bitextAgreement(spark, dir, ivf)
+      .localCheckpoint()
+    val n = flagged.count()
+    val agreeing = flagged.filter(col("agree")).count()
+    val agreement = agreeing.toDouble / n
+    info(f"agreement $agreement%.4f ($agreeing/$n) at nProbe $NProbe/$NClusters")
+    assert(n == (NClusters * PerCluster) / 2)
+    assert(agreement >= 0.9,
+      s"agreement $agreement ($agreeing/$n) below the 0.9 contract at " +
+        s"nProbe $NProbe of $NClusters")
+  }
+
+  test("probed candidate volume is a small fraction of the exact pair stream") {
+    val built = IvfIndex.load(spark, indexPath)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+    val en = emb.filter(col("lang") === "en")
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .localCheckpoint()
+    val fr = emb.filter(col("lang") =!= "en")
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .localCheckpoint()
+    val exactPerPass = fr.count() * en.count()
+    val fwd = probedCandidates(built, fr, en.select(col("q_id").as("id")))
+    val bwd = probedCandidates(built, en, fr.select(col("q_id").as("id")))
+    val fraction = (fwd + bwd).toDouble / (2.0 * exactPerPass)
+    info(f"probed $fwd + $bwd candidates vs 2 x $exactPerPass exact " +
+      f"(fraction $fraction%.4f, ideal ${NProbe.toDouble / NClusters}%.4f)")
+    assert(fwd > 0 && bwd > 0)
+    assert(fraction <= 0.25,
+      f"probed fraction $fraction%.4f not small vs the exact pair stream" +
+        " — the clustered-corpus scale claim does not hold")
+  }
+
+  test("index-served label purity matches exact at 4 of 32 probes on a clustered corpus") {
+    indexPath // force fixture + index build
+    val cmp = SimilarityQueries.labelPurityCompare(spark, dir, ivf)
+      .withColumn("drift", abs(col("p_idx") - col("p_exact")))
+      .localCheckpoint()
+    assert(cmp.count() > 0)
+    val Array(maxDrift, minExact) = cmp
+      .agg(max(col("drift")), min(col("p_exact"))).head
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    info(f"max per-label purity drift $maxDrift%.4f, min exact purity $minExact%.4f")
+    // the clusters ARE the labels, so exact purity must be ~1 (the
+    // fixture is meaningful) and the index must not lose any of it
+    assert(minExact >= 0.95)
+    assert(maxDrift <= SimilarityQueries.PurityTol,
+      s"max per-label purity drift $maxDrift exceeds " +
+        s"${SimilarityQueries.PurityTol} at nProbe $NProbe of $NClusters")
+  }
+}
