@@ -49,6 +49,15 @@ object StoreQueries extends QueryPack {
     scratchDirs.getOrElseUpdate(s, tag)(
       java.nio.file.Files.createTempDirectory(s"graft-$tag-").toString)
 
+  /** Delete a scratch path AFTER the result that read it is pinned
+    * (localCheckpoint) — the shared delete-after-pin discipline. The
+    * cached [[sessionScratch]] name stays valid: the next invocation's
+    * write recreates the directory. */
+  private def dropScratch(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** The synthesized versioned mutation log (seq 0..2 of 'U'ploads and
     * 'D'elete tombstones over the collection) shared by `store_asof_read`
     * and `store_vacuum` — deterministic from vec_id so the DuckDB oracle
@@ -274,17 +283,19 @@ object StoreQueries extends QueryPack {
           to_timestamp(lit("2024-01-02 03:04:05")).as("timestamp"))
       val st = new MerkonStore(s)
       st.upsertBatch("rt", recs)
-      val bin = sys.props("java.io.tmpdir") +
-        s"/graft-legacy-rt-${Integer.toHexString(dir.hashCode)}.bin"
+      val bin = sessionScratch(s, "legacy-rt") + "/blob.bin"
       st.exportLegacy(bin)
       val st2 = new MerkonStore(s)
       st2.importLegacy(bin)
-      st2.getAll("rt")
+      val out = st2.getAll("rt")
         .select(
           col("key"),
           round6(l2Norm(col("embedding"))).as("emb_norm"),
           date_format(col("timestamp"), MerkonStore.UFormat).as("ts_u"))
         .orderBy(col("key"))
+        .localCheckpoint() // the merkon-legacy scan is lazy over the blob
+      dropScratch(s, bin)
+      out
     }),
 
     // Incremental materialized-view maintenance: refresh a per-customer
@@ -336,8 +347,7 @@ object StoreQueries extends QueryPack {
     // it, so any quoting/escaping loss (or a schema-inference drift —
     // the read is explicit-schema, no inference scan) breaks the hash.
     "source_csv_roundtrip" -> ((s, dir) => {
-      val path = sys.props("java.io.tmpdir") +
-        s"/graft-csv-rt-${Integer.toHexString(dir.hashCode)}"
+      val path = sessionScratch(s, "csv-rt") + "/data"
       val hostile = t(s, dir, "documents")
         .withColumn("text", when(col("doc_id") % 7 === 0,
           concat(col("text"), lit(""", he said "ok"""")))
@@ -346,7 +356,7 @@ object StoreQueries extends QueryPack {
       val back = s.read
         .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
         .option("header", "true").csv(path)
-      back.groupBy(col("lang"))
+      val out = back.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_id"),
@@ -354,6 +364,9 @@ object StoreQueries extends QueryPack {
           sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
             .cast("long")).as("text_hash"))
         .orderBy(col("lang"))
+        .localCheckpoint() // pin, then drop the CSV scratch
+      dropScratch(s, path)
+      out
     }),
 
     // ORC interchange — the other columnar on-disk format Spark ships
@@ -363,11 +376,10 @@ object StoreQueries extends QueryPack {
     // content-hash rider; the oracle aggregates the parquet table
     // directly, so the hash match proves the ORC cycle byte-lossless.
     "source_orc_roundtrip" -> ((s, dir) => {
-      val path = sys.props("java.io.tmpdir") +
-        s"/graft-orc-rt-${Integer.toHexString(dir.hashCode)}"
+      val path = sessionScratch(s, "orc-rt") + "/data"
       t(s, dir, "documents").write.mode("overwrite").orc(path)
       val back = s.read.orc(path)
-      back.groupBy(col("lang"))
+      val out = back.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_id"),
@@ -375,6 +387,9 @@ object StoreQueries extends QueryPack {
           sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
             .cast("long")).as("text_hash"))
         .orderBy(col("lang"))
+        .localCheckpoint() // pin, then drop the ORC scratch
+      dropScratch(s, path)
+      out
     }),
 
     // Schema EVOLUTION read — the ingest reality a long-lived corpus
@@ -387,15 +402,14 @@ object StoreQueries extends QueryPack {
     // read that dropped v1 rows, misaligned columns, or invented
     // non-null defaults cannot hash-match.
     "source_schema_evolution" -> ((s, dir) => {
-      val path = sys.props("java.io.tmpdir") +
-        s"/graft-evo-${Integer.toHexString(dir.hashCode)}"
+      val path = sessionScratch(s, "evo") + "/data"
       val d = t(s, dir, "documents")
       d.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
         .write.mode("overwrite").parquet(s"$path/gen=1")
       d.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
         .write.mode("overwrite").parquet(s"$path/gen=2")
-      s.read.option("mergeSchema", "true").parquet(path)
+      val out = s.read.option("mergeSchema", "true").parquet(path)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           count(col("text")).as("n_with_text"),
@@ -403,16 +417,18 @@ object StoreQueries extends QueryPack {
           min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
         .orderBy(col("lang"))
+        .localCheckpoint() // pin, then drop the two-generation scratch
+      dropScratch(s, path)
+      out
     }),
 
     "source_jsonl_roundtrip" -> ((s, dir) => {
-      val path = sys.props("java.io.tmpdir") +
-        s"/graft-jsonl-rt-${Integer.toHexString(dir.hashCode)}"
+      val path = sessionScratch(s, "jsonl-rt") + "/data"
       t(s, dir, "documents").write.mode("overwrite").json(path)
       val back = s.read
         .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
         .json(path)
-      back.groupBy(col("lang"))
+      val out = back.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_id"),
@@ -420,6 +436,9 @@ object StoreQueries extends QueryPack {
           sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
             .cast("long")).as("text_hash"))
         .orderBy(col("lang"))
+        .localCheckpoint() // pin, then drop the JSONL scratch
+      dropScratch(s, path)
+      out
     }),
 
     // Write-time constraint enforcement (Delta CHECK-constraint /
