@@ -47,7 +47,8 @@ object StoreQueries extends QueryPack {
   private val scratchDirs = new graft.util.SessionCache[String, String]()
   private def sessionScratch(s: SparkSession, tag: String): String =
     scratchDirs.getOrElseUpdate(s, tag)(
-      java.nio.file.Files.createTempDirectory(s"graft-$tag-").toString)
+      graft.util.ExitScratch.register(
+        java.nio.file.Files.createTempDirectory(s"graft-$tag-").toString))
 
   /** Delete a scratch path AFTER the result that read it is pinned
     * (localCheckpoint) — the shared delete-after-pin discipline. The

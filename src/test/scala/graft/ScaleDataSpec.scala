@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScaleDataSpec extends AnyFunSuite with SparkTestBase {
 
   private lazy val dest = {
-    val d = java.nio.file.Files.createTempDirectory("graft_scale_spec").toString
+    val d = scratchDir("graft_scale_spec")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { name =>
       val base =

@@ -184,7 +184,7 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
     val base = emb.filter(col("vec_id") < 400)
     val delta = emb.filter(col("vec_id") >= 400)
     val built = ivfpq.build(spark, base, "vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-rt").toString
+    val dir = scratchDir("graft-ivfpq-rt")
     IvfPqIndex.save(built, dir)
     val loaded = IvfPqIndex.load(spark, dir)
     val q = emb.filter(col("vec_id") < 10)
@@ -222,7 +222,7 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
   test("IVF persisted index searches identically to the freshly built one") {
     val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
     val built = ivf.build(spark, emb, "vec_id", "embedding")
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rt").toString
+    val dir = scratchDir("graft-ivf-rt")
     IvfIndex.save(built, dir)
     val loaded = IvfIndex.load(spark, dir)
     val q = emb.filter(col("vec_id") < 10)
@@ -234,7 +234,7 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("PQ openOrBuild builds once, then loads the cached code table") {
-    val cacheRoot = java.nio.file.Files.createTempDirectory("graft-pq-cache").toString
+    val cacheRoot = scratchDir("graft-pq-cache")
     val pq = new PqIndex(m = 8, kCentroids = 16)
     val src = s"$sf0_001/embeddings.parquet"
     PqIndex.openOrBuild(spark, pq, src, "vec_id", "embedding", cacheRoot)
@@ -256,7 +256,7 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("IVF openOrBuild builds once, then loads the cached index") {
-    val cacheRoot = java.nio.file.Files.createTempDirectory("graft-ivf-cache").toString
+    val cacheRoot = scratchDir("graft-ivf-cache")
     val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
     val src = s"$sf0_001/embeddings.parquet"
     IvfIndex.openOrBuild(spark, ivf, src, "vec_id", "embedding", cacheRoot)

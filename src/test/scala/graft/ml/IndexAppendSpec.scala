@@ -135,7 +135,7 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
     * `destDir` under `name` (plain visible file — what the incremental
     * fingerprint tracks). */
   private def copyParquetFile(df: DataFrame, destDir: java.io.File, name: String): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-append-src").toFile
+    val tmp = new java.io.File(scratchDir("graft-append-src"))
     df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
     val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
     java.nio.file.Files.copy(part.toPath,
@@ -144,8 +144,8 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("openOrBuild appends (no re-fit) when the source only grows, rebuilds on param change") {
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-inc-src").toFile
-    val cacheRoot = java.nio.file.Files.createTempDirectory("graft-inc-cache").toString
+    val srcDir = new java.io.File(scratchDir("graft-inc-src"))
+    val cacheRoot = scratchDir("graft-inc-cache")
     copyParquetFile(baseHalf, srcDir, "a.parquet")
 
     val ivf = new IvfIndex(nCentroids = 8, nProbe = 3)
@@ -268,7 +268,7 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
   test("tombstones persist through save/load; compactOnDisk rewrites only affected cells") {
     import spark.implicits._
     val ivf = new IvfIndex(nCentroids = 8, nProbe = 8)
-    val path = java.nio.file.Files.createTempDirectory("graft-tomb").toString
+    val path = scratchDir("graft-tomb")
     IvfIndex.save(ivf.build(spark, emb, "vec_id", "embedding"), path)
 
     // delete through the persisted lifecycle: load -> tombstone -> save
@@ -315,8 +315,8 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
     // before completing the index: the success marker is missing, so the
     // next open must rebuild, DELETE the partial dir, and publish a
     // complete index — never serve the partial one
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-partial-src").toFile
-    val cacheRoot = java.nio.file.Files.createTempDirectory("graft-partial-cache").toString
+    val srcDir = new java.io.File(scratchDir("graft-partial-src"))
+    val cacheRoot = scratchDir("graft-partial-cache")
     copyParquetFile(baseHalf, srcDir, "a.parquet")
     val ivf = new IvfIndex(nCentroids = 8, nProbe = 3)
     IvfIndex.openOrBuild(spark, ivf, srcDir.getPath, "vec_id", "embedding", cacheRoot)
@@ -337,8 +337,8 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("openOrBuild rebuilds (not appends) when an ingested file changed") {
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-inc-src2").toFile
-    val cacheRoot = java.nio.file.Files.createTempDirectory("graft-inc-cache2").toString
+    val srcDir = new java.io.File(scratchDir("graft-inc-src2"))
+    val cacheRoot = scratchDir("graft-inc-cache2")
     copyParquetFile(baseHalf, srcDir, "a.parquet")
 
     val pq = new PqIndex(m = 8, kCentroids = 16)

@@ -16,7 +16,7 @@ class PqRerankSpec extends AnyFunSuite with SparkTestBase {
   test("PQ search: ADC scans codes only; re-rank fetch is dynamic-partition-pruned") {
     val emb = spark.read.parquet(s"$sf0_001/embeddings.parquet")
     val pq = new PqIndex(m = 8, kCentroids = 16)
-    val cacheRoot = java.nio.file.Files.createTempDirectory("graft-pq-rerank").toString
+    val cacheRoot = scratchDir("graft-pq-rerank")
     val built = PqIndex.openOrBuild(spark, pq, s"$sf0_001/embeddings.parquet",
       "vec_id", "embedding", cacheRoot)
 

@@ -15,7 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class SignRerankSpec extends AnyFunSuite with SparkTestBase {
 
   test("sign search: shortlist scans signatures only; re-rank fetch is pruned") {
-    val cacheRoot = java.nio.file.Files.createTempDirectory("graft-sign-rerank").toString
+    val cacheRoot = scratchDir("graft-sign-rerank")
     val built = SignIndex.openOrBuild(spark, s"$sf0_001/embeddings.parquet",
       "vec_id", "embedding", cacheRoot)
 

@@ -22,7 +22,7 @@ class AnnLifecycleSpec extends AnyFunSuite with SparkTestBase {
 
   test("register → query → delete → append → query stays pruned, tombstone-clean, recall ≥ 0.9") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("ann-lifecycle").toString
+    val dir = scratchDir("ann-lifecycle")
     val corpusPath = s"$dir/corpus"
     val cacheRoot = s"$dir/ivf-cache"
     emb.filter(col("vec_id") < 300).write.parquet(corpusPath)

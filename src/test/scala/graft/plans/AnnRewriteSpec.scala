@@ -147,7 +147,7 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
   test("compaction drops the stale augmented sidecar; filtered plans fall back, re-register restores") {
     import spark.implicits._
     // private copy of the corpus: this test mutates the published index
-    val dir = java.nio.file.Files.createTempDirectory("aug-compact").toString
+    val dir = scratchDir("aug-compact")
     corpus.write.parquet(s"$dir/corpus")
     val ivf = new IvfIndex(nCentroids = 8, nProbe = 8)
     try {

@@ -168,8 +168,7 @@ class RollupRewriteSpec extends AnyFunSuite with SparkTestBase {
 
   test("changed fact data at the same path rebuilds the rollup (no stale serve)") {
     RollupRegistry.clear()
-    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_stale")
-      .toString
+    val dir = scratchDir("graft_rollup_stale")
     import spark.implicits._
     Seq(("A", 1.0), ("A", 2.0), ("B", 3.0)).toDF("k", "m")
       .write.mode("overwrite").parquet(dir)

@@ -15,7 +15,7 @@ class DedupShortDocSpec extends AnyFunSuite with SparkTestBase {
 
   private lazy val dir: String = {
     import spark.implicits._
-    val d = java.nio.file.Files.createTempDirectory("graft-shortdocs").toString
+    val d = scratchDir("graft-shortdocs")
     Seq(
       (0L, "one", "en", "web", 3L),
       (1L, "two words", "en", "web", 9L),

@@ -16,7 +16,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class PartitionedSinkSpec extends AnyFunSuite with SparkTestBase {
 
   private lazy val outDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-part-sink").toString
+    val dir = scratchDir("graft-part-sink")
     spark.read.parquet(s"$sf0_001/documents.parquet")
       .write.mode("overwrite").partitionBy("lang").parquet(dir)
     dir

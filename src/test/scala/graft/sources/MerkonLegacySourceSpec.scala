@@ -16,7 +16,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class MerkonLegacySourceSpec extends AnyFunSuite with SparkTestBase {
 
   private def tmp(name: String): String = {
-    val d = Files.createTempDirectory("graft-legacy").toString
+    val d = scratchDir("graft-legacy")
     s"$d/$name"
   }
 
@@ -106,7 +106,7 @@ class MerkonLegacySourceSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("a glob of exported stores fans out one partition per file") {
-    val dir = Files.createTempDirectory("graft-legacy-many").toString
+    val dir = scratchDir("graft-legacy-many")
     Seq("a", "b").foreach { n =>
       val st = new MerkonStore(spark)
       st.upsert(s"coll_$n", MemoryRecord(s"key_$n", null, Array(1f, 2f)))

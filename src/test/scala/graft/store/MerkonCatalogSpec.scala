@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class MerkonCatalogSpec extends AnyFunSuite with SparkTestBase {
 
   private def freshDir(tag: String): String =
-    java.nio.file.Files.createTempDirectory(tag).toString
+    scratchDir(tag)
 
   test("CREATE/SHOW/INSERT/SELECT/DROP round-trip through the catalog") {
     val wh = freshDir("graft_cat")

@@ -146,7 +146,7 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
   test("save / load round-trip preserves collections and rows") {
     val st = newStore
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("merkon-store").toString
+    val dir = scratchDir("merkon-store")
     st.upsertBatch("c1", Seq(rec("a", text = "ta"), rec("b", text = "tb")).toDF())
     st.upsertBatch("c2", Seq(rec("x")).toDF())
     st.save(dir)
@@ -161,7 +161,7 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
   test("load falls back to the legacy (pre-'c-' prefix) on-disk layout") {
     val st = newStore
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("merkon-store-legacy").toString
+    val dir = scratchDir("merkon-store-legacy")
     st.upsertBatch("old coll", Seq(rec("a", text = "legacy-row")).toDF())
     st.save(dir)
     // simulate a store written before the "c-" prefix: strip it on disk
@@ -181,7 +181,7 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
     val st = newStore
     st.upsert("_collections", rec("k", text = "manifest-clash"))
     st.upsert("a/b", rec("k2"))
-    val dir = java.nio.file.Files.createTempDirectory("merkon-store-clash").toString
+    val dir = scratchDir("merkon-store-clash")
     st.save(dir)
     val st2 = new MerkonStore(spark)
     st2.load(dir)
@@ -193,7 +193,7 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
   test("save / load round-trip through json (schema re-imposed)") {
     val st = newStore
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("merkon-store-json").toString
+    val dir = scratchDir("merkon-store-json")
     st.upsertBatch("c", Seq(rec("a", text = "ta", emb = Array(0.5f, -1f))).toDF())
     st.save(dir, format = "json")
     val st2 = new MerkonStore(spark)
@@ -233,7 +233,7 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
     st.upsert(".", rec("k1", text = "dot"))
     st.upsert("..", rec("k2", text = "dotdot"))
     st.upsert("normal", rec("k3", text = "plain"))
-    val dir = java.nio.file.Files.createTempDirectory("merkon-store-dots").toString
+    val dir = scratchDir("merkon-store-dots")
     st.save(dir)
     val st2 = new MerkonStore(spark)
     st2.load(dir) // a clobbered manifest would fail here

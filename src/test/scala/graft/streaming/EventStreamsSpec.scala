@@ -16,7 +16,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
   // Spark's file stream source wants a directory; the test fixture is a
   // single parquet file, so stage it into a temp dir once.
   private lazy val streamDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    val dir = java.nio.file.Paths.get(scratchDir("events-stream"))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0_001/events.parquet"),
       dir.resolve("events.parquet"))

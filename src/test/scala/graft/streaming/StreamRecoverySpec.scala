@@ -17,7 +17,7 @@ class StreamRecoverySpec extends AnyFunSuite with SparkTestBase {
     def ev(id: Long, ts: String) =
       Event(id, java.sql.Timestamp.valueOf(ts), 1L, "click", 1.0, "{}")
 
-    val base = java.nio.file.Files.createTempDirectory("graft-recovery")
+    val base = scratchDir("graft-recovery")
     val (in, out, chk) = (s"$base/in", s"$base/out", s"$base/chk")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
 
