@@ -38,8 +38,10 @@ class BitextClusteredSpec extends AnyFunSuite with SparkTestBase
   private val Dim = 64
   private val NProbe = 4
 
-  private lazy val dir = java.nio.file.Files
-    .createTempDirectory("graft_bitext_clustered").toString
+  // scratchDir (exit-registered) + eager afterAll deletion: the eager
+  // path also reclaims the corpus's entry in the shared IVF cache root,
+  // which the exit hook doesn't know about
+  private lazy val dir = scratchDir("graft_bitext_clustered")
   private lazy val ivf = new IvfIndex(nCentroids = NClusters, nProbe = NProbe)
   // built once, deleted in afterAll (the corpus dir is per-run, so its
   // entry in the shared IVF cache root would otherwise be orphaned)
