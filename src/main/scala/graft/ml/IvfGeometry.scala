@@ -1,0 +1,179 @@
+package graft.ml
+
+import graft.functions.TopKByScore
+import graft.functions.VectorFunctions.cosineSim
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Corpus-sized IVF geometry (VERDICT r12 ask #1): the registered ANN
+ * queries must not pin `nCentroids = 8` — an 8-cell coarse quantizer
+ * probes 7/8 of ANY corpus forever, so the indexed spelling never
+ * amortizes at scale. This object is the production rule that sizes the
+ * index FROM the corpus:
+ *
+ *  - `nCentroids = max(8, round(sqrt(N)))` — the standard IVF sizing
+ *    (cells grow with the corpus, per-cell candidate volume stays
+ *    ~sqrt(N), so probed work per query grows sub-linearly);
+ *  - `nProbe` = the smallest probe width whose MEASURED recall@k on a
+ *    deterministic anchor sample meets the caller's contract — the
+ *    published index-autotuning practice (pick the operating point on
+ *    the recall/probe curve, don't guess it). On a uniform-random corpus
+ *    the calibration honestly lands near full probing (no cluster
+ *    structure to exploit — BitextClusteredSpec measures the clustered
+ *    contract where the probed fraction is small); on a clustered corpus
+ *    it lands at a small fraction of the cells. Either way the REGISTERED
+ *    query serves whatever its corpus needs, at any scale.
+ *
+ * Cost shape: calibration is one anchor-sample exact top-k (|A| x N —
+ * linear, |A| fixed) plus O(log nCentroids) probed searches over the
+ * SAME |A| anchors. It runs once per (corpus, contract): the chosen
+ * width is persisted as a sidecar inside the published index directory
+ * (the index is fingerprint-keyed on corpus content + build params, so
+ * a regenerated corpus recalibrates), and a session-level memo makes
+ * repeat lookups free. `graft.Bench` prices the calibration cost as
+ * `_shared_build:ann_geometry`.
+ *
+ * Reference anchor: the indexed escape from the brute-force scan of
+ * MerkonMemoryStore.cs:133-146, now with the index actually sized to
+ * the corpus instead of a fixture constant.
+ */
+object IvfGeometry {
+
+  val MinCentroids = 8
+
+  /** The sqrt-N coarse-quantizer sizing, floored at [[MinCentroids]].
+    * round(sqrt(N)) is spelled floor(x + 0.5) — the same half-up the
+    * DuckDB oracle's `round()` computes, so an oracle that derives the
+    * geometry from the same parquet agrees exactly. */
+  def centroidsFor(n: Long): Int =
+    math.max(MinCentroids, math.floor(math.sqrt(n.toDouble) + 0.5).toInt)
+
+  /**
+   * A recall contract the calibrated probe width must meet: recall@k on
+   * the anchor sample >= targetRecall. For a FILTERED consumer (allow-list
+   * probes), size k to the unfiltered rank the filtered top-k lives at —
+   * k_query / selectivity (a 50%-selective predicate's top-16 sits near
+   * unfiltered rank 32) — instead of multiplying nProbe blindly.
+   */
+  final case class Contract(k: Int, targetRecall: Double, nAnchors: Int = 128) {
+    require(k >= 1 && targetRecall > 0 && targetRecall <= 1 && nAnchors >= 1)
+    /** Path-safe key of the contract for the persisted sidecar. */
+    def fingerprint: String =
+      s"k$k-r${math.round(targetRecall * 1000)}-a$nAnchors"
+  }
+
+  /** A calibration result: the corpus-sized index plus the measured
+    * recall at the chosen width (spec observability — regressions surface
+    * with their magnitude, not just a flipped pass bit). */
+  final case class Calibrated(ivf: IvfIndex, measuredRecall: Double) {
+    def probeFraction: Double = ivf.nProbe.toDouble / ivf.nCentroids
+  }
+
+  /** Session memo: one calibration per (corpus path, contract, root).
+    * Values are tiny (a geometry + one double); the build cost lands in
+    * the bench sidecar under `_shared_build:ann_geometry`. */
+  private val memo =
+    new graft.util.SessionCache[(String, Contract, String), Calibrated](
+      buildName = Some("ann_geometry"))
+
+  /** The calibrated corpus-sized index for `sourcePath` — the entry
+    * point registered queries use. Builds (or opens) the sqrt-N-cell
+    * index via [[IvfIndex.openOrBuild]]'s fingerprint discipline, then
+    * resolves nProbe from the sidecar or calibrates it. */
+  def calibrated(spark: SparkSession, sourcePath: String, idCol: String,
+      embCol: String, contract: Contract,
+      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf"): Calibrated =
+    memo.getOrElseUpdate(spark, (sourcePath, contract, cacheRoot))(
+      resolve(spark, sourcePath, idCol, embCol, contract, cacheRoot))
+
+  /** [[calibrated]] returning just the index. */
+  def calibratedIvf(spark: SparkSession, sourcePath: String, idCol: String,
+      embCol: String, contract: Contract): IvfIndex =
+    calibrated(spark, sourcePath, idCol, embCol, contract).ivf
+
+  private def resolve(spark: SparkSession, sourcePath: String, idCol: String,
+      embCol: String, contract: Contract, cacheRoot: String): Calibrated = {
+    val corpus = spark.read.parquet(sourcePath)
+    val c = centroidsFor(corpus.count())
+    val indexPath = IvfIndex.openOrBuildPath(spark, new IvfIndex(c, 1),
+      sourcePath, idCol, embCol, cacheRoot)
+    val sidecar = new java.io.File(indexPath, s"nprobe-${contract.fingerprint}")
+    if (sidecar.isFile) {
+      val Array(p, r) = new String(
+        java.nio.file.Files.readAllBytes(sidecar.toPath), "UTF-8")
+        .trim.split(' ')
+      Calibrated(new IvfIndex(c, p.toInt), r.toDouble)
+    } else {
+      val out = calibrate(spark, IvfIndex.load(spark, indexPath), corpus,
+        idCol, embCol, c, contract)
+      // publish atomically: a concurrent calibrator computes the same
+      // deterministic answer, so either writer's file serves both
+      val tmp = java.io.File.createTempFile("nprobe", ".tmp",
+        new java.io.File(indexPath))
+      java.nio.file.Files.write(tmp.toPath,
+        s"${out.ivf.nProbe} ${out.measuredRecall}".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath, sidecar.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      out
+    }
+  }
+
+  /** Minimal nProbe meeting the contract, by doubling sweep + binary
+    * search on the monotone recall-vs-probe curve: O(log c) probed
+    * searches over the fixed anchor sample. At p == c the probe is
+    * exhaustive (recall 1.0), so the search always terminates with a
+    * passing width. */
+  private def calibrate(spark: SparkSession, built: IvfIndex.Built,
+      corpus: DataFrame, idCol: String, embCol: String, c: Int,
+      contract: Contract): Calibrated = {
+    // anchor sample: hash-strided so anchors spread over the id space
+    // (a head-of-ids sample would sit inside one cluster of a clustered
+    // corpus and calibrate on unrepresentative geometry), deterministic
+    // (Murmur3 fixed seed + id order), bounded at nAnchors rows
+    val n = corpus.count()
+    val stride = math.max(1L, n / (2L * contract.nAnchors))
+    val anchors = corpus
+      .filter(pmod(hash(col(idCol)), lit(stride)) === 0)
+      .orderBy(col(idCol)).limit(contract.nAnchors)
+      .localCheckpoint()
+    // anchors broadcast: the probe side is the corpus scan, never a
+    // cartesian (QueriesSmokeSpec's no-CartesianProduct invariant holds
+    // inside calibration too)
+    val exact = corpus
+      .select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
+      .crossJoin(broadcast(anchors
+        .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))))
+      .select(col("q_id"), col("n_id"),
+        cosineSim(col("q_emb"), col("n_emb")).as("cos"))
+      .groupBy(col("q_id"))
+      .agg(TopKByScore(contract.k)(col("cos"), col("n_id")).as("hits"))
+      .select(col("q_id"), explode(col("hits.id")).as("neighbor_id"))
+      .localCheckpoint()
+    val exactCount = exact.count().toDouble
+    def recallAt(p: Int): Double = {
+      val approx = new IvfIndex(c, p).search(built, anchors, idCol, embCol,
+          contract.k)
+        .select(col("q_id"), col("neighbor_id"))
+      exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+        .count() / exactCount
+    }
+    // doubling until pass, then binary search (lo fails, hi passes)
+    var hi = 1
+    var lo = 0 // last width MEASURED to fail (0 = none)
+    var hiRecall = recallAt(hi)
+    while (hiRecall < contract.targetRecall && hi < c) {
+      lo = hi
+      hi = math.min(c, hi * 2)
+      hiRecall = recallAt(hi)
+    }
+    while (hi - lo > 1) {
+      val mid = lo + (hi - lo) / 2
+      val r = recallAt(mid)
+      if (r >= contract.targetRecall) { hi = mid; hiRecall = r }
+      else lo = mid
+    }
+    Calibrated(new IvfIndex(c, hi), hiRecall)
+  }
+}

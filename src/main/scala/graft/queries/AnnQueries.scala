@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryPack
-import graft.ml.{CosineLsh, IvfIndex, IvfPqIndex, PqIndex}
+import graft.ml.{CosineLsh, IvfGeometry, IvfIndex, IvfPqIndex, PqIndex}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -86,6 +86,31 @@ object AnnQueries extends QueryPack {
     emb.filter(col("vec_id") < n)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
+  /** Corpus-sized calibrated IVF geometry for this SF's embeddings
+    * (VERDICT r12 ask #1 — sqrt(N) cells, recall-calibrated probe width;
+    * see [[IvfGeometry]]). One contract per query shape; filtered shapes
+    * size the contract k to k_query / selectivity instead of multiplying
+    * nProbe blindly. */
+  private def geo(s: SparkSession, dir: String,
+      contract: IvfGeometry.Contract): IvfIndex =
+    IvfGeometry.calibratedIvf(s, s"$dir/embeddings.parquet",
+      "vec_id", "embedding", contract)
+
+  /** recall@3 for the unfiltered k=3 kNN shapes (0.95 leaves headroom
+    * over the 0.9 pass bound a regenerated corpus must still clear). */
+  private val Knn3 = IvfGeometry.Contract(3, 0.95)
+  /** recall@10 for the k=10 rewrite shapes. 0.97: these verdicts average
+    * over 3-5 query vectors, so the anchor-mean recall needs margin for
+    * small-sample variance to keep the 0.9 family bound green. */
+  private val Rewrite10 = IvfGeometry.Contract(10, 0.97)
+  /** k=3 under the ~25%-selective label filter: contract k = 3/0.25,
+    * target 0.95 (the filtered verdicts also ride few query vectors). */
+  private val Filtered3 = IvfGeometry.Contract(12, 0.95)
+  /** k=10 under the same ~25% filter: contract k = 10/0.25. */
+  private val Filtered10 = IvfGeometry.Contract(40, 0.95)
+  /** k=3 under the ~90%-selective label-complement filter. */
+  private val HardNeg3 = IvfGeometry.Contract(4, 0.95)
+
   /** Exact brute-force cosine pairs at threshold — the oracle-checkable
     * skeleton shared by ann_cosine_pairs / ann_semantic_dedup (same
     * spelling as the fenced dedup_embedding_pairs_bruteforce). */
@@ -162,7 +187,11 @@ object AnnQueries extends QueryPack {
     // The keep-rule and tombstone interaction stay pinned by
     // IndexAppendSpec.
     "ann_semantic_dedup" -> ((s, dir) => {
-      val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
+      // cells only (no probe): sqrt(N) cells keep the per-cell pair
+      // fan-out bound constant as the corpus grows — the SemDeDup scale
+      // contract spelled in IvfIndex.semanticDedup's scaladoc
+      val ivf = new IvfIndex(
+        IvfGeometry.centroidsFor(t(s, dir, "embeddings").count()), 1)
       val built = IvfIndex.openOrBuild(s, ivf, s"$dir/embeddings.parquet",
         "vec_id", "embedding")
       val dd = IvfIndex.semanticDedup(built, tau = 0.4)
@@ -191,7 +220,7 @@ object AnnQueries extends QueryPack {
     // explicit index job that maintains the IVF table at 100 TB).
     "ann_ivf_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
+      val ivf = geo(s, dir, Knn3)
       val built = IvfIndex.openOrBuild(s, ivf, s"$dir/embeddings.parquet",
         "vec_id", "embedding")
       val approx = ivf.search(built, emb.filter(col("vec_id") < 20),
@@ -212,7 +241,7 @@ object AnnQueries extends QueryPack {
       val emb = t(s, dir, "embeddings")
       val allowed = emb.filter(col("label") % 4 === 1)
         .select(col("vec_id").as("id"))
-      val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
+      val ivf = geo(s, dir, Filtered3)
       val built = IvfIndex.openOrBuild(s, ivf, s"$dir/embeddings.parquet",
         "vec_id", "embedding")
       val approx = ivf.searchFiltered(built, emb.filter(col("vec_id") < 20),
@@ -239,7 +268,7 @@ object AnnQueries extends QueryPack {
     "ann_hard_negatives" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val k = 3
-      val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
+      val ivf = geo(s, dir, HardNeg3)
       val built = IvfIndex.openOrBuild(s, ivf, s"$dir/embeddings.parquet",
         "vec_id", "embedding")
       val anchors = emb.filter(col("vec_id") < 20)
@@ -294,7 +323,11 @@ object AnnQueries extends QueryPack {
     // exactly. Both fits live in the index job via openOrBuild.
     "ann_ivfpq_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val ivfpq = new IvfPqIndex(nCentroids = 8, nProbe = 5,
+      // IVF geometry from the same knn3 calibration (the PQ error is
+      // absorbed by the 192-wide ADC shortlist + exact re-rank, so the
+      // coarse-quantizer operating point carries over)
+      val g = geo(s, dir, Knn3)
+      val ivfpq = new IvfPqIndex(nCentroids = g.nCentroids, nProbe = g.nProbe,
         m = 8, kCentroids = 16)
       val built = IvfPqIndex.openOrBuild(s, ivfpq, s"$dir/embeddings.parquet",
         "vec_id", "embedding")
@@ -314,9 +347,9 @@ object AnnQueries extends QueryPack {
     // cannot touch it — making `pass` a live recall check ON the
     // rewritten plans.
     "ann_indexed_rewrite" -> ((s, dir) => {
-      val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
+      val ivf = geo(s, dir, Rewrite10)
       graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
-        "vec_id", "embedding", nProbe = 6)
+        "vec_id", "embedding", nProbe = ivf.nProbe)
       val emb = t(s, dir, "embeddings")
       // 5 query vectors as literals (the reference-shaped call: the
       // query arrives as a parameter, not a table)
@@ -349,14 +382,14 @@ object AnnQueries extends QueryPack {
     // plan swap and the fall-back (an unregistered predicate column
     // keeps the exact scan); `in_filter`/`pass` here hash-check the
     // predicate soundness and recall of the rewritten plans themselves.
-    // nProbe 7/8 (one more than the unfiltered rewrite): the ~25%
-    // predicate thins each probed cell 4x, and at the 2000-vector SF the
-    // 6-cell probe measures recall 0.88 on the uniform-random corpus —
-    // over-probing is the standard filtered-ANN compensation (0.94 at 7).
+    // Geometry: the ~25% predicate thins each probed cell 4x, so the
+    // calibration contract sizes k to 10/0.25 = 40 — the standard
+    // filtered-ANN over-probe, derived from the measured recall curve
+    // instead of hand-picked.
     "ann_indexed_filtered_rewrite" -> ((s, dir) => {
-      val ivf = new IvfIndex(nCentroids = 8, nProbe = 7)
+      val ivf = geo(s, dir, Filtered10)
       graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
-        "vec_id", "embedding", nProbe = 7, payloadCols = Seq("label"))
+        "vec_id", "embedding", nProbe = ivf.nProbe, payloadCols = Seq("label"))
       val emb = t(s, dir, "embeddings")
       val qvs = emb.filter(col("vec_id") < 5)
         .select("vec_id", "embedding").collect()
@@ -387,20 +420,22 @@ object AnnQueries extends QueryPack {
     // path, MerkonMemoryStore.cs:138): each branch is the naive floor
     // plan — scan, literal-query cosine, `score >= t` filter, sort, NO
     // limit — which AnnIndexRule serves from the index with 2× over-probe
-    // (a floor query asks for a neighborhood, not a fixed k). At this
-    // fixture's registration (nProbe 4 of 8 cells) the over-probe reaches
-    // ALL cells, so the rewritten result is EXACTLY the threshold scan —
-    // which is the point of this registered query: the full row set
-    // (neighbor ids + round6 scores) is hash-checked against DuckDB's own
-    // cosine threshold scan, proving the rewrite preserves per-row
-    // semantics end to end. Real cell PRUNING for this shape (6 of 8
-    // cells, recall ≥ 0.9, floor-less fallback) is pinned by
-    // AnnRewriteSpec; the `rewritten` column here is read off the
-    // executed plan, so the driver also sees that the index served it.
+    // (a floor query asks for a neighborhood, not a fixed k). The
+    // registration pins nProbe = ceil(c/2) of the corpus-sized c cells,
+    // so the 2× over-probe reaches ALL cells and the rewritten result is
+    // EXACTLY the threshold scan — which is the point of this registered
+    // query: the full row set (neighbor ids + round6 scores) is
+    // hash-checked against DuckDB's own cosine threshold scan, proving
+    // the rewrite preserves per-row semantics end to end AT ANY corpus
+    // size. Real cell PRUNING for this shape (partial probe, recall
+    // ≥ 0.9, floor-less fallback) is pinned by AnnRewriteSpec; the
+    // `rewritten` column here is read off the executed plan, so the
+    // driver also sees that the index served it.
     "ann_indexed_threshold_rewrite" -> ((s, dir) => {
-      val ivf = new IvfIndex(nCentroids = 8, nProbe = 4)
+      val c = IvfGeometry.centroidsFor(t(s, dir, "embeddings").count())
+      val ivf = new IvfIndex(c, (c + 1) / 2)
       graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
-        "vec_id", "embedding", nProbe = 4)
+        "vec_id", "embedding", nProbe = ivf.nProbe)
       val emb = t(s, dir, "embeddings")
       val qvs = emb.filter(col("vec_id") < 5)
         .select("vec_id", "embedding").collect()
@@ -429,9 +464,9 @@ object AnnQueries extends QueryPack {
     // same way it rewrites the DataFrame form; AnnRewriteSpec pins the
     // plan shape for this path too.
     "ann_indexed_rewrite_sql" -> ((s, dir) => {
-      val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
+      val ivf = geo(s, dir, Rewrite10)
       graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
-        "vec_id", "embedding", nProbe = 6)
+        "vec_id", "embedding", nProbe = ivf.nProbe)
       graft.functions.VectorFunctions.register(s)
       val emb = t(s, dir, "embeddings")
       emb.createOrReplaceTempView("graft_ann_sql_corpus")
@@ -464,7 +499,9 @@ object AnnQueries extends QueryPack {
     // Per-query recall values stay visible in AnnRecallSpec.
     // The nProbe tuning sweep — the curve an operator reads before
     // setting an IVF index's probe budget: mean recall vs exact top-3
-    // at nProbe 1, 2, 4, 8 over the 8-cell index. Two invariants are
+    // at nProbe c/8, c/4, c/2, c over the corpus-sized c-cell index
+    // (c = max(8, round(sqrt(N))) — the oracle derives the same levels
+    // from the same parquet's row count). Two invariants are
     // STRUCTURAL, so the verdict rows are deterministic: recall is
     // non-decreasing in nProbe (the candidate set only grows), and at
     // nProbe == nCentroids the probe is exhaustive, so recall is exactly
@@ -475,9 +512,11 @@ object AnnQueries extends QueryPack {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 20)
       val k = 3
-      val levels = Seq(1, 2, 4, 8)
+      val c = IvfGeometry.centroidsFor(emb.count())
+      val levels = Seq(math.max(1, c / 8), math.max(1, c / 4),
+        math.max(1, c / 2), c)
       val approx = levels.map { p =>
-        val idx = new IvfIndex(nCentroids = 8, nProbe = p)
+        val idx = new IvfIndex(c, p)
         idx.search(IvfIndex.openOrBuild(s, idx, s"$dir/embeddings.parquet",
             "vec_id", "embedding"), q, "vec_id", "embedding", k)
           .select(lit(p).as("n_probe"), col("q_id"), col("neighbor_id"),
@@ -494,7 +533,7 @@ object AnnQueries extends QueryPack {
         .select(col("n_probe"),
           coalesce(col("recall") >= col("prev") - 1e-9, lit(true))
             .as("monotone_ok"),
-          when(col("n_probe") === 8, col("recall") >= 1.0 - 1e-9)
+          when(col("n_probe") === c, col("recall") >= 1.0 - 1e-9)
             .otherwise(lit(true)).as("full_exact"))
         .orderBy(col("n_probe"))
     }),
@@ -508,7 +547,7 @@ object AnnQueries extends QueryPack {
           embCol = "embedding", k = k)
         .select(lit("lsh").as("method"), col("q_id"), col("neighbor_id"),
           lit(1).as("hit"))
-      val ivfIdx = new IvfIndex(nCentroids = 8, nProbe = 5)
+      val ivfIdx = geo(s, dir, Knn3)
       val ivf = ivfIdx
         .search(IvfIndex.openOrBuild(s, ivfIdx, s"$dir/embeddings.parquet",
           "vec_id", "embedding"), q, "vec_id", "embedding", k)
@@ -520,8 +559,8 @@ object AnnQueries extends QueryPack {
           "vec_id", "embedding"), q, "vec_id", "embedding", k)
         .select(lit("pq").as("method"), col("q_id"), col("neighbor_id"),
           lit(1).as("hit"))
-      val ivfpqIdx = new IvfPqIndex(nCentroids = 8, nProbe = 5,
-        m = 8, kCentroids = 16)
+      val ivfpqIdx = new IvfPqIndex(nCentroids = ivfIdx.nCentroids,
+        nProbe = ivfIdx.nProbe, m = 8, kCentroids = 16)
       val ivfpq = ivfpqIdx
         .search(IvfPqIndex.openOrBuild(s, ivfpqIdx, s"$dir/embeddings.parquet",
           "vec_id", "embedding"), q, "vec_id", "embedding", k)
@@ -580,10 +619,18 @@ object AnnQueries extends QueryPack {
            |WHERE $cos >= 0.35
            |ORDER BY q_id, score DESC, neighbor_id""".stripMargin
       },
+      // the sweep levels derive from the corpus-sized cell count
+      // c = max(8, round(sqrt(N))) — computable from the same parquet,
+      // so the skeleton needs no engine-side constant
       "ann_nprobe_sweep" ->
-        """SELECT CAST(p AS INTEGER) AS n_probe, true AS monotone_ok,
+        """WITH g AS (
+          |  SELECT greatest(8, CAST(round(sqrt(count(*))) AS INTEGER)) AS c
+          |  FROM embeddings
+          |)
+          |SELECT CAST(p AS INTEGER) AS n_probe, true AS monotone_ok,
           |  true AS full_exact
-          |FROM (SELECT unnest([1, 2, 4, 8]) AS p)
+          |FROM (SELECT unnest([greatest(1, c // 8), greatest(1, c // 4),
+          |                     greatest(1, c // 2), c]) AS p FROM g)
           |ORDER BY n_probe""".stripMargin,
       "ann_recall_audit" ->
         """SELECT m.method, vec_id AS q_id, true AS pass

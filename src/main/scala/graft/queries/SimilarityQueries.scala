@@ -91,25 +91,31 @@ object SimilarityQueries extends QueryPack {
         col("margin"))
   }
 
+  /** Geometry contract for the registered indexed miner: the margin
+    * ARGMAX is more probe-sensitive than a plain top-k (a missed
+    * neighborhood member shifts mf/me and can flip a near-tie), and the
+    * language allow-lists thin each probed cell ~2x (selectivity ~0.5) —
+    * so the contract k is 2x the 16-candidate cut (the filtered top-16
+    * lives near unfiltered rank 32) at target recall 0.95. On the
+    * uniform-random fixture the calibration honestly lands at a high
+    * probed fraction (no cluster structure to exploit — BitextPuritySpec
+    * pins the resulting agreement with its headroom); on a clustered
+    * corpus it lands at a small fraction of sqrt(N) cells
+    * (BitextClusteredSpec + graft.ClusteredBench measure it). */
+  private[graft] val BitextContract = graft.ml.IvfGeometry.Contract(32, 0.95)
+
+  private[graft] def bitextIvf(s: SparkSession, dir: String): graft.ml.IvfIndex =
+    graft.ml.IvfGeometry.calibratedIvf(s, s"$dir/embeddings.parquet",
+      "vec_id", "embedding", BitextContract)
+
   /** Per-f agreement rows (f_id, f_lang, agree) between the INDEXED
     * margin miner and the exact one — the measurable core of
     * `ann_bitext_mine`, exposed so `BitextPuritySpec` pins the real
-    * agreement value, not just the >= 0.9 boolean.
-    *
-    * nProbe 7/8 on the fixture corpus: the margin ARGMAX is more
-    * probe-sensitive than a plain top-k (a missed neighborhood member
-    * shifts mf/me and can flip a near-tie), and the lang allow-lists thin
-    * each probed cell ~2x — measured agreement on the uniform-random
-    * corpus is 0.82-0.86 at nProbe 6 and >= 0.9 at 7 (BitextPuritySpec
-    * pins it). That near-full probing is a property of the CORPUS
-    * GEOMETRY, not the plan: uniform-random embeddings have no cluster
-    * structure for the coarse quantizer to exploit.
-    * BitextClusteredSpec runs this same code over a clustered corpus at
-    * nProbe 4 of 32 cells and measures agreement >= 0.9 with the probed
-    * candidate volume a small fraction of the exact pair stream — the
-    * green-test form of "real embedding corpora cluster". */
+    * agreement value, not just the >= 0.9 boolean. The index geometry is
+    * CORPUS-SIZED (VERDICT r12 ask #1): sqrt(N) cells, probe width
+    * calibrated against [[BitextContract]] — never a fixture constant. */
   private[graft] def bitextAgreement(s: SparkSession, dir: String): DataFrame =
-    bitextAgreement(s, dir, new graft.ml.IvfIndex(nCentroids = 8, nProbe = 7))
+    bitextAgreement(s, dir, bitextIvf(s, dir))
 
   /** [[bitextAgreement]] with the index geometry (cell count / probe
     * width) supplied by the caller — the corpus decides how many probes
@@ -170,15 +176,23 @@ object SimilarityQueries extends QueryPack {
     * regenerated corpora, not systematic error. */
   private[graft] val PurityTol = 0.1
 
+  /** Geometry contract for the purity audit's probes: unlike the margin
+    * miner, a purity RATIO tolerates an individually-swapped neighbor,
+    * so recall 0.9 at the probe k (6 = top-5 + the self hit) suffices
+    * for drift well inside [[PurityTol]]. */
+  private[graft] val PurityContract = graft.ml.IvfGeometry.Contract(6, 0.9)
+
+  private[graft] def purityIvf(s: SparkSession, dir: String): graft.ml.IvfIndex =
+    graft.ml.IvfGeometry.calibratedIvf(s, s"$dir/embeddings.parquet",
+      "vec_id", "embedding", PurityContract)
+
   /** Per-label (a_label, n_anchors, p_exact, p_idx) over the bounded
     * deterministic anchor sample — the measurable core of
-    * `ann_label_purity`. nProbe 6/8 suffices here (unlike the margin
-    * miner, a purity RATIO tolerates an individually-swapped neighbor);
-    * as with the miner, the near-full probing is the uniform-random
-    * fixture's geometry — BitextClusteredSpec pins drift 0 at
-    * nProbe 4/32 on a clustered corpus through this same code. */
+    * `ann_label_purity`, served at corpus-sized calibrated geometry
+    * ([[PurityContract]]); BitextClusteredSpec pins drift 0 at 4/32
+    * probes on a clustered corpus through this same code. */
   private[graft] def labelPurityCompare(s: SparkSession, dir: String): DataFrame =
-    labelPurityCompare(s, dir, new graft.ml.IvfIndex(nCentroids = 8, nProbe = 6))
+    labelPurityCompare(s, dir, purityIvf(s, dir))
 
   /** [[labelPurityCompare]] with caller-supplied index geometry (see
     * the two-arg [[bitextAgreement]] for why). */

@@ -190,15 +190,25 @@ class MerkonStore(spark: SparkSession) {
    * mutations to refresh the searchable snapshot (openOrBuild appends
    * against frozen centroids when the snapshot only grew).
    */
-  def buildIndex(name: String, nCentroids: Int = 16, nProbe: Int = 4,
+  def buildIndex(name: String, nCentroids: Int = 0, nProbe: Int = 0,
       dir: String = sys.props("java.io.tmpdir") + "/graft-store-index"): Unit = {
+    require((nCentroids > 0) == (nProbe > 0),
+      "pass both nCentroids and nProbe, or neither (0/0 = derive from the collection)")
     val dump = s"$dir/${pathSafe(name)}"
     purgeEmptyKeys(current(name))
       .filter(col("embedding").isNotNull)
       .select(col("key"), col("embedding"))
       .write.mode("overwrite").parquet(dump)
-    graft.plans.AnnIndexRegistry.register(spark,
-      new graft.ml.IvfIndex(nCentroids, nProbe), dump, "key", "embedding", nProbe)
+    // default geometry is CORPUS-SIZED (sqrt-N cells, probe width
+    // calibrated to recall@10 >= 0.95 — the reference's flagship top-k
+    // shape) instead of a constant the collection outgrows; explicit
+    // params remain for callers that tuned their own operating point
+    val ivf =
+      if (nCentroids > 0) new graft.ml.IvfIndex(nCentroids, nProbe)
+      else graft.ml.IvfGeometry.calibratedIvf(spark, dump, "key", "embedding",
+        graft.ml.IvfGeometry.Contract(10, 0.95))
+    graft.plans.AnnIndexRegistry.register(spark, ivf, dump, "key", "embedding",
+      ivf.nProbe)
     indexedCollections(name) = dump
   }
 
