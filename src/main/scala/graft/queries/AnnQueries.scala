@@ -98,18 +98,18 @@ object AnnQueries extends QueryPack {
 
   /** recall@3 for the unfiltered k=3 kNN shapes (0.95 leaves headroom
     * over the 0.9 pass bound a regenerated corpus must still clear). */
-  private val Knn3 = IvfGeometry.Contract(3, 0.95)
+  private[graft] val Knn3 = IvfGeometry.Contract(3, 0.95)
   /** recall@10 for the k=10 rewrite shapes. 0.97: these verdicts average
     * over 3-5 query vectors, so the anchor-mean recall needs margin for
     * small-sample variance to keep the 0.9 family bound green. */
-  private val Rewrite10 = IvfGeometry.Contract(10, 0.97)
+  private[graft] val Rewrite10 = IvfGeometry.Contract(10, 0.97)
   /** k=3 under the ~25%-selective label filter: contract k = 3/0.25,
     * target 0.95 (the filtered verdicts also ride few query vectors). */
-  private val Filtered3 = IvfGeometry.Contract(12, 0.95)
+  private[graft] val Filtered3 = IvfGeometry.Contract(12, 0.95)
   /** k=10 under the same ~25% filter: contract k = 10/0.25. */
-  private val Filtered10 = IvfGeometry.Contract(40, 0.95)
+  private[graft] val Filtered10 = IvfGeometry.Contract(40, 0.95)
   /** k=3 under the ~90%-selective label-complement filter. */
-  private val HardNeg3 = IvfGeometry.Contract(4, 0.95)
+  private[graft] val HardNeg3 = IvfGeometry.Contract(4, 0.95)
 
   /** Exact brute-force cosine pairs at threshold — the oracle-checkable
     * skeleton shared by ann_cosine_pairs / ann_semantic_dedup (same

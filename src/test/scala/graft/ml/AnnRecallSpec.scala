@@ -78,7 +78,10 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("IVF search recall >= 0.9 vs exact top-3") {
-    val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
+    // the registered unfiltered geometry (derived, Knn3-calibrated)
+    val ivf = IvfGeometry.calibratedIvf(spark, s"$sf0_001/embeddings.parquet",
+      "vec_id", "embedding", graft.queries.AnnQueries.Knn3)
+    info(s"calibrated geometry c=${ivf.nCentroids} p=${ivf.nProbe}")
     val built = ivf.build(spark, emb, "vec_id", "embedding")
     val approx = ivf.search(built, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 3)
       .select("q_id", "neighbor_id").collect()
@@ -91,8 +94,14 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
     val pred = col("label") % 4 === 1
     val allowedIds = emb.filter(pred).select(col("vec_id").as("id"))
     val allowedSet = allowedIds.collect().map(_.getLong(0)).toSet
-    // over-probe (6 of 8 cells) to compensate the ~25%-selective predicate
-    val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
+    // DERIVED geometry (VERDICT r12 ask #6): the same contract the
+    // registered filtered query calibrates against — the over-probe dial
+    // (contract k = k_query / selectivity) is validated where nCentroids
+    // is sqrt(N), not the old fixture 8
+    val ivf = IvfGeometry.calibratedIvf(spark, s"$sf0_001/embeddings.parquet",
+      "vec_id", "embedding", graft.queries.AnnQueries.Filtered3)
+    info(s"calibrated geometry c=${ivf.nCentroids} p=${ivf.nProbe}")
+    assert(ivf.nCentroids > 8, "derived geometry expected on the 500-row fixture")
     val built = ivf.build(spark, emb, "vec_id", "embedding")
     val approx = ivf.searchFiltered(built, emb.filter(col("vec_id") < 20),
         "vec_id", "embedding", 3, allowedIds)
@@ -151,7 +160,11 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
     check("pq", pqIdx.searchFiltered(
       pqIdx.build(spark, emb, "vec_id", "embedding"),
       q, "vec_id", "embedding", 3, allowedIds))
-    val ivfpqIdx = new IvfPqIndex(nCentroids = 8, nProbe = 6,
+    // IVF-PQ rides the same derived filtered geometry as the registered
+    // queries (VERDICT r12 ask #6)
+    val g = IvfGeometry.calibratedIvf(spark, s"$sf0_001/embeddings.parquet",
+      "vec_id", "embedding", graft.queries.AnnQueries.Filtered3)
+    val ivfpqIdx = new IvfPqIndex(nCentroids = g.nCentroids, nProbe = g.nProbe,
       m = 8, kCentroids = 16)
     check("ivfpq", ivfpqIdx.searchFiltered(
       ivfpqIdx.build(spark, emb, "vec_id", "embedding"),

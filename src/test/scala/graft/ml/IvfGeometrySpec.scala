@@ -1,0 +1,90 @@
+package graft.ml
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The corpus-sized geometry rule (VERDICT r12 ask #1): sqrt-N cell
+ * sizing, calibration determinism, sidecar persistence, and — the scale
+ * pin — that the SAME contract calibrates to a SMALL probe fraction on
+ * a clustered corpus and honestly to a large one on the uniform fixture.
+ */
+class IvfGeometrySpec extends AnyFunSuite with SparkTestBase {
+
+  test("centroidsFor: sqrt-N floored at 8, half-up rounding") {
+    assert(IvfGeometry.centroidsFor(0) == 8)
+    assert(IvfGeometry.centroidsFor(64) == 8)   // sqrt = 8 exactly
+    assert(IvfGeometry.centroidsFor(100) == 10)
+    assert(IvfGeometry.centroidsFor(500) == 22)  // sqrt ~ 22.36
+    assert(IvfGeometry.centroidsFor(2000) == 45) // sqrt ~ 44.72
+    assert(IvfGeometry.centroidsFor(1000000) == 1000)
+  }
+
+  test("calibration meets its contract, is deterministic, and persists its sidecar") {
+    val contract = IvfGeometry.Contract(3, 0.95, nAnchors = 64)
+    val src = s"$sf0_001/embeddings.parquet"
+    val rootA = scratchDir("graft-geo-a")
+    val rootB = scratchDir("graft-geo-b")
+    val a = IvfGeometry.calibrated(spark, src, "vec_id", "embedding",
+      contract, rootA)
+    // the contract holds at the chosen width, with sqrt-N cells
+    assert(a.ivf.nCentroids == 22)
+    assert(a.measuredRecall >= contract.targetRecall)
+    assert(a.ivf.nProbe >= 1 && a.ivf.nProbe <= a.ivf.nCentroids)
+    // a sidecar landed inside the published index dir
+    val indexDirs = new java.io.File(rootA).listFiles()
+    assert(indexDirs.length == 1)
+    val sidecar = indexDirs.head.listFiles()
+      .filter(_.getName.startsWith(s"nprobe-${contract.fingerprint}"))
+    assert(sidecar.length == 1)
+    // a SECOND full calibration (separate cache root -> fresh index,
+    // fresh sweep, no memo/sidecar reuse) lands on the same geometry:
+    // the anchor sample, the KMeans fit, and the probe sweep are all
+    // seeded/deterministic
+    val b = IvfGeometry.calibrated(spark, src, "vec_id", "embedding",
+      contract, rootB)
+    assert(b.ivf.nCentroids == a.ivf.nCentroids && b.ivf.nProbe == a.ivf.nProbe)
+    assert(b.measuredRecall == a.measuredRecall)
+    info(f"calibrated c=${a.ivf.nCentroids} p=${a.ivf.nProbe} " +
+      f"recall=${a.measuredRecall}%.3f (uniform fixture)")
+  }
+
+  test("the sidecar short-circuits recalibration (width read back verbatim)") {
+    val contract = IvfGeometry.Contract(3, 0.95, nAnchors = 64)
+    val src = s"$sf0_001/embeddings.parquet"
+    val root = scratchDir("graft-geo-sidecar")
+    val first = IvfGeometry.calibrated(spark, src, "vec_id", "embedding",
+      contract, root)
+    // overwrite the sidecar with a sentinel width: a second resolve in a
+    // FRESH session (the per-session memo must not mask the read) serves
+    // the sentinel, proving the persisted width is what future sessions
+    // consume instead of re-running the sweep
+    val indexDir = new java.io.File(root).listFiles().head
+    val sidecar = new java.io.File(indexDir, s"nprobe-${contract.fingerprint}")
+    java.nio.file.Files.write(sidecar.toPath, "2 0.5".getBytes("UTF-8"))
+    val fresh = spark.newSession()
+    val second = IvfGeometry.calibrated(fresh, src, "vec_id", "embedding",
+      contract, root)
+    assert(second.ivf.nProbe == 2 && second.measuredRecall == 0.5)
+    assert(first.ivf.nProbe != 2 || first.measuredRecall != 0.5)
+  }
+
+  test("a clustered corpus calibrates to a SMALL probe fraction under the same contract") {
+    val dir = scratchDir("graft-geo-clustered")
+    graft.ClusteredCorpus.write(spark, dir, nClusters = 16, perCluster = 40)
+    val contract = IvfGeometry.Contract(3, 0.95, nAnchors = 64)
+    val root = scratchDir("graft-geo-clustered-idx")
+    val cal = IvfGeometry.calibrated(spark, s"$dir/embeddings.parquet",
+      "vec_id", "embedding", contract, root)
+    info(f"clustered: c=${cal.ivf.nCentroids} p=${cal.ivf.nProbe} " +
+      f"fraction=${cal.probeFraction}%.3f recall=${cal.measuredRecall}%.3f")
+    assert(cal.ivf.nCentroids == IvfGeometry.centroidsFor(16L * 40)) // 25
+    assert(cal.measuredRecall >= contract.targetRecall)
+    // THE scale pin: where the uniform fixture needs most of its cells
+    // (no structure to exploit), tight clusters confine each query's
+    // neighborhood to a few cells — the probed fraction collapses, which
+    // is exactly why the indexed spelling wins on real embedding corpora
+    assert(cal.probeFraction <= 0.5,
+      f"probed fraction ${cal.probeFraction}%.3f not small on a clustered corpus")
+  }
+}

@@ -43,47 +43,24 @@ class BitextClusteredSpec extends AnyFunSuite with SparkTestBase
   // which the exit hook doesn't know about
   private lazy val dir = scratchDir("graft_bitext_clustered")
   private lazy val ivf = new IvfIndex(nCentroids = NClusters, nProbe = NProbe)
-  // built once, deleted in afterAll (the corpus dir is per-run, so its
-  // entry in the shared IVF cache root would otherwise be orphaned)
+  // built once, deleted in afterAll. builtPath records whether the lazy
+  // was ever forced: afterAll must not FORCE a fixture+index build just
+  // to delete it (a filtered run of a future test that never touches
+  // indexPath would otherwise pay the build in cleanup), and deleting
+  // `indexPath` itself is only meaningful once it exists.
+  @volatile private var builtPath: Option[String] = None
   private lazy val indexPath: String = {
-    writeClusteredCorpus(dir)
-    IvfIndex.openOrBuildPath(spark, ivf,
+    graft.ClusteredCorpus.write(spark, dir, NClusters, PerCluster, Dim)
+    val p = IvfIndex.openOrBuildPath(spark, ivf,
       s"$dir/embeddings.parquet", "vec_id", "embedding")
+    builtPath = Some(p)
+    p
   }
 
   override def afterAll(): Unit = {
     deleteRecursively(new java.io.File(dir))
-    deleteRecursively(new java.io.File(indexPath))
+    builtPath.foreach(p => deleteRecursively(new java.io.File(p)))
     super.afterAll()
-  }
-
-  /** Deterministic clustered corpus: cluster centers are seeded random
-    * Gaussian directions (near-orthogonal at 64-d), members are
-    * center + N(0, 0.05) noise, langs alternate inside each cluster so
-    * every cluster holds both sides of the mining join, label = cluster. */
-  private def writeClusteredCorpus(dir: String): Unit = {
-    val rnd = new scala.util.Random(7)
-    val centers = Array.fill(NClusters) {
-      val v = Array.fill(Dim)(rnd.nextGaussian())
-      val n = math.sqrt(v.map(x => x * x).sum)
-      v.map(x => (x / n).toFloat)
-    }
-    val rows = for {
-      c <- 0 until NClusters
-      j <- 0 until PerCluster
-    } yield {
-      val emb = centers(c).map(x => x + (rnd.nextGaussian() * 0.05).toFloat)
-      val id = (c * PerCluster + j).toLong
-      val lang = if (j % 2 == 0) "en" else "fr"
-      (id, emb, c, lang)
-    }
-    import spark.implicits._
-    val df = rows.toDF("vec_id", "embedding", "label", "lang")
-      .localCheckpoint()
-    df.select(col("vec_id"), col("embedding"), col("label"))
-      .write.parquet(s"$dir/embeddings.parquet")
-    df.select(col("vec_id").as("doc_id"), col("lang"))
-      .write.parquet(s"$dir/documents.parquet")
   }
 
   /** Candidate rows one indexed scoring pass touches: for each query,
