@@ -339,12 +339,16 @@ class MerkonStore(spark: SparkSession) {
       // _merkon_schema.json sidecar, no data files) would fail parquet
       // schema inference and break loading the ENTIRE store — bind it
       // as an empty frame with the sidecar's CREATE schema instead,
-      // the same resolution MerkonCatalog.loadTable applies.
+      // the same resolution MerkonCatalog.loadTable applies. A
+      // manifest-listed collection whose directory is MISSING entirely
+      // is the same failure class (one lost dir must not break loading
+      // the whole store): it takes the dataless branch too, binding the
+      // sidecar schema when one survives and the record schema otherwise.
       val p = new org.apache.hadoop.fs.Path(path)
-      val hasData = format != "parquet" || !fs.exists(p) ||
-        fs.listStatus(p).exists(st => st.isFile &&
+      val hasData = format != "parquet" ||
+        (fs.exists(p) && fs.listStatus(p).exists(st => st.isFile &&
           !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
+          !st.getPath.getName.startsWith(".")))
       collections(n) =
         if (hasData) {
           val reader = spark.read.format(format)
@@ -566,12 +570,21 @@ class MerkonStore(spark: SparkSession) {
         } else {
           // abort: pull back the moved-in compacted files (their rows
           // still live in the retained originals — leaving them would
-          // DUPLICATE those bins), keep _compact_tmp for inspection
-          moves.collect { case (dest, true) => dest }
-            .foreach(fs.delete(_, false))
+          // DUPLICATE those bins), keep _compact_tmp for inspection.
+          // fs.delete ALSO signals failure by returning false, so a
+          // failed rollback must not hide behind an "originals retained"
+          // message — name every compacted copy still sitting beside its
+          // originals so the operator knows those bins read duplicated.
+          val undeleted = moves.collect { case (dest, true) => dest }
+            .filterNot(fs.delete(_, false))
+          val rollbackState =
+            if (undeleted.isEmpty) "originals retained"
+            else "ROLLBACK INCOMPLETE — originals retained but these " +
+              "compacted copies remain beside them (their bins read " +
+              s"DUPLICATED until removed): ${undeleted.mkString(", ")}"
           throw new java.io.IOException(
             s"compactSaved: rename into $colDir failed for " +
-              s"${moves.count(!_._2)} file(s); originals retained, " +
+              s"${moves.count(!_._2)} file(s); $rollbackState; " +
               s"${tmp} kept for inspection")
         }
       }

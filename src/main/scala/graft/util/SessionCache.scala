@@ -34,7 +34,10 @@ class SessionCache[K, V](
     isStopped: SparkSession => Boolean = _.sparkContext.isStopped,
     buildName: Option[String] = None) {
 
-  private final class Slot { var value: Option[V] = None }
+  // @volatile: size/contains read slot values WITHOUT the slot monitor —
+  // taking it while holding the cache lock would park the whole cache
+  // behind any in-flight multi-second build, undoing the per-slot locking
+  private final class Slot { @volatile var value: Option[V] = None }
 
   private val cache =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[K, Slot]]()
@@ -67,19 +70,28 @@ class SessionCache[K, V](
     }
   }
 
-  /** Live-session entry count — spec observability only. Purges stopped
-    * sessions first (same contract as every other access). */
+  /** Live-session CACHED-VALUE count — spec observability only. Counts
+    * only slots holding a built value: a build that threw leaves its
+    * slot empty for retry, and an empty slot is bookkeeping, not a
+    * cache entry (ADVICE r12 — the old map-size count drifted from the
+    * pre-slot behavior where failed builds inserted nothing). Purges
+    * stopped sessions first (same contract as every other access). */
   def size: Int = cache.synchronized {
     purgeStopped()
     val it = cache.entrySet().iterator()
     var n = 0
-    while (it.hasNext) { n += it.next().getValue.size }
+    while (it.hasNext) {
+      n += it.next().getValue.valuesIterator.count(_.value.isDefined)
+    }
     n
   }
 
-  /** Whether any entry is currently held for `s` — spec observability. */
-  def contains(s: SparkSession): Boolean =
-    cache.synchronized { purgeStopped(); cache.containsKey(s) }
+  /** Whether any BUILT value is currently held for `s` — same
+    * defined-slots-only contract as [[size]]. */
+  def contains(s: SparkSession): Boolean = cache.synchronized {
+    purgeStopped()
+    Option(cache.get(s)).exists(_.valuesIterator.exists(_.value.isDefined))
+  }
 }
 
 /**

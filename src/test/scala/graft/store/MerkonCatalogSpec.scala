@@ -91,6 +91,34 @@ class MerkonCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(store2.get("empty_one", "nope").collect().isEmpty)
   }
 
+  test("a manifest-listed collection with a MISSING directory does not break loading") {
+    // same failure class as the dataless dir (ADVICE r12): one lost
+    // collection directory must degrade to an empty frame, not make the
+    // whole store unloadable via a parquet load on a nonexistent path
+    val root = freshDir("graft_cat_missing")
+    val wh = s"$root/db"
+    val store = new MerkonStore(spark)
+    import spark.implicits._
+    store.createCollection("keep")
+    store.upsertBatch("keep", Seq(
+      MemoryRecord("k1", MemoryMetadata(id = "k1", text = "t"), Array(1f)))
+      .toDF())
+    store.createCollection("gone")
+    store.upsertBatch("gone", Seq(
+      MemoryRecord("g1", MemoryMetadata(id = "g1", text = "g"), Array(2f)))
+      .toDF())
+    store.save(wh)
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(del)); f.delete()
+    }
+    del(new java.io.File(s"$wh/collections/c-gone"))
+    val store2 = new MerkonStore(spark)
+    store2.load(wh) // must not throw
+    assert(store2.getCollections.toSet == Set("keep", "gone"))
+    assert(store2.get("keep", "k1").collect().length == 1)
+    assert(store2.get("gone", "g1").collect().isEmpty)
+  }
+
   test("compactSaved bin-packs small files, preserves rows, leaves big files") {
     val root = freshDir("graft_compact_facade")
     val store = new MerkonStore(spark)

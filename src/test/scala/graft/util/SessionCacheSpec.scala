@@ -94,4 +94,16 @@ class SessionCacheSpec extends AnyFunSuite with SparkTestBase {
       cache.getOrElseUpdate(spark, "k")(throw new RuntimeException("boom")))
     assert(cache.getOrElseUpdate(spark, "k")(7) == 7)
   }
+
+  test("a failed build is invisible to size/contains (ADVICE r12)") {
+    val cache = new SessionCache[String, Int]()
+    intercept[RuntimeException](
+      cache.getOrElseUpdate(spark, "k")(throw new RuntimeException("boom")))
+    // the empty retry slot is bookkeeping, not a cache entry: observers
+    // must see the same state as the pre-slot behavior (nothing cached)
+    assert(cache.size == 0)
+    assert(!cache.contains(spark))
+    cache.getOrElseUpdate(spark, "k")(7)
+    assert(cache.size == 1 && cache.contains(spark))
+  }
 }
