@@ -45,7 +45,7 @@ object SimilarityQueries extends QueryPack {
 
   /** The CCMatrix/LASER margin criterion, exact spelling — see the
     * `corpus_bitext_mine` scaladoc for the full scale design. */
-  private def bitextMineExact(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bitextMineExact(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id").as("doc_id"), col("embedding"))
     // linear-sized, consumed by all three passes — checkpoint once
@@ -117,11 +117,12 @@ object SimilarityQueries extends QueryPack {
   private[graft] def bitextAgreement(s: SparkSession, dir: String): DataFrame =
     bitextAgreement(s, dir, bitextIvf(s, dir))
 
-  /** [[bitextAgreement]] with the index geometry (cell count / probe
-    * width) supplied by the caller — the corpus decides how many probes
-    * a recall contract needs, so specs exercise other geometries on
-    * other corpora through the SAME miner code. */
-  private[graft] def bitextAgreement(s: SparkSession, dir: String,
+  /** The INDEXED margin miner standalone — every scoring pass served
+    * from the persisted IVF index at the supplied geometry; returns the
+    * per-f picks (f_id, f_lang, idx_e). Factored out of the agreement
+    * wrapper so `graft.ClusteredBench` can wall-clock the indexed miner
+    * against the exact one without the comparison computing both. */
+  private[graft] def bitextMineIndexed(s: SparkSession, dir: String,
       ivf: graft.ml.IvfIndex): DataFrame = {
     import graft.ml.IvfIndex
     val emb = t(s, dir, "embeddings")
@@ -160,10 +161,19 @@ object SimilarityQueries extends QueryPack {
       .groupBy(col("f_id"))
       .agg(TopKByScore(1)(col("margin"), col("e_id")).as("best"))
       .select(col("f_id"), element_at(col("best.id"), 1).as("idx_e"))
-    val exact = bitextExactCached(s, dir)
-      .select(col("f_id"), col("e_id").as("exact_e"))
     fr.select(col("doc_id").as("f_id"), col("lang").as("f_lang"))
       .join(best, Seq("f_id"), "left")
+  }
+
+  /** [[bitextAgreement]] with the index geometry (cell count / probe
+    * width) supplied by the caller — the corpus decides how many probes
+    * a recall contract needs, so specs exercise other geometries on
+    * other corpora through the SAME miner code. */
+  private[graft] def bitextAgreement(s: SparkSession, dir: String,
+      ivf: graft.ml.IvfIndex): DataFrame = {
+    val exact = bitextExactCached(s, dir)
+      .select(col("f_id"), col("e_id").as("exact_e"))
+    bitextMineIndexed(s, dir, ivf)
       .join(exact, Seq("f_id"), "left")
       .withColumn("agree",
         coalesce(col("idx_e") === col("exact_e"), lit(false)))
