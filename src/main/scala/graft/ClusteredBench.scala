@@ -39,8 +39,18 @@ object ClusteredBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").isFile)
+    // reuse is keyed on the GENERATION PARAMS, not bare existence — a
+    // re-run with different nClusters/perCluster must regenerate, or the
+    // published JSON row would report the new args over the old corpus
+    val marker = new java.io.File(dir, "corpus-params.txt")
+    val params = s"$nClusters $perCluster"
+    val fresh = new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").isFile &&
+      marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim == params
+    if (!fresh) {
       ClusteredCorpus.write(spark, dir, nClusters, perCluster)
+      java.nio.file.Files.write(marker.toPath, params.getBytes("UTF-8"))
+    }
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
 
     def timed[A](body: => A): (A, Double) = {
@@ -61,22 +71,25 @@ object ClusteredBench {
       s"$dir/embeddings.parquet", "vec_id", "embedding").assigned.count())
 
     // per-run mining passes — warm both once (codegen + scan caches),
-    // then time the second run, matching Bench's warmup discipline
-    def runIndexed(): Long =
-      force(SimilarityQueries.bitextMineIndexed(spark, dir, cal.ivf))
-    def runExact(): Long =
-      force(SimilarityQueries.bitextMineExact(spark, dir))
-    runIndexed(); runExact()
+    // then time the second run, matching Bench's warmup discipline. The
+    // timed runs PIN their pick frames (localCheckpoint inside the timed
+    // region — materialization is part of the measured cost, same as
+    // toRdd.count would be) so the agreement join below reuses them
+    // instead of paying a third full mining pass per spelling.
+    force(SimilarityQueries.bitextMineIndexed(spark, dir, cal.ivf))
+    force(SimilarityQueries.bitextMineExact(spark, dir))
     spark.catalog.clearCache(); System.gc()
-    val (nIdx, tIndexed) = timed(runIndexed())
+    val (idx, tIndexed) = timed(
+      SimilarityQueries.bitextMineIndexed(spark, dir, cal.ivf)
+        .select(col("f_id"), col("idx_e")).localCheckpoint())
     spark.catalog.clearCache(); System.gc()
-    val (nExact, tExact) = timed(runExact())
+    val (exact, tExact) = timed(
+      SimilarityQueries.bitextMineExact(spark, dir)
+        .select(col("f_id"), col("e_id").as("exact_e")).localCheckpoint())
+    val nIdx = idx.count()
+    val nExact = exact.count()
 
     // agreement between the two miners' picks on THIS corpus
-    val idx = SimilarityQueries.bitextMineIndexed(spark, dir, cal.ivf)
-      .select(col("f_id"), col("idx_e"))
-    val exact = SimilarityQueries.bitextMineExact(spark, dir)
-      .select(col("f_id"), col("e_id").as("exact_e"))
     val cmp = idx.join(exact, Seq("f_id"), "full").localCheckpoint()
     val total = cmp.count()
     val agreeing = cmp.filter(col("idx_e") === col("exact_e")).count()

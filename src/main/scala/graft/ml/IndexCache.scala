@@ -51,20 +51,43 @@ private[ml] object IndexCache {
     * encode ONLY `newFiles` against the published index's frozen
     * quantizer and write the grown index to `stagingDir` — instead of
     * `buildInto`. Pass `appendInto = null` to always rebuild. */
+  /** Data files of a source dir, hidden files excluded: _SUCCESS / .crc
+    * sidecars are invisible to Spark's parquet reader, so they must be
+    * invisible to the fingerprint too — otherwise a rewritten _SUCCESS
+    * marker would mask a pure-append grow. */
+  private def dataFiles(sourcePath: String): Seq[java.io.File] = {
+    val dir = new java.io.File(sourcePath)
+    Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq(dir))
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+  }
+
+  private def entriesOf(srcFiles: Seq[java.io.File]): Seq[String] =
+    srcFiles.map(f => s"${f.getName}:${f.length}:${f.lastModified}:${headCrc(f)}")
+
+  /** Content fingerprint of a source directory — the same key the index
+    * cache publishes under. Cheap (driver FS listing + head CRCs, no
+    * Spark job); exposed so content-sensitive memos ([[IvfGeometry]])
+    * can key on WHAT the corpus holds, not just where it lives — a
+    * corpus rewritten at the same path must never be served another
+    * corpus's cached derivation. */
+  private[ml] def sourceFingerprint(sourcePath: String): String = {
+    val srcFiles = dataFiles(sourcePath)
+    keyOf(sourcePath, srcFiles, entriesOf(srcFiles))
+  }
+
+  private def keyOf(sourcePath: String, srcFiles: Seq[java.io.File],
+      entries: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((s"$sourcePath|n=${srcFiles.size}" +: entries).mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   def openOrBuildIncremental(sourcePath: String, paramsFingerprint: String,
       cacheRoot: String, successRel: String)(buildInto: String => Unit)(
       appendInto: (String, Seq[String], String) => Unit): String = {
-    val dir = new java.io.File(sourcePath)
-    // hidden files (_SUCCESS, .crc sidecars) are invisible to Spark's
-    // parquet reader, so they must be invisible to the fingerprint too —
-    // otherwise a rewritten _SUCCESS marker would mask a pure-append grow
-    val srcFiles = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq(dir))
-      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .sortBy(_.getName)
-    val entries = srcFiles.map(f => s"${f.getName}:${f.length}:${f.lastModified}:${headCrc(f)}")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((s"$sourcePath|n=${srcFiles.size}" +: entries).mkString("|").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    val srcFiles = dataFiles(sourcePath)
+    val entries = entriesOf(srcFiles)
+    val key = keyOf(sourcePath, srcFiles, entries)
     val path = s"$cacheRoot/$key-$paramsFingerprint"
     val target = new java.io.File(path)
     if (!new java.io.File(target, successRel).isFile) {

@@ -58,9 +58,12 @@ object IvfGeometry {
    */
   final case class Contract(k: Int, targetRecall: Double, nAnchors: Int = 128) {
     require(k >= 1 && targetRecall > 0 && targetRecall <= 1 && nAnchors >= 1)
-    /** Path-safe key of the contract for the persisted sidecar. */
+    /** Path-safe key of the contract for the persisted sidecar. The
+      * trailing token versions the CALIBRATION ALGORITHM (anchor rule,
+      * sweep) — bumping it orphans stale sidecars instead of serving a
+      * width measured under a different sampling scheme. */
     def fingerprint: String =
-      s"k$k-r${math.round(targetRecall * 1000)}-a$nAnchors"
+      s"k$k-r${math.round(targetRecall * 1000)}-a$nAnchors-v2"
   }
 
   /** A calibration result: the corpus-sized index plus the measured
@@ -70,11 +73,17 @@ object IvfGeometry {
     def probeFraction: Double = ivf.nProbe.toDouble / ivf.nCentroids
   }
 
-  /** Session memo: one calibration per (corpus path, contract, root).
-    * Values are tiny (a geometry + one double); the build cost lands in
-    * the bench sidecar under `_shared_build:ann_geometry`. */
+  /** Session memo: one calibration per (corpus CONTENT, contract, root).
+    * The key carries [[IndexCache.sourceFingerprint]] — a corpus
+    * rewritten at the same path within one session (the store's
+    * mutate-then-`buildIndex` refresh workflow overwrites its snapshot
+    * dump in place) must recalibrate, never be served the old corpus's
+    * geometry. The fingerprint is a driver-side FS listing + head CRCs,
+    * so a memo hit stays job-free. Values are tiny (a geometry + one
+    * double); the build cost lands in the bench sidecar under
+    * `_shared_build:ann_geometry`. */
   private val memo =
-    new graft.util.SessionCache[(String, Contract, String), Calibrated](
+    new graft.util.SessionCache[(String, String, Contract, String), Calibrated](
       buildName = Some("ann_geometry"))
 
   /** The calibrated corpus-sized index for `sourcePath` — the entry
@@ -84,7 +93,8 @@ object IvfGeometry {
   def calibrated(spark: SparkSession, sourcePath: String, idCol: String,
       embCol: String, contract: Contract,
       cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf"): Calibrated =
-    memo.getOrElseUpdate(spark, (sourcePath, contract, cacheRoot))(
+    memo.getOrElseUpdate(spark,
+      (sourcePath, IndexCache.sourceFingerprint(sourcePath), contract, cacheRoot))(
       resolve(spark, sourcePath, idCol, embCol, contract, cacheRoot))
 
   /** [[calibrated]] returning just the index. */
@@ -128,20 +138,33 @@ object IvfGeometry {
   private def calibrate(spark: SparkSession, built: IvfIndex.Built,
       corpus: DataFrame, idCol: String, embCol: String, c: Int,
       contract: Contract): Calibrated = {
+    // zero-norm vectors are structurally excluded from the index
+    // (IvfIndex.prepare drops them) and their cosine is NaN — an exact
+    // oracle that kept one would poison its top-k buffer and cap
+    // measured recall below any target, breaking the "exhaustive probe
+    // passes" termination guarantee. Calibrate over the searchable
+    // corpus only.
+    val searchable = corpus
+      .filter(graft.functions.VectorFunctions.l2Norm(col(embCol)) > 0)
     // anchor sample: hash-strided so anchors spread over the id space
     // (a head-of-ids sample would sit inside one cluster of a clustered
     // corpus and calibrate on unrepresentative geometry), deterministic
-    // (Murmur3 fixed seed + id order), bounded at nAnchors rows
-    val n = corpus.count()
-    val stride = math.max(1L, n / (2L * contract.nAnchors))
-    val anchors = corpus
+    // (Murmur3 fixed seed + id order), bounded at nAnchors rows. The
+    // stride targets ~nAnchors expected survivors ACROSS THE WHOLE id
+    // range, so the hard-bound limit trims only a small high-id tail —
+    // a wider stride (2x anchors) would make the limit cut the top HALF
+    // of the id space out of the sample.
+    val n = searchable.count()
+    val stride = math.max(1L, n / contract.nAnchors)
+    val anchors = searchable
       .filter(pmod(hash(col(idCol)), lit(stride)) === 0)
       .orderBy(col(idCol)).limit(contract.nAnchors)
       .localCheckpoint()
     // anchors broadcast: the probe side is the corpus scan, never a
     // cartesian (QueriesSmokeSpec's no-CartesianProduct invariant holds
-    // inside calibration too)
-    val exact = corpus
+    // inside calibration too). Neighbor side is the searchable corpus —
+    // the zero-norm exclusion above applies to BOTH sides of the oracle.
+    val exact = searchable
       .select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
       .crossJoin(broadcast(anchors
         .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))))

@@ -192,8 +192,9 @@ class MerkonStore(spark: SparkSession) {
    */
   def buildIndex(name: String, nCentroids: Int = 0, nProbe: Int = 0,
       dir: String = sys.props("java.io.tmpdir") + "/graft-store-index"): Unit = {
-    require((nCentroids > 0) == (nProbe > 0),
-      "pass both nCentroids and nProbe, or neither (0/0 = derive from the collection)")
+    require(nCentroids >= 0 && nProbe >= 0 && (nCentroids > 0) == (nProbe > 0),
+      "pass both nCentroids and nProbe (> 0), or neither " +
+        "(0/0, the default = derive corpus-sized geometry)")
     val dump = s"$dir/${pathSafe(name)}"
     purgeEmptyKeys(current(name))
       .filter(col("embedding").isNotNull)
@@ -342,13 +343,18 @@ class MerkonStore(spark: SparkSession) {
       // the same resolution MerkonCatalog.loadTable applies. A
       // manifest-listed collection whose directory is MISSING entirely
       // is the same failure class (one lost dir must not break loading
-      // the whole store): it takes the dataless branch too, binding the
-      // sidecar schema when one survives and the record schema otherwise.
+      // the whole store) FOR EVERY FORMAT: it takes the dataless branch
+      // too, binding the sidecar schema when one survives and the record
+      // schema otherwise. json/csv dirs that exist load through their
+      // reader (the imposed schema makes an empty dir a valid empty
+      // frame); only parquet needs the data-file check, because schema
+      // inference over a dataless dir throws.
       val p = new org.apache.hadoop.fs.Path(path)
-      val hasData = format != "parquet" ||
-        (fs.exists(p) && fs.listStatus(p).exists(st => st.isFile &&
-          !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith(".")))
+      val hasData = fs.exists(p) &&
+        (format != "parquet" ||
+          fs.listStatus(p).exists(st => st.isFile &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")))
       collections(n) =
         if (hasData) {
           val reader = spark.read.format(format)
