@@ -49,6 +49,28 @@ object IvfGeometry {
   def centroidsFor(n: Long): Int =
     math.max(MinCentroids, math.floor(math.sqrt(n.toDouble) + 0.5).toInt)
 
+  /** KMeans wants ~this many training points per centroid before a
+    * codebook stops overfitting its sample (the published faiss
+    * clustering guidance — below it, warn-and-subsample territory). */
+  val TrainPointsPerCentroid = 39
+
+  /** Corpus-sized PQ codebook width: the standard 8-bit codebooks (256
+    * centroids/subspace — byte-aligned codes, finer quantization) once
+    * the per-subspace training set supports them at
+    * [[TrainPointsPerCentroid]], else the small-corpus 16 (4-bit). The
+    * same sized-FROM-the-corpus discipline as [[centroidsFor]], applied
+    * to the other quantizer: a fixture-tuned 16 would stay coarse
+    * forever at 100 TB, wasting the ADC scan's re-rank budget on
+    * quantization error. */
+  def codebookFor(n: Long): Int =
+    if (n >= 256L * TrainPointsPerCentroid) 256 else 16
+
+  /** Subspace count from the embedding dimension: 8-dim subvectors
+    * (m = dim/8 → one byte per subspace at 256-wide codebooks, the
+    * standard PQ compression point), floored at 1 and capped at dim. */
+  def subspacesFor(dim: Int): Int =
+    math.max(1, math.min(dim, dim / 8))
+
   /**
    * A recall contract the calibrated probe width must meet: recall@k on
    * the anchor sample >= targetRecall. For a FILTERED consumer (allow-list

@@ -111,6 +111,17 @@ object AnnQueries extends QueryPack {
   /** k=3 under the ~90%-selective label-complement filter. */
   private[graft] val HardNeg3 = IvfGeometry.Contract(4, 0.95)
 
+  /** Corpus-sized PQ shape: subspace count from the embedding dimension
+    * (8-dim subvectors), codebook width from the training-set bound —
+    * 16 below 256×39 rows, the standard 256 (8-bit codes) above it.
+    * The fixtures stay at (8, 16); the rule is what a 100 TB corpus
+    * would size to, pinned by IvfGeometrySpec's 256-branch build. */
+  private def pqShape(s: SparkSession, dir: String): (Int, Int) = {
+    val emb = t(s, dir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    (IvfGeometry.subspacesFor(dim), IvfGeometry.codebookFor(emb.count()))
+  }
+
   /** Exact brute-force cosine pairs at threshold — the oracle-checkable
     * skeleton shared by ann_cosine_pairs / ann_semantic_dedup (same
     * spelling as the fenced dedup_embedding_pairs_bruteforce). */
@@ -309,7 +320,8 @@ object AnnQueries extends QueryPack {
     // the index job; openOrBuild loads the persisted code table here.
     "ann_pq_knn" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val pq = new PqIndex(m = 8, kCentroids = 16)
+      val (m, kc) = pqShape(s, dir)
+      val pq = new PqIndex(m = m, kCentroids = kc)
       val built = PqIndex.openOrBuild(s, pq, s"$dir/embeddings.parquet",
         "vec_id", "embedding")
       val approx = pq.search(built, emb.filter(col("vec_id") < 20),
@@ -325,10 +337,12 @@ object AnnQueries extends QueryPack {
       val emb = t(s, dir, "embeddings")
       // IVF geometry from the same knn3 calibration (the PQ error is
       // absorbed by the 192-wide ADC shortlist + exact re-rank, so the
-      // coarse-quantizer operating point carries over)
+      // coarse-quantizer operating point carries over); PQ shape from
+      // the dim/training-bound rule
       val g = geo(s, dir, Knn3)
+      val (m, kc) = pqShape(s, dir)
       val ivfpq = new IvfPqIndex(nCentroids = g.nCentroids, nProbe = g.nProbe,
-        m = 8, kCentroids = 16)
+        m = m, kCentroids = kc)
       val built = IvfPqIndex.openOrBuild(s, ivfpq, s"$dir/embeddings.parquet",
         "vec_id", "embedding")
       val approx = ivfpq.search(built, emb.filter(col("vec_id") < 20),
@@ -553,14 +567,15 @@ object AnnQueries extends QueryPack {
           "vec_id", "embedding"), q, "vec_id", "embedding", k)
         .select(lit("ivf").as("method"), col("q_id"), col("neighbor_id"),
           lit(1).as("hit"))
-      val pqIdx = new PqIndex(m = 8, kCentroids = 16)
+      val (mSub, kCode) = pqShape(s, dir)
+      val pqIdx = new PqIndex(m = mSub, kCentroids = kCode)
       val pq = pqIdx
         .search(PqIndex.openOrBuild(s, pqIdx, s"$dir/embeddings.parquet",
           "vec_id", "embedding"), q, "vec_id", "embedding", k)
         .select(lit("pq").as("method"), col("q_id"), col("neighbor_id"),
           lit(1).as("hit"))
       val ivfpqIdx = new IvfPqIndex(nCentroids = ivfIdx.nCentroids,
-        nProbe = ivfIdx.nProbe, m = 8, kCentroids = 16)
+        nProbe = ivfIdx.nProbe, m = mSub, kCentroids = kCode)
       val ivfpq = ivfpqIdx
         .search(IvfPqIndex.openOrBuild(s, ivfpqIdx, s"$dir/embeddings.parquet",
           "vec_id", "embedding"), q, "vec_id", "embedding", k)

@@ -69,6 +69,48 @@ class IvfGeometrySpec extends AnyFunSuite with SparkTestBase {
     assert(first.ivf.nProbe != 2 || first.measuredRecall != 0.5)
   }
 
+  test("PQ shape rule: 8-dim subspaces; 8-bit codebooks once the training bound allows") {
+    assert(IvfGeometry.subspacesFor(64) == 8)
+    assert(IvfGeometry.subspacesFor(768) == 96)
+    assert(IvfGeometry.subspacesFor(4) == 1)   // tiny dim: one subspace
+    assert(IvfGeometry.codebookFor(0) == 16)
+    assert(IvfGeometry.codebookFor(256L * 39 - 1) == 16)  // below the bound
+    assert(IvfGeometry.codebookFor(256L * 39) == 256)
+    assert(IvfGeometry.codebookFor(40000) == 256)
+  }
+
+  test("the 256-codebook branch holds the PQ recall contract on a 10k corpus") {
+    // the registered queries only exercise the 16-wide branch at fixture
+    // SFs — build the 8-bit codebooks ONCE on a corpus just past the
+    // training bound and pin recall@3 >= 0.9 vs exact, so the rule's
+    // scale branch is a measured contract, not an untested constant
+    val dir = scratchDir("graft-geo-pq256")
+    graft.ClusteredCorpus.write(spark, dir, nClusters = 100, perCluster = 100)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    assert(IvfGeometry.codebookFor(n) == 256)
+    val pq = new PqIndex(m = IvfGeometry.subspacesFor(64),
+      kCentroids = IvfGeometry.codebookFor(n))
+    val built = pq.build(spark, emb, "vec_id", "embedding")
+    import org.apache.spark.sql.functions._
+    val q = emb.filter(col("vec_id") % 500 === 0).localCheckpoint() // 20 spread anchors
+    val approx = pq.search(built, q, "vec_id", "embedding", 3)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = emb.crossJoin(broadcast(q.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.VectorFunctions.cosineSim(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"256-codebook PQ recall@3 on 10k rows: $recall%.3f")
+    assert(recall >= 0.9, s"8-bit-codebook recall $recall below contract")
+  }
+
   test("a clustered corpus calibrates to a SMALL probe fraction under the same contract") {
     val dir = scratchDir("graft-geo-clustered")
     graft.ClusteredCorpus.write(spark, dir, nClusters = 16, perCluster = 40)
