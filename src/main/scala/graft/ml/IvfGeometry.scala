@@ -165,9 +165,18 @@ object IvfGeometry {
     // oracle that kept one would poison its top-k buffer and cap
     // measured recall below any target, breaking the "exhaustive probe
     // passes" termination guarantee. Calibrate over the searchable
-    // corpus only.
+    // corpus only. Ids go through a DETERMINISTIC LONG SURROGATE
+    // (xxhash64): the bounded top-k aggregator is long-keyed, and the
+    // store's collections carry STRING keys (the reference's shape) —
+    // recall is id-representation-agnostic, and a 64-bit collision
+    // (~n²/2⁶⁵) would only perturb one anchor's measured recall.
     val searchable = corpus
       .filter(graft.functions.VectorFunctions.l2Norm(col(embCol)) > 0)
+      .withColumn("__gid", xxhash64(col(idCol)))
+    val builtS = IvfIndex.Built(
+      built.assigned.withColumn("id", xxhash64(col("id"))),
+      built.centroids,
+      built.tombstones.map(_.withColumn("id", xxhash64(col("id")))))
     // anchor sample: hash-strided so anchors spread over the id space
     // (a head-of-ids sample would sit inside one cluster of a clustered
     // corpus and calibrate on unrepresentative geometry), deterministic
@@ -187,9 +196,9 @@ object IvfGeometry {
     // inside calibration too). Neighbor side is the searchable corpus —
     // the zero-norm exclusion above applies to BOTH sides of the oracle.
     val exact = searchable
-      .select(col(idCol).as("n_id"), col(embCol).as("n_emb"))
+      .select(col("__gid").as("n_id"), col(embCol).as("n_emb"))
       .crossJoin(broadcast(anchors
-        .select(col(idCol).as("q_id"), col(embCol).as("q_emb"))))
+        .select(col("__gid").as("q_id"), col(embCol).as("q_emb"))))
       .select(col("q_id"), col("n_id"),
         cosineSim(col("q_emb"), col("n_emb")).as("cos"))
       .groupBy(col("q_id"))
@@ -198,7 +207,7 @@ object IvfGeometry {
       .localCheckpoint()
     val exactCount = exact.count().toDouble
     def recallAt(p: Int): Double = {
-      val approx = new IvfIndex(c, p).search(built, anchors, idCol, embCol,
+      val approx = new IvfIndex(c, p).search(builtS, anchors, "__gid", embCol,
           contract.k)
         .select(col("q_id"), col("neighbor_id"))
       exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")

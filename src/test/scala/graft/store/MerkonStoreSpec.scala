@@ -309,6 +309,30 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
     } finally graft.plans.AnnIndexRegistry.clear()
   }
 
+  test("buildIndex default derives corpus-sized geometry (r13) and still serves recall >= 0.9") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val st = newStore
+    try {
+      val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      st.upsertBatch("vecs_auto", corpus.select(
+        concat(lit("k"), col("vec_id")).as("key"), col("embedding")))
+      st.buildIndex("vecs_auto") // 0/0 defaults -> sqrt-N cells, calibrated probe
+      val qv = corpus.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val exact = st.getNearestMatches("vecs_auto", qv, 10)
+        .select("key").collect().map(_.getString(0)).toSet
+      val indexed = st.getNearestMatches("vecs_auto", qv, 10, useIndex = true)
+        .select("key").collect().map(_.getString(0))
+      assert(indexed.length == 10)
+      val recall = indexed.count(exact).toDouble / exact.size
+      info(f"derived-geometry store index recall@10: $recall%.2f")
+      assert(recall >= 0.9)
+      // single-param calls must fail loudly, not silently half-derive
+      intercept[IllegalArgumentException](st.buildIndex("vecs_auto", nCentroids = 32))
+      intercept[IllegalArgumentException](st.buildIndex("vecs_auto", nProbe = -1))
+    } finally graft.plans.AnnIndexRegistry.clear()
+  }
+
   test("streamingUpsert freshness: a streamed vector is visible to the next getNearestMatches") {
     // the reference's single-heap store makes this trivially true; the
     // Spark store must give the same contract — ingest landed by the
