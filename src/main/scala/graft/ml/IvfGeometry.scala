@@ -12,9 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * amortizes at scale. This object is the production rule that sizes the
  * index FROM the corpus:
  *
- *  - `nCentroids = max(8, round(sqrt(N)))` — the standard IVF sizing
- *    (cells grow with the corpus, per-cell candidate volume stays
- *    ~sqrt(N), so probed work per query grows sub-linearly);
+ *  - `nCentroids` = the sqrt(N) IVF sizing (cells grow with the corpus,
+ *    per-cell candidate volume stays ~sqrt(N), so probed work per query
+ *    grows sub-linearly), BANDED to powers of two and CLAMPED to at
+ *    least [[MinRowsPerCell]] rows per cell — see [[centroidsFor]] for
+ *    why both of the literal rule's failure modes (per-ingest rebuild
+ *    cadence at scale, routing overhead at fixture scale) need it;
  *  - `nProbe` = the smallest probe width whose MEASURED recall@k on a
  *    deterministic anchor sample meets the caller's contract — the
  *    published index-autotuning practice (pick the operating point on
@@ -42,12 +45,52 @@ object IvfGeometry {
 
   val MinCentroids = 8
 
-  /** The sqrt-N coarse-quantizer sizing, floored at [[MinCentroids]].
-    * round(sqrt(N)) is spelled floor(x + 0.5) — the same half-up the
-    * DuckDB oracle's `round()` computes, so an oracle that derives the
-    * geometry from the same parquet agrees exactly. */
-  def centroidsFor(n: Long): Int =
-    math.max(MinCentroids, math.floor(math.sqrt(n.toDouble) + 0.5).toInt)
+  /** A cell must hold enough rows to amortize its own existence: opening
+    * a cell directory (file handle, parquet footer, task schedule) costs
+    * roughly as much as scanning a few hundred rows, so a quantizer whose
+    * cells are thinner than this pays more in routing/partition overhead
+    * than the pruning returns — the measured r13 fixture regression
+    * (sqrt(2000) = 45 cells of ~44 rows doubled the `ann_indexed_*`
+    * walls). The clamp binds below N = MinRowsPerCell² = 65,536 rows and
+    * is inert at scale, where sqrt(N) cells hold ~sqrt(N) >= 256 rows. */
+  val MinRowsPerCell = 256
+
+  /**
+   * The banded corpus-sized coarse-quantizer sizing (r14, replacing the
+   * literal `round(sqrt(N))` of r13): the target cell count is
+   * `min(sqrt(N), N / MinRowsPerCell)` — sqrt-N IVF sizing with the
+   * small-corpus clamp above — QUANTIZED to the nearest power of two
+   * (round-half-up in log space: bump while target >= c*sqrt(2)), floored
+   * at [[MinCentroids]].
+   *
+   * The power-of-two band is the growth hysteresis that keeps the APPEND
+   * path reachable under ingest: `c` is constant while N moves inside a
+   * ~4x band (sqrt regime; ~2x in the clamp regime), so a grown corpus
+   * resolves to the SAME index params and [[IvfIndex.openOrBuildPath]]
+   * rides `IndexCache`'s manifest-subset append (frozen centroids, no
+   * KMeans re-fit) — only the cheap nProbe sidecar recalibrates. The
+   * literal sqrt rule re-keyed the cache every ~2/sqrt(N) of relative
+   * growth (at 10^9 rows, every ~0.006% of ingest), degenerating the
+   * index job into a perpetual re-fit. A band-crossing growth (or any
+   * changed/removed source file) still rebuilds — append never serves a
+   * quantizer the corpus outgrew. GeometryGrowthSpec pins all three
+   * behaviors.
+   *
+   * Determinism across engines: the bump condition `target >= c*sqrt(2)`
+   * is evaluated as `target² >= 2c²`, where `target² =
+   * min(N, (N/MinRowsPerCell)²)` is EXACT in doubles (an integer, or the
+   * square of a dyadic rational) — no square roots or logarithms whose
+   * last-ulp rounding could disagree with the DuckDB oracle's derivation
+   * (`8 * 2^max(0, floor((log2(t2) - 5) / 2))`, exact at every integer
+   * band boundary because t2 is exact).
+   */
+  def centroidsFor(n: Long): Int = {
+    val nd = n.toDouble
+    val t2 = math.min(nd, (nd / MinRowsPerCell) * (nd / MinRowsPerCell))
+    var c = MinCentroids.toLong
+    while (2.0 * c * c <= t2 && c < (1L << 30)) c *= 2
+    c.toInt
+  }
 
   /** KMeans wants ~this many training points per centroid before a
     * codebook stops overfitting its sample (the published faiss
@@ -127,16 +170,37 @@ object IvfGeometry {
   private def resolve(spark: SparkSession, sourcePath: String, idCol: String,
       embCol: String, contract: Contract, cacheRoot: String): Calibrated = {
     val corpus = spark.read.parquet(sourcePath)
-    val c = centroidsFor(corpus.count())
+    // size from (and guard on) the SEARCHABLE corpus — zero-norm vectors
+    // are structurally excluded from the index (IvfIndex.prepare drops
+    // them), so they must not inflate the cell count either; a corpus
+    // with nothing searchable must fail here with the real cause, not
+    // inside the KMeans fit or as a NaN-recall sidecar after a full sweep
+    val searchableN = corpus
+      .filter(graft.functions.VectorFunctions.l2Norm(col(embCol)) > 0)
+      .count()
+    require(searchableN > 0, s"cannot calibrate IVF geometry over " +
+      s"'$sourcePath': corpus has no searchable (non-zero-norm) vectors")
+    val c = centroidsFor(searchableN)
     val indexPath = IvfIndex.openOrBuildPath(spark, new IvfIndex(c, 1),
       sourcePath, idCol, embCol, cacheRoot)
     val sidecar = new java.io.File(indexPath, s"nprobe-${contract.fingerprint}")
-    if (sidecar.isFile) {
-      val Array(p, r) = new String(
-        java.nio.file.Files.readAllBytes(sidecar.toPath), "UTF-8")
-        .trim.split(' ')
-      Calibrated(new IvfIndex(c, p.toInt), r.toDouble)
-    } else {
+    // a truncated/foreign sidecar (killed writer outside the atomic-move
+    // window, stray bytes) must fall back to recalibration — rewriting
+    // the file below — never crash every future query on this index with
+    // a bare MatchError. Validity is structural: an in-range width and a
+    // real measured recall.
+    val fromSidecar =
+      if (!sidecar.isFile) None
+      else scala.util.Try {
+        val Array(p, r) = new String(
+          java.nio.file.Files.readAllBytes(sidecar.toPath), "UTF-8")
+          .trim.split(' ')
+        (p.toInt, r.toDouble)
+      }.toOption.collect {
+        case (p, r) if p >= 1 && p <= c && !r.isNaN =>
+          Calibrated(new IvfIndex(c, p), r)
+      }
+    fromSidecar.getOrElse {
       val out = calibrate(spark, IvfIndex.load(spark, indexPath), corpus,
         idCol, embCol, c, contract)
       // publish atomically: a concurrent calibrator computes the same
@@ -186,6 +250,11 @@ object IvfGeometry {
     // a wider stride (2x anchors) would make the limit cut the top HALF
     // of the id space out of the sample.
     val n = searchable.count()
+    // an empty (or all-zero-norm) corpus has no exact oracle rows, so
+    // recallAt would divide by zero and the sweep would burn O(log c)
+    // probes to persist a NaN sidecar — fail fast with the actual cause
+    require(n > 0, "cannot calibrate IVF geometry: corpus has no " +
+      "searchable (non-zero-norm) vectors")
     val stride = math.max(1L, n / contract.nAnchors)
     val anchors = searchable
       .filter(pmod(hash(col(idCol)), lit(stride)) === 0)

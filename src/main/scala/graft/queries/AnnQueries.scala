@@ -198,9 +198,10 @@ object AnnQueries extends QueryPack {
     // The keep-rule and tombstone interaction stay pinned by
     // IndexAppendSpec.
     "ann_semantic_dedup" -> ((s, dir) => {
-      // cells only (no probe): sqrt(N) cells keep the per-cell pair
-      // fan-out bound constant as the corpus grows — the SemDeDup scale
-      // contract spelled in IvfIndex.semanticDedup's scaladoc
+      // cells only (no probe): corpus-sized cells (banded ~sqrt(N)) keep
+      // the per-cell pair fan-out bounded as the corpus grows — the
+      // SemDeDup scale contract spelled in IvfIndex.semanticDedup's
+      // scaladoc
       val ivf = new IvfIndex(
         IvfGeometry.centroidsFor(t(s, dir, "embeddings").count()), 1)
       val built = IvfIndex.openOrBuild(s, ivf, s"$dir/embeddings.parquet",
@@ -514,8 +515,9 @@ object AnnQueries extends QueryPack {
     // The nProbe tuning sweep — the curve an operator reads before
     // setting an IVF index's probe budget: mean recall vs exact top-3
     // at nProbe c/8, c/4, c/2, c over the corpus-sized c-cell index
-    // (c = max(8, round(sqrt(N))) — the oracle derives the same levels
-    // from the same parquet's row count). Two invariants are
+    // (c = IvfGeometry.centroidsFor: pow2-banded min(sqrt(N), N/256) —
+    // the oracle derives the same levels from the same parquet's row
+    // count via the exact-t2 closed form). Two invariants are
     // STRUCTURAL, so the verdict rows are deterministic: recall is
     // non-decreasing in nProbe (the candidate set only grows), and at
     // nProbe == nCentroids the probe is exhaustive, so recall is exactly
@@ -634,18 +636,25 @@ object AnnQueries extends QueryPack {
            |WHERE $cos >= 0.35
            |ORDER BY q_id, score DESC, neighbor_id""".stripMargin
       },
-      // the sweep levels derive from the corpus-sized cell count
-      // c = max(8, round(sqrt(N))) — computable from the same parquet,
-      // so the skeleton needs no engine-side constant
+      // the sweep levels derive from the corpus-sized cell count —
+      // IvfGeometry.centroidsFor's banded rule, computable from the same
+      // parquet: t2 = min(N, (N/256)²) is EXACT in doubles, so the
+      // closed-form band index floor((log2(t2) - 5) / 2) agrees with the
+      // engine's integer doubling loop at every boundary
       "ann_nprobe_sweep" ->
         """WITH g AS (
-          |  SELECT greatest(8, CAST(round(sqrt(count(*))) AS INTEGER)) AS c
+          |  SELECT least(CAST(count(*) AS DOUBLE),
+          |               power(count(*) / 256.0, 2)) AS t2
           |  FROM embeddings
+          |), cc AS (
+          |  SELECT CAST(8 * power(2, greatest(0, floor((log2(t2) - 5) / 2)))
+          |              AS INTEGER) AS c
+          |  FROM g
           |)
           |SELECT CAST(p AS INTEGER) AS n_probe, true AS monotone_ok,
           |  true AS full_exact
           |FROM (SELECT unnest([greatest(1, c // 8), greatest(1, c // 4),
-          |                     greatest(1, c // 2), c]) AS p FROM g)
+          |                     greatest(1, c // 2), c]) AS p FROM cc)
           |ORDER BY n_probe""".stripMargin,
       "ann_recall_audit" ->
         """SELECT m.method, vec_id AS q_id, true AS pass

@@ -96,12 +96,14 @@ class AnnRecallSpec extends AnyFunSuite with SparkTestBase {
     val allowedSet = allowedIds.collect().map(_.getLong(0)).toSet
     // DERIVED geometry (VERDICT r12 ask #6): the same contract the
     // registered filtered query calibrates against — the over-probe dial
-    // (contract k = k_query / selectivity) is validated where nCentroids
-    // is sqrt(N), not the old fixture 8
+    // (contract k = k_query / selectivity) is validated at whatever cell
+    // count the production rule derives (banded + rows-per-cell-clamped
+    // since r14, so the 500-row fixture legitimately sizes to 8)
     val ivf = IvfGeometry.calibratedIvf(spark, s"$sf0_001/embeddings.parquet",
       "vec_id", "embedding", graft.queries.AnnQueries.Filtered3)
     info(s"calibrated geometry c=${ivf.nCentroids} p=${ivf.nProbe}")
-    assert(ivf.nCentroids > 8, "derived geometry expected on the 500-row fixture")
+    assert(ivf.nCentroids == IvfGeometry.centroidsFor(500),
+      "geometry must follow the production sizing rule")
     val built = ivf.build(spark, emb, "vec_id", "embedding")
     val approx = ivf.searchFiltered(built, emb.filter(col("vec_id") < 20),
         "vec_id", "embedding", 3, allowedIds)

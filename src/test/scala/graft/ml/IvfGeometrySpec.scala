@@ -11,13 +11,30 @@ import org.scalatest.funsuite.AnyFunSuite
  */
 class IvfGeometrySpec extends AnyFunSuite with SparkTestBase {
 
-  test("centroidsFor: sqrt-N floored at 8, half-up rounding") {
+  test("centroidsFor: pow2-banded sqrt-N, clamped at 256 rows/cell, floored at 8") {
     assert(IvfGeometry.centroidsFor(0) == 8)
-    assert(IvfGeometry.centroidsFor(64) == 8)   // sqrt = 8 exactly
-    assert(IvfGeometry.centroidsFor(100) == 10)
-    assert(IvfGeometry.centroidsFor(500) == 22)  // sqrt ~ 22.36
-    assert(IvfGeometry.centroidsFor(2000) == 45) // sqrt ~ 44.72
-    assert(IvfGeometry.centroidsFor(1000000) == 1000)
+    assert(IvfGeometry.centroidsFor(64) == 8)
+    // clamp regime (N < 256² = 65536): target = N/256, so the fixture
+    // SFs land back on 8 cells — cell routing doesn't pay under ~3k rows
+    assert(IvfGeometry.centroidsFor(500) == 8)
+    assert(IvfGeometry.centroidsFor(2000) == 8)
+    // band boundary: target² = min(N, (N/256)²) crosses 2·8² = 128
+    // exactly between 2896 and 2897
+    assert(IvfGeometry.centroidsFor(2896) == 8)
+    assert(IvfGeometry.centroidsFor(2897) == 16)
+    assert(IvfGeometry.centroidsFor(20000) == 64)
+    assert(IvfGeometry.centroidsFor(40000) == 128)
+    // clamp handoff point: sqrt(65536) = 65536/256 = 256 (tie bumps)
+    assert(IvfGeometry.centroidsFor(65536) == 256)
+    // sqrt regime: pow2 band around sqrt(N); constant across ~4x growth
+    assert(IvfGeometry.centroidsFor(1000000) == 1024)  // sqrt = 1000
+    assert(IvfGeometry.centroidsFor(2000000) == 1024)  // same band
+    assert(IvfGeometry.centroidsFor(1000000000L) == 32768)
+    // hysteresis contract: pure growth inside a band never re-keys the
+    // quantizer — at 10^9 rows the next re-fit is ~1.1x of ingest away,
+    // not 0.006% (the r13 literal-sqrt cadence)
+    assert(IvfGeometry.centroidsFor(2100000000L) ==
+      IvfGeometry.centroidsFor(1100000000L))
   }
 
   test("calibration meets its contract, is deterministic, and persists its sidecar") {
@@ -27,8 +44,9 @@ class IvfGeometrySpec extends AnyFunSuite with SparkTestBase {
     val rootB = scratchDir("graft-geo-b")
     val a = IvfGeometry.calibrated(spark, src, "vec_id", "embedding",
       contract, rootA)
-    // the contract holds at the chosen width, with sqrt-N cells
-    assert(a.ivf.nCentroids == 22)
+    // the contract holds at the chosen width, with banded corpus-sized
+    // cells (500 rows sits under the rows-per-cell clamp -> 8)
+    assert(a.ivf.nCentroids == IvfGeometry.centroidsFor(500))
     assert(a.measuredRecall >= contract.targetRecall)
     assert(a.ivf.nProbe >= 1 && a.ivf.nProbe <= a.ivf.nCentroids)
     // a sidecar landed inside the published index dir
@@ -67,6 +85,47 @@ class IvfGeometrySpec extends AnyFunSuite with SparkTestBase {
       contract, root)
     assert(second.ivf.nProbe == 2 && second.measuredRecall == 0.5)
     assert(first.ivf.nProbe != 2 || first.measuredRecall != 0.5)
+  }
+
+  test("a corrupt/truncated sidecar recalibrates cleanly instead of crashing") {
+    val contract = IvfGeometry.Contract(3, 0.95, nAnchors = 64)
+    val src = s"$sf0_001/embeddings.parquet"
+    val root = scratchDir("graft-geo-corrupt")
+    val first = IvfGeometry.calibrated(spark, src, "vec_id", "embedding",
+      contract, root)
+    val indexDir = new java.io.File(root).listFiles().head
+    val sidecar = new java.io.File(indexDir, s"nprobe-${contract.fingerprint}")
+    for (garbage <- Seq("", "7", "not numbers at all", "999 0.5", "3 NaN")) {
+      java.nio.file.Files.write(sidecar.toPath, garbage.getBytes("UTF-8"))
+      // a fresh session (no memo) must treat the bad bytes as absent:
+      // recalibrate to the deterministic answer and REWRITE the sidecar
+      val recal = IvfGeometry.calibrated(spark.newSession(), src, "vec_id",
+        "embedding", contract, root)
+      assert(recal.ivf.nProbe == first.ivf.nProbe &&
+        recal.measuredRecall == first.measuredRecall,
+        s"garbage sidecar '$garbage' did not recalibrate to the determined answer")
+      val rewritten = new String(
+        java.nio.file.Files.readAllBytes(sidecar.toPath), "UTF-8")
+      assert(rewritten == s"${first.ivf.nProbe} ${first.measuredRecall}",
+        s"sidecar not healed after garbage '$garbage'")
+    }
+  }
+
+  test("calibration on a corpus with no searchable vectors fails fast and descriptively") {
+    import spark.implicits._
+    val dir = scratchDir("graft-geo-empty")
+    // all-zero-norm vectors: structurally excluded from the index AND
+    // from both sides of the calibration oracle
+    (0L until 20L).map(i => (i, Seq.fill(8)(0.0f)))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val e = intercept[Exception] {
+      IvfGeometry.calibrated(spark, s"$dir/embeddings.parquet", "vec_id",
+        "embedding", IvfGeometry.Contract(3, 0.95, nAnchors = 8),
+        scratchDir("graft-geo-empty-idx"))
+    }
+    assert(e.getMessage != null && e.getMessage.contains("searchable"),
+      s"expected the descriptive no-searchable-vectors error, got: $e")
   }
 
   test("PQ shape rule: 8-dim subspaces; 8-bit codebooks once the training bound allows") {
@@ -120,7 +179,7 @@ class IvfGeometrySpec extends AnyFunSuite with SparkTestBase {
       "vec_id", "embedding", contract, root)
     info(f"clustered: c=${cal.ivf.nCentroids} p=${cal.ivf.nProbe} " +
       f"fraction=${cal.probeFraction}%.3f recall=${cal.measuredRecall}%.3f")
-    assert(cal.ivf.nCentroids == IvfGeometry.centroidsFor(16L * 40)) // 25
+    assert(cal.ivf.nCentroids == IvfGeometry.centroidsFor(16L * 40)) // 8 (clamped)
     assert(cal.measuredRecall >= contract.targetRecall)
     // THE scale pin: where the uniform fixture needs most of its cells
     // (no structure to exploit), tight clusters confine each query's
