@@ -27,8 +27,8 @@ import org.apache.spark.sql.functions._
  * Recall ≥ 0.9 vs brute force pinned by AnnRecallSpec and visible via
  * ann_recall_audit.
  */
-class IvfPqIndex(nCentroids: Int = 8, nProbe: Int = 5,
-    m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
+class IvfPqIndex(val nCentroids: Int = 8, val nProbe: Int = 5,
+    val m: Int = 8, val kCentroids: Int = 16, seed: Long = 42L) {
 
   private[ml] val ivf = new IvfIndex(nCentroids, nProbe, seed)
   private[ml] val pq = new PqIndex(m, kCentroids, seed)
@@ -191,8 +191,21 @@ object IvfPqIndex {
       sourcePath: String,
       idCol: String,
       embCol: String,
-      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivfpq"): Built = {
-    val path = IndexCache.openOrBuildIncremental(sourcePath, ivfpq.fingerprint,
+      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivfpq"): Built =
+    load(spark, openOrBuildPath(spark, ivfpq, sourcePath, idCol, embCol,
+      cacheRoot))
+
+  /** [[openOrBuild]] returning the PUBLISHED index directory — what
+    * [[graft.plans.AnnIndexRegistry]] records so the family-picking
+    * rewrite can serve the codes-table scan from it. */
+  def openOrBuildPath(
+      spark: SparkSession,
+      ivfpq: IvfPqIndex,
+      sourcePath: String,
+      idCol: String,
+      embCol: String,
+      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivfpq"): String =
+    IndexCache.openOrBuildIncremental(sourcePath, ivfpq.fingerprint,
       cacheRoot, "codedCell/_SUCCESS") { staging =>
       save(ivfpq.build(spark, spark.read.parquet(sourcePath), idCol, embCol),
         staging)
@@ -200,6 +213,4 @@ object IvfPqIndex {
       save(ivfpq.append(load(spark, published),
         spark.read.parquet(newFiles: _*), idCol, embCol), staging)
     }
-    load(spark, path)
-  }
 }

@@ -1,15 +1,15 @@
 package graft.plans
 
 import graft.functions.CosineSimilarity
-import graft.ml.IvfIndex
-import org.apache.spark.sql.SparkSession
+import graft.ml.{IvfIndex, PqIndex}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.apache.spark.sql.functions.{col, element_at, explode, lit, pmod}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 
 /**
@@ -47,14 +47,26 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
  */
 object AnnIndexRegistry {
 
+  /** A registered IVF-PQ artifact for the SAME corpus (optional second
+    * family): where the published composite index lives, the PQ shape,
+    * the per-subspace codebooks (collected once at registration — m × k
+    * × dim/m doubles, a few hundred KiB at worst, same order as the
+    * centroid routing table), and the corpus row count the cost rule
+    * compares against the codes-table advantage point. */
+  case class PqFamily(indexPath: String, m: Int, kCentroids: Int,
+      codebooks: Map[(Int, Int), Array[Double]], corpusRows: Long)
+
   /** A registered index: where the published IVF artifact lives, how the
     * source columns map onto it, the routing table (collected once at
-    * registration — nCentroids × dim floats), and the metadata columns
+    * registration — nCentroids × dim floats), the metadata columns
     * carried in the index for FILTERED kNN plans (empty = only unfiltered
-    * flagship plans are served). */
+    * flagship plans are served), and — when the index job built one — the
+    * IVF-PQ sibling [[AnnIndexRule]]'s cost rule may serve large corpora
+    * from instead. */
   case class Entry(indexPath: String, idCol: String, embCol: String,
       nProbe: Int, centroids: Array[(Int, Array[Double])],
-      payloadCols: Seq[String] = Seq.empty)
+      payloadCols: Seq[String] = Seq.empty,
+      pq: Option[PqFamily] = None)
 
   /** Driver-state bound: each entry pins nCentroids × dim doubles of
     * routing table (~1.5 MiB at 256×768). Registrations are unbounded
@@ -83,14 +95,35 @@ object AnnIndexRegistry {
   def register(spark: SparkSession, ivf: IvfIndex, sourcePath: String,
       idCol: String, embCol: String, nProbe: Int,
       cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf",
-      payloadCols: Seq[String] = Seq.empty): Entry = {
+      payloadCols: Seq[String] = Seq.empty,
+      ivfpq: Option[graft.ml.IvfPqIndex] = None): Entry = {
     val path = IvfIndex.openOrBuildPath(spark, ivf, sourcePath, idCol, embCol,
       cacheRoot)
     val centroids = spark.read.parquet(s"$path/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
       .sortBy(_._1)
     if (payloadCols.nonEmpty) augment(spark, path, sourcePath, idCol, payloadCols)
-    val entry = Entry(path, idCol, embCol, nProbe, centroids, payloadCols)
+    // the optional second family: build (or open) the composite artifact
+    // in the same index job and record what the cost rule needs — the
+    // codebooks for driver-side ADC table construction and the corpus
+    // size for the advantage-point comparison
+    val pqFam = ivfpq.map { q =>
+      // both families must share the coarse quantizer (same cell count +
+      // default seed -> same KMeans fit): the rule routes ONCE against
+      // the registered centroid table and prunes either family's cell
+      // directories with the same probed-cell set
+      require(q.nCentroids == ivf.nCentroids,
+        s"IVF-PQ family must share the coarse quantizer: " +
+          s"ivf=${ivf.nCentroids} cells, ivfpq=${q.nCentroids}")
+      val pqPath = graft.ml.IvfPqIndex.openOrBuildPath(spark, q, sourcePath,
+        idCol, embCol)
+      val cbs = spark.read.parquet(s"$pqPath/codebooks").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      PqFamily(pqPath, q.m, q.kCentroids, cbs,
+        spark.read.parquet(s"$path/assigned").count())
+    }
+    val entry = Entry(path, idCol, embCol, nProbe, centroids, payloadCols, pqFam)
     put(sourcePath, entry)
     AnnIndexRule.install(spark)
     entry
@@ -166,6 +199,21 @@ object AnnIndexRule extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.ann.rewrite.enabled"
 
+  /** Family-selection threshold (r14): when a registered corpus also
+    * carries an IVF-PQ artifact and its raw embedding payload
+    * (rows × dim × 4 bytes) is at least this large, the limit-k flagship
+    * is served from the CODES table — probed cells stream m-byte codes
+    * (32× less IO at the standard shape), the ADC shortlist bounds what
+    * is fetched, and only shortlist embeddings are read for the exact
+    * re-rank the untouched chain above performs. Below the threshold the
+    * embedding scan fits executor cache and the extra shortlist hop
+    * cannot win, so IVF keeps serving. Default 1 GiB — the order where a
+    * probed cell's float payload stops being cache-resident; setting it
+    * to 0 forces the PQ family (when registered), to Long.MaxValue
+    * disables it — the same one-knob kill-switch shape as [[ConfKey]]. */
+  val PqMinBytesKey = "spark.graft.ann.family.pqMinBytes"
+  val DefaultPqMinBytes: Long = 1L << 30
+
   /** Idempotent session install (the runtime path; GraftExtensions is
     * the static-conf path). */
   def install(spark: SparkSession): Unit =
@@ -177,7 +225,7 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     if (conf.getConfString(ConfKey, "true") != "true") plan
     else plan.transformDown {
       case gl @ GlobalLimit(IntegerLiteral(k), LocalLimit(_, inner)) if k > 0 =>
-        rewrite(inner, thresholdOnly = false).map { case (rel, replacement) =>
+        rewrite(inner, thresholdOnly = false, limitK = k).map { case (rel, replacement) =>
           gl.transformUp { case r: LogicalRelation if r eq rel => replacement }
         }.getOrElse(gl)
       // threshold-only flagship (the reference's minRelevanceScore path,
@@ -189,7 +237,7 @@ object AnnIndexRule extends Rule[LogicalPlan] {
       // bare sorted-cosine scan without the floor never matches: a full
       // ranking of the corpus is not an ANN query.
       case s: Sort =>
-        rewrite(s, thresholdOnly = true).map { case (rel, replacement) =>
+        rewrite(s, thresholdOnly = true, limitK = 0).map { case (rel, replacement) =>
           s.transformUp { case r: LogicalRelation if r eq rel => replacement }
         }.getOrElse(s)
     }
@@ -200,8 +248,8 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     * Projects ABOVE the sort appear when the caller selects from the
     * top-k result (PushProjectionThroughLimit lands the pruning Project
     * between LocalLimit and Sort). */
-  private def rewrite(inner: LogicalPlan,
-      thresholdOnly: Boolean): Option[(LogicalRelation, LogicalPlan)] = {
+  private def rewrite(inner: LogicalPlan, thresholdOnly: Boolean,
+      limitK: Int): Option[(LogicalRelation, LogicalPlan)] = {
     // the subtree's OUTPUT is referencable by unseen operators above the
     // match (a select after the limit/sort) — any relation column that
     // escapes must be index-servable too, or the exact scan must stay
@@ -300,10 +348,32 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     val table = if (needsPayload) "augmented" else "assigned"
     if (needsPayload && IvfIndex.loadOptional(spark,
         s"${entry.indexPath}/augmented").isEmpty) return None
-    val scan = spark.read.parquet(s"${entry.indexPath}/$table")
-      .filter(col("cell").isInCollection(cells))
-    val live = IvfIndex.loadOptional(spark, s"${entry.indexPath}/tombstones")
-      .fold(scan)(t => scan.join(t, Seq("id"), "left_anti"))
+    // FAMILY PICK (r14): serve the limit-k flagship from the IVF-PQ codes
+    // table once the corpus's raw embedding bytes cross the configured
+    // advantage point (see [[PqMinBytesKey]]); IVF keeps serving below
+    // it, for payload-filtered plans (the augmented table is IVF-side),
+    // for the threshold shape (a floor query needs every row above t —
+    // a bounded ADC shortlist cannot promise that neighborhood), and for
+    // non-long id columns (the bounded shortlist aggregator is
+    // long-keyed). The candidate set swap is the WHOLE difference — the
+    // untouched chain above rescores exactly either way.
+    val pqServed: Option[DataFrame] =
+      if (thresholdOnly || needsPayload || limitK <= 0) None
+      else entry.pq.flatMap { fam =>
+        val dim = entry.centroids.headOption.map(_._2.length).getOrElse(0)
+        val embBytes = fam.corpusRows * dim.toLong * 4L
+        val minBytes =
+          conf.getConfString(PqMinBytesKey, DefaultPqMinBytes.toString).toLong
+        if (embBytes < minBytes || idAttr.dataType != LongType) None
+        else pqCandidates(spark, fam, cells, queryVec, limitK)
+      }
+    lazy val ivfLive: DataFrame = {
+      val scan = spark.read.parquet(s"${entry.indexPath}/$table")
+        .filter(col("cell").isInCollection(cells))
+      IvfIndex.loadOptional(spark, s"${entry.indexPath}/tombstones")
+        .fold(scan)(t => scan.join(t, Seq("id"), "left_anti"))
+    }
+    val live = pqServed.getOrElse(ivfLive)
     // index-table spelling of each referenced relation column
     val indexName: String => String = n =>
       if (n == entry.idCol) "id" else if (n == entry.embCol) "emb" else n
@@ -348,6 +418,66 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     case ArrayType(DoubleType, _) =>
       Option(l.value).map(_.asInstanceOf[ArrayData].toDoubleArray)
     case _ => None
+  }
+
+  /**
+   * The IVF-PQ candidate set for a literal query: scan ONLY the probed
+   * cells of the codes table (m bytes/row instead of 4·dim), score with
+   * the driver-built ADC lookup table (the same per-subspace
+   * squared-distance table [[graft.ml.PqIndex]] builds per query row —
+   * one literal query means ONE table, inlined into the plan), keep a
+   * bounded shortlist via the partial-agg top-k, and fetch ONLY the
+   * shortlist's embeddings from the id-bucketed fetch table. The chain
+   * above the swapped relation re-scores the fetched rows with exact
+   * cosine and applies the original sort/limit — that IS the PQ re-rank,
+   * expressed by the user's own plan. Returns None (IVF serves) when the
+   * artifact is unreadable or the query/codebook shapes disagree —
+   * the pick is an optimization, never a semantic.
+   */
+  private def pqCandidates(spark: SparkSession, fam: AnnIndexRegistry.PqFamily,
+      cells: Seq[Int], queryVec: Array[Double], k: Int): Option[DataFrame] = {
+    val qn = math.sqrt(queryVec.map(x => x * x).sum)
+    if (qn == 0.0) return None
+    val unit = queryVec.map(_ / qn)
+    val d = unit.length / fam.m
+    if (d * fam.m != unit.length ||
+        !fam.codebooks.get((0, 0)).exists(_.length == d)) return None
+    if (!new java.io.File(s"${fam.indexPath}/codedCell/_SUCCESS").isFile)
+      return None
+    // ADC lookup table, driver-side: tab(sub*k + c) = |q_sub - cent|²
+    val tab = Array.tabulate(fam.m * fam.kCentroids) { i =>
+      val sub = i / fam.kCentroids
+      val cent = fam.codebooks((sub, i % fam.kCentroids))
+      var dist = 0.0
+      var j = 0
+      while (j < d) {
+        val diff = unit(sub * d + j) - cent(j); dist += diff * diff; j += 1
+      }
+      dist
+    }
+    val scan = spark.read.parquet(s"${fam.indexPath}/codedCell")
+      .filter(col("cell").isInCollection(cells))
+    val live = IvfIndex.loadOptional(spark, s"${fam.indexPath}/tombstones")
+      .fold(scan)(t => scan.join(t, Seq("id"), "left_anti"))
+    val adc = (0 until fam.m).map(sub =>
+      element_at(lit(tab), lit(sub * fam.kCentroids) +
+        element_at(col("codes"), sub + 1) + 1)).reduce(_ + _)
+    // shortlist sized for the re-rank above it: generous multiple of the
+    // limit, floored at the family default that holds the 0.9 recall
+    // contract on the uniform worst case
+    val shortN = math.max(192, 8 * k)
+    val shortlist = live
+      .select(lit(0L).as("q"), col("id"), (-adc).as("neg_dist"))
+      .groupBy(col("q"))
+      .agg(graft.functions.TopKByScore(shortN)(col("neg_dist"), col("id"))
+        .as("cand"))
+      .select(explode(col("cand.id")).as("id"))
+      .select(pmod(col("id"), lit(PqIndex.EmbBuckets)).cast("int").as("bucket"),
+        col("id"))
+    val emb = spark.read.parquet(s"${fam.indexPath}/embById")
+      .select(col("bucket").cast("int").as("bucket"), col("id"), col("emb"))
+    Some(emb.join(shortlist, Seq("bucket", "id"), "left_semi")
+      .select(col("id"), col("emb")))
   }
 
   private def route(q: Array[Double], centroids: Array[(Int, Array[Double])],

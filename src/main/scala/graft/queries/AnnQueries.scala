@@ -505,6 +505,76 @@ object AnnQueries extends QueryPack {
       verdict(approx, exactTopKCached(s, dir, "full", emb, queriesOf(emb, 3), 3, 10))
     }),
 
+    // FAMILY SELECTION through the rewrite (VERDICT r13 ask #2): one
+    // registration carries BOTH index families (IVF cell table + IVF-PQ
+    // codes table over the same coarse quantizer), and AnnIndexRule picks
+    // by the corpus-bytes cost rule (prefer the 32x-smaller codes scan
+    // once raw embedding bytes cross spark.graft.ann.family.pqMinBytes;
+    // IVF below it). Both operating points are exercised here: the `ivf`
+    // branch runs under the production threshold (the fixture sits far
+    // below 1 GiB -> cell-table scan), the `pq` branch lowers the
+    // advantage point to 0 on the SAME registration (the conf is the
+    // operating dial a 100 TB deployment sets once). `family_served` is
+    // read off each EXECUTED plan — ReadSchema spellings: the codes scan
+    // reads `codes:array`, the cell table `emb:array` — so a pick that
+    // stops firing flips a hash-checked value. `pass` = per-family
+    // recall >= 0.9 vs the exact top-k. AnnRewriteSpec pins the
+    // corpus-SIZE-driven pick (a 10k corpus picks pq under the same
+    // threshold the fixture picks ivf under) and score exactness.
+    "ann_indexed_family_pick" -> ((s, dir) => {
+      val ivf = geo(s, dir, Rewrite10)
+      val (m, kc) = pqShape(s, dir)
+      graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
+        "vec_id", "embedding", nProbe = ivf.nProbe,
+        ivfpq = Some(new IvfPqIndex(ivf.nCentroids, ivf.nProbe,
+          m = m, kCentroids = kc)))
+      val emb = t(s, dir, "embeddings")
+      val qvs = emb.filter(col("vec_id") < 3)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val pqKey = graft.plans.AnnIndexRule.PqMinBytesKey
+      // each branch materializes (localCheckpoint) while its advantage
+      // point is in force — the rewrite fires at optimization time, so
+      // the conf must cover the execution, not just the plan build
+      def branch(family: String, minBytes: Option[Long]): DataFrame = {
+        minBytes.foreach(v => s.conf.set(pqKey, v.toString))
+        try qvs.map { case (qid, qv) =>
+          val naive = emb.select(col("vec_id"), col("embedding"))
+            .withColumn("score",
+              graft.functions.VectorFunctions.cosineSim(col("embedding"), lit(qv)))
+            .filter(col("score") >= 0.0)
+            .orderBy(col("score").desc, col("vec_id").asc)
+            .limit(10)
+          val plan = naive.queryExecution.executedPlan.toString
+          val served =
+            if (family == "pq") plan.contains("codes:array")
+            else plan.contains("emb:array") && !plan.contains("codes:array")
+          naive.select(lit(family).as("family"), lit(qid).as("q_id"),
+            col("vec_id").as("neighbor_id"), col("score"),
+            lit(served).as("family_served"))
+        }.reduce(_ unionByName _).localCheckpoint()
+        finally minBytes.foreach(_ => s.conf.unset(pqKey))
+      }
+      val approx = branch("ivf", None)
+        .unionByName(branch("pq", Some(0L)))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("family", "q_id")
+            .orderBy(col("score").desc, col("neighbor_id"))))
+      val exact = exactTopKCached(s, dir, "full", emb, queriesOf(emb, 3), 3, 10)
+      val flagged = approx
+        .join(exact.withColumn("hit_exact", lit(1)),
+          Seq("q_id", "neighbor_id"), "left")
+        .localCheckpoint()
+      val wf = org.apache.spark.sql.expressions.Window.partitionBy("family")
+      flagged
+        .withColumn("family_recall",
+          sum(coalesce(col("hit_exact"), lit(0))).over(wf).cast("double") /
+            count(lit(1)).over(wf))
+        .select(col("family"), col("q_id"), col("rank"), col("family_served"),
+          (col("family_recall") >= 0.9 - 1e-9 && col("family_served")).as("pass"))
+        .orderBy(col("family"), col("q_id"), col("rank"))
+    }),
+
     // Driver-visible ANN correctness: per-(method, query) verdict rows
     // for ALL approximate paths (LSH, IVF, PQ, IVF-PQ) against the exact
     // in-Spark top-k. `pass` pins the METHOD-aggregate recall >= 0.9
@@ -623,6 +693,16 @@ object AnnQueries extends QueryPack {
       "ann_indexed_rewrite" -> knnSkeleton(5, 10),
       "ann_indexed_filtered_rewrite" -> knnSkeleton(5, 10, " true AS in_filter,"),
       "ann_indexed_rewrite_sql" -> knnSkeleton(3, 10),
+      // both family branches return the |Q|×k skeleton with the plan-read
+      // family_served flag and per-family recall folded into pass
+      "ann_indexed_family_pick" ->
+        """SELECT f.family, vec_id AS q_id, CAST(r AS INTEGER) AS "rank",
+          |  true AS family_served, true AS pass
+          |FROM embeddings,
+          |  (SELECT unnest(generate_series(1, 10)) AS r),
+          |  (SELECT unnest(['ivf', 'pq']) AS family) f
+          |WHERE vec_id < 3
+          |ORDER BY family, q_id, "rank"""".stripMargin,
       // full-probe threshold rewrite: the result is exactly the cosine
       // threshold scan, so the oracle is the REAL row set (the raw-score
       // floor matches the Spark plan's pre-round filter spelling)

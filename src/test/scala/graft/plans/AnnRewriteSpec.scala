@@ -306,4 +306,77 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
         .contains("embeddings.parquet"))
     } finally AnnIndexRegistry.clear()
   }
+
+  test("family pick: a large registered corpus serves from the IVF-PQ codes table, the fixture stays on IVF") {
+    // a 10k × 64-dim clustered corpus (2.56 MB of raw embeddings) past a
+    // 2 MiB advantage point; the 500-row fixture (128 KB) stays below it
+    // under the SAME configured threshold — the pick is corpus-driven,
+    // not per-query conf flipping
+    val dir = scratchDir("graft-family-pick")
+    graft.ClusteredCorpus.write(spark, dir, nClusters = 100, perCluster = 100)
+    val bigSrc = s"$dir/embeddings.parquet"
+    val bigCorpus = spark.read.parquet(bigSrc)
+    def bigQueryVec(id: Long): Array[Float] =
+      bigCorpus.filter(col("vec_id") === id).select("embedding")
+        .head().getSeq[Float](0).toArray
+    def bigFlagship(qv: Array[Float], k: Int): DataFrame =
+      bigCorpus.select(col("vec_id"), col("embedding"))
+        .withColumn("score", cosineSim(col("embedding"), lit(qv)))
+        .filter(col("score") >= 0.0)
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(k)
+    val cells = 16
+    try {
+      AnnIndexRegistry.register(spark, new IvfIndex(cells, 8), bigSrc,
+        "vec_id", "embedding", nProbe = 8,
+        ivfpq = Some(new graft.ml.IvfPqIndex(cells, 8, m = 8, kCentroids = 16)))
+      AnnIndexRegistry.register(spark, new IvfIndex(8, 6), src,
+        "vec_id", "embedding", nProbe = 6,
+        ivfpq = Some(new graft.ml.IvfPqIndex(8, 6, m = 8, kCentroids = 16)))
+      spark.conf.set(AnnIndexRule.PqMinBytesKey, (2L * 1024 * 1024).toString)
+      try {
+        // large corpus: the ADC codes scan serves the plan (ReadSchema
+        // spellings, not paths — the plan string truncates long paths)
+        val planBig = bigFlagship(bigQueryVec(0L), 10)
+          .queryExecution.executedPlan.toString
+        assert(planBig.contains("codes:array"), planBig.take(3000))
+        assert(!planBig.contains("embeddings.parquet"),
+          "family-picked plan must not scan the original corpus")
+        // fixture: below the advantage point -> the IVF cell table
+        val planSmall = flagship(queryVec(0L), 10)
+          .queryExecution.executedPlan.toString
+        assert(planSmall.contains("emb:array") &&
+          !planSmall.contains("codes:array"), planSmall.take(3000))
+        // recall of the codes-served plan vs the exact scan (kill-switch
+        // = ground truth), 10 spread anchors on the clustered corpus
+        val qs = (0L until 10L).map(i => bigQueryVec(i * 1000L))
+        spark.conf.set(AnnIndexRule.ConfKey, "false")
+        val exact = try qs.map(q => bigFlagship(q, 10).select("vec_id")
+            .collect().map(_.getLong(0)).toSet)
+          finally spark.conf.unset(AnnIndexRule.ConfKey)
+        val approx = qs.map(q => bigFlagship(q, 10).select("vec_id")
+          .collect().map(_.getLong(0)).toSet)
+        val recall = approx.zip(exact)
+          .map { case (a, e) => (a & e).size.toDouble / e.size }.sum / exact.size
+        assert(recall >= 0.9, s"codes-table-served recall $recall")
+        // exactness of surfaced scores: the swap only narrows candidates;
+        // the chain above re-scores with exact cosine
+        val aRows = bigFlagship(bigQueryVec(0L), 10).collect()
+          .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+        spark.conf.set(AnnIndexRule.ConfKey, "false")
+        val eRows = try bigFlagship(bigQueryVec(0L), 10).collect()
+            .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+          finally spark.conf.unset(AnnIndexRule.ConfKey)
+        aRows.keySet.intersect(eRows.keySet).foreach { id =>
+          assert(aRows(id) == eRows(id)) }
+        // threshold raised past the corpus: the same plan falls back to
+        // the IVF family (the conf is the one-knob kill-switch)
+        spark.conf.set(AnnIndexRule.PqMinBytesKey, Long.MaxValue.toString)
+        val planOff = bigFlagship(bigQueryVec(0L), 10)
+          .queryExecution.executedPlan.toString
+        assert(!planOff.contains("codes:array") &&
+          planOff.contains("emb:array"), planOff.take(3000))
+      } finally spark.conf.unset(AnnIndexRule.PqMinBytesKey)
+    } finally AnnIndexRegistry.clear()
+  }
 }

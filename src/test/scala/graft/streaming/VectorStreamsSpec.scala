@@ -205,6 +205,56 @@ class VectorStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(batch == streamed)
   }
 
+  test("indexedIngest composes with an IvfGeometry-calibrated index: freshness holds, derived centroids stay frozen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // geometry from the DERIVED path (what MerkonStore.buildIndex's 0/0
+    // default resolves), not caller constants: calibrate over a 400-row
+    // base corpus, then stream vectors 450/451 into the published index
+    val dir = scratchDir("graft-stream-geo")
+    val idxRoot = scratchDir("graft-stream-geo-idx")
+    corpus.filter(col("vec_id") < 400).write.parquet(s"$dir/base.parquet")
+    val contract = graft.ml.IvfGeometry.Contract(3, 0.95, nAnchors = 32)
+    val cal = graft.ml.IvfGeometry.calibrated(spark, s"$dir/base.parquet",
+      "vec_id", "embedding", contract, idxRoot)
+    assert(cal.ivf.nCentroids == graft.ml.IvfGeometry.centroidsFor(400))
+    assert(cal.measuredRecall >= contract.targetRecall)
+    // warm-open the SAME published artifact the calibration built
+    val built = graft.ml.IvfIndex.openOrBuild(spark, cal.ivf,
+      s"$dir/base.parquet", "vec_id", "embedding", idxRoot)
+    val centroidsBefore = built.centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).toSet
+    assert(centroidsBefore.size == cal.ivf.nCentroids)
+
+    val indexRef = new java.util.concurrent.atomic.AtomicReference(built)
+    val input = MemoryStream[QueryVec]
+    val ingest = VectorStreams.indexedIngest(
+      input.toDF().select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
+      cal.ivf, indexRef, "vec_id", "embedding")
+    try {
+      input.addData(queryVecs(450L, 451L): _*)
+      ingest.processAllAvailable()
+    } finally ingest.stop()
+
+    // freshness: the streamed vectors are in the searchable cell table at
+    // batch commit and a standing probe surfaces them (full-width probe —
+    // visibility is the freshness contract; probe width stays the
+    // calibrated recall dial for ordinary queries)
+    assert(indexRef.get().assigned.filter(col("id") === 450L).count() == 1)
+    assert(VectorStreams.indexedKnn(queryVecs(450L).toDF(), indexRef.get(),
+        nProbe = cal.ivf.nCentroids, k = 1)
+      .select("neighbor_id").head().getLong(0) == 450L)
+    // composition contract: the micro-batch appended against the DERIVED
+    // quantizer — centroid table byte-identical, so no KMeans ran in the
+    // ingest loop even though the geometry came from IvfGeometry rather
+    // than caller constants
+    val centroidsAfter = indexRef.get().centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).toSet
+    assert(centroidsAfter == centroidsBefore)
+    assert(indexRef.get().assigned.count() == 402)
+  }
+
   test("semanticScreen + indexedIngest: admitted vectors screen the next batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
