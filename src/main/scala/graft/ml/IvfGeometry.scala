@@ -47,13 +47,18 @@ object IvfGeometry {
 
   /** A cell must hold enough rows to amortize its own existence: opening
     * a cell directory (file handle, parquet footer, task schedule) costs
-    * roughly as much as scanning a few hundred rows, so a quantizer whose
-    * cells are thinner than this pays more in routing/partition overhead
-    * than the pruning returns — the measured r13 fixture regression
-    * (sqrt(2000) = 45 cells of ~44 rows doubled the `ann_indexed_*`
-    * walls). The clamp binds below N = MinRowsPerCell² = 65,536 rows and
-    * is inert at scale, where sqrt(N) cells hold ~sqrt(N) >= 256 rows. */
-  val MinRowsPerCell = 256
+    * roughly as much as scanning ~100 rows, so a quantizer whose cells
+    * are thinner pays more in routing/partition overhead than the
+    * pruning returns. The floor is fit to two measurements, one on each
+    * side: r13's sqrt-derived 45 cells of ~44 rows on the 2,000-row
+    * fixture DOUBLED the `ann_indexed_*` walls (cells too thin), while
+    * on the uniform 10x corpus 141 cells of ~142 rows measured 2.6x
+    * FASTER than a 64-cell/312-row quantizer at the same recall contract
+    * (cells already thick enough — a 256 floor overshot, r14 session
+    * logs). 128 sits between the measured-bad 44 and the measured-good
+    * 142. The clamp binds below N = MinRowsPerCell² = 16,384 rows and is
+    * inert at scale, where sqrt(N) cells hold ~sqrt(N) >= 128 rows. */
+  val MinRowsPerCell = 128
 
   /**
    * The banded corpus-sized coarse-quantizer sizing (r14, replacing the

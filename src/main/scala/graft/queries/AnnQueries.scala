@@ -585,7 +585,7 @@ object AnnQueries extends QueryPack {
     // The nProbe tuning sweep — the curve an operator reads before
     // setting an IVF index's probe budget: mean recall vs exact top-3
     // at nProbe c/8, c/4, c/2, c over the corpus-sized c-cell index
-    // (c = IvfGeometry.centroidsFor: pow2-banded min(sqrt(N), N/256) —
+    // (c = IvfGeometry.centroidsFor: pow2-banded min(sqrt(N), N/128) —
     // the oracle derives the same levels from the same parquet's row
     // count via the exact-t2 closed form). Two invariants are
     // STRUCTURAL, so the verdict rows are deterministic: recall is
@@ -718,13 +718,13 @@ object AnnQueries extends QueryPack {
       },
       // the sweep levels derive from the corpus-sized cell count —
       // IvfGeometry.centroidsFor's banded rule, computable from the same
-      // parquet: t2 = min(N, (N/256)²) is EXACT in doubles, so the
+      // parquet: t2 = min(N, (N/128)²) is EXACT in doubles, so the
       // closed-form band index floor((log2(t2) - 5) / 2) agrees with the
       // engine's integer doubling loop at every boundary
       "ann_nprobe_sweep" ->
         """WITH g AS (
           |  SELECT least(CAST(count(*) AS DOUBLE),
-          |               power(count(*) / 256.0, 2)) AS t2
+          |               power(count(*) / 128.0, 2)) AS t2
           |  FROM embeddings
           |), cc AS (
           |  SELECT CAST(8 * power(2, greatest(0, floor((log2(t2) - 5) / 2)))

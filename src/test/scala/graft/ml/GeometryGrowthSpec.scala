@@ -45,24 +45,24 @@ class GeometryGrowthSpec extends AnyFunSuite with SparkTestBase {
       spark.read.parquet(s"$path/centroids").collect()
         .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
 
-    // base corpus: 3000 rows -> banded c = 16 (the band holds to 5792)
-    assert(IvfGeometry.centroidsFor(3000) == 16)
-    assert(IvfGeometry.centroidsFor(4500) == 16)
-    assert(IvfGeometry.centroidsFor(7000) == 32)
+    // base corpus: 3000 rows -> banded c = 32 (the band holds to 5792)
+    assert(IvfGeometry.centroidsFor(3000) == 32)
+    assert(IvfGeometry.centroidsFor(4500) == 32)
+    assert(IvfGeometry.centroidsFor(7000) == 64)
     batch(0, 3000).repartition(4).write.mode("overwrite").parquet(src)
     val cal1 = IvfGeometry.calibrated(spark, src, "vec_id", "embedding",
       contract, root)
-    assert(cal1.ivf.nCentroids == 16)
+    assert(cal1.ivf.nCentroids == 32)
     assert(cal1.measuredRecall >= contract.targetRecall)
     val path1 = publishedDirs match { case Seq(p) => p }
     val centroids1 = centroidsOf(path1)
 
-    // grow INSIDE the band: 3000 -> 4500 rows, c still 16 -> the resolve
+    // grow INSIDE the band: 3000 -> 4500 rows, c still 32 -> the resolve
     // must take IndexCache's manifest-subset append (same params key)
     batch(3000, 4500).repartition(4).write.mode("append").parquet(src)
     val cal2 = IvfGeometry.calibrated(spark, src, "vec_id", "embedding",
       contract, root)
-    assert(cal2.ivf.nCentroids == 16)
+    assert(cal2.ivf.nCentroids == 32)
     val path2 = (publishedDirs.toSet - path1) match {
       case s if s.size == 1 => s.head
       case other => fail(s"expected exactly one new published index, got $other")
@@ -82,20 +82,20 @@ class GeometryGrowthSpec extends AnyFunSuite with SparkTestBase {
     assert(new java.io.File(path2, s"nprobe-${contract.fingerprint}").isFile)
     assert(cal2.measuredRecall >= contract.targetRecall)
 
-    // grow PAST the band boundary: 4500 -> 7000 rows, c = 32 -> a new
+    // grow PAST the band boundary: 4500 -> 7000 rows, c = 64 -> a new
     // params key, so the quantizer re-fits (append must never serve a
     // cell count the corpus outgrew)
     batch(4500, 7000).repartition(4).write.mode("append").parquet(src)
     val cal3 = IvfGeometry.calibrated(spark, src, "vec_id", "embedding",
       contract, root)
-    assert(cal3.ivf.nCentroids == 32)
+    assert(cal3.ivf.nCentroids == 64)
     assert(cal3.measuredRecall >= contract.targetRecall)
     val path3 = (publishedDirs.toSet - path1 - path2) match {
       case s if s.size == 1 => s.head
       case other => fail(s"expected exactly one rebuilt index, got $other")
     }
     val centroids3 = centroidsOf(path3)
-    assert(centroids3.size == 32, "band crossing must re-derive the quantizer")
+    assert(centroids3.size == 64, "band crossing must re-derive the quantizer")
     assert(spark.read.parquet(s"$path3/assigned").count() == 7000)
   }
 }

@@ -11,21 +11,23 @@ import org.scalatest.funsuite.AnyFunSuite
  */
 class IvfGeometrySpec extends AnyFunSuite with SparkTestBase {
 
-  test("centroidsFor: pow2-banded sqrt-N, clamped at 256 rows/cell, floored at 8") {
+  test("centroidsFor: pow2-banded sqrt-N, clamped at 128 rows/cell, floored at 8") {
     assert(IvfGeometry.centroidsFor(0) == 8)
     assert(IvfGeometry.centroidsFor(64) == 8)
-    // clamp regime (N < 256² = 65536): target = N/256, so the fixture
-    // SFs land back on 8 cells — cell routing doesn't pay under ~3k rows
+    // clamp regime (N < 128² = 16384): target = N/128, so tiny corpora
+    // stay at 8-16 cells — cell routing doesn't pay where cells would be
+    // thinner than ~128 rows
     assert(IvfGeometry.centroidsFor(500) == 8)
-    assert(IvfGeometry.centroidsFor(2000) == 8)
-    // band boundary: target² = min(N, (N/256)²) crosses 2·8² = 128
-    // exactly between 2896 and 2897
-    assert(IvfGeometry.centroidsFor(2896) == 8)
-    assert(IvfGeometry.centroidsFor(2897) == 16)
-    assert(IvfGeometry.centroidsFor(20000) == 64)
-    assert(IvfGeometry.centroidsFor(40000) == 128)
-    // clamp handoff point: sqrt(65536) = 65536/256 = 256 (tie bumps)
-    assert(IvfGeometry.centroidsFor(65536) == 256)
+    // band boundary: target² = min(N, (N/128)²) crosses 2·8² = 128
+    // exactly between 1448 and 1449
+    assert(IvfGeometry.centroidsFor(1448) == 8)
+    assert(IvfGeometry.centroidsFor(1449) == 16)
+    assert(IvfGeometry.centroidsFor(2000) == 16)
+    assert(IvfGeometry.centroidsFor(2897) == 32)
+    // clamp handoff point: sqrt(16384) = 16384/128 = 128 (tie bumps)
+    assert(IvfGeometry.centroidsFor(16384) == 128)
+    assert(IvfGeometry.centroidsFor(20000) == 128)
+    assert(IvfGeometry.centroidsFor(40000) == 256)
     // sqrt regime: pow2 band around sqrt(N); constant across ~4x growth
     assert(IvfGeometry.centroidsFor(1000000) == 1024)  // sqrt = 1000
     assert(IvfGeometry.centroidsFor(2000000) == 1024)  // same band
