@@ -119,6 +119,21 @@ object IvfGeometry {
   def subspacesFor(dim: Int): Int =
     math.max(1, math.min(dim, dim / 8))
 
+  /** ADC shortlist depth for a PQ-served top-k: the shortlist exists to
+    * absorb quantized-score rank displacement, and displacement scales
+    * with codebook coarseness — so the floor is 192 at the standard
+    * 8-bit width (the published re-rank practice) and grows inversely
+    * with the codebook for the small-corpus 4-bit shape, with an 8×k
+    * lower bound for large k. Fit to a measurement, not guessed: at
+    * kc=16 on the 2,000-row sf0.1 fixture (c=16, calibrated p=14 →
+    * ~1,750 probed candidates) a 192-deep shortlist measured recall@10
+    * 0.833 — BELOW the 0.9 family contract even though the cell probe
+    * held 0.967 — while 384+ recovered the full IVF bound; coarse codes
+    * simply cannot rank a deep candidate set that finely. The scaled
+    * floor is inert at scale (codebookFor sizes real corpora to 256). */
+  def shortlistFor(kCentroids: Int, k: Int): Int =
+    math.max(8 * k, 192 * math.max(1, 256 / kCentroids))
+
   /**
    * A recall contract the calibrated probe width must meet: recall@k on
    * the anchor sample >= targetRecall. For a FILTERED consumer (allow-list

@@ -462,10 +462,11 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     val adc = (0 until fam.m).map(sub =>
       element_at(lit(tab), lit(sub * fam.kCentroids) +
         element_at(col("codes"), sub + 1) + 1)).reduce(_ + _)
-    // shortlist sized for the re-rank above it: generous multiple of the
-    // limit, floored at the family default that holds the 0.9 recall
-    // contract on the uniform worst case
-    val shortN = math.max(192, 8 * k)
+    // shortlist sized for the re-rank above it: 8×k with a floor scaled
+    // to codebook fidelity ([[graft.ml.IvfGeometry.shortlistFor]] — a
+    // 4-bit fixture codebook needs a proportionally deeper buffer to
+    // hold the recall contract; 192 at the production 8-bit width)
+    val shortN = graft.ml.IvfGeometry.shortlistFor(fam.kCentroids, k)
     val shortlist = live
       .select(lit(0L).as("q"), col("id"), (-adc).as("neg_dist"))
       .groupBy(col("q"))

@@ -140,6 +140,19 @@ class IvfGeometrySpec extends AnyFunSuite with SparkTestBase {
     assert(IvfGeometry.codebookFor(40000) == 256)
   }
 
+  test("shortlistFor: fidelity-scaled floor, 8xk bound at large k") {
+    // production 8-bit codebooks: the standard 192 floor
+    assert(IvfGeometry.shortlistFor(256, 10) == 192)
+    assert(IvfGeometry.shortlistFor(256, 3) == 192)
+    // large k: the 8xk bound takes over
+    assert(IvfGeometry.shortlistFor(256, 100) == 800)
+    // 4-bit fixture codebooks rank too coarsely for a 192-deep buffer
+    // (measured 0.833 recall@10 vs the 0.967 cell-probe bound at sf0.1
+    // geometry) -> the floor scales inversely with codebook width
+    assert(IvfGeometry.shortlistFor(16, 10) == 3072)
+    assert(IvfGeometry.shortlistFor(16, 3) == 3072)
+  }
+
   test("the 256-codebook branch holds the PQ recall contract on a 10k corpus") {
     // the registered queries only exercise the 16-wide branch at fixture
     // SFs — build the 8-bit codebooks ONCE on a corpus just past the
