@@ -95,6 +95,24 @@ object ClusteredBench {
     val agreeing = cmp.filter(col("idx_e") === col("exact_e")).count()
     val agreement = agreeing.toDouble / total
 
+    // second operating point: the standard over-probe dial (2x the
+    // calibrated width, capped at all cells). The calibrated width is
+    // the CHEAPEST point meeting the recall contract; an agreement-first
+    // deployment doubles it — margin-score borderline picks flip when a
+    // probed cell misses a runner-up neighborhood even at recall ~1, and
+    // the extra cells close exactly that gap. Reuses the SAME exact
+    // frame, so the row prices the dial, not a fresh oracle.
+    val tight = new IvfIndex(cal.ivf.nCentroids,
+      math.min(2 * cal.ivf.nProbe, cal.ivf.nCentroids))
+    spark.catalog.clearCache(); System.gc()
+    val (idxT, tTight) = timed(
+      SimilarityQueries.bitextMineIndexed(spark, dir, tight)
+        .select(col("f_id"), col("idx_e").as("tight_e")).localCheckpoint())
+    val cmpT = idxT.join(exact, Seq("f_id"), "full").localCheckpoint()
+    val totalT = cmpT.count()
+    val agreementT =
+      cmpT.filter(col("tight_e") === col("exact_e")).count().toDouble / totalT
+
     println(s"""{"metric":"clustered_bitext_crossover","n":$n""" +
       s""","n_clusters":$nClusters,"n_centroids":${cal.ivf.nCentroids}""" +
       s""","n_probe":${cal.ivf.nProbe}""" +
@@ -103,6 +121,10 @@ object ClusteredBench {
       f""","agreement":$agreement%.4f""" +
       f""","indexed_sec":$tIndexed%.2f,"exact_sec":$tExact%.2f""" +
       f""","speedup":${tExact / tIndexed}%.2f""" +
+      s""","tight_probe":${tight.nProbe}""" +
+      f""","tight_agreement":$agreementT%.4f""" +
+      f""","tight_indexed_sec":$tTight%.2f""" +
+      f""","tight_speedup":${tExact / tTight}%.2f""" +
       f""","calibrate_sec":$tCalibrate%.2f,"index_open_sec":$tIndexOpen%.2f""" +
       s""","rows_indexed":$nIdx,"rows_exact":$nExact}""")
     spark.stop()
