@@ -213,4 +213,58 @@ object IvfPqIndex {
       save(ivfpq.append(load(spark, published),
         spark.read.parquet(newFiles: _*), idCol, embCol), staging)
     }
+
+  /**
+   * [[openOrBuildPath]] for a corpus whose id column need not be LONG —
+   * the reference's store keys collections by STRING
+   * (MerkonDatabase.cs:46-58), and a string-keyed corpus must be able to
+   * ride the codes-table family at scale too. The index internals stay
+   * long-keyed (the bounded shortlist aggregator and the id-bucketed
+   * fetch table both want a fixed-width key): a non-long id is replaced
+   * by its deterministic xxhash64 SURROGATE in every index table, and an
+   * `idMap` table (bucket, sid, id) — bucketed exactly like the fetch
+   * table, so the restore join prunes to the shortlist's buckets — is
+   * published alongside to restore the original ids after the shortlist
+   * fetch. A 64-bit surrogate collision (~n²/2⁶⁵) merely lets one extra
+   * row into the exact re-rank above; it can never drop a candidate the
+   * shortlist kept.
+   */
+  def openOrBuildPathAnyId(
+      spark: SparkSession,
+      ivfpq: IvfPqIndex,
+      sourcePath: String,
+      idCol: String,
+      embCol: String,
+      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivfpq"): String = {
+    import org.apache.spark.sql.types.LongType
+    if (spark.read.parquet(sourcePath).schema(idCol).dataType == LongType)
+      return openOrBuildPath(spark, ivfpq, sourcePath, idCol, embCol, cacheRoot)
+    def surrogate(df: DataFrame): DataFrame =
+      df.select(xxhash64(col(idCol)).as("sid"), col(embCol))
+    def idMapOf(df: DataFrame): DataFrame =
+      df.select(
+        pmod(xxhash64(col(idCol)), lit(PqIndex.EmbBuckets)).cast("int")
+          .as("bucket"),
+        xxhash64(col(idCol)).as("sid"), col(idCol).as("id"))
+    // "-sid" keeps a surrogate-keyed artifact from ever colliding with a
+    // long-keyed one in the shared cache root
+    IndexCache.openOrBuildIncremental(sourcePath, ivfpq.fingerprint + "-sid",
+      cacheRoot, "codedCell/_SUCCESS") { staging =>
+      val corpus = spark.read.parquet(sourcePath)
+      save(ivfpq.build(spark, surrogate(corpus), "sid", embCol), staging)
+      idMapOf(corpus).write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$staging/idMap")
+    } { (published, newFiles, staging) =>
+      val delta = spark.read.parquet(newFiles: _*)
+      save(ivfpq.append(load(spark, published), surrogate(delta),
+        "sid", embCol), staging)
+      // LWW on re-upserted ids within the map, same as the index tables
+      val deltaMap = idMapOf(delta)
+      spark.read.parquet(s"$published/idMap")
+        .join(deltaMap.select("sid"), Seq("sid"), "left_anti")
+        .unionByName(deltaMap)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$staging/idMap")
+    }
+  }
 }

@@ -52,7 +52,10 @@ object AnnIndexRegistry {
     * the per-subspace codebooks (collected once at registration — m × k
     * × dim/m doubles, a few hundred KiB at worst, same order as the
     * centroid routing table), and the corpus row count the cost rule
-    * compares against the codes-table advantage point. */
+    * compares against the codes-table advantage point. A non-long-keyed
+    * corpus's artifact is surrogate-keyed with a published idMap
+    * ([[graft.ml.IvfPqIndex.openOrBuildPathAnyId]]); the serve path
+    * detects it by the idMap's presence. */
   case class PqFamily(indexPath: String, m: Int, kCentroids: Int,
       codebooks: Map[(Int, Int), Array[Double]], corpusRows: Long)
 
@@ -115,8 +118,11 @@ object AnnIndexRegistry {
       require(q.nCentroids == ivf.nCentroids,
         s"IVF-PQ family must share the coarse quantizer: " +
           s"ivf=${ivf.nCentroids} cells, ivfpq=${q.nCentroids}")
-      val pqPath = graft.ml.IvfPqIndex.openOrBuildPath(spark, q, sourcePath,
-        idCol, embCol)
+      // AnyId: a non-long id column (the reference store's string keys)
+      // gets a surrogate-keyed artifact + published idMap — the serve
+      // path restores original ids after the shortlist fetch
+      val pqPath = graft.ml.IvfPqIndex.openOrBuildPathAnyId(spark, q,
+        sourcePath, idCol, embCol)
       val cbs = spark.read.parquet(s"$pqPath/codebooks").collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
         .toMap
@@ -352,11 +358,13 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     // table once the corpus's raw embedding bytes cross the configured
     // advantage point (see [[PqMinBytesKey]]); IVF keeps serving below
     // it, for payload-filtered plans (the augmented table is IVF-side),
-    // for the threshold shape (a floor query needs every row above t —
-    // a bounded ADC shortlist cannot promise that neighborhood), and for
-    // non-long id columns (the bounded shortlist aggregator is
-    // long-keyed). The candidate set swap is the WHOLE difference — the
-    // untouched chain above rescores exactly either way.
+    // and for the threshold shape (a floor query needs every row above
+    // t — a bounded ADC shortlist cannot promise that neighborhood).
+    // Non-long id columns serve through the surrogate-keyed artifact
+    // (codes/fetch tables keyed by xxhash64(id), the published idMap
+    // restores originals after the fetch). The candidate set swap is the
+    // WHOLE difference — the untouched chain above rescores exactly
+    // either way.
     val pqServed: Option[DataFrame] =
       if (thresholdOnly || needsPayload || limitK <= 0) None
       else entry.pq.flatMap { fam =>
@@ -364,8 +372,9 @@ object AnnIndexRule extends Rule[LogicalPlan] {
         val embBytes = fam.corpusRows * dim.toLong * 4L
         val minBytes =
           conf.getConfString(PqMinBytesKey, DefaultPqMinBytes.toString).toLong
-        if (embBytes < minBytes || idAttr.dataType != LongType) None
-        else pqCandidates(spark, fam, cells, queryVec, limitK)
+        if (embBytes < minBytes) None
+        else pqCandidates(spark, fam, cells, queryVec, limitK,
+          longId = idAttr.dataType == LongType)
       }
     lazy val ivfLive: DataFrame = {
       val scan = spark.read.parquet(s"${entry.indexPath}/$table")
@@ -430,12 +439,18 @@ object AnnIndexRule extends Rule[LogicalPlan] {
    * shortlist's embeddings from the id-bucketed fetch table. The chain
    * above the swapped relation re-scores the fetched rows with exact
    * cosine and applies the original sort/limit — that IS the PQ re-rank,
-   * expressed by the user's own plan. Returns None (IVF serves) when the
-   * artifact is unreadable or the query/codebook shapes disagree —
-   * the pick is an optimization, never a semantic.
+   * expressed by the user's own plan. A non-long id corpus (`longId =
+   * false`) is served from the surrogate-keyed artifact
+   * ([[graft.ml.IvfPqIndex.openOrBuildPathAnyId]]): every index table
+   * carries xxhash64(id), and the final step joins the published idMap
+   * on (bucket, sid) — partition-pruned to the shortlist's buckets — to
+   * restore the original ids the plan above expects. Returns None (IVF
+   * serves) when the artifact is unreadable or the query/codebook shapes
+   * disagree — the pick is an optimization, never a semantic.
    */
   private def pqCandidates(spark: SparkSession, fam: AnnIndexRegistry.PqFamily,
-      cells: Seq[Int], queryVec: Array[Double], k: Int): Option[DataFrame] = {
+      cells: Seq[Int], queryVec: Array[Double], k: Int,
+      longId: Boolean): Option[DataFrame] = {
     val qn = math.sqrt(queryVec.map(x => x * x).sum)
     if (qn == 0.0) return None
     val unit = queryVec.map(_ / qn)
@@ -443,6 +458,9 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     if (d * fam.m != unit.length ||
         !fam.codebooks.get((0, 0)).exists(_.length == d)) return None
     if (!new java.io.File(s"${fam.indexPath}/codedCell/_SUCCESS").isFile)
+      return None
+    if (!longId &&
+        !new java.io.File(s"${fam.indexPath}/idMap/_SUCCESS").isFile)
       return None
     // ADC lookup table, driver-side: tab(sub*k + c) = |q_sub - cent|²
     val tab = Array.tabulate(fam.m * fam.kCentroids) { i =>
@@ -477,8 +495,22 @@ object AnnIndexRule extends Rule[LogicalPlan] {
         col("id"))
     val emb = spark.read.parquet(s"${fam.indexPath}/embById")
       .select(col("bucket").cast("int").as("bucket"), col("id"), col("emb"))
-    Some(emb.join(shortlist, Seq("bucket", "id"), "left_semi")
-      .select(col("id"), col("emb")))
+    val fetched = emb.join(shortlist, Seq("bucket", "id"), "left_semi")
+      .select(col("id"), col("emb"))
+    if (longId) Some(fetched)
+    else {
+      // surrogate-keyed artifact: `id` here is xxhash64(original). The
+      // idMap restore joins on (bucket, sid) so the bucket-partitioned
+      // map scan prunes to the shortlist's own buckets, exactly like the
+      // embedding fetch above — never a full-corpus map scan.
+      val idMap = spark.read.parquet(s"${fam.indexPath}/idMap")
+        .select(col("bucket").cast("int").as("bucket"), col("sid"), col("id"))
+      Some(fetched
+        .select(pmod(col("id"), lit(PqIndex.EmbBuckets)).cast("int")
+          .as("bucket"), col("id").as("sid"), col("emb"))
+        .join(idMap, Seq("bucket", "sid"))
+        .select(col("id"), col("emb")))
+    }
   }
 
   private def route(q: Array[Double], centroids: Array[(Int, Array[Double])],

@@ -208,8 +208,30 @@ class MerkonStore(spark: SparkSession) {
       if (nCentroids > 0) new graft.ml.IvfIndex(nCentroids, nProbe)
       else graft.ml.IvfGeometry.calibratedIvf(spark, dump, "key", "embedding",
         graft.ml.IvfGeometry.Contract(10, 0.95))
+    // the IVF-PQ sibling: built exactly when the family-picking rewrite
+    // would serve the codes table — the same conf the rule reads
+    // (spark.graft.ann.family.pqMinBytes), so the index job builds what
+    // the optimizer will use and never pays m KMeans fits for an
+    // artifact the cost rule would ignore. String keys ride it through
+    // the surrogate-keyed artifact (openOrBuildPathAnyId's idMap).
+    val snap = spark.read.parquet(dump)
+    val snapN = snap.count()
+    val pqSibling =
+      if (snapN == 0) None
+      else {
+        val dim = snap.select(org.apache.spark.sql.functions
+          .size(col("embedding"))).head().getInt(0)
+        val minBytes = spark.conf.get(
+          graft.plans.AnnIndexRule.PqMinBytesKey,
+          graft.plans.AnnIndexRule.DefaultPqMinBytes.toString).toLong
+        val m = graft.ml.IvfGeometry.subspacesFor(dim)
+        if (snapN * dim.toLong * 4L >= minBytes && dim % m == 0)
+          Some(new graft.ml.IvfPqIndex(ivf.nCentroids, ivf.nProbe, m = m,
+            kCentroids = graft.ml.IvfGeometry.codebookFor(snapN)))
+        else None
+      }
     graft.plans.AnnIndexRegistry.register(spark, ivf, dump, "key", "embedding",
-      ivf.nProbe)
+      ivf.nProbe, ivfpq = pqSibling)
     indexedCollections(name) = dump
   }
 

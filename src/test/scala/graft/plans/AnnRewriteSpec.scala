@@ -379,4 +379,56 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
       } finally spark.conf.unset(AnnIndexRule.PqMinBytesKey)
     } finally AnnIndexRegistry.clear()
   }
+
+  test("family pick: a STRING-keyed corpus serves from the codes table, ids restored via the surrogate map") {
+    // the reference's store keys by string (MerkonDatabase.cs:46-58): the
+    // codes-table family must serve it too — the artifact is
+    // surrogate-keyed (xxhash64) and the published idMap restores the
+    // original ids after the shortlist fetch
+    val dir = scratchDir("graft-family-str")
+    corpus.select(
+        concat(lit("doc-"), lpad(col("vec_id").cast("string"), 5, "0"))
+          .as("doc_id"),
+        col("embedding"))
+      .write.parquet(s"$dir/docs.parquet")
+    val strSrc = s"$dir/docs.parquet"
+    val strCorpus = spark.read.parquet(strSrc)
+    def strFlagship(qv: Array[Float], k: Int): DataFrame =
+      strCorpus.select(col("doc_id"), col("embedding"))
+        .withColumn("score", cosineSim(col("embedding"), lit(qv)))
+        .filter(col("score") >= 0.0)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(k)
+    try {
+      AnnIndexRegistry.register(spark, new IvfIndex(8, 6), strSrc,
+        "doc_id", "embedding", nProbe = 6,
+        ivfpq = Some(new graft.ml.IvfPqIndex(8, 6, m = 8, kCentroids = 16)))
+      spark.conf.set(AnnIndexRule.PqMinBytesKey, "0")
+      try {
+        val plan = strFlagship(queryVec(0L), 10)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("codes:array"), plan.take(3000))
+        assert(!plan.contains("docs.parquet"),
+          "family-picked plan must not scan the original corpus")
+        // every surfaced id is an ORIGINAL string key, never a surrogate
+        val served = strFlagship(queryVec(0L), 10).collect()
+        assert(served.nonEmpty &&
+          served.forall(_.getString(0).startsWith("doc-")))
+        // recall + surfaced-score exactness vs the kill-switched exact
+        // plan (same anchors as the long-keyed rewrite spec family)
+        val qs = (0L until 10L).map(i => queryVec(i * 50L))
+        spark.conf.set(AnnIndexRule.ConfKey, "false")
+        val exact = try qs.map(q => strFlagship(q, 10).collect()
+            .map(r => r.getString(0) -> r.getDouble(2)).toMap)
+          finally spark.conf.unset(AnnIndexRule.ConfKey)
+        val approx = qs.map(q => strFlagship(q, 10).collect()
+          .map(r => r.getString(0) -> r.getDouble(2)).toMap)
+        val recall = approx.zip(exact).map { case (a, e) =>
+          (a.keySet & e.keySet).size.toDouble / e.size }.sum / exact.size
+        assert(recall >= 0.9, s"string-keyed codes-served recall $recall")
+        approx.zip(exact).foreach { case (a, e) =>
+          a.keySet.intersect(e.keySet).foreach(id => assert(a(id) == e(id))) }
+      } finally spark.conf.unset(AnnIndexRule.PqMinBytesKey)
+    } finally AnnIndexRegistry.clear()
+  }
 }

@@ -426,6 +426,51 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
     } finally graft.plans.AnnIndexRegistry.clear()
   }
 
+  test("buildIndex builds the IVF-PQ sibling at the family conf; string keys serve from the codes table") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val st = newStore
+    try {
+      val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      st.upsertBatch("vecs_pq", corpus.select(
+        concat(lit("k"), col("vec_id")).as("key"), col("embedding")))
+      val qv = corpus.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+
+      // below the advantage point (default 1 GiB): the index job skips
+      // the sibling's m KMeans fits entirely and the probe rides IVF
+      st.buildIndex("vecs_pq", nCentroids = 8, nProbe = 6)
+      val planIvf = st.getNearestMatches("vecs_pq", qv, 5, useIndex = true)
+        .queryExecution.executedPlan.toString
+      assert(!planIvf.contains("codes:array"), planIvf.take(3000))
+
+      // operating point flipped (the one conf both the job and the rule
+      // read): re-running the index job builds the surrogate-keyed
+      // sibling — string keys — and the SAME reference-shaped call now
+      // serves from the codes table
+      spark.conf.set(graft.plans.AnnIndexRule.PqMinBytesKey, "0")
+      try {
+        st.buildIndex("vecs_pq", nCentroids = 8, nProbe = 6)
+        val planPq = st.getNearestMatches("vecs_pq", qv, 5, useIndex = true)
+          .queryExecution.executedPlan.toString
+        assert(planPq.contains("codes:array"), planPq.take(3000))
+        // results carry the ORIGINAL string keys with exact scores and
+        // the reference's output schema, same as the IVF path
+        val exactDf = st.getNearestMatches("vecs_pq", qv, 5)
+        val servedDf = st.getNearestMatches("vecs_pq", qv, 5, useIndex = true)
+        assert(exactDf.schema == servedDf.schema)
+        val exact = exactDf.select("key", "score").collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val served = servedDf.select("key", "score").collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(served.nonEmpty && served.keySet.forall(_.startsWith("k")))
+        served.keySet.intersect(exact.keySet).foreach { k =>
+          assert(served(k) == exact(k)) }
+        assert((served.keySet & exact.keySet).size >= 4,
+          s"codes-served top-5 diverged: $served vs $exact")
+      } finally spark.conf.unset(graft.plans.AnnIndexRule.PqMinBytesKey)
+    } finally graft.plans.AnnIndexRegistry.clear()
+  }
+
   test("remove() tombstones the registered index: indexed search drops the key at full k") {
     import org.apache.spark.sql.functions.col
     val st = newStore
