@@ -61,11 +61,16 @@ class AnnLifecycleSpec extends AnyFunSuite with SparkTestBase {
       qids.map(q => (approx(q) & exact(q)).size.toDouble / exact(q).size).sum / qids.size
 
     def assertPruned(): Unit = {
-      // the index scan shows as a partition filter on cell; the display
-      // truncates the file path, so key on the filter + absent corpus dir
-      val plan = flagship(queryVec(100L), 10).queryExecution.executedPlan.toString
-      assert(plan.contains("PartitionFilters: [cell") && !plan.contains("/corpus"),
-        "flagship plan lost the index rewrite:\n" + plan.take(2000))
+      // the rewrite lists ONLY the probed cell directories (r14: pruning
+      // moved from a partition filter to the scan's root paths), so the
+      // scan's roots are cell= dirs and the corpus dir never appears
+      val df = flagship(queryVec(100L), 10)
+      val roots = AnnRewriteSpec.fileScans(df.queryExecution.executedPlan)
+        .flatMap(_.relation.location.rootPaths.map(_.toString))
+      assert(roots.exists(_.contains("cell=")) &&
+        roots.forall(r => r.contains("cell=") || r.contains("tombstones")) &&
+        !roots.exists(_.contains("/corpus")),
+        "flagship plan lost the index rewrite: " + roots.mkString(", "))
     }
 
     val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)

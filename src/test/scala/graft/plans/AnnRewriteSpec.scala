@@ -238,14 +238,17 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
       assert(plan.contains("assigned"), plan.take(3000))
       assert(!plan.contains("embeddings.parquet"),
         "threshold plan must not scan the original corpus")
-      // over-probe: 2 x nProbe = 6 of 8 cells in the partition filter
-      // (the k-shaped flagship over the same registration probes 3)
-      def probedCells(p: String): Int =
-        "cell[^ ]* IN \\(([^)]*)\\)".r.findFirstMatchIn(p)
-          .map(_.group(1).split(",").length).getOrElse(-1)
-      assert(probedCells(plan) == 6, s"expected 6 probed cells:\n${plan.take(2000)}")
-      val kPlan = flagship(qv, 10).queryExecution.executedPlan.toString
-      assert(probedCells(kPlan) == 3, s"expected 3 probed cells:\n${kPlan.take(2000)}")
+      // over-probe: 2 x nProbe = 6 of 8 cells in the scan's LISTING —
+      // the probed set is known at plan time, so the rewrite reads only
+      // the probed cell directories instead of partition-filtering the
+      // whole table (the k-shaped flagship over the same registration
+      // probes 3)
+      def probedCells(df: DataFrame): Int =
+        AnnRewriteSpec.fileScans(df.queryExecution.executedPlan)
+          .map(_.relation.location.rootPaths.count(_.toString.contains("cell=")))
+          .sum
+      assert(probedCells(df) == 6, s"expected 6 probed cells:\n${plan.take(2000)}")
+      assert(probedCells(flagship(qv, 10)) == 3, "expected 3 probed cells")
 
       // every surfaced row honors the floor (the filter stays in the plan)
       val rows = df.collect()
@@ -430,5 +433,18 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
           a.keySet.intersect(e.keySet).foreach(id => assert(a(id) == e(id))) }
       } finally spark.conf.unset(AnnIndexRule.PqMinBytesKey)
     } finally AnnIndexRegistry.clear()
+  }
+}
+
+object AnnRewriteSpec {
+  /** All FileSourceScanExec leaves, traversing INTO AdaptiveSparkPlanExec
+    * (AQE hides its inner plan from the standard collect). */
+  def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    case other =>
+      (other.children ++ other.subqueries).flatMap(fileScans)
   }
 }
