@@ -190,17 +190,23 @@ object IvfGeometry {
   private def resolve(spark: SparkSession, sourcePath: String, idCol: String,
       embCol: String, contract: Contract, cacheRoot: String): Calibrated = {
     val corpus = spark.read.parquet(sourcePath)
-    // size from (and guard on) the SEARCHABLE corpus — zero-norm vectors
-    // are structurally excluded from the index (IvfIndex.prepare drops
-    // them), so they must not inflate the cell count either; a corpus
-    // with nothing searchable must fail here with the real cause, not
-    // inside the KMeans fit or as a NaN-recall sidecar after a full sweep
-    val searchableN = corpus
-      .filter(graft.functions.VectorFunctions.l2Norm(col(embCol)) > 0)
-      .count()
-    require(searchableN > 0, s"cannot calibrate IVF geometry over " +
-      s"'$sourcePath': corpus has no searchable (non-zero-norm) vectors")
-    val c = centroidsFor(searchableN)
+    // fail fast (before any KMeans fit or probe sweep, and before a
+    // NaN-recall sidecar could be persisted) when NOTHING is searchable —
+    // zero-norm vectors are structurally excluded from the index. The
+    // guard is a limit-1 probe, not a full count: it terminates at the
+    // first searchable row, so a warm open stays metadata-cheap.
+    require(corpus
+        .filter(graft.functions.VectorFunctions.l2Norm(col(embCol)) > 0)
+        .limit(1).count() > 0,
+      s"cannot calibrate IVF geometry over '$sourcePath': corpus has no " +
+        "searchable (non-zero-norm) vectors")
+    // size c from the TOTAL row count — answered from parquet row-group
+    // statistics (no column read on a warm open), and the SAME number
+    // every other centroidsFor consumer and the DuckDB oracle's
+    // count(*) closed form derive, so the geometry agrees across paths
+    // even when zero-norm rows exist (they only ever OVERSHOOT c by at
+    // most one band, never change which index answers a query)
+    val c = centroidsFor(corpus.count())
     val indexPath = IvfIndex.openOrBuildPath(spark, new IvfIndex(c, 1),
       sourcePath, idCol, embCol, cacheRoot)
     val sidecar = new java.io.File(indexPath, s"nprobe-${contract.fingerprint}")

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
  * Determinism: fixed KMeans seed -> stable cells -> stable results.
  * Recall vs exact brute force is pinned in IvfIndexSpec.
  */
-class IvfIndex(val nCentroids: Int = 16, val nProbe: Int = 4, seed: Long = 42L) {
+class IvfIndex(val nCentroids: Int = 16, val nProbe: Int = 4, val seed: Long = 42L) {
   require(nProbe <= nCentroids)
 
   /** Cache key of the build-time params (nProbe is search-time only). */

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
  * ann_recall_audit.
  */
 class IvfPqIndex(val nCentroids: Int = 8, val nProbe: Int = 5,
-    val m: Int = 8, val kCentroids: Int = 16, seed: Long = 42L) {
+    val m: Int = 8, val kCentroids: Int = 16, val seed: Long = 42L) {
 
   private[ml] val ivf = new IvfIndex(nCentroids, nProbe, seed)
   private[ml] val pq = new PqIndex(m, kCentroids, seed)
@@ -97,7 +97,7 @@ class IvfPqIndex(val nCentroids: Int = 8, val nProbe: Int = 5,
   /** Top-k corpus neighbors by exact cosine: nProbe cells per query, ADC
     * shortlist within the probed cells, exact re-rank of the shortlist. */
   def search(built: IvfPqIndex.Built, queries: DataFrame, idCol: String,
-      embCol: String, k: Int, shortlist: Int = 192): DataFrame =
+      embCol: String, k: Int, shortlist: Int = 0): DataFrame =
     searchCore(built, queries, idCol, embCol, k, shortlist,
       built.liveCodedCell)
 
@@ -109,15 +109,20 @@ class IvfPqIndex(val nCentroids: Int = 8, val nProbe: Int = 5,
     * predicates, as in every pre-filter path. */
   def searchFiltered(built: IvfPqIndex.Built, queries: DataFrame,
       idCol: String, embCol: String, k: Int, allowed: DataFrame,
-      shortlist: Int = 192): DataFrame = {
+      shortlist: Int = 0): DataFrame = {
     val allow = allowed.toDF("id").select(col("id"))
     searchCore(built, queries, idCol, embCol, k, shortlist,
       built.liveCodedCell.join(allow, Seq("id"), "left_semi"))
   }
 
   private def searchCore(built: IvfPqIndex.Built, queries: DataFrame,
-      idCol: String, embCol: String, k: Int, shortlist: Int,
+      idCol: String, embCol: String, k: Int, shortlist0: Int,
       candidates: DataFrame): DataFrame = {
+    // shortlist <= 0 -> fidelity-sized default (IvfGeometry.shortlistFor,
+    // same rule as PqIndex.searchCore); an explicit caller value wins
+    val shortlist =
+      if (shortlist0 > 0) shortlist0
+      else IvfGeometry.shortlistFor(kCentroids, k)
     val q = pq.adcQueries(built.codebooks, queries, idCol, embCol)
     // route: query × broadcast(centroids) -> nProbe nearest cells per
     // query (cosine routing, scale-invariant in the raw query embedding)

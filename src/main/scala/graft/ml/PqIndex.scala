@@ -204,7 +204,7 @@ class PqIndex(m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
         element_at(col("codes"), sub + 1) + 1)).reduce(_ + _)
 
   def search(built: PqIndex.Built, queries: DataFrame, idCol: String,
-      embCol: String, k: Int, shortlist: Int = 192): DataFrame =
+      embCol: String, k: Int, shortlist: Int = 0): DataFrame =
     searchCore(built, queries, idCol, embCol, k, shortlist, built.liveCoded)
 
   /** Filtered ANN over the PQ index ([[IvfIndex.searchFiltered]]
@@ -216,15 +216,22 @@ class PqIndex(m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
     * selective predicate thins the ADC scan rather than the result. */
   def searchFiltered(built: PqIndex.Built, queries: DataFrame, idCol: String,
       embCol: String, k: Int, allowed: DataFrame,
-      shortlist: Int = 192): DataFrame = {
+      shortlist: Int = 0): DataFrame = {
     val allow = allowed.toDF("id").select(col("id"))
     searchCore(built, queries, idCol, embCol, k, shortlist,
       built.liveCoded.join(allow, Seq("id"), "left_semi"))
   }
 
   private def searchCore(built: PqIndex.Built, queries: DataFrame,
-      idCol: String, embCol: String, k: Int, shortlist: Int,
+      idCol: String, embCol: String, k: Int, shortlist0: Int,
       candidates: DataFrame): DataFrame = {
+    // shortlist <= 0 -> the fidelity-sized default: 192 at the standard
+    // 8-bit codebooks, scaled inversely with codebook width for the
+    // coarse 4-bit shape (IvfGeometry.shortlistFor — measured below the
+    // 0.9 contract at 192 under kc=16). An explicit caller value wins.
+    val shortlist =
+      if (shortlist0 > 0) shortlist0
+      else IvfGeometry.shortlistFor(kCentroids, k)
     // codebooks to the driver once (m × k × d doubles — a few KiB), then
     // per-query ADC tables computed map-side
     val q = adcQueries(built.codebooks, queries, idCol, embCol)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, element_at, explode, lit, pmod}
+import org.apache.spark.sql.functions.{col, element_at, explode, lit, pmod, xxhash64}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -99,7 +99,9 @@ object AnnIndexRegistry {
       idCol: String, embCol: String, nProbe: Int,
       cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf",
       payloadCols: Seq[String] = Seq.empty,
-      ivfpq: Option[graft.ml.IvfPqIndex] = None): Entry = {
+      ivfpq: Option[graft.ml.IvfPqIndex] = None,
+      pqCacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivfpq")
+      : Entry = {
     val path = IvfIndex.openOrBuildPath(spark, ivf, sourcePath, idCol, embCol,
       cacheRoot)
     val centroids = spark.read.parquet(s"$path/centroids").collect()
@@ -115,14 +117,19 @@ object AnnIndexRegistry {
       // default seed -> same KMeans fit): the rule routes ONCE against
       // the registered centroid table and prunes either family's cell
       // directories with the same probed-cell set
-      require(q.nCentroids == ivf.nCentroids,
+      // cell-id COHERENCE requires both quantizers to be the same KMeans
+      // fit — same cell count AND same seed; a seed mismatch would make
+      // "cell 3" of the routing table a different region than cell=3 of
+      // the codes table, silently collapsing recall on the served path
+      require(q.nCentroids == ivf.nCentroids && q.seed == ivf.seed,
         s"IVF-PQ family must share the coarse quantizer: " +
-          s"ivf=${ivf.nCentroids} cells, ivfpq=${q.nCentroids}")
+          s"ivf=(${ivf.nCentroids} cells, seed ${ivf.seed}), " +
+          s"ivfpq=(${q.nCentroids} cells, seed ${q.seed})")
       // AnyId: a non-long id column (the reference store's string keys)
       // gets a surrogate-keyed artifact + published idMap — the serve
       // path restores original ids after the shortlist fetch
       val pqPath = graft.ml.IvfPqIndex.openOrBuildPathAnyId(spark, q,
-        sourcePath, idCol, embCol)
+        sourcePath, idCol, embCol, pqCacheRoot)
       val cbs = spark.read.parquet(s"$pqPath/codebooks").collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
         .toMap
@@ -370,11 +377,16 @@ object AnnIndexRule extends Rule[LogicalPlan] {
       else entry.pq.flatMap { fam =>
         val dim = entry.centroids.headOption.map(_._2.length).getOrElse(0)
         val embBytes = fam.corpusRows * dim.toLong * 4L
-        val minBytes =
-          conf.getConfString(PqMinBytesKey, DefaultPqMinBytes.toString).toLong
+        // lenient parse: a malformed conf value ("1g") must not crash
+        // optimization of every matching plan — the pick is an
+        // optimization, never a semantic, so fall back to the default
+        val minBytes = scala.util.Try(
+          conf.getConfString(PqMinBytesKey, DefaultPqMinBytes.toString).toLong)
+          .getOrElse(DefaultPqMinBytes)
         if (embBytes < minBytes) None
         else pqCandidates(spark, fam, cells, queryVec, limitK,
-          longId = idAttr.dataType == LongType)
+          longId = idAttr.dataType == LongType,
+          ivfIndexPath = entry.indexPath)
       }
     lazy val ivfLive: Option[DataFrame] =
       prunedCellScan(spark, s"${entry.indexPath}/$table", cells).map { scan =>
@@ -472,7 +484,7 @@ object AnnIndexRule extends Rule[LogicalPlan] {
    */
   private def pqCandidates(spark: SparkSession, fam: AnnIndexRegistry.PqFamily,
       cells: Seq[Int], queryVec: Array[Double], k: Int,
-      longId: Boolean): Option[DataFrame] = {
+      longId: Boolean, ivfIndexPath: String): Option[DataFrame] = {
     val qn = math.sqrt(queryVec.map(x => x * x).sum)
     if (qn == 0.0) return None
     val unit = queryVec.map(_ / qn)
@@ -497,8 +509,21 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     }
     val scan = prunedCellScan(spark, s"${fam.indexPath}/codedCell", cells)
       .getOrElse(return None)
-    val live = IvfIndex.loadOptional(spark, s"${fam.indexPath}/tombstones")
+    val famLive = IvfIndex.loadOptional(spark, s"${fam.indexPath}/tombstones")
       .fold(scan)(t => scan.join(t, Seq("id"), "left_anti"))
+    // deletes land in the REGISTERED artifact's tombstone sidecar (the
+    // store's remove path writes `${entry.indexPath}/tombstones` with
+    // ORIGINAL ids) — the codes-table serve must honor them too, and
+    // BEFORE the shortlist so a dead row can never occupy a top-k slot
+    // and truncate the backfilled result. Surrogate-keyed artifacts map
+    // the tombstoned ids into the xxhash64 domain the codes are keyed in.
+    val live = IvfIndex.loadOptional(spark, s"$ivfIndexPath/tombstones")
+      .fold(famLive) { t =>
+        val dead =
+          if (longId) t.select(col("id"))
+          else t.select(xxhash64(col("id")).as("id"))
+        famLive.join(dead, Seq("id"), "left_anti")
+      }
     val adc = (0 until fam.m).map(sub =>
       element_at(lit(tab), lit(sub * fam.kCentroids) +
         element_at(col("codes"), sub + 1) + 1)).reduce(_ + _)

@@ -221,9 +221,10 @@ class MerkonStore(spark: SparkSession) {
       else {
         val dim = snap.select(org.apache.spark.sql.functions
           .size(col("embedding"))).head().getInt(0)
-        val minBytes = spark.conf.get(
+        val minBytes = scala.util.Try(spark.conf.get(
           graft.plans.AnnIndexRule.PqMinBytesKey,
-          graft.plans.AnnIndexRule.DefaultPqMinBytes.toString).toLong
+          graft.plans.AnnIndexRule.DefaultPqMinBytes.toString).toLong)
+          .getOrElse(graft.plans.AnnIndexRule.DefaultPqMinBytes)
         val m = graft.ml.IvfGeometry.subspacesFor(dim)
         if (snapN * dim.toLong * 4L >= minBytes && dim % m == 0)
           Some(new graft.ml.IvfPqIndex(ivf.nCentroids, ivf.nProbe, m = m,

@@ -501,4 +501,36 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
       assert(!exact.contains("k7"))
     } finally graft.plans.AnnIndexRegistry.clear()
   }
+
+  test("remove() reaches the CODES-TABLE serve path: deleted keys neither surface nor truncate top-k") {
+    // tombstones land in the registered (IVF) artifact dir; the
+    // family-picked codes-table probe must honor them too — mapped into
+    // the surrogate domain for string keys — and BEFORE the shortlist,
+    // so a dead row can never occupy a slot and shrink the backfill
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val st = newStore
+    try {
+      val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      st.upsertBatch("vecs_pqdel", corpus.select(
+        concat(lit("k"), col("vec_id")).as("key"), col("embedding")))
+      spark.conf.set(graft.plans.AnnIndexRule.PqMinBytesKey, "0")
+      try {
+        st.buildIndex("vecs_pqdel", nCentroids = 8, nProbe = 8)
+        val qv = corpus.filter(col("vec_id") === 7).select("embedding")
+          .head().getSeq[Float](0).toArray
+        val planDf = st.getNearestMatches("vecs_pqdel", qv, 5, useIndex = true)
+        assert(planDf.queryExecution.executedPlan.toString
+          .contains("codes:array"), "probe must serve from the codes table")
+        val before = planDf.select("key").collect().map(_.getString(0))
+        assert(before.head == "k7" && before.length == 5)
+
+        st.remove("vecs_pqdel", "k7")
+        val after = st.getNearestMatches("vecs_pqdel", qv, 5, useIndex = true)
+          .select("key").collect().map(_.getString(0))
+        assert(after.length == 5,
+          s"expected full k after delete on the codes path, got ${after.length}")
+        assert(!after.contains("k7"))
+      } finally spark.conf.unset(graft.plans.AnnIndexRule.PqMinBytesKey)
+    } finally graft.plans.AnnIndexRegistry.clear()
+  }
 }
