@@ -283,32 +283,8 @@ object IvfIndex {
     if (built.tombstoneFraction < minDeadFraction) return
     val affected = built.assigned.join(built.tombstones.get, Seq("id"), "left_semi")
       .select("cell").distinct().collect().map(_.get(0))
-    if (affected.nonEmpty) {
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        // materialize the surviving rows of the affected cells BEFORE the
-        // overwrite — the write would otherwise read the directories it
-        // is replacing
-        val survivors = built.live
-          .filter(col("cell").isin(affected.toIndexedSeq: _*)).localCheckpoint()
-        survivors.write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$path/assigned")
-        // a FULLY-dead cell emits no survivor rows, so dynamic overwrite
-        // never touches its directory — its stale rows would resurface
-        // once the sidecar drops. Remove those cell dirs explicitly.
-        val alive = survivors.select("cell").distinct().collect()
-          .map(_.get(0)).toSet
-        val fs = new org.apache.hadoop.fs.Path(s"$path/assigned")
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        affected.filterNot(alive).foreach { c =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/cell=$c"), true)
-        }
-      } finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+    compactPartitions(spark, s"$path/assigned", "cell", affected,
+      built.live.filter(col("cell").isin(affected.toIndexedSeq: _*)))
     val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     t.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(t, true)
     // the metadata-carrying `augmented` sidecar (written by
@@ -319,6 +295,38 @@ object IvfIndex {
     // until then filtered plans gracefully keep their exact scan.
     val aug = new org.apache.hadoop.fs.Path(s"$path/augmented")
     aug.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(aug, true)
+  }
+
+  /** The shared per-partition compaction step (used by [[compactOnDisk]]
+    * and the [[PqIndex]]/[[IvfPqIndex]] analogs): dynamic-partition-
+    * overwrite ONLY the `affected` partition values of a partitioned
+    * table with their surviving rows — untouched partitions keep their
+    * files byte-for-byte — and explicitly remove a FULLY-dead partition's
+    * directory (dynamic overwrite never touches a partition that emits no
+    * rows, so its stale files would otherwise resurface once the
+    * tombstone sidecar drops). `survivors0` must be exactly the live rows
+    * of the affected partitions; it is materialized before the overwrite
+    * because the write would otherwise read the directories it is
+    * replacing. */
+  private[ml] def compactPartitions(spark: SparkSession, tablePath: String,
+      partCol: String, affected: Seq[Any], survivors0: DataFrame): Unit = {
+    if (affected.isEmpty) return
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val survivors = survivors0.localCheckpoint()
+      survivors.write.mode("overwrite").partitionBy(partCol).parquet(tablePath)
+      val alive = survivors.select(partCol).distinct().collect()
+        .map(_.get(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(tablePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.filterNot(alive).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$tablePath/$partCol=$v"), true)
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 
   /**

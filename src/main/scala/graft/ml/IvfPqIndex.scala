@@ -187,6 +187,59 @@ object IvfPqIndex {
       spark.read.parquet(s"$path/codebooks"),
       IvfIndex.loadOptional(spark, s"$path/tombstones"))
 
+  /**
+   * Per-cell/per-bucket on-disk compaction of a PUBLISHED composite
+   * index — the codes-table analog of [[IvfIndex.compactOnDisk]], same
+   * discipline: rewrite ONLY the `codedCell` cell directories and
+   * `embById`/`idMap` bucket directories that contain tombstoned rows
+   * (dynamic partition overwrite — untouched dirs keep their files
+   * byte-for-byte, fully-dead dirs are removed), then drop the sidecar.
+   * Neither quantizer re-runs: deletes never move a surviving row's cell
+   * or codes. A delete wave hitting 3 of 1024 cells rewrites 3 cell dirs
+   * plus the dead ids' fetch buckets, not the corpus. No-op below
+   * `minDeadFraction` (dead rows / coded rows).
+   *
+   * The sidecar's ids are in the ARTIFACT's own key domain — xxhash64
+   * surrogates for an [[openOrBuildPathAnyId]] artifact (whose published
+   * `idMap` is compacted here too, so a dead key's surrogate mapping
+   * does not outlive its codes).
+   */
+  def compactOnDisk(spark: SparkSession, path: String,
+      minDeadFraction: Double = 0.0): Unit = {
+    val built = load(spark, path)
+    val dead = built.tombstones.getOrElse(return)
+    if (minDeadFraction > 0.0) {
+      val total = built.codedCell.count()
+      if (total == 0 || dead.count().toDouble / total < minDeadFraction) return
+    }
+    val affectedCells = built.codedCell.join(dead, Seq("id"), "left_semi")
+      .select("cell").distinct().collect().map(_.get(0))
+    IvfIndex.compactPartitions(spark, s"$path/codedCell", "cell",
+      affectedCells,
+      built.liveCodedCell.filter(col("cell").isin(affectedCells.toIndexedSeq: _*)))
+    // the dead ids' fetch buckets are known from the ids alone (bucket =
+    // pmod(id, EmbBuckets)) — bounded by EmbBuckets, collected as a tiny
+    // distinct set
+    val affectedBuckets = dead
+      .select(PqIndex.bucketOf(col("id")).as("bucket")).distinct()
+      .collect().map(_.get(0))
+    IvfIndex.compactPartitions(spark, s"$path/embById", "bucket",
+      affectedBuckets,
+      built.embById
+        .filter(col("bucket").isin(affectedBuckets.toIndexedSeq: _*))
+        .join(dead, Seq("id"), "left_anti"))
+    IvfIndex.loadOptional(spark, s"$path/idMap").foreach { idMap =>
+      IvfIndex.compactPartitions(spark, s"$path/idMap", "bucket",
+        affectedBuckets,
+        idMap.select(col("bucket").cast("int").as("bucket"), col("sid"),
+            col("id"))
+          .filter(col("bucket").isin(affectedBuckets.toIndexedSeq: _*))
+          .join(dead.select(col("id").as("sid")), Seq("sid"), "left_anti"))
+    }
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    t.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(t, true)
+  }
+
   /** Index lifecycle: load the prebuilt index for `sourcePath`, else
     * build + publish once; a grown source takes the append path (frozen
     * quantizers, no fit) — same [[IndexCache]] discipline as IVF/PQ. */

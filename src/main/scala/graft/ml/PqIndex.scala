@@ -313,6 +313,41 @@ object PqIndex {
       spark.read.parquet(s"$path/codebooks"),
       IvfIndex.loadOptional(spark, s"$path/tombstones"))
 
+  /**
+   * On-disk compaction of a PUBLISHED flat-PQ index: fold the tombstone
+   * sidecar into the tables and drop it — [[IvfIndex.compactOnDisk]]'s
+   * contract for the third family. The flat `coded` table has no
+   * partition structure to prune, so its compaction is a full rewrite of
+   * the codes (m bytes/row — the table is 32× smaller than the corpus it
+   * indexes, and this is the explicit maintenance job, not a query
+   * path); the id-bucketed `embById` fetch table rewrites ONLY the dead
+   * ids' buckets, exactly like the composite index's. No quantizer
+   * re-runs. No-op below `minDeadFraction` (dead rows / coded rows).
+   */
+  def compactOnDisk(spark: SparkSession, path: String,
+      minDeadFraction: Double = 0.0): Unit = {
+    val built = load(spark, path)
+    val dead = built.tombstones.getOrElse(return)
+    if (minDeadFraction > 0.0) {
+      val total = built.coded.count()
+      if (total == 0 || dead.count().toDouble / total < minDeadFraction) return
+    }
+    // flat table: materialize the survivors, then overwrite in place
+    // (the write would otherwise read the directory it is replacing)
+    built.liveCoded.localCheckpoint()
+      .write.mode("overwrite").parquet(s"$path/coded")
+    val affectedBuckets = dead
+      .select(bucketOf(col("id")).as("bucket")).distinct()
+      .collect().map(_.get(0))
+    IvfIndex.compactPartitions(spark, s"$path/embById", "bucket",
+      affectedBuckets,
+      built.embById
+        .filter(col("bucket").isin(affectedBuckets.toIndexedSeq: _*))
+        .join(dead, Seq("id"), "left_anti"))
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    t.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(t, true)
+  }
+
   /** Load the prebuilt code table for `sourcePath` or build + publish it
     * once — the m KMeans fits never run in a registered query path (see
     * [[IndexCache]] for the fingerprint/atomic-publish discipline). */

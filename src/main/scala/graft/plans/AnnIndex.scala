@@ -173,6 +173,56 @@ object AnnIndexRegistry {
       .write.mode("overwrite").partitionBy("cell").parquet(dest)
   }
 
+  /** Union `dead` into an artifact's id-tombstone sidecar (idempotent —
+    * the merge is a distinct union). Materialized before the overwrite
+    * because the union otherwise reads the directory the write is
+    * replacing. O(|sidecar| + |batch|), never touches index tables. */
+  private[graft] def mergeTombstones(spark: SparkSession, dir: String,
+      dead: DataFrame): Unit = {
+    val merged = IvfIndex.loadOptional(spark, dir)
+      .fold(dead)(t => t.unionByName(dead)).distinct()
+      .localCheckpoint()
+    merged.coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Map registered-artifact tombstone ids into a PQ sibling's own key
+    * domain: xxhash64 surrogates when the sibling artifact is
+    * surrogate-keyed (detected by its published idMap, the same signal
+    * the serve path uses), verbatim otherwise. */
+  private[graft] def famDeadIds(spark: SparkSession, fam: PqFamily,
+      dead: DataFrame): DataFrame =
+    if (new java.io.File(s"${fam.indexPath}/idMap/_SUCCESS").isFile)
+      dead.select(xxhash64(col("id")).as("id"))
+    else dead.select(col("id"))
+
+  /**
+   * Family-aware physical compaction of a registered corpus's index
+   * artifacts: fold each artifact's pending tombstones into its tables
+   * and drop the sidecars ([[graft.ml.IvfIndex.compactOnDisk]] /
+   * [[graft.ml.IvfPqIndex.compactOnDisk]] — only the affected cell/bucket
+   * directories rewrite, no quantizer re-runs). Ordering is the
+   * correctness: deletes written before the sibling existed (or by a
+   * pre-dual-sidecar writer) live only in the REGISTERED artifact's
+   * sidecar, so they are folded into the sibling's own sidecar FIRST and
+   * the sibling compacts before the IVF artifact drops the shared record
+   * — a crash between the two steps leaves both sidecars' deletes
+   * intact, never resurrects a row. No-op for an unregistered path.
+   */
+  def compact(spark: SparkSession, sourcePath: String,
+      minDeadFraction: Double = 0.0): Unit =
+    lookup(sourcePath).foreach { entry =>
+      entry.pq.foreach { fam =>
+        IvfIndex.loadOptional(spark, s"${entry.indexPath}/tombstones")
+          .foreach { t =>
+            mergeTombstones(spark, s"${fam.indexPath}/tombstones",
+              famDeadIds(spark, fam, t.select(col("id"))))
+          }
+        graft.ml.IvfPqIndex.compactOnDisk(spark, fam.indexPath,
+          minDeadFraction)
+      }
+      IvfIndex.compactOnDisk(spark, entry.indexPath, minDeadFraction)
+    }
+
   private[plans] def put(sourcePath: String, entry: Entry): Unit =
     entries.synchronized { entries.put(normalize(sourcePath), entry) }
 

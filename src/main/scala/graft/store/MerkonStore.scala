@@ -143,25 +143,44 @@ class MerkonStore(spark: SparkSession) {
 
   /** Deletes reach the registered index as an id-tombstone sidecar at
     * the PUBLISHED index path — O(|batch|) bookkeeping the very next
-    * probe observes; no KMeans, no snapshot re-dump, no rebuild. Fold
-    * tombstones in physically with [[graft.ml.IvfIndex.compactOnDisk]]
-    * on a cadence. (A delete-then-re-upsert of the same key stays
-    * hidden from the INDEXED path until the next [[buildIndex]] —
-    * the snapshot contract; the exact path sees it immediately.) */
+    * probe observes; no KMeans, no snapshot re-dump, no rebuild. EACH
+    * registered artifact owns its deletes: when the entry carries an
+    * IVF-PQ sibling, the same keys land in the sibling's own sidecar too
+    * (xxhash64 surrogates when the sibling is surrogate-keyed), so the
+    * codes-table serve path never depends on another artifact's sidecar
+    * surviving — compacting the IVF artifact (which drops ITS sidecar)
+    * can never resurrect deleted rows on the family-served path. Fold
+    * tombstones in physically with [[compactIndex]] on a cadence. (A
+    * delete-then-re-upsert of the same key stays hidden from the INDEXED
+    * path until the next [[buildIndex]] — the snapshot contract; the
+    * exact path sees it immediately.) */
   private def tombstoneIndex(name: String, keys: Seq[String]): Unit =
     indexedCollections.get(name).foreach { dump =>
       graft.plans.AnnIndexRegistry.lookup(dump).foreach { entry =>
         import spark.implicits._
         val dead = keys.toDF("id")
-        val merged = graft.ml.IvfIndex
-          .loadOptional(spark, s"${entry.indexPath}/tombstones")
-          .fold(dead)(t => t.unionByName(dead).distinct())
-          // materialize BEFORE the overwrite — the union otherwise reads
-          // the directory the write is replacing
-          .localCheckpoint()
-        merged.coalesce(1).write.mode("overwrite")
-          .parquet(s"${entry.indexPath}/tombstones")
+        graft.plans.AnnIndexRegistry.mergeTombstones(spark,
+          s"${entry.indexPath}/tombstones", dead)
+        entry.pq.foreach { fam =>
+          graft.plans.AnnIndexRegistry.mergeTombstones(spark,
+            s"${fam.indexPath}/tombstones",
+            graft.plans.AnnIndexRegistry.famDeadIds(spark, fam, dead))
+        }
       }
+    }
+
+  /** Fold pending deletes into the registered index PHYSICALLY — the
+    * maintenance job behind [[removeBatch]]'s sidecar bookkeeping, run
+    * on a cadence (e.g. when the dead fraction crosses
+    * `minDeadFraction`). Family-aware: the IVF-PQ sibling compacts
+    * FIRST ([[graft.ml.IvfPqIndex.compactOnDisk]] — probed cell dirs +
+    * fetch/idMap buckets), then the IVF artifact
+    * ([[graft.ml.IvfIndex.compactOnDisk]]); see
+    * [[graft.plans.AnnIndexRegistry.compact]] for the ordering
+    * rationale. No-op for a collection without a [[buildIndex]]. */
+  def compactIndex(name: String, minDeadFraction: Double = 0.0): Unit =
+    indexedCollections.get(name).foreach { dump =>
+      graft.plans.AnnIndexRegistry.compact(spark, dump, minDeadFraction)
     }
 
   /** A7 `RemoveItem` / B7 `RemoveAsync`. */

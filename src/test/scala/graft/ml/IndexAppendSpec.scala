@@ -310,6 +310,95 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
       "below-threshold compaction must keep the sidecar")
   }
 
+  test("IvfPqIndex.compactOnDisk rewrites only affected cell/bucket dirs, drops the sidecar") {
+    import spark.implicits._
+    val ivfpq = new IvfPqIndex(nCentroids = 8, nProbe = 8, m = 8, kCentroids = 16)
+    val path = scratchDir("graft-ivfpq-compact")
+    IvfPqIndex.save(ivfpq.build(spark, emb, "vec_id", "embedding"), path)
+    val loaded = IvfPqIndex.load(spark, path)
+    val del = ivfpq.delete(loaded, Seq(450L, 451L).toDF("vec_id"), "vec_id")
+    del.tombstones.get.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/tombstones")
+
+    val reloaded = IvfPqIndex.load(spark, path)
+    val deadCells = reloaded.codedCell.filter(col("id").isin(450L, 451L))
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val deadBuckets = Set(450L % PqIndex.EmbBuckets, 451L % PqIndex.EmbBuckets)
+      .map(_.toInt)
+    def files(dir: String): Set[(String, Long)] =
+      Option(new java.io.File(dir).listFiles())
+        .fold(Set.empty[(String, Long)])(_.map(f =>
+          f.getName -> f.lastModified()).toSet)
+    val untouchedCells = (0 until 8).filterNot(deadCells)
+      .map(c => c -> files(s"$path/codedCell/cell=$c")).toMap
+    val untouchedBuckets = (0 until PqIndex.EmbBuckets).filterNot(deadBuckets)
+      .map(b => b -> files(s"$path/embById/bucket=$b")).toMap
+    def top1(b: IvfPqIndex.Built): Long =
+      ivfpq.search(b, emb.filter(col("vec_id") === 450), "vec_id", "embedding", 1)
+        .select("neighbor_id").head().getLong(0)
+    assert(top1(reloaded) != 450L)
+
+    IvfPqIndex.compactOnDisk(spark, path)
+    val after = IvfPqIndex.load(spark, path)
+    assert(after.tombstones.isEmpty, "compaction must drop the sidecar")
+    assert(after.codedCell.filter(col("id").isin(450L, 451L)).isEmpty,
+      "dead codes must be physically removed")
+    assert(after.embById.filter(col("id").isin(450L, 451L)).isEmpty,
+      "dead fetch rows must be physically removed")
+    assert(after.codedCell.count() == emb.count() - 2)
+    assert(top1(after) != 450L, "compacted index must keep delete semantics")
+    untouchedCells.foreach { case (c, fs) =>
+      assert(files(s"$path/codedCell/cell=$c") == fs,
+        s"cell $c had no tombstones but its files changed")
+    }
+    untouchedBuckets.foreach { case (b, fs) =>
+      assert(files(s"$path/embById/bucket=$b") == fs,
+        s"bucket $b had no tombstones but its files changed")
+    }
+    // threshold guard, same contract as the IVF compaction
+    ivfpq.delete(after, Seq(452L).toDF("vec_id"), "vec_id")
+      .tombstones.get.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/tombstones")
+    IvfPqIndex.compactOnDisk(spark, path, minDeadFraction = 0.5)
+    assert(IvfPqIndex.load(spark, path).tombstones.isDefined,
+      "below-threshold compaction must keep the sidecar")
+  }
+
+  test("PqIndex.compactOnDisk folds the sidecar into the code table and fetch buckets") {
+    import spark.implicits._
+    val pq = new PqIndex(m = 8, kCentroids = 16)
+    val path = scratchDir("graft-pq-compact")
+    PqIndex.save(pq.build(spark, emb, "vec_id", "embedding"), path)
+    val del = pq.delete(PqIndex.load(spark, path),
+      Seq(470L).toDF("vec_id"), "vec_id")
+    del.tombstones.get.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/tombstones")
+    def files(dir: String): Set[(String, Long)] =
+      Option(new java.io.File(dir).listFiles())
+        .fold(Set.empty[(String, Long)])(_.map(f =>
+          f.getName -> f.lastModified()).toSet)
+    val deadBucket = (470L % PqIndex.EmbBuckets).toInt
+    val untouchedBuckets = (0 until PqIndex.EmbBuckets)
+      .filterNot(_ == deadBucket)
+      .map(b => b -> files(s"$path/embById/bucket=$b")).toMap
+
+    PqIndex.compactOnDisk(spark, path)
+    val after = PqIndex.load(spark, path)
+    assert(after.tombstones.isEmpty, "compaction must drop the sidecar")
+    assert(after.coded.filter(col("id") === 470L).isEmpty)
+    assert(after.embById.filter(col("id") === 470L).isEmpty)
+    assert(after.coded.count() == emb.count() - 1)
+    assert(pq.search(after, emb.filter(col("vec_id") === 470),
+        "vec_id", "embedding", 1)
+      .select("neighbor_id").head().getLong(0) != 470L)
+    // the flat code table is a full rewrite by design; the bucketed fetch
+    // table must still only rewrite the dead id's bucket
+    untouchedBuckets.foreach { case (b, fs) =>
+      assert(files(s"$path/embById/bucket=$b") == fs,
+        s"bucket $b had no tombstones but its files changed")
+    }
+  }
+
   test("openOrBuild recovers from a stale PARTIAL index dir at the key path") {
     // simulate a builder that died after creating the target dir but
     // before completing the index: the success marker is missing, so the

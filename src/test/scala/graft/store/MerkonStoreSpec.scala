@@ -533,4 +533,69 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
       } finally spark.conf.unset(graft.plans.AnnIndexRule.PqMinBytesKey)
     } finally graft.plans.AnnIndexRegistry.clear()
   }
+
+  test("compactIndex is family-aware: IVF-artifact compaction can never resurrect codes-path deletes") {
+    // the failure this pins: deletes land in the registered (IVF)
+    // artifact's sidecar, and IvfIndex.compactOnDisk DROPS that sidecar
+    // after folding it into the IVF cells only — before the dual-written
+    // sibling sidecar, the family-served codes table lost its only record
+    // of the delete and the dead key resurfaced
+    import org.apache.spark.sql.functions.{col, concat, lit, xxhash64}
+    val st = newStore
+    try {
+      val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      st.upsertBatch("vecspqc", corpus.select(
+        concat(lit("k"), col("vec_id")).as("key"), col("embedding")))
+      spark.conf.set(graft.plans.AnnIndexRule.PqMinBytesKey, "0")
+      try {
+        st.buildIndex("vecspqc", nCentroids = 8, nProbe = 8)
+        val dump = sys.props("java.io.tmpdir") + "/graft-store-index/" +
+          MerkonStore.pathSafe("vecspqc")
+        val entry = graft.plans.AnnIndexRegistry.lookup(dump).get
+        val fam = entry.pq.get
+        val qv = corpus.filter(col("vec_id") === 7).select("embedding")
+          .head().getSeq[Float](0).toArray
+        def served(): Array[String] = {
+          val df = st.getNearestMatches("vecspqc", qv, 5, useIndex = true)
+          assert(df.queryExecution.executedPlan.toString
+            .contains("codes:array"), "probe must serve from the codes table")
+          df.select("key").collect().map(_.getString(0))
+        }
+        assert(served().head == "k7")
+
+        // the delete dual-writes: the sibling's OWN sidecar records the
+        // key's surrogate, so no other artifact's sidecar has to survive
+        // for the codes path to stay correct
+        st.remove("vecspqc", "k7")
+        assert(new java.io.File(s"${fam.indexPath}/tombstones/_SUCCESS").isFile,
+          "delete must reach the sibling's own sidecar")
+
+        // the old flow — compacting only the IVF artifact — drops the
+        // registered sidecar; the dual-written sibling sidecar keeps the
+        // key dead on the family-served path
+        graft.ml.IvfIndex.compactOnDisk(spark, entry.indexPath)
+        assert(!new java.io.File(s"${entry.indexPath}/tombstones/_SUCCESS").isFile)
+        val afterIvfOnly = served()
+        assert(afterIvfOnly.length == 5 && !afterIvfOnly.contains("k7"),
+          s"IVF-only compaction resurrected the deleted key: ${afterIvfOnly.mkString(",")}")
+
+        // the family-aware job folds the sibling's tombstones in
+        // physically: sidecar gone, codes/fetch/idMap rows gone, serve
+        // still full-k correct
+        st.compactIndex("vecspqc")
+        assert(!new java.io.File(s"${fam.indexPath}/tombstones/_SUCCESS").isFile,
+          "family compaction must drop the sibling's sidecar")
+        val sid = spark.range(1).select(xxhash64(lit("k7"))).head().getLong(0)
+        assert(spark.read.parquet(s"${fam.indexPath}/codedCell")
+          .filter(col("id") === sid).isEmpty, "dead codes row survived")
+        assert(spark.read.parquet(s"${fam.indexPath}/embById")
+          .filter(col("id") === sid).isEmpty, "dead fetch row survived")
+        assert(spark.read.parquet(s"${fam.indexPath}/idMap")
+          .filter(col("sid") === sid).isEmpty,
+          "dead key's surrogate mapping survived")
+        val afterCompact = served()
+        assert(afterCompact.length == 5 && !afterCompact.contains("k7"))
+      } finally spark.conf.unset(graft.plans.AnnIndexRule.PqMinBytesKey)
+    } finally graft.plans.AnnIndexRegistry.clear()
+  }
 }
