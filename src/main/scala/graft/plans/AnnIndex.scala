@@ -63,13 +63,16 @@ object AnnIndexRegistry {
     * source columns map onto it, the routing table (collected once at
     * registration — nCentroids × dim floats), the metadata columns
     * carried in the index for FILTERED kNN plans (empty = only unfiltered
-    * flagship plans are served), and — when the index job built one — the
-    * IVF-PQ sibling [[AnnIndexRule]]'s cost rule may serve large corpora
-    * from instead. */
+    * flagship plans are served), the top-k the registered probe width was
+    * SIZED to serve (`servedK` — the k of the calibration contract's
+    * query shape; 0 = unknown/caller-owned width, no k-scaling), and —
+    * when the index job built one — the IVF-PQ sibling [[AnnIndexRule]]'s
+    * cost rule may serve large corpora from instead. */
   case class Entry(indexPath: String, idCol: String, embCol: String,
       nProbe: Int, centroids: Array[(Int, Array[Double])],
       payloadCols: Seq[String] = Seq.empty,
-      pq: Option[PqFamily] = None)
+      pq: Option[PqFamily] = None,
+      servedK: Int = 0)
 
   /** Driver-state bound: each entry pins nCentroids × dim doubles of
     * routing table (~1.5 MiB at 256×768). Registrations are unbounded
@@ -100,7 +103,8 @@ object AnnIndexRegistry {
       cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf",
       payloadCols: Seq[String] = Seq.empty,
       ivfpq: Option[graft.ml.IvfPqIndex] = None,
-      pqCacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivfpq")
+      pqCacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivfpq",
+      servedK: Int = 0)
       : Entry = {
     val path = IvfIndex.openOrBuildPath(spark, ivf, sourcePath, idCol, embCol,
       cacheRoot)
@@ -136,7 +140,8 @@ object AnnIndexRegistry {
       PqFamily(pqPath, q.m, q.kCentroids, cbs,
         spark.read.parquet(s"$path/assigned").count())
     }
-    val entry = Entry(path, idCol, embCol, nProbe, centroids, payloadCols, pqFam)
+    val entry = Entry(path, idCol, embCol, nProbe, centroids, payloadCols,
+      pqFam, servedK)
     put(sourcePath, entry)
     AnnIndexRule.install(spark)
     entry
@@ -395,9 +400,21 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     // t, not a fixed k, so the candidate set must reach further out —
     // the standard filtered/threshold-ANN compensation, recall ≥ 0.9 vs
     // the exact threshold scan pinned by AnnRewriteSpec.
+    // The LIMIT shape scales the same dial with k: the registered width
+    // was calibrated for a `servedK`-deep query (recall@servedK meets the
+    // contract), and recall@k for k >> servedK needs candidates from
+    // proportionally more cells — a single calibrated cell of ~N/c rows
+    // cannot even FILL a top-k larger than itself. Proportional
+    // over-probe capped at all cells keeps the contract transferable to
+    // any requested k without recalibrating per query; unknown servedK
+    // (0) keeps the registered width verbatim — the caller owns it.
+    val k2k =
+      if (thresholdOnly || entry.servedK <= 0 || limitK <= entry.servedK) 1.0
+      else limitK.toDouble / entry.servedK
     val probeN =
       if (thresholdOnly) math.min(2 * entry.nProbe, entry.centroids.length)
-      else entry.nProbe
+      else math.min(entry.centroids.length,
+        math.ceil(entry.nProbe * k2k).toInt)
     val cells = route(queryVec, entry.centroids, probeN)
     if (cells.isEmpty) return None
 

@@ -364,7 +364,7 @@ object AnnQueries extends QueryPack {
     "ann_indexed_rewrite" -> ((s, dir) => {
       val ivf = geo(s, dir, Rewrite10)
       graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
-        "vec_id", "embedding", nProbe = ivf.nProbe)
+        "vec_id", "embedding", nProbe = ivf.nProbe, servedK = 10)
       val emb = t(s, dir, "embeddings")
       // 5 query vectors as literals (the reference-shaped call: the
       // query arrives as a parameter, not a table)
@@ -404,7 +404,8 @@ object AnnQueries extends QueryPack {
     "ann_indexed_filtered_rewrite" -> ((s, dir) => {
       val ivf = geo(s, dir, Filtered10)
       graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
-        "vec_id", "embedding", nProbe = ivf.nProbe, payloadCols = Seq("label"))
+        "vec_id", "embedding", nProbe = ivf.nProbe, payloadCols = Seq("label"),
+        servedK = 10)
       val emb = t(s, dir, "embeddings")
       val qvs = emb.filter(col("vec_id") < 5)
         .select("vec_id", "embedding").collect()
@@ -481,7 +482,7 @@ object AnnQueries extends QueryPack {
     "ann_indexed_rewrite_sql" -> ((s, dir) => {
       val ivf = geo(s, dir, Rewrite10)
       graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
-        "vec_id", "embedding", nProbe = ivf.nProbe)
+        "vec_id", "embedding", nProbe = ivf.nProbe, servedK = 10)
       graft.functions.VectorFunctions.register(s)
       val emb = t(s, dir, "embeddings")
       emb.createOrReplaceTempView("graft_ann_sql_corpus")
@@ -525,7 +526,7 @@ object AnnQueries extends QueryPack {
       val ivf = geo(s, dir, Rewrite10)
       val (m, kc) = pqShape(s, dir)
       graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
-        "vec_id", "embedding", nProbe = ivf.nProbe,
+        "vec_id", "embedding", nProbe = ivf.nProbe, servedK = 10,
         ivfpq = Some(new IvfPqIndex(ivf.nCentroids, ivf.nProbe,
           m = m, kCentroids = kc)))
       val emb = t(s, dir, "embeddings")

@@ -223,10 +223,16 @@ class MerkonStore(spark: SparkSession) {
     // calibrated to recall@10 >= 0.95 — the reference's flagship top-k
     // shape) instead of a constant the collection outgrows; explicit
     // params remain for callers that tuned their own operating point
+    // derived widths carry their contract's k into the registration so
+    // the rewrite can over-probe proportionally when a caller asks for a
+    // deeper top-k than the width was calibrated to serve; explicit
+    // params are the caller's own operating point (servedK = 0, width
+    // used verbatim at any k)
+    val contract = graft.ml.IvfGeometry.Contract(10, 0.95)
     val ivf =
       if (nCentroids > 0) new graft.ml.IvfIndex(nCentroids, nProbe)
       else graft.ml.IvfGeometry.calibratedIvf(spark, dump, "key", "embedding",
-        graft.ml.IvfGeometry.Contract(10, 0.95))
+        contract)
     // the IVF-PQ sibling: built exactly when the family-picking rewrite
     // would serve the codes table — the same conf the rule reads
     // (spark.graft.ann.family.pqMinBytes), so the index job builds what
@@ -251,7 +257,8 @@ class MerkonStore(spark: SparkSession) {
         else None
       }
     graft.plans.AnnIndexRegistry.register(spark, ivf, dump, "key", "embedding",
-      ivf.nProbe, ivfpq = pqSibling)
+      ivf.nProbe, ivfpq = pqSibling,
+      servedK = if (nCentroids > 0) 0 else contract.k)
     indexedCollections(name) = dump
   }
 

@@ -280,6 +280,71 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally AnnIndexRegistry.clear()
   }
 
+  test("limit-k deeper than the calibrated contract over-probes proportionally (servedK)") {
+    // a clustered corpus where the calibrated width at k=10 is a single
+    // cell of ~125 rows: a k=150 flagship cannot even FILL its top-k
+    // from one cell, so a verbatim registered width silently starves and
+    // under-recalls exactly when the caller asks deeper than the
+    // contract; servedK lets the rewrite scale the probe width
+    // proportionally (ceil(p * k / servedK), capped at all cells)
+    val dir = scratchDir("graft-servedk")
+    graft.ClusteredCorpus.write(spark, dir, nClusters = 20, perCluster = 100)
+    val src2 = s"$dir/embeddings.parquet"
+    val corpus2 = spark.read.parquet(src2)
+    def flagship2(qv: Array[Float], k: Int): DataFrame =
+      corpus2.select(col("vec_id"), col("embedding"))
+        .withColumn("score", cosineSim(col("embedding"), lit(qv)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(k)
+    val cal = graft.ml.IvfGeometry.calibrated(spark, src2, "vec_id",
+      "embedding", graft.ml.IvfGeometry.Contract(10, 0.95))
+    try {
+      // the demonstration requires the clustered calibration to land on
+      // a small probe fraction (the whole point of the corpus shape)
+      assert(cal.ivf.nProbe <= 2,
+        s"expected a narrow clustered width, got p=${cal.ivf.nProbe}")
+      val qv = corpus2.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      def servedIds(k: Int): Set[Long] = {
+        val df = flagship2(qv, k)
+        assert(df.queryExecution.executedPlan.toString.contains("emb:array"),
+          "plan must serve from the index")
+        df.select("vec_id").collect().map(_.getLong(0)).toSet
+      }
+      spark.conf.set(AnnIndexRule.ConfKey, "false")
+      val exact150 = try flagship2(qv, 150).select("vec_id").collect()
+          .map(_.getLong(0)).toSet
+        finally spark.conf.unset(AnnIndexRule.ConfKey)
+
+      // without servedK the registered width serves ANY k verbatim — the
+      // 150-deep result starves below the 0.9 family contract
+      AnnIndexRegistry.register(spark, cal.ivf, src2, "vec_id", "embedding",
+        nProbe = cal.ivf.nProbe)
+      val starved = servedIds(150)
+      val starvedRecall = (starved & exact150).size.toDouble / exact150.size
+      assert(starvedRecall < 0.9,
+        s"demonstration needs the frozen width to under-recall at k=150, " +
+          s"got $starvedRecall")
+
+      // with the contract's k recorded, the SAME registration serves
+      // k=150 at full depth and contract recall
+      AnnIndexRegistry.register(spark, cal.ivf, src2, "vec_id", "embedding",
+        nProbe = cal.ivf.nProbe, servedK = 10)
+      val scaled = servedIds(150)
+      assert(scaled.size == 150, s"k-scaled serve under-filled: ${scaled.size}")
+      val recall = (scaled & exact150).size.toDouble / exact150.size
+      assert(recall >= 0.9, s"k-scaled rewrite recall $recall")
+      // and a query AT the contract k keeps the calibrated narrow width
+      // (recall there is the calibration's own guarantee)
+      spark.conf.set(AnnIndexRule.ConfKey, "false")
+      val exact10 = try flagship2(qv, 10).select("vec_id").collect()
+          .map(_.getLong(0)).toSet
+        finally spark.conf.unset(AnnIndexRule.ConfKey)
+      val at10 = servedIds(10)
+      assert((at10 & exact10).size >= 9, s"contract-k recall regressed")
+    } finally AnnIndexRegistry.clear()
+  }
+
   test("non-matching shapes keep their exact plan") {
     val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
     try {
