@@ -39,8 +39,18 @@ object SignIndex {
 
   /** The persisted pair: the 16-byte/row signature table the shortlist
     * scan streams, and the id-bucketed embedding fetch table the exact
-    * re-rank partition-prunes into. */
-  case class Built(signs: DataFrame, embById: DataFrame)
+    * re-rank partition-prunes into — plus the optional id-tombstone
+    * sidecar every persisted family carries (deletes are O(batch)
+    * bookkeeping filtered out of the shortlist scan by [[Built.liveSigns]],
+    * reclaimed physically by [[compactOnDisk]]). */
+  case class Built(signs: DataFrame, embById: DataFrame,
+      tombstones: Option[DataFrame] = None) {
+    /** Shortlist-scannable rows: `signs` minus tombstoned ids (filtered
+      * BEFORE the Hamming top-S, so a dead row can never occupy a
+      * shortlist slot and truncate the re-ranked result). */
+    def liveSigns: DataFrame =
+      tombstones.fold(signs)(t => signs.join(t, Seq("id"), "left_anti"))
+  }
 
   def build(src: DataFrame, idCol: String, embCol: String): Built = {
     val base = src.select(col(idCol).cast("long").as("id"),
@@ -54,15 +64,19 @@ object SignIndex {
     built.signs.write.mode("overwrite").parquet(s"$path/signs")
     built.embById.write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/embById")
+    built.tombstones.foreach(_.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/tombstones"))
   }
 
   def load(spark: SparkSession, path: String): Built =
     Built(spark.read.parquet(s"$path/signs"),
       spark.read.parquet(s"$path/embById")
-        .select(col("bucket").cast("int").as("bucket"), col("id"), col("emb")))
+        .select(col("bucket").cast("int").as("bucket"), col("id"), col("emb")),
+      IvfIndex.loadOptional(spark, s"$path/tombstones"))
 
   /** Map-side encode of new source files onto an existing index (LWW on
-    * id collisions, mirroring [[PqIndex.append]]). */
+    * id collisions, mirroring [[PqIndex.append]]; a re-added id also
+    * comes OFF the tombstone list). */
   def append(built: Built, delta: DataFrame, idCol: String,
       embCol: String): Built = {
     val d = build(IvfIndex.dedupDeltaIds(
@@ -72,7 +86,44 @@ object SignIndex {
     Built(
       built.signs.join(deltaIds, Seq("id"), "left_anti").unionByName(d.signs),
       built.embById.join(deltaIds, Seq("id"), "left_anti")
-        .unionByName(d.embById))
+        .unionByName(d.embById),
+      built.tombstones.map(_.join(deltaIds, Seq("id"), "left_anti")))
+  }
+
+  /** Delete by id via the tombstone sidecar — the same O(|batch|),
+    * no-re-encode contract as [[IvfIndex.delete]]/[[PqIndex.delete]]. */
+  def delete(built: Built, ids: DataFrame, idCol: String): Built = {
+    val dead = ids.select(col(idCol).cast("long").as("id")).distinct()
+    Built(built.signs, built.embById,
+      Some(built.tombstones.fold(dead)(t => t.unionByName(dead).distinct())))
+  }
+
+  /** On-disk compaction of a PUBLISHED sign index — completes
+    * [[IvfIndex.compactOnDisk]]'s contract on the last persisted family:
+    * the flat 16-byte/row signature table is rewritten whole (it has no
+    * partition structure, and is the smallest artifact any family
+    * streams), the id-bucketed fetch table rewrites ONLY the dead ids'
+    * buckets, then the sidecar drops. No-op below `minDeadFraction`. */
+  def compactOnDisk(spark: SparkSession, path: String,
+      minDeadFraction: Double = 0.0): Unit = {
+    val built = load(spark, path)
+    val dead = built.tombstones.getOrElse(return)
+    if (minDeadFraction > 0.0) {
+      val total = built.signs.count()
+      if (total == 0 || dead.count().toDouble / total < minDeadFraction) return
+    }
+    built.liveSigns.localCheckpoint()
+      .write.mode("overwrite").parquet(s"$path/signs")
+    val affectedBuckets = dead
+      .select(PqIndex.bucketOf(col("id")).as("bucket")).distinct()
+      .collect().map(_.get(0))
+    IvfIndex.compactPartitions(spark, s"$path/embById", "bucket",
+      affectedBuckets,
+      built.embById
+        .filter(col("bucket").isin(affectedBuckets.toIndexedSeq: _*))
+        .join(dead, Seq("id"), "left_anti"))
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    t.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(t, true)
   }
 
   /** Load the persisted index for `sourcePath` or build + publish once
@@ -101,7 +152,7 @@ object SignIndex {
    */
   def scoredShortlist(built: Built, queries: DataFrame,
       shortlist: Int): DataFrame = {
-    val short = built.signs
+    val short = built.liveSigns
       .crossJoin(broadcast(queries.select(col("q_id"), col("q_packed"))))
       .filter(col("id") =!= col("q_id"))
       .withColumn("ham", expr("bit_count(packed ^ q_packed)"))
