@@ -107,6 +107,57 @@ object VectorStreams {
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }
 
+  /**
+   * CDC-shaped continuous ingest: a micro-batch may carry BOTH upserts
+   * and deletes — the streaming composition of the reference's
+   * `UpsertAsync`/`RemoveAsync` pair against the live index, closing the
+   * delete half of the freshness gap [[indexedIngest]] closed for
+   * upserts. Rows whose `opCol` value is `d`/`delete` (case-insensitive)
+   * tombstone their id via [[IvfIndex.delete]] (O(|batch|) bookkeeping,
+   * no re-encode); every other row appends via [[IvfIndex.append]]
+   * against FROZEN centroids (which also takes a re-added id back off
+   * the tombstone list). Upserts apply before deletes, so WITHIN one
+   * micro-batch a key carrying both ops resolves delete-wins — the
+   * conservative reading of unordered CDC rows; a feed with per-row
+   * ordering should reduce to one op per key upstream (the
+   * `store_snapshot_diff` / CDC-merge shape). A standing [[indexedKnn]]
+   * on the same `indexRef` stops serving a deleted id at batch commit —
+   * with full-k backfill, because the tombstones filter the probe's
+   * candidate set ([[IvfIndex.Built.live]]), never the emitted result —
+   * and serves a re-added one again. Both the cell table AND the
+   * tombstone sidecar are `localCheckpoint`ed per batch so plan lineage
+   * stays O(1) across an unbounded stream; at 100 TB the same hook
+   * tombstones the persisted artifact (the [[graft.ml.IvfIndex.delete]]
+   * sidecar + cadence [[graft.ml.IvfIndex.compactOnDisk]] documented in
+   * SCALE.md) instead of an in-memory ref.
+   */
+  def indexedCdcIngest(records: DataFrame, ivf: IvfIndex,
+      indexRef: AtomicReference[IvfIndex.Built],
+      opCol: String, idCol: String, embCol: String,
+      checkpoint: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = records.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // one materialization feeds both splits (two lazy filters
+          // would each re-run the batch's source)
+          val b = batch.localCheckpoint()
+          val isDelete = lower(col(opCol)).isin("d", "delete")
+          val ups = b.filter(!isDelete).select(col(idCol), col(embCol))
+          val dels = b.filter(isDelete).select(col(idCol))
+          indexRef.updateAndGet { cur =>
+            val upserted =
+              if (ups.isEmpty) cur else ivf.append(cur, ups, idCol, embCol)
+            val next =
+              if (dels.isEmpty) upserted else ivf.delete(upserted, dels, idCol)
+            next.copy(assigned = next.assigned.localCheckpoint(),
+              tombstones = next.tombstones.map(_.localCheckpoint()))
+          }
+          ()
+        }
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
+
   /** Stateless centroid routing shared by [[indexedKnn]] and
     * [[semanticScreen]]: each query row fans out to its `nProbe`
     * max-cosine cells (tie-break cell asc — the `IvfIndex.search`

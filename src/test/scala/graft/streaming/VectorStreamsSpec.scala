@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
+/** A CDC row for the streaming ingest specs: `op` = "u"/"d". */
+case class CdcVec(op: String, vec_id: Long, embedding: Seq[Float])
+
 /** The standing-search query must answer a streamed query vector exactly
   * like the batch kNN — across micro-batch boundaries. */
 class VectorStreamsSpec extends AnyFunSuite with SparkTestBase {
@@ -162,6 +165,66 @@ class VectorStreamsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getInt(0), r.getSeq[Float](1))).toSet
     assert(centroidsAfter == centroidsBefore)
     assert(indexRef.get().assigned.count() == base.count() + 3)
+  }
+
+  test("indexedCdcIngest: streamed deletes stop serving at commit, full-k backfill; re-add restores") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ivf = new graft.ml.IvfIndex(nCentroids = 8, nProbe = 8)
+    val built = ivf.build(spark, corpus, "vec_id", "embedding")
+    val centroidsBefore = built.centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).toSet
+    val indexRef = new java.util.concurrent.atomic.AtomicReference(built)
+    def top5(): Array[Long] = VectorStreams.indexedKnn(
+        queryVecs(7L).toDF(), indexRef.get(), nProbe = 8, k = 5)
+      .orderBy(col("rank")).select("neighbor_id").collect().map(_.getLong(0))
+    val before = top5()
+    assert(before.head == 7L && before.length == 5)
+    val victim = before(1) // the current 2nd-best of query 7
+
+    val input = MemoryStream[CdcVec]
+    val ingest = VectorStreams.indexedCdcIngest(input.toDF(),
+      ivf, indexRef, "op", "vec_id", "embedding")
+    try {
+      // a streamed delete: the standing probe stops serving the id at
+      // batch commit, at FULL k (the tombstone filters the candidate
+      // set, so the next-best row backfills)
+      input.addData(CdcVec("d", victim, Seq.empty))
+      ingest.processAllAvailable()
+      val afterDel = top5()
+      assert(afterDel.length == 5, s"top-k truncated: ${afterDel.length}")
+      assert(!afterDel.contains(victim), "deleted id still served")
+      assert(afterDel.head == 7L)
+
+      // a MIXED batch: an upsert (exact copy of 7's vector — must enter
+      // the top-k) and a delete in one micro-batch
+      val v7 = queryVecs(7L).head.q_emb
+      val victim2 = afterDel(1)
+      input.addData(CdcVec("u", 9000L, v7), CdcVec("delete", victim2, Seq.empty))
+      ingest.processAllAvailable()
+      val afterMixed = top5()
+      assert(afterMixed.contains(9000L), "streamed upsert invisible")
+      assert(!afterMixed.contains(victim2))
+      assert(!afterMixed.contains(victim))
+
+      // delete-wins within one batch for the SAME key (unordered CDC)
+      input.addData(CdcVec("u", 9001L, v7), CdcVec("d", 9001L, Seq.empty))
+      ingest.processAllAvailable()
+      assert(!top5().contains(9001L), "same-batch delete must win")
+
+      // a re-added id serves again (append takes it off the tombstones)
+      val vVictim = queryVecs(victim).head.q_emb
+      input.addData(CdcVec("u", victim, vVictim))
+      ingest.processAllAvailable()
+      assert(top5().contains(victim), "re-added id not served")
+    } finally ingest.stop()
+
+    // all freshness came from append/tombstone bookkeeping, never a
+    // re-fit: the centroid table is frozen across every CDC batch
+    val centroidsAfter = indexRef.get().centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).toSet
+    assert(centroidsAfter == centroidsBefore)
   }
 
   test("semanticScreen: duplicates rejected, novel admitted; streamed == batch") {
