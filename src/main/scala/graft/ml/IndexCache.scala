@@ -32,9 +32,14 @@ package graft.ml
  * half-written index, and a failed build deletes its staging dir rather
  * than leaking it.
  */
-private[ml] object IndexCache {
+private[graft] object IndexCache {
 
   private val ManifestRel = "graft-manifest.txt"
+
+  /** Manifest header recording WHICH source dir an artifact ingested —
+    * what [[gc]] needs to decide reachability (the dir-name key is a
+    * one-way hash of the source path). Entry lines follow the header. */
+  private val SourceHeader = "source="
 
   /** Resolve the published index dir for (source, params), building via
     * `buildInto(stagingDir)` if absent. `successRel` is a file that only
@@ -102,7 +107,7 @@ private[ml] object IndexCache {
           buildInto(staging.getPath)
         // manifest LAST, after the index content is complete
         java.nio.file.Files.write(new java.io.File(staging, ManifestRel).toPath,
-          entries.mkString("\n").getBytes("UTF-8"))
+          (s"$SourceHeader$sourcePath" +: entries).mkString("\n").getBytes("UTF-8"))
       } catch { case t: Throwable => deleteRecursively(staging); throw t }
       publish(staging, target, successRel)
     }
@@ -128,7 +133,8 @@ private[ml] object IndexCache {
         else {
           val ingested = new String(
             java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
-            .split("\n").filter(_.nonEmpty).toSet
+            .split("\n").filter(_.nonEmpty)
+            .filterNot(_.startsWith(SourceHeader)).toSet
           // strict subset: every ingested file still present AND unchanged,
           // and at least one genuinely new file to encode
           if (ingested.nonEmpty && ingested.subsetOf(current) &&
@@ -143,6 +149,80 @@ private[ml] object IndexCache {
         true
       case None => false
     }
+  }
+
+  /**
+   * Reclaim unreachable artifacts from a shared cache root — the storage
+   * lifecycle that bounds the cache under ingest-rebuild cadence. Every
+   * mutate-then-rebuild cycle publishes a NEW full-size artifact under a
+   * new content key; without reclamation the root grows by one
+   * corpus-scale directory per cycle. An artifact is removed when it can
+   * never be served or appended-from again:
+   *
+   *  - its recorded source dir no longer exists;
+   *  - some ingested file is changed or absent in the current source
+   *    (`openOrBuild` would rebuild rather than serve it, and `growFrom`
+   *    would never append from it);
+   *  - a LIVE artifact (manifest == current source) exists for the same
+   *    (source, params), making every strict-subset sibling — append
+   *    feedstock only — superseded; with no live artifact, the LARGEST
+   *    subset is kept (it is the best append base) and smaller ones go;
+   *  - it is a `.build-` staging dir (a crashed builder's leftover —
+   *    only a rename publishes, so it can never be served).
+   *
+   * Pre-source-header manifests (older artifacts) record no source path
+   * and are conservatively KEPT — reachability cannot be decided from a
+   * one-way dir-name hash. `olderThanMs` is the race guard for the
+   * shared root: only dirs untouched for at least that long are
+   * reclaimed (another session may still hold a just-superseded path —
+   * same single-writer maintenance-window discipline as on-disk
+   * compaction, SCALE.md). Returns the removed paths.
+   */
+  def gc(cacheRoot: String, olderThanMs: Long = 0): Seq[String] = {
+    val now = System.currentTimeMillis()
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def reap(d: java.io.File): Unit =
+      if (now - d.lastModified() >= olderThanMs) {
+        deleteRecursively(d)
+        removed += d.getPath
+      }
+    val dirs = Option(new java.io.File(cacheRoot).listFiles()).toSeq.flatten
+      .filter(_.isDirectory)
+    val (staging, published) = dirs.partition(_.getName.contains(".build-"))
+    staging.foreach(reap)
+    final case class Pub(dir: java.io.File, source: String,
+        ingested: Set[String])
+    val pubs = published.flatMap { d =>
+      val mf = new java.io.File(d, ManifestRel)
+      if (!mf.isFile) None // unpublished/foreign dir: not ours to reap
+      else {
+        val lines = new String(
+          java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+          .split("\n").filter(_.nonEmpty)
+        lines.find(_.startsWith(SourceHeader))
+          .map(h => Pub(d, h.stripPrefix(SourceHeader),
+            lines.filterNot(_.startsWith(SourceHeader)).toSet))
+      }
+    }
+    // params fingerprint = dir-name suffix after the 32-hex content key
+    def paramsOf(d: java.io.File): String = d.getName.drop(33)
+    pubs.groupBy(p => (p.source, paramsOf(p.dir))).foreach {
+      case ((source, _), group) =>
+        val current: Option[Set[String]] =
+          if (!new java.io.File(source).exists()) None
+          else Some(entriesOf(dataFiles(source)).toSet)
+        current match {
+          case None => group.foreach(p => reap(p.dir))
+          case Some(cur) =>
+            val (reachable, stale) = group.partition(_.ingested.subsetOf(cur))
+            stale.foreach(p => reap(p.dir))
+            val (live, subsets) = reachable.partition(_.ingested == cur)
+            if (live.nonEmpty) subsets.foreach(p => reap(p.dir))
+            else subsets.sortBy(-_.ingested.size).drop(1)
+              .foreach(p => reap(p.dir))
+        }
+    }
+    removed.toSeq
   }
 
   /** Atomic-rename publish with the lost-race discipline: a concurrent

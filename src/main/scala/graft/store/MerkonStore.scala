@@ -183,6 +183,21 @@ class MerkonStore(spark: SparkSession) {
       graft.plans.AnnIndexRegistry.compact(spark, dump, minDeadFraction)
     }
 
+  /** Reclaim superseded index artifacts from the cache roots
+    * [[buildIndex]] publishes into ([[graft.ml.IndexCache.gc]] — every
+    * mutate-then-rebuild cycle publishes a new content-keyed artifact;
+    * this is the maintenance job that keeps the roots from growing by
+    * one corpus-scale directory per cycle). `olderThanMs` is the shared-
+    * root race guard: artifacts untouched for at least that long are
+    * eligible; live and append-base artifacts are never touched. Returns
+    * the removed paths. */
+  def gcIndexCache(olderThanMs: Long = 0,
+      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf",
+      pqCacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivfpq")
+      : Seq[String] =
+    graft.ml.IndexCache.gc(cacheRoot, olderThanMs) ++
+      graft.ml.IndexCache.gc(pqCacheRoot, olderThanMs)
+
   /** A7 `RemoveItem` / B7 `RemoveAsync`. */
   def remove(name: String, key: String): Unit = removeBatch(name, Seq(key))
 

@@ -399,6 +399,68 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("IndexCache.gc reclaims unreachable artifacts; live and best append base survive") {
+    val srcDir = new java.io.File(scratchDir("graft-gc-src"))
+    val root = scratchDir("graft-gc-cache")
+    srcDir.mkdirs()
+    // cache mechanics only — the build lambda publishes a marker, no fit
+    def open(): String = IndexCache.openOrBuildIncremental(
+      srcDir.getPath, "p1", root, "x/_SUCCESS") { st =>
+      val d = new java.io.File(st, "x"); d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, "_SUCCESS").toPath,
+        Array.emptyByteArray)
+    } { (_, _, st) =>
+      val d = new java.io.File(st, "x"); d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, "_SUCCESS").toPath,
+        Array.emptyByteArray)
+    }
+    copyParquetFile(baseHalf, srcDir, "a.parquet")
+    val dir1 = open()
+    copyParquetFile(deltaHalf, srcDir, "b.parquet")
+    val dir2 = open()
+    assert(dir1 != dir2)
+
+    // the age guard: a shared root reclaims nothing younger than the bar
+    assert(IndexCache.gc(root, olderThanMs = 3600L * 1000).isEmpty)
+    // a live artifact (dir2) supersedes its append feedstock (dir1)
+    assert(IndexCache.gc(root).toSet == Set(dir1))
+    assert(!new java.io.File(dir1).exists() && new java.io.File(dir2).isDirectory)
+
+    // source grew again, nothing rebuilt yet: dir2 is the best append
+    // base and must SURVIVE gc (no live artifact exists now)
+    copyParquetFile(baseHalf.limit(10), srcDir, "c.parquet")
+    assert(IndexCache.gc(root).isEmpty)
+    assert(new java.io.File(dir2).isDirectory)
+    val dir3 = open() // appends from dir2, publishes the new live artifact
+    assert(IndexCache.gc(root).toSet == Set(dir2))
+
+    // a crashed builder's staging dir can never publish — reclaimed
+    val stale = new java.io.File(s"$dir3.build-999-1")
+    new java.io.File(stale, "x").mkdirs()
+    assert(IndexCache.gc(root).toSet == Set(stale.getPath))
+
+    // a CHANGED ingested file makes the artifact unreachable (openOrBuild
+    // would rebuild; growFrom would never append from it)
+    copyParquetFile(deltaHalf.limit(7), srcDir, "a.parquet")
+    assert(IndexCache.gc(root).toSet == Set(dir3))
+
+    // a pre-source-header manifest records no source: conservatively kept
+    val legacy = new java.io.File(root, "0" * 32 + "-p1")
+    new java.io.File(legacy, "x").mkdirs()
+    java.nio.file.Files.write(new java.io.File(legacy, "x/_SUCCESS").toPath,
+      Array.emptyByteArray)
+    java.nio.file.Files.write(new java.io.File(legacy, "graft-manifest.txt").toPath,
+      "a.parquet:1:1:1".getBytes("UTF-8"))
+    val dir4 = open()
+    assert(IndexCache.gc(root).isEmpty)
+    assert(legacy.isDirectory && new java.io.File(dir4).isDirectory)
+
+    // a deleted source dir leaves every artifact for it unreachable
+    srcDir.listFiles().foreach(_.delete()); srcDir.delete()
+    assert(IndexCache.gc(root).toSet == Set(dir4))
+    assert(legacy.isDirectory, "header-less artifact must still be kept")
+  }
+
   test("openOrBuild recovers from a stale PARTIAL index dir at the key path") {
     // simulate a builder that died after creating the target dir but
     // before completing the index: the success marker is missing, so the
