@@ -374,6 +374,13 @@ class MerkonStore(spark: SparkSession) {
     }
     collections.keys.toSeq.toDF("name")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_collections")
+    // WHICH collections carry an ANN index is part of the store's state
+    // too — only the names: the artifacts themselves are content-keyed
+    // in the shared cache and the restart index job ([[load]] with
+    // `rebuildIndexes = true`) re-opens or rebuilds them from the
+    // reloaded data, never from a stale snapshot path
+    indexedCollections.keys.toSeq.toDF("name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_indexed")
   }
 
   /** A10 `Load`. Format must match the one used by [[save]]; json/csv need
@@ -385,7 +392,38 @@ class MerkonStore(spark: SparkSession) {
     * post-date the manifest — created through the SQL catalog face
     * ([[attachSqlCatalog]]'s `CREATE TABLE`) — are picked up too, so the
     * Scala facade and pure SQL observe one set of collections. */
-  def load(dir: String, format: String = "parquet"): Unit = {
+  def load(dir: String, format: String = "parquet"): Unit =
+    load(dir, format, rebuildIndexes = false)
+
+  /** [[load]] plus the restart INDEX job: with `rebuildIndexes = true`,
+    * every collection the saved store had run [[buildIndex]] on gets its
+    * index job re-run after the data loads (re-opened from the
+    * content-keyed cache when the reloaded snapshot matches, rebuilt
+    * otherwise) — so `getNearestMatches(useIndex = true)` serves from
+    * the index across a restart instead of silently falling back to the
+    * exact scan until an operator remembers. Opt-in because the index
+    * job can pay a KMeans fit: a caller restoring many stores batch-wise
+    * may prefer to schedule the jobs itself (the `_indexed` manifest is
+    * on disk either way). Collections recorded as indexed but reloaded
+    * EMPTY of searchable vectors are skipped — an index over nothing is
+    * not buildable, and the exact path serves the empty result. */
+  def load(dir: String, format: String, rebuildIndexes: Boolean): Unit = {
+    loadData(dir, format)
+    indexedCollections.clear()
+    if (rebuildIndexes) {
+      val m = new org.apache.hadoop.fs.Path(s"$dir/_indexed")
+      val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(m, "_SUCCESS")))
+        spark.read.parquet(s"$dir/_indexed").collect().map(_.getString(0))
+          .filter(n => collections.contains(n) &&
+            current(n).filter(col("embedding").isNotNull &&
+              graft.functions.VectorFunctions.l2Norm(col("embedding")) > 0)
+              .limit(1).count() > 0)
+          .foreach(n => buildIndex(n))
+    }
+  }
+
+  private def loadData(dir: String, format: String): Unit = {
     collections.clear()
     val names = spark.read.parquet(s"$dir/_collections")
       .collect().map(_.getString(0))

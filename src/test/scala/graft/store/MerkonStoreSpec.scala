@@ -534,6 +534,41 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
     } finally graft.plans.AnnIndexRegistry.clear()
   }
 
+  test("save/load round-trips which collections are indexed; rebuildIndexes restores indexed serve") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val st = newStore
+    try {
+      val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      st.upsertBatch("vecsrt", corpus.select(
+        concat(lit("k"), col("vec_id")).as("key"), col("embedding")))
+      st.buildIndex("vecsrt", nCentroids = 8, nProbe = 8)
+      val qv = corpus.filter(col("vec_id") === 7).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val dir = scratchDir("merkon-store-idx")
+      st.save(dir)
+
+      // restart WITHOUT the index job: the indexed path must fall back to
+      // the exact scan over the RELOADED data — in particular it must not
+      // serve a stale pre-load index snapshot (load clears the index
+      // bindings along with the collections)
+      val st2 = new MerkonStore(spark)
+      st2.load(dir)
+      val exactDf = st2.getNearestMatches("vecsrt", qv, 5, useIndex = true)
+      assert(!exactDf.queryExecution.executedPlan.toString.contains("emb:array"),
+        "no index job ran; the serve must be the exact scan")
+      assert(exactDf.select("key").head().getString(0) == "k7")
+
+      // restart WITH the index job: indexed serve restored from the
+      // persisted `_indexed` manifest + the reloaded data
+      val st3 = new MerkonStore(spark)
+      st3.load(dir, "parquet", rebuildIndexes = true)
+      val served = st3.getNearestMatches("vecsrt", qv, 5, useIndex = true)
+      assert(served.queryExecution.executedPlan.toString.contains("emb:array"),
+        "restart index job must restore the indexed serve")
+      assert(served.select("key").head().getString(0) == "k7")
+    } finally graft.plans.AnnIndexRegistry.clear()
+  }
+
   test("compactIndex is family-aware: IVF-artifact compaction can never resurrect codes-path deletes") {
     // the failure this pins: deletes land in the registered (IVF)
     // artifact's sidecar, and IvfIndex.compactOnDisk DROPS that sidecar
