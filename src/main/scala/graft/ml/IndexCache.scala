@@ -172,13 +172,17 @@ private[graft] object IndexCache {
    *
    * Pre-source-header manifests (older artifacts) record no source path
    * and are conservatively KEPT — reachability cannot be decided from a
-   * one-way dir-name hash. `olderThanMs` is the race guard for the
-   * shared root: only dirs untouched for at least that long are
-   * reclaimed (another session may still hold a just-superseded path —
-   * same single-writer maintenance-window discipline as on-disk
-   * compaction, SCALE.md). Returns the removed paths.
+   * one-way dir-name hash. `olderThanMs` (default 1 h) is the race
+   * guard for the shared root: only dirs untouched for at least that
+   * long are reclaimed (another session may still hold a just-superseded
+   * path — same single-writer maintenance-window discipline as on-disk
+   * compaction, SCALE.md). Staging dirs get a stronger guard than
+   * mtime — a long fit writes into NESTED subdirs, which never touches
+   * the staging dir's own mtime — so a `.build-<pid>-…` dir is reaped
+   * only when its builder process is no longer alive. Returns the
+   * removed paths.
    */
-  def gc(cacheRoot: String, olderThanMs: Long = 0): Seq[String] = {
+  def gc(cacheRoot: String, olderThanMs: Long = 3600000L): Seq[String] = {
     val now = System.currentTimeMillis()
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
     def reap(d: java.io.File): Unit =
@@ -189,7 +193,15 @@ private[graft] object IndexCache {
     val dirs = Option(new java.io.File(cacheRoot).listFiles()).toSeq.flatten
       .filter(_.isDirectory)
     val (staging, published) = dirs.partition(_.getName.contains(".build-"))
-    staging.foreach(reap)
+    staging.foreach { d =>
+      val pid = d.getName.split("\\.build-").lift(1)
+        .flatMap(_.split("-").headOption)
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+      // an unparseable pid is treated as dead (not a name this cache
+      // ever writes); a live builder's staging dir is never touched
+      if (!pid.exists(p => java.lang.ProcessHandle.of(p).isPresent()))
+        reap(d)
+    }
     final case class Pub(dir: java.io.File, source: String,
         ingested: Set[String])
     val pubs = published.flatMap { d =>

@@ -217,23 +217,14 @@ object IvfPqIndex {
     IvfIndex.compactPartitions(spark, s"$path/codedCell", "cell",
       affectedCells,
       built.liveCodedCell.filter(col("cell").isin(affectedCells.toIndexedSeq: _*)))
-    // the dead ids' fetch buckets are known from the ids alone (bucket =
-    // pmod(id, EmbBuckets)) — bounded by EmbBuckets, collected as a tiny
-    // distinct set
-    val affectedBuckets = dead
-      .select(PqIndex.bucketOf(col("id")).as("bucket")).distinct()
-      .collect().map(_.get(0))
-    IvfIndex.compactPartitions(spark, s"$path/embById", "bucket",
-      affectedBuckets,
-      built.embById
-        .filter(col("bucket").isin(affectedBuckets.toIndexedSeq: _*))
-        .join(dead, Seq("id"), "left_anti"))
+    val affectedBuckets =
+      PqIndex.compactEmbBuckets(spark, s"$path/embById", built.embById, dead)
     IvfIndex.loadOptional(spark, s"$path/idMap").foreach { idMap =>
       IvfIndex.compactPartitions(spark, s"$path/idMap", "bucket",
         affectedBuckets,
         idMap.select(col("bucket").cast("int").as("bucket"), col("sid"),
             col("id"))
-          .filter(col("bucket").isin(affectedBuckets.toIndexedSeq: _*))
+          .filter(col("bucket").isin(affectedBuckets: _*))
           .join(dead.select(col("id").as("sid")), Seq("sid"), "left_anti"))
     }
     val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")

@@ -261,6 +261,22 @@ object PqIndex {
   private[ml] def withBucket(idEmb: DataFrame): DataFrame =
     idEmb.select(bucketOf(col("id")).as("bucket"), col("id"), col("emb"))
 
+  /** Compact the id-bucketed fetch table against a dead-id set: rewrite
+    * ONLY the dead ids' bucket directories with their surviving rows
+    * (the buckets are known from the ids alone — bounded by
+    * [[EmbBuckets]]). Shared by every family's `compactOnDisk`; returns
+    * the affected bucket values so a sibling bucket-partitioned table
+    * (the surrogate `idMap`) can reuse them. */
+  private[ml] def compactEmbBuckets(spark: SparkSession, tablePath: String,
+      embById: DataFrame, dead: DataFrame): Seq[Any] = {
+    val affected = dead.select(bucketOf(col("id")).as("bucket")).distinct()
+      .collect().map(_.get(0)).toSeq
+    IvfIndex.compactPartitions(spark, tablePath, "bucket", affected,
+      embById.filter(col("bucket").isin(affected: _*))
+        .join(dead, Seq("id"), "left_anti"))
+    affected
+  }
+
   /** Exact re-rank of a shortlist (q_id, q_emb, id): the embedding fetch
     * joins on (bucket, id) against the id-bucket-PARTITIONED embedding
     * table, so the tiny broadcast shortlist dynamic-partition-prunes the
@@ -336,14 +352,7 @@ object PqIndex {
     // (the write would otherwise read the directory it is replacing)
     built.liveCoded.localCheckpoint()
       .write.mode("overwrite").parquet(s"$path/coded")
-    val affectedBuckets = dead
-      .select(bucketOf(col("id")).as("bucket")).distinct()
-      .collect().map(_.get(0))
-    IvfIndex.compactPartitions(spark, s"$path/embById", "bucket",
-      affectedBuckets,
-      built.embById
-        .filter(col("bucket").isin(affectedBuckets.toIndexedSeq: _*))
-        .join(dead, Seq("id"), "left_anti"))
+    compactEmbBuckets(spark, s"$path/embById", built.embById, dead)
     val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     t.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(t, true)
   }

@@ -114,14 +114,7 @@ object SignIndex {
     }
     built.liveSigns.localCheckpoint()
       .write.mode("overwrite").parquet(s"$path/signs")
-    val affectedBuckets = dead
-      .select(PqIndex.bucketOf(col("id")).as("bucket")).distinct()
-      .collect().map(_.get(0))
-    IvfIndex.compactPartitions(spark, s"$path/embById", "bucket",
-      affectedBuckets,
-      built.embById
-        .filter(col("bucket").isin(affectedBuckets.toIndexedSeq: _*))
-        .join(dead, Seq("id"), "left_anti"))
+    PqIndex.compactEmbBuckets(spark, s"$path/embById", built.embById, dead)
     val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     t.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(t, true)
   }

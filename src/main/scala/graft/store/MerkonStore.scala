@@ -63,7 +63,11 @@ class MerkonStore(spark: SparkSession) {
   def getCollections: Seq[String] = collections.keys.toSeq
 
   /** A6 `RemoveCollection`. */
-  def deleteCollection(name: String): Boolean = collections.remove(name).isDefined
+  def deleteCollection(name: String): Boolean = {
+    indexedCollections.remove(name)
+    recordedIndexes.remove(name)
+    collections.remove(name).isDefined
+  }
 
   /** Expose every collection as a temp view (`prefix<name>`) so the whole
     * store is queryable from pure SQL alongside the GraftExtensions
@@ -183,15 +187,55 @@ class MerkonStore(spark: SparkSession) {
       graft.plans.AnnIndexRegistry.compact(spark, dump, minDeadFraction)
     }
 
+  /** Operator-facing view of a collection's registered index state — the
+    * numbers the [[compactIndex]] / [[gcIndexCache]] cadence decisions
+    * read: one row per artifact family with its published path, geometry,
+    * live/tombstoned row counts, and dead fraction (the
+    * `minDeadFraction` trigger signal). Row counts are parquet-metadata
+    * reads, no column scan. Empty frame when no [[buildIndex]] ran. */
+  def indexStats(name: String): DataFrame = {
+    import spark.implicits._
+    val rows = indexedCollections.get(name).toSeq.flatMap { dump =>
+      graft.plans.AnnIndexRegistry.lookup(dump).toSeq.flatMap { entry =>
+        // tombstones counted as rows the sidecar would actually RECLAIM
+        // from this artifact (semi-join against its table, in its own
+        // key domain) — a raw sidecar count over-reports when it holds
+        // never-indexed or already-appended-over ids and would trigger
+        // a minDeadFraction cadence that rewrites nothing
+        def stat(family: String, path: String, table: String,
+            m: Option[Int], kCodebook: Option[Int]) = {
+          val t = spark.read.parquet(s"$path/$table")
+          val total = t.count()
+          val dead = graft.ml.IvfIndex
+            .loadOptional(spark, s"$path/tombstones")
+            .map(ts => t.join(ts.select(col("id")), Seq("id"), "left_semi")
+              .count())
+            .getOrElse(0L)
+          (name, family, path, entry.centroids.length, entry.nProbe,
+            m, kCodebook, total, dead,
+            if (total == 0) 0.0 else dead.toDouble / total)
+        }
+        // both families share the coarse geometry (seed equality is
+        // enforced at registration); the PQ row adds its code shape
+        stat("ivf", entry.indexPath, "assigned", None, None) +:
+          entry.pq.toSeq.map(f => stat("ivfpq", f.indexPath, "codedCell",
+            Some(f.m), Some(f.kCentroids)))
+      }
+    }
+    rows.toDF("collection", "family", "index_path", "n_centroids",
+      "n_probe", "m", "k_codebook", "rows", "tombstones", "dead_fraction")
+  }
+
   /** Reclaim superseded index artifacts from the cache roots
     * [[buildIndex]] publishes into ([[graft.ml.IndexCache.gc]] — every
     * mutate-then-rebuild cycle publishes a new content-keyed artifact;
     * this is the maintenance job that keeps the roots from growing by
-    * one corpus-scale directory per cycle). `olderThanMs` is the shared-
-    * root race guard: artifacts untouched for at least that long are
-    * eligible; live and append-base artifacts are never touched. Returns
-    * the removed paths. */
-  def gcIndexCache(olderThanMs: Long = 0,
+    * one corpus-scale directory per cycle). `olderThanMs` (default 1 h)
+    * is the shared-root race guard: artifacts untouched for at least
+    * that long are eligible; live and append-base artifacts, and staging
+    * dirs of still-running builders, are never touched. Returns the
+    * removed paths. */
+  def gcIndexCache(olderThanMs: Long = 3600000L,
       cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf",
       pqCacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivfpq")
       : Seq[String] =
@@ -212,6 +256,15 @@ class MerkonStore(spark: SparkSession) {
   // Collections with a registered ANN index: name -> parquet snapshot
   // path (the AnnIndexRegistry source key). See [[buildIndex]].
   private val indexedCollections = mutable.Map.empty[String, String]
+
+  // Collections RECORDED as carrying an ANN index, with the buildIndex
+  // params that built them ((0, 0) = derived geometry). Distinct from
+  // indexedCollections: a reloaded store knows which collections were
+  // indexed (and at what operating point) even while the restart defers
+  // the index job — so a plain load-then-save round-trip can never
+  // erase the record, and a later rebuild restores the SAME geometry
+  // the operator chose rather than silently re-deriving.
+  private val recordedIndexes = mutable.Map.empty[String, (Int, Int)]
 
   /**
    * The index job for a collection — the scale path under B8: snapshot
@@ -275,6 +328,7 @@ class MerkonStore(spark: SparkSession) {
       ivf.nProbe, ivfpq = pqSibling,
       servedK = if (nCentroids > 0) 0 else contract.k)
     indexedCollections(name) = dump
+    recordedIndexes(name) = (nCentroids, nProbe)
   }
 
   /**
@@ -374,12 +428,17 @@ class MerkonStore(spark: SparkSession) {
     }
     collections.keys.toSeq.toDF("name")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_collections")
-    // WHICH collections carry an ANN index is part of the store's state
-    // too — only the names: the artifacts themselves are content-keyed
-    // in the shared cache and the restart index job ([[load]] with
-    // `rebuildIndexes = true`) re-opens or rebuilds them from the
-    // reloaded data, never from a stale snapshot path
-    indexedCollections.keys.toSeq.toDF("name")
+    // WHICH collections carry an ANN index — and at what buildIndex
+    // operating point — is part of the store's state too. The RECORDED
+    // set (not the in-memory bindings) is what persists: a store that
+    // deferred its restart index job still knows its collections were
+    // indexed, so load-then-save can never erase the record. Only names
+    // + params go to disk: the artifacts are content-keyed in the shared
+    // cache and the restart job rebuilds from the reloaded data, never
+    // from a stale snapshot path.
+    recordedIndexes.toSeq.collect {
+      case (n, (c, p)) if collections.contains(n) => (n, c, p)
+    }.toDF("name", "n_centroids", "n_probe")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_indexed")
   }
 
@@ -397,30 +456,38 @@ class MerkonStore(spark: SparkSession) {
 
   /** [[load]] plus the restart INDEX job: with `rebuildIndexes = true`,
     * every collection the saved store had run [[buildIndex]] on gets its
-    * index job re-run after the data loads (re-opened from the
-    * content-keyed cache when the reloaded snapshot matches, rebuilt
-    * otherwise) — so `getNearestMatches(useIndex = true)` serves from
-    * the index across a restart instead of silently falling back to the
-    * exact scan until an operator remembers. Opt-in because the index
-    * job can pay a KMeans fit: a caller restoring many stores batch-wise
-    * may prefer to schedule the jobs itself (the `_indexed` manifest is
-    * on disk either way). Collections recorded as indexed but reloaded
-    * EMPTY of searchable vectors are skipped — an index over nothing is
-    * not buildable, and the exact path serves the empty result. */
+    * index job re-run after the data loads — at the RECORDED operating
+    * point (an operator's explicit `(nCentroids, nProbe)` survives the
+    * restart; derived-geometry collections re-derive) — so
+    * `getNearestMatches(useIndex = true)` serves from the index across a
+    * restart instead of silently falling back to the exact scan until an
+    * operator remembers. Expect the job to pay its fits: the restart
+    * re-dumps the snapshot, which re-keys the content cache. Opt-in for
+    * exactly that reason — a caller restoring many stores batch-wise may
+    * prefer to schedule the jobs itself; the `_indexed` record survives
+    * a plain load-then-save round-trip either way. Collections recorded
+    * as indexed but reloaded EMPTY of searchable vectors are skipped —
+    * an index over nothing is not buildable, and the exact path serves
+    * the empty result (the record is kept for when data returns). */
   def load(dir: String, format: String, rebuildIndexes: Boolean): Unit = {
     loadData(dir, format)
     indexedCollections.clear()
-    if (rebuildIndexes) {
-      val m = new org.apache.hadoop.fs.Path(s"$dir/_indexed")
-      val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(new org.apache.hadoop.fs.Path(m, "_SUCCESS")))
-        spark.read.parquet(s"$dir/_indexed").collect().map(_.getString(0))
-          .filter(n => collections.contains(n) &&
-            current(n).filter(col("embedding").isNotNull &&
-              graft.functions.VectorFunctions.l2Norm(col("embedding")) > 0)
-              .limit(1).count() > 0)
-          .foreach(n => buildIndex(n))
-    }
+    recordedIndexes.clear()
+    val m = new org.apache.hadoop.fs.Path(s"$dir/_indexed")
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(m, "_SUCCESS")))
+      spark.read.parquet(s"$dir/_indexed").collect().foreach { r =>
+        val n = r.getString(0)
+        if (collections.contains(n))
+          recordedIndexes(n) = (r.getInt(1), r.getInt(2))
+      }
+    if (rebuildIndexes)
+      recordedIndexes.toSeq.sortBy(_._1).foreach { case (n, (c, p)) =>
+        if (current(n).filter(col("embedding").isNotNull &&
+            graft.functions.VectorFunctions.l2Norm(col("embedding")) > 0)
+            .limit(1).count() > 0)
+          buildIndex(n, c, p)
+      }
   }
 
   private def loadData(dir: String, format: String): Unit = {

@@ -141,16 +141,30 @@ object VectorStreams {
           // one materialization feeds both splits (two lazy filters
           // would each re-run the batch's source)
           val b = batch.localCheckpoint()
-          val isDelete = lower(col(opCol)).isin("d", "delete")
+          // null-safe: a row with a NULL/unset op is an UPSERT (the
+          // "every other row appends" contract) — a raw !isin would be
+          // NULL and silently drop the row from BOTH splits
+          val isDelete =
+            coalesce(lower(col(opCol)).isin("d", "delete"), lit(false))
           val ups = b.filter(!isDelete).select(col(idCol), col(embCol))
           val dels = b.filter(isDelete).select(col(idCol))
+          val hasUps = !ups.isEmpty
+          val hasDels = !dels.isEmpty
           indexRef.updateAndGet { cur =>
             val upserted =
-              if (ups.isEmpty) cur else ivf.append(cur, ups, idCol, embCol)
+              if (!hasUps) cur else ivf.append(cur, ups, idCol, embCol)
             val next =
-              if (dels.isEmpty) upserted else ivf.delete(upserted, dels, idCol)
-            next.copy(assigned = next.assigned.localCheckpoint(),
-              tombstones = next.tombstones.map(_.localCheckpoint()))
+              if (!hasDels) upserted else ivf.delete(upserted, dels, idCol)
+            // checkpoint only what this batch actually extended: a
+            // delete-only batch leaves the corpus-sized cell table
+            // untouched and must stay O(|batch|) — re-materializing
+            // `assigned` there would scan the whole index per batch
+            next.copy(
+              assigned =
+                if (hasUps) next.assigned.localCheckpoint() else next.assigned,
+              tombstones =
+                if (hasUps || hasDels) next.tombstones.map(_.localCheckpoint())
+                else next.tombstones)
           }
           ()
         }

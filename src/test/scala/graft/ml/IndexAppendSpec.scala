@@ -420,29 +420,37 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
     val dir2 = open()
     assert(dir1 != dir2)
 
-    // the age guard: a shared root reclaims nothing younger than the bar
-    assert(IndexCache.gc(root, olderThanMs = 3600L * 1000).isEmpty)
+    // the DEFAULT age guard (1 h): a shared root reclaims nothing young
+    assert(IndexCache.gc(root).isEmpty)
     // a live artifact (dir2) supersedes its append feedstock (dir1)
-    assert(IndexCache.gc(root).toSet == Set(dir1))
+    assert(IndexCache.gc(root, 0).toSet == Set(dir1))
     assert(!new java.io.File(dir1).exists() && new java.io.File(dir2).isDirectory)
 
     // source grew again, nothing rebuilt yet: dir2 is the best append
     // base and must SURVIVE gc (no live artifact exists now)
     copyParquetFile(baseHalf.limit(10), srcDir, "c.parquet")
-    assert(IndexCache.gc(root).isEmpty)
+    assert(IndexCache.gc(root, 0).isEmpty)
     assert(new java.io.File(dir2).isDirectory)
     val dir3 = open() // appends from dir2, publishes the new live artifact
-    assert(IndexCache.gc(root).toSet == Set(dir2))
+    assert(IndexCache.gc(root, 0).toSet == Set(dir2))
 
-    // a crashed builder's staging dir can never publish — reclaimed
-    val stale = new java.io.File(s"$dir3.build-999-1")
+    // a DEAD builder's staging dir can never publish — reclaimed; a
+    // LIVE builder's (this JVM's pid) is in active use at ANY age and
+    // must survive even the zero age bar
+    val stale = new java.io.File(s"$dir3.build-999999999-1")
     new java.io.File(stale, "x").mkdirs()
-    assert(IndexCache.gc(root).toSet == Set(stale.getPath))
+    val mine = new java.io.File(
+      s"$dir3.build-${java.lang.ProcessHandle.current().pid()}-1")
+    new java.io.File(mine, "x").mkdirs()
+    assert(IndexCache.gc(root, 0).toSet == Set(stale.getPath))
+    assert(mine.isDirectory, "a live builder's staging dir was reaped")
+    new java.io.File(mine, "x").delete() // cleanup: later asserts see
+    mine.delete()                        // only published dirs
 
     // a CHANGED ingested file makes the artifact unreachable (openOrBuild
     // would rebuild; growFrom would never append from it)
     copyParquetFile(deltaHalf.limit(7), srcDir, "a.parquet")
-    assert(IndexCache.gc(root).toSet == Set(dir3))
+    assert(IndexCache.gc(root, 0).toSet == Set(dir3))
 
     // a pre-source-header manifest records no source: conservatively kept
     val legacy = new java.io.File(root, "0" * 32 + "-p1")
@@ -452,12 +460,12 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
     java.nio.file.Files.write(new java.io.File(legacy, "graft-manifest.txt").toPath,
       "a.parquet:1:1:1".getBytes("UTF-8"))
     val dir4 = open()
-    assert(IndexCache.gc(root).isEmpty)
+    assert(IndexCache.gc(root, 0).isEmpty)
     assert(legacy.isDirectory && new java.io.File(dir4).isDirectory)
 
     // a deleted source dir leaves every artifact for it unreachable
     srcDir.listFiles().foreach(_.delete()); srcDir.delete()
-    assert(IndexCache.gc(root).toSet == Set(dir4))
+    assert(IndexCache.gc(root, 0).toSet == Set(dir4))
     assert(legacy.isDirectory, "header-less artifact must still be kept")
   }
 

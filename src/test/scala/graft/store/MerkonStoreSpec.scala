@@ -534,6 +534,47 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
     } finally graft.plans.AnnIndexRegistry.clear()
   }
 
+  test("indexStats reports per-family tombstone pressure; compactIndex zeroes it") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val st = newStore
+    try {
+      val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      st.upsertBatch("vecstat", corpus.select(
+        concat(lit("k"), col("vec_id")).as("key"), col("embedding")))
+      assert(st.indexStats("vecstat").isEmpty, "no index job ran yet")
+      spark.conf.set(graft.plans.AnnIndexRule.PqMinBytesKey, "0")
+      try {
+        st.buildIndex("vecstat", nCentroids = 8, nProbe = 8)
+        st.removeBatch("vecstat", Seq("k3", "k4"))
+        val stats = st.indexStats("vecstat").collect()
+          .map(r => r.getString(1) -> r).toMap
+        assert(stats.keySet == Set("ivf", "ivfpq"),
+          s"expected both families, got ${stats.keySet}")
+        stats.values.foreach { r =>
+          assert(r.getLong(7) == corpus.count(), "rows = full snapshot")
+          assert(r.getLong(8) == 2, s"2 tombstoned keys, got ${r.getLong(8)}")
+          assert(r.getDouble(9) > 0.0)
+        }
+        // family-correct shape columns: the PQ row carries its code
+        // shape, the IVF row leaves them null
+        assert(stats("ivf").isNullAt(5) && stats("ivf").isNullAt(6))
+        assert(stats("ivfpq").getInt(5) > 0 && stats("ivfpq").getInt(6) > 0)
+        // honest dead count: a never-indexed key in the sidecar reclaims
+        // nothing and must not inflate the trigger signal
+        st.removeBatch("vecstat", Seq("never-indexed-key"))
+        st.indexStats("vecstat").collect().foreach { r =>
+          assert(r.getLong(8) == 2,
+            s"sidecar noise inflated tombstones: ${r.getLong(8)}")
+        }
+        st.compactIndex("vecstat")
+        val after = st.indexStats("vecstat").collect()
+        assert(after.forall(_.getLong(8) == 0L), "compaction zeroes tombstones")
+        assert(after.forall(_.getLong(7) == corpus.count() - 2),
+          "compaction physically removed the dead rows")
+      } finally spark.conf.unset(graft.plans.AnnIndexRule.PqMinBytesKey)
+    } finally graft.plans.AnnIndexRegistry.clear()
+  }
+
   test("save/load round-trips which collections are indexed; rebuildIndexes restores indexed serve") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val st = newStore
@@ -541,11 +582,15 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
       val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       st.upsertBatch("vecsrt", corpus.select(
         concat(lit("k"), col("vec_id")).as("key"), col("embedding")))
-      st.buildIndex("vecsrt", nCentroids = 8, nProbe = 8)
+      st.buildIndex("vecsrt", nCentroids = 8, nProbe = 7)
       val qv = corpus.filter(col("vec_id") === 7).select("embedding")
         .head().getSeq[Float](0).toArray
       val dir = scratchDir("merkon-store-idx")
       st.save(dir)
+      // the record carries the operator's explicit operating point
+      assert(spark.read.parquet(s"$dir/_indexed").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq ==
+        Seq(("vecsrt", 8, 7)))
 
       // restart WITHOUT the index job: the indexed path must fall back to
       // the exact scan over the RELOADED data — in particular it must not
@@ -558,14 +603,28 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
         "no index job ran; the serve must be the exact scan")
       assert(exactDf.select("key").head().getString(0) == "k7")
 
-      // restart WITH the index job: indexed serve restored from the
-      // persisted `_indexed` manifest + the reloaded data
+      // a plain load-then-save round-trip must NOT erase the record (the
+      // deferred-index-job restore flow would otherwise lose, forever,
+      // that the collection was ever indexed)
+      val dir2 = scratchDir("merkon-store-idx2")
+      st2.save(dir2)
+      assert(spark.read.parquet(s"$dir2/_indexed").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq ==
+        Seq(("vecsrt", 8, 7)),
+        "load-then-save erased the indexed record")
+
+      // restart WITH the index job, from the ROUND-TRIPPED save: indexed
+      // serve restored at the recorded operating point
       val st3 = new MerkonStore(spark)
-      st3.load(dir, "parquet", rebuildIndexes = true)
+      st3.load(dir2, "parquet", rebuildIndexes = true)
       val served = st3.getNearestMatches("vecsrt", qv, 5, useIndex = true)
       assert(served.queryExecution.executedPlan.toString.contains("emb:array"),
         "restart index job must restore the indexed serve")
       assert(served.select("key").head().getString(0) == "k7")
+      val stat = st3.indexStats("vecsrt").collect()
+        .find(_.getString(1) == "ivf").get
+      assert(stat.getInt(3) == 8 && stat.getInt(4) == 7,
+        "rebuild must use the recorded params, not re-derive")
     } finally graft.plans.AnnIndexRegistry.clear()
   }
 

@@ -213,6 +213,12 @@ class VectorStreamsSpec extends AnyFunSuite with SparkTestBase {
       ingest.processAllAvailable()
       assert(!top5().contains(9001L), "same-batch delete must win")
 
+      // a NULL op is an upsert ("every other row appends") — a raw
+      // three-valued isin filter would silently drop it from BOTH splits
+      input.addData(CdcVec(null, 9002L, v7))
+      ingest.processAllAvailable()
+      assert(top5().contains(9002L), "null-op row must be upserted")
+
       // a re-added id serves again (append takes it off the tombstones)
       val vVictim = queryVecs(victim).head.q_emb
       input.addData(CdcVec("u", victim, vVictim))
