@@ -178,6 +178,40 @@ object AnnIndexRegistry {
       .write.mode("overwrite").partitionBy("cell").parquet(dest)
   }
 
+  /**
+   * The complete index JOB for a parquet corpus path: register `ivf`
+   * (callers pass either a calibrated corpus-sized geometry or their own
+   * operating point) and build the IVF-PQ sibling exactly when the
+   * family-picking rewrite would serve the codes table — the same
+   * [[AnnIndexRule.PqMinBytesKey]] conf the rule reads, so the job
+   * builds what the optimizer will use and never pays the m KMeans fits
+   * for an artifact the cost rule would ignore. Shared by
+   * [[graft.store.MerkonStore.buildIndex]] and the SQL CALL surface
+   * ([[graft.store.MerkonCatalog]]'s `build_index` procedure).
+   */
+  def indexJob(spark: SparkSession, sourcePath: String, idCol: String,
+      embCol: String, ivf: IvfIndex, servedK: Int): Entry = {
+    val corpus = spark.read.parquet(sourcePath)
+    val n = corpus.count()
+    val dim = corpus.filter(col(embCol).isNotNull)
+      .select(org.apache.spark.sql.functions.size(col(embCol)))
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+    val pqSibling =
+      if (n == 0 || dim == 0) None
+      else {
+        val minBytes = scala.util.Try(spark.conf.get(AnnIndexRule.PqMinBytesKey,
+          AnnIndexRule.DefaultPqMinBytes.toString).toLong)
+          .getOrElse(AnnIndexRule.DefaultPqMinBytes)
+        val m = graft.ml.IvfGeometry.subspacesFor(dim)
+        if (n * dim.toLong * 4L >= minBytes && dim % m == 0)
+          Some(new graft.ml.IvfPqIndex(ivf.nCentroids, ivf.nProbe, m = m,
+            kCentroids = graft.ml.IvfGeometry.codebookFor(n)))
+        else None
+      }
+    register(spark, ivf, sourcePath, idCol, embCol, ivf.nProbe,
+      ivfpq = pqSibling, servedK = servedK)
+  }
+
   /** Union `dead` into an artifact's id-tombstone sidecar (idempotent —
     * the merge is a distinct union). Materialized before the overwrite
     * because the union otherwise reads the directory the write is

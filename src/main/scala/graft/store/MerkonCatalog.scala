@@ -40,7 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * (underscore-prefixed: invisible to the parquet reader); once data
  * exists the parquet footers are authoritative.
  */
-class MerkonCatalog extends TableCatalog with SupportsNamespaces {
+class MerkonCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -159,4 +160,143 @@ class MerkonCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException("merkon has a fixed namespace")
+
+  // ---- ProcedureCatalog: the index lifecycle from pure SQL ----
+  //
+  // Spark 4's DSv2 stored procedures make the maintenance jobs callable
+  // where the queries already run:
+  //
+  //   CALL merkon.system.build_index('<corpus dir>', 'vec_id', 'embedding')
+  //   CALL merkon.system.compact_index('<corpus dir>', 0.0D)
+  //   CALL merkon.system.gc_index_cache('<cache root>', 3600000L)
+  //
+  // build_index is the SQL spelling of the index JOB: after it, the
+  // flagship ORDER BY cosine_similarity(...) DESC LIMIT k over that
+  // parquet path is served by AnnIndexRule's cell-pruned probe — the
+  // same registration the Scala surface gets from MerkonStore.buildIndex.
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (knownNamespace(namespace) || namespace.sameElements(Array("system")))
+      MerkonCatalog.procedureNames
+        .map(Identifier.of(Array("system"), _)).toArray
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    val ok = knownNamespace(ident.namespace) ||
+      ident.namespace.sameElements(Array("system"))
+    if (!ok) throw new NoSuchNamespaceException(ident.namespace)
+    MerkonCatalog.procedure(ident.name.toLowerCase).getOrElse(
+      throw new RuntimeException(
+        s"procedure not found: ${ident.name} (have: " +
+          MerkonCatalog.procedureNames.mkString(", ") + ")"))
+  }
+}
+
+object MerkonCatalog {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** One-shot procedure: binds to itself, runs on the driver, returns
+    * its result rows through a single [[LocalScan]]. */
+  private abstract class SimpleProcedure(
+      procName: String, desc: String,
+      params: Array[ProcedureParameter], outSchema: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    protected def run(input: InternalRow): Seq[InternalRow]
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val out = run(input).toArray
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = outSchema
+      }).iterator()
+    }
+  }
+
+  private def utf8(s: String) = UTF8String.fromString(s)
+
+  /** `build_index(source_path, id_col, emb_col)`: the index job for a
+    * parquet corpus — calibrated corpus-sized geometry
+    * ([[graft.ml.IvfGeometry]], the store flagship's recall@10 >= 0.95
+    * contract), the conf-gated IVF-PQ sibling, registration with
+    * [[graft.plans.AnnIndexRule]] — so a pure-SQL flagship over that
+    * path serves from the index. */
+  private object BuildIndexProcedure extends SimpleProcedure(
+    "build_index",
+    "Build + register the ANN index for a parquet corpus path",
+    Array(
+      ProcedureParameter.in("source_path", StringType).build(),
+      ProcedureParameter.in("id_col", StringType).build(),
+      ProcedureParameter.in("emb_col", StringType).build()),
+    StructType(Seq(
+      StructField("index_path", StringType),
+      StructField("n_centroids", IntegerType),
+      StructField("n_probe", IntegerType),
+      StructField("measured_recall", DoubleType)))) {
+    override protected def run(input: InternalRow): Seq[InternalRow] = {
+      val spark = SparkSession.active
+      val (src, idCol, embCol) = (input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+      val contract = graft.ml.IvfGeometry.Contract(10, 0.95)
+      val cal = graft.ml.IvfGeometry.calibrated(spark, src, idCol, embCol,
+        contract)
+      val entry = graft.plans.AnnIndexRegistry.indexJob(spark, src, idCol,
+        embCol, cal.ivf, servedK = contract.k)
+      Seq(InternalRow(utf8(entry.indexPath), cal.ivf.nCentroids,
+        cal.ivf.nProbe, cal.measuredRecall))
+    }
+  }
+
+  /** `compact_index(source_path, min_dead_fraction)`: fold pending
+    * tombstones into every registered artifact family physically
+    * ([[graft.plans.AnnIndexRegistry.compact]]). No-op (registered =
+    * false) for an unregistered path. */
+  private object CompactIndexProcedure extends SimpleProcedure(
+    "compact_index",
+    "Fold pending deletes into a registered corpus's index artifacts",
+    Array(
+      ProcedureParameter.in("source_path", StringType).build(),
+      ProcedureParameter.in("min_dead_fraction", DoubleType).build()),
+    StructType(Seq(
+      StructField("source_path", StringType),
+      StructField("registered", BooleanType)))) {
+    override protected def run(input: InternalRow): Seq[InternalRow] = {
+      val spark = SparkSession.active
+      val src = input.getUTF8String(0).toString
+      val registered = graft.plans.AnnIndexRegistry.lookup(src).isDefined
+      graft.plans.AnnIndexRegistry.compact(spark, src, input.getDouble(1))
+      Seq(InternalRow(utf8(src), registered))
+    }
+  }
+
+  /** `gc_index_cache(cache_root, older_than_ms)`: reclaim unreachable
+    * artifacts ([[graft.ml.IndexCache.gc]]); one row per removed dir. */
+  private object GcIndexCacheProcedure extends SimpleProcedure(
+    "gc_index_cache",
+    "Reclaim unreachable index artifacts from a shared cache root",
+    Array(
+      ProcedureParameter.in("cache_root", StringType).build(),
+      ProcedureParameter.in("older_than_ms", LongType).build()),
+    StructType(Seq(StructField("removed_path", StringType)))) {
+    override protected def run(input: InternalRow): Seq[InternalRow] =
+      graft.ml.IndexCache.gc(input.getUTF8String(0).toString,
+        input.getLong(1)).map(p => InternalRow(utf8(p)))
+  }
+
+  private val all: Map[String, UnboundProcedure] = Seq(
+    BuildIndexProcedure, CompactIndexProcedure, GcIndexCacheProcedure)
+    .map(p => p.name() -> (p: UnboundProcedure)).toMap
+
+  private[store] def procedureNames: Seq[String] = all.keys.toSeq.sorted
+
+  private[store] def procedure(name: String): Option[UnboundProcedure] =
+    all.get(name)
 }

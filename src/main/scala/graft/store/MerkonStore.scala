@@ -301,32 +301,15 @@ class MerkonStore(spark: SparkSession) {
       if (nCentroids > 0) new graft.ml.IvfIndex(nCentroids, nProbe)
       else graft.ml.IvfGeometry.calibratedIvf(spark, dump, "key", "embedding",
         contract)
-    // the IVF-PQ sibling: built exactly when the family-picking rewrite
-    // would serve the codes table — the same conf the rule reads
-    // (spark.graft.ann.family.pqMinBytes), so the index job builds what
-    // the optimizer will use and never pays m KMeans fits for an
-    // artifact the cost rule would ignore. String keys ride it through
-    // the surrogate-keyed artifact (openOrBuildPathAnyId's idMap).
-    val snap = spark.read.parquet(dump)
-    val snapN = snap.count()
-    val pqSibling =
-      if (snapN == 0) None
-      else {
-        val dim = snap.select(org.apache.spark.sql.functions
-          .size(col("embedding"))).head().getInt(0)
-        val minBytes = scala.util.Try(spark.conf.get(
-          graft.plans.AnnIndexRule.PqMinBytesKey,
-          graft.plans.AnnIndexRule.DefaultPqMinBytes.toString).toLong)
-          .getOrElse(graft.plans.AnnIndexRule.DefaultPqMinBytes)
-        val m = graft.ml.IvfGeometry.subspacesFor(dim)
-        if (snapN * dim.toLong * 4L >= minBytes && dim % m == 0)
-          Some(new graft.ml.IvfPqIndex(ivf.nCentroids, ivf.nProbe, m = m,
-            kCentroids = graft.ml.IvfGeometry.codebookFor(snapN)))
-        else None
-      }
-    graft.plans.AnnIndexRegistry.register(spark, ivf, dump, "key", "embedding",
-      ivf.nProbe, ivfpq = pqSibling,
-      servedK = if (nCentroids > 0) 0 else contract.k)
+    // the shared index job builds the IVF-PQ sibling exactly when the
+    // family-picking rewrite would serve the codes table (the
+    // pqMinBytes conf both read); string keys ride it through the
+    // surrogate-keyed artifact (openOrBuildPathAnyId's idMap). Derived
+    // widths carry their contract's k so the rewrite can over-probe
+    // deeper-than-contract queries; explicit params are the caller's
+    // own operating point (servedK = 0, width used verbatim).
+    graft.plans.AnnIndexRegistry.indexJob(spark, dump, "key", "embedding",
+      ivf, servedK = if (nCentroids > 0) 0 else contract.k)
     indexedCollections(name) = dump
     recordedIndexes(name) = (nCentroids, nProbe)
   }

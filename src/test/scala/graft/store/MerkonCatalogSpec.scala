@@ -119,6 +119,67 @@ class MerkonCatalogSpec extends AnyFunSuite with SparkTestBase {
     assert(store2.get("gone", "g1").collect().isEmpty)
   }
 
+  test("stored procedures: CALL build_index serves the SQL flagship; compact/gc callable") {
+    val root = freshDir("graft_cat_proc")
+    val store = new MerkonStore(spark)
+    store.attachSqlCatalog("merkon_tproc", s"$root/db")
+    try {
+      // a plain parquet corpus path — the procedure surface works on any
+      // corpus the rewrite can serve, not just store collections
+      val src = s"$root/corpus"
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .write.parquet(src)
+
+      // SHOW PROCEDURES lists the lifecycle surface
+      val shown = spark.sql("SHOW PROCEDURES IN merkon_tproc")
+      val nameIdx = shown.columns.indexOf("procedure_name")
+      val listed = shown.collect().map(_.getString(nameIdx)).toSet
+      assert(listed == Set("build_index", "compact_index", "gc_index_cache"),
+        s"got $listed")
+
+      // the index JOB from pure SQL
+      val built = spark.sql(
+        s"CALL merkon_tproc.system.build_index('$src', 'vec_id', 'embedding')")
+        .collect().head
+      assert(built.getInt(1) >= 8 && built.getInt(2) >= 1)
+      assert(built.getDouble(3) >= 0.95, "calibrated recall below contract")
+      val indexPath = built.getString(0)
+      assert(new java.io.File(s"$indexPath/assigned/_SUCCESS").isFile)
+
+      // ...and the pure-SQL flagship over that path now rides the index
+      graft.functions.VectorFunctions.register(spark)
+      spark.read.parquet(src).createOrReplaceTempView("proc_corpus")
+      val qv = spark.read.parquet(src)
+        .filter(org.apache.spark.sql.functions.col("vec_id") === 7)
+        .select("embedding").head().getSeq[Float](0)
+      val arr = qv.map(f => s"CAST($f AS FLOAT)").mkString("array(", ", ", ")")
+      val flagship = spark.sql(
+        s"""SELECT vec_id, cosine_similarity(embedding, $arr) AS score
+           |FROM proc_corpus ORDER BY score DESC, vec_id LIMIT 5""".stripMargin)
+      assert(flagship.queryExecution.executedPlan.toString.contains("emb:array"),
+        "CALL build_index must make the SQL flagship index-served")
+      assert(flagship.select("vec_id").head().getLong(0) == 7L)
+
+      // deletes folded physically from SQL: tombstone the artifact, CALL
+      // compact_index, sidecar gone and the row physically removed
+      import spark.implicits._
+      Seq(7L).toDF("id").coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexPath/tombstones")
+      val compacted = spark.sql(
+        s"CALL merkon_tproc.system.compact_index('$src', 0.0D)").collect().head
+      assert(compacted.getBoolean(1), "path must be registered")
+      assert(!new java.io.File(s"$indexPath/tombstones/_SUCCESS").isFile)
+      assert(spark.read.parquet(s"$indexPath/assigned")
+        .filter(org.apache.spark.sql.functions.col("id") === 7L).isEmpty)
+
+      // cache GC from SQL: a live artifact is never reclaimed
+      val gcRows = spark.sql(
+        s"CALL merkon_tproc.system.gc_index_cache('${sys.props("java.io.tmpdir")}/graft-ivf', ${Long.MaxValue}L)")
+        .collect()
+      assert(gcRows.isEmpty, s"nothing should be reclaimable: ${gcRows.toSeq}")
+    } finally graft.plans.AnnIndexRegistry.clear()
+  }
+
   test("compactSaved bin-packs small files, preserves rows, leaves big files") {
     val root = freshDir("graft_compact_facade")
     val store = new MerkonStore(spark)
