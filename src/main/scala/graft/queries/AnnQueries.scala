@@ -387,6 +387,37 @@ object AnnQueries extends QueryPack {
       verdict(approx, exactTopKCached(s, dir, "full", emb, queriesOf(emb, 5), 5, 10))
     }),
 
+    // The DEEP-k flagship through the rewrite (r14 post-close): the SAME
+    // registration serves a limit far beyond the calibrated contract
+    // depth (servedK = 10) by proportional over-probe — ceil(p·k/servedK)
+    // cells, capped at all of them — so the recall contract transfers to
+    // any requested k instead of silently starving on the calibrated
+    // width (one cell of ~N/c rows cannot even FILL a deeper top-k;
+    // AnnRewriteSpec demonstrates the starvation on a clustered corpus).
+    // No cosine floor: rank ~50 on the uniform corpus sits below 0.
+    "ann_indexed_deepk_rewrite" -> ((s, dir) => {
+      val ivf = geo(s, dir, Rewrite10)
+      graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
+        "vec_id", "embedding", nProbe = ivf.nProbe, servedK = 10)
+      val emb = t(s, dir, "embeddings")
+      val qvs = emb.filter(col("vec_id") < 3)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val approx = qvs.map { case (qid, qv) =>
+        emb.select(col("vec_id"), col("embedding"))
+          .withColumn("score",
+            graft.functions.VectorFunctions.cosineSim(col("embedding"), lit(qv)))
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(50)
+          .select(lit(qid).as("q_id"), col("vec_id").as("neighbor_id"),
+            col("score"))
+      }.reduce(_ unionByName _)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("score").desc, col("neighbor_id"))))
+      verdict(approx, exactTopKCached(s, dir, "full", emb, queriesOf(emb, 3), 3, 50))
+    }),
+
     // The FILTERED flagship through the rewrite: the query code is the
     // naive filtered plan (scan → label predicate → literal-query cosine
     // → desc top-k — what a user writes), and registration carries the
@@ -692,6 +723,7 @@ object AnnQueries extends QueryPack {
       "ann_ivf_filtered_knn" -> knnSkeleton(20, 3, " true AS in_filter,"),
       "ann_hard_negatives" -> knnSkeleton(20, 3, " true AS in_filter,"),
       "ann_indexed_rewrite" -> knnSkeleton(5, 10),
+      "ann_indexed_deepk_rewrite" -> knnSkeleton(3, 50),
       "ann_indexed_filtered_rewrite" -> knnSkeleton(5, 10, " true AS in_filter,"),
       "ann_indexed_rewrite_sql" -> knnSkeleton(3, 10),
       // both family branches return the |Q|×k skeleton with the plan-read
