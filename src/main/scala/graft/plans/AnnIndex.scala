@@ -328,7 +328,7 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     else plan.transformDown {
       case gl @ GlobalLimit(IntegerLiteral(k), LocalLimit(_, inner)) if k > 0 =>
         rewrite(inner, thresholdOnly = false, limitK = k).map { case (rel, replacement) =>
-          gl.transformUp { case r: LogicalRelation if r eq rel => replacement }
+          gl.transformUp { case r if r eq rel => replacement }
         }.getOrElse(gl)
       // threshold-only flagship (the reference's minRelevanceScore path,
       // MerkonMemoryStore.cs:138 with limit defaulted away): no limit
@@ -340,7 +340,7 @@ object AnnIndexRule extends Rule[LogicalPlan] {
       // ranking of the corpus is not an ANN query.
       case s: Sort =>
         rewrite(s, thresholdOnly = true, limitK = 0).map { case (rel, replacement) =>
-          s.transformUp { case r: LogicalRelation if r eq rel => replacement }
+          s.transformUp { case r if r eq rel => replacement }
         }.getOrElse(s)
     }
 
@@ -351,7 +351,7 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     * top-k result (PushProjectionThroughLimit lands the pruning Project
     * between LocalLimit and Sort). */
   private def rewrite(inner: LogicalPlan, thresholdOnly: Boolean,
-      limitK: Int): Option[(LogicalRelation, LogicalPlan)] = {
+      limitK: Int): Option[(LogicalPlan, LogicalPlan)] = {
     // the subtree's OUTPUT is referencable by unseen operators above the
     // match (a select after the limit/sort) — any relation column that
     // escapes must be index-servable too, or the exact scan must stay
@@ -370,7 +370,9 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     // alias definitions, filter conditions, and every node's references
     var aliases = Map.empty[ExprId, Expression]
     var conds = Seq.empty[Expression]
-    var rel: LogicalRelation = null
+    var rel: LogicalPlan = null
+    var relOutput: Seq[Attribute] = null
+    var rootPath: String = null
     cur = child
     while (rel == null) cur match {
       case p @ Project(projList, c) =>
@@ -378,14 +380,13 @@ object AnnIndexRule extends Rule[LogicalPlan] {
         refs ++= p.references; cur = c
       case f @ Filter(cond, c) =>
         conds ++= splitConjuncts(cond); refs ++= f.references; cur = c
-      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-        rel = lr
+      case leaf if scanRoot(leaf).isDefined =>
+        val (out, root) = scanRoot(leaf).get
+        rel = leaf; relOutput = out; rootPath = root
       case _ => return None
     }
-    val fsRel = rel.relation.asInstanceOf[HadoopFsRelation]
-    val roots = fsRel.location.rootPaths
-    if (roots.size != 1) return None
-    val entry = AnnIndexRegistry.lookup(roots.head.toString).getOrElse(return None)
+    val relOut = AttributeSet(relOutput)
+    val entry = AnnIndexRegistry.lookup(rootPath).getOrElse(return None)
 
     // the primary sort key must resolve to cosine(embAttr, literal) desc
     val head = order.headOption.getOrElse(return None)
@@ -393,9 +394,9 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     val resolved = resolveThrough(head.child, aliases)
     val (embAttr, queryVec) = resolved match {
       case CosineSimilarity(a: AttributeReference, l: Literal)
-          if rel.outputSet.contains(a) => (a, literalVec(l).getOrElse(return None))
+          if relOut.contains(a) => (a, literalVec(l).getOrElse(return None))
       case CosineSimilarity(l: Literal, a: AttributeReference)
-          if rel.outputSet.contains(a) => (a, literalVec(l).getOrElse(return None))
+          if relOut.contains(a) => (a, literalVec(l).getOrElse(return None))
       case _ => return None
     }
     if (embAttr.name != entry.embCol) return None
@@ -417,7 +418,7 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     // scan must stay. A FILTERED flagship plan (Filter on a payload
     // column under the sort) therefore rides the index iff the predicate
     // columns were registered; anything else falls back to exact.
-    val relRefs = refs.filter(rel.outputSet.contains)
+    val relRefs = refs.filter(relOut.contains)
     val payload = entry.payloadCols.toSet
     if (!relRefs.forall(a => a.name == entry.idCol ||
         a.exprId == embAttr.exprId || payload.contains(a.name)))
@@ -425,7 +426,7 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     val needsPayload = relRefs.exists(a =>
       payload.contains(a.name) && a.name != entry.idCol &&
         a.exprId != embAttr.exprId)
-    val idAttr = rel.output.find(_.name == entry.idCol).getOrElse(return None)
+    val idAttr = relOutput.find(_.name == entry.idCol).getOrElse(return None)
 
     // driver-side routing: nProbe nearest cells by cosine, ties cell-asc
     // (the same routing + tie-break as IvfIndex.search / indexedKnn).
@@ -498,7 +499,7 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     // index-table spelling of each referenced relation column
     val indexName: String => String = n =>
       if (n == entry.idCol) "id" else if (n == entry.embCol) "emb" else n
-    val outAttrs = rel.output.filter(a => relRefs.contains(a) ||
+    val outAttrs = relOutput.filter(a => relRefs.contains(a) ||
       a.exprId == idAttr.exprId || a.exprId == embAttr.exprId)
     val pruned = live
       .select(outAttrs.map(a => col(indexName(a.name)).as(a.name)): _*)
@@ -553,6 +554,35 @@ object AnnIndexRule extends Rule[LogicalPlan] {
       cur = next; i += 1
     }
     cur
+  }
+
+  /**
+   * The scan leaves the rule can serve, with their output attributes and
+   * single root path: the V1 parquet relation (`spark.read.parquet` /
+   * temp views over paths — the original surface), and the DSv2 file
+   * scans the SQL catalog face produces ([[graft.store.MerkonCatalog]]'s
+   * `ParquetTable`): `DataSourceV2Relation` when the rule runs from the
+   * extensions' operator-optimization batch (before V2 pushdown) and
+   * `DataSourceV2ScanRelation` when it runs from
+   * `experimental.extraOptimizations` (after). Multi-root scans are
+   * never served — the registration key is one corpus directory.
+   */
+  private def scanRoot(p: LogicalPlan): Option[(Seq[Attribute], String)] = {
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation, FileScan, FileTable}
+    val roots: Option[Seq[org.apache.hadoop.fs.Path]] = p match {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        Some(lr.relation.asInstanceOf[HadoopFsRelation].location.rootPaths)
+      case r: DataSourceV2Relation => r.table match {
+        case ft: FileTable => Some(ft.fileIndex.rootPaths)
+        case _ => None
+      }
+      case sr: DataSourceV2ScanRelation => sr.scan match {
+        case fs: FileScan => Some(fs.fileIndex.rootPaths)
+        case _ => None
+      }
+      case _ => None
+    }
+    roots.collect { case Seq(one) => (p.output, one.toString) }
   }
 
   /** Array literal → double vector (float32 and float64 corpora). */

@@ -160,6 +160,26 @@ class MerkonCatalogSpec extends AnyFunSuite with SparkTestBase {
         "CALL build_index must make the SQL flagship index-served")
       assert(flagship.select("vec_id").head().getLong(0) == 7L)
 
+      // the DSv2 catalog face: CALL build_index on a catalog TABLE's
+      // directory and the flagship over the table itself is served too —
+      // the rule matches V2 file scans (DataSourceV2ScanRelation), not
+      // just path reads, so the SQL-catalog user needs no spark.read
+      spark.sql("CREATE TABLE merkon_tproc.vecs " +
+        "(vec_id BIGINT, embedding ARRAY<FLOAT>)")
+      spark.sql(
+        "INSERT INTO merkon_tproc.vecs SELECT vec_id, embedding FROM proc_corpus")
+      val tableDir = s"$root/db/collections/c-vecs"
+      spark.sql(
+        s"CALL merkon_tproc.system.build_index('$tableDir', 'vec_id', 'embedding')")
+      val catFlagship = spark.sql(
+        s"""SELECT vec_id, cosine_similarity(embedding, $arr) AS score
+           |FROM merkon_tproc.vecs
+           |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin)
+      assert(catFlagship.queryExecution.executedPlan.toString
+        .contains("emb:array"),
+        "the catalog-table flagship must be index-served")
+      assert(catFlagship.select("vec_id").head().getLong(0) == 7L)
+
       // deletes folded physically from SQL: tombstone the artifact, CALL
       // compact_index, sidecar gone and the row physically removed
       import spark.implicits._
