@@ -212,6 +212,35 @@ object AnnIndexRegistry {
       ivfpq = pqSibling, servedK = servedK)
   }
 
+  /** Per-family index state of a registered corpus — the numbers the
+    * compaction/GC cadence decisions read: (family, artifact path,
+    * coarse geometry, PQ code shape when the family has one, live rows,
+    * reclaimable tombstones, dead fraction). Tombstones are counted as
+    * rows the sidecar would actually RECLAIM from that artifact
+    * (semi-join in its own key domain) — a raw sidecar count
+    * over-reports when it holds never-indexed ids. Row counts are
+    * parquet-metadata reads. Empty for an unregistered path. Shared by
+    * [[graft.store.MerkonStore.indexStats]] and the `index_stats` SQL
+    * procedure. */
+  def statsRows(spark: SparkSession, sourcePath: String)
+      : Seq[(String, String, Int, Int, Option[Int], Option[Int], Long, Long, Double)] =
+    lookup(sourcePath).toSeq.flatMap { entry =>
+      def stat(family: String, path: String, table: String,
+          m: Option[Int], kCodebook: Option[Int]) = {
+        val t = spark.read.parquet(s"$path/$table")
+        val total = t.count()
+        val dead = IvfIndex.loadOptional(spark, s"$path/tombstones")
+          .map(ts => t.join(ts.select(col("id")), Seq("id"), "left_semi")
+            .count())
+          .getOrElse(0L)
+        (family, path, entry.centroids.length, entry.nProbe, m, kCodebook,
+          total, dead, if (total == 0) 0.0 else dead.toDouble / total)
+      }
+      stat("ivf", entry.indexPath, "assigned", None, None) +:
+        entry.pq.toSeq.map(f => stat("ivfpq", f.indexPath, "codedCell",
+          Some(f.m), Some(f.kCentroids)))
+    }
+
   /** Union `dead` into an artifact's id-tombstone sidecar (idempotent —
     * the merge is a distinct union). Materialized before the overwrite
     * because the union otherwise reads the directory the write is

@@ -277,6 +277,33 @@ object MerkonCatalog {
     }
   }
 
+  /** `index_stats(source_path)`: per-family index state of a registered
+    * corpus ([[graft.plans.AnnIndexRegistry.statsRows]]) — the cadence
+    * signals `compact_index`/`gc_index_cache` decisions read, from the
+    * same SQL session that would issue the CALLs. */
+  private object IndexStatsProcedure extends SimpleProcedure(
+    "index_stats",
+    "Per-family index state (geometry, rows, reclaimable tombstones)",
+    Array(ProcedureParameter.in("source_path", StringType).build()),
+    StructType(Seq(
+      StructField("family", StringType),
+      StructField("index_path", StringType),
+      StructField("n_centroids", IntegerType),
+      StructField("n_probe", IntegerType),
+      StructField("m", IntegerType),
+      StructField("k_codebook", IntegerType),
+      StructField("rows", LongType),
+      StructField("tombstones", LongType),
+      StructField("dead_fraction", DoubleType)))) {
+    override protected def run(input: InternalRow): Seq[InternalRow] =
+      graft.plans.AnnIndexRegistry.statsRows(SparkSession.active,
+        input.getUTF8String(0).toString).map {
+        case (fam, path, c, p, m, kc, rows, dead, frac) =>
+          InternalRow(utf8(fam), utf8(path), c, p,
+            m.map(Int.box).orNull, kc.map(Int.box).orNull, rows, dead, frac)
+      }
+  }
+
   /** `gc_index_cache(cache_root, older_than_ms)`: reclaim unreachable
     * artifacts ([[graft.ml.IndexCache.gc]]); one row per removed dir. */
   private object GcIndexCacheProcedure extends SimpleProcedure(
@@ -292,7 +319,8 @@ object MerkonCatalog {
   }
 
   private val all: Map[String, UnboundProcedure] = Seq(
-    BuildIndexProcedure, CompactIndexProcedure, GcIndexCacheProcedure)
+    BuildIndexProcedure, CompactIndexProcedure, GcIndexCacheProcedure,
+    IndexStatsProcedure)
     .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   private[store] def procedureNames: Seq[String] = all.keys.toSeq.sorted

@@ -195,35 +195,12 @@ class MerkonStore(spark: SparkSession) {
     * reads, no column scan. Empty frame when no [[buildIndex]] ran. */
   def indexStats(name: String): DataFrame = {
     import spark.implicits._
-    val rows = indexedCollections.get(name).toSeq.flatMap { dump =>
-      graft.plans.AnnIndexRegistry.lookup(dump).toSeq.flatMap { entry =>
-        // tombstones counted as rows the sidecar would actually RECLAIM
-        // from this artifact (semi-join against its table, in its own
-        // key domain) — a raw sidecar count over-reports when it holds
-        // never-indexed or already-appended-over ids and would trigger
-        // a minDeadFraction cadence that rewrites nothing
-        def stat(family: String, path: String, table: String,
-            m: Option[Int], kCodebook: Option[Int]) = {
-          val t = spark.read.parquet(s"$path/$table")
-          val total = t.count()
-          val dead = graft.ml.IvfIndex
-            .loadOptional(spark, s"$path/tombstones")
-            .map(ts => t.join(ts.select(col("id")), Seq("id"), "left_semi")
-              .count())
-            .getOrElse(0L)
-          (name, family, path, entry.centroids.length, entry.nProbe,
-            m, kCodebook, total, dead,
-            if (total == 0) 0.0 else dead.toDouble / total)
-        }
-        // both families share the coarse geometry (seed equality is
-        // enforced at registration); the PQ row adds its code shape
-        stat("ivf", entry.indexPath, "assigned", None, None) +:
-          entry.pq.toSeq.map(f => stat("ivfpq", f.indexPath, "codedCell",
-            Some(f.m), Some(f.kCentroids)))
-      }
-    }
-    rows.toDF("collection", "family", "index_path", "n_centroids",
-      "n_probe", "m", "k_codebook", "rows", "tombstones", "dead_fraction")
+    indexedCollections.get(name).toSeq
+      .flatMap(dump => graft.plans.AnnIndexRegistry.statsRows(spark, dump))
+      .map { case (fam, path, c, p, m, kc, rows, dead, frac) =>
+        (name, fam, path, c, p, m, kc, rows, dead, frac) }
+      .toDF("collection", "family", "index_path", "n_centroids",
+        "n_probe", "m", "k_codebook", "rows", "tombstones", "dead_fraction")
   }
 
   /** Reclaim superseded index artifacts from the cache roots

@@ -134,8 +134,8 @@ class MerkonCatalogSpec extends AnyFunSuite with SparkTestBase {
       val shown = spark.sql("SHOW PROCEDURES IN merkon_tproc")
       val nameIdx = shown.columns.indexOf("procedure_name")
       val listed = shown.collect().map(_.getString(nameIdx)).toSet
-      assert(listed == Set("build_index", "compact_index", "gc_index_cache"),
-        s"got $listed")
+      assert(listed == Set("build_index", "compact_index", "gc_index_cache",
+        "index_stats"), s"got $listed")
 
       // the index JOB from pure SQL
       val built = spark.sql(
@@ -179,6 +179,12 @@ class MerkonCatalogSpec extends AnyFunSuite with SparkTestBase {
         .contains("emb:array"),
         "the catalog-table flagship must be index-served")
       assert(catFlagship.select("vec_id").head().getLong(0) == 7L)
+
+      // cadence signals readable from the same SQL session
+      val statRows = spark.sql(
+        s"CALL merkon_tproc.system.index_stats('$src')").collect()
+      assert(statRows.map(_.getString(0)).toSeq == Seq("ivf"))
+      assert(statRows.head.getLong(6) > 0 && statRows.head.getLong(7) == 0)
 
       // deletes folded physically from SQL: tombstone the artifact, CALL
       // compact_index, sidecar gone and the row physically removed
