@@ -154,6 +154,14 @@ object IvfGeometry {
   /** A calibration result: the corpus-sized index plus the measured
     * recall at the chosen width (spec observability — regressions surface
     * with their magnitude, not just a flipped pass bit). */
+  /** The store flagship's calibration contract (recall@10 ≥ 0.95 — the
+    * reference's top-k query shape): ONE definition shared by the Scala
+    * index job (`MerkonStore.buildIndex`) and the SQL CALL surface
+    * (`MerkonCatalog`'s `build_index` procedure), so the two entry
+    * points to the same job can never silently diverge on the parameter
+    * they are documented to share. */
+  val FlagshipContract: Contract = Contract(10, 0.95)
+
   final case class Calibrated(ivf: IvfIndex, measuredRecall: Double) {
     def probeFraction: Double = ivf.nProbe.toDouble / ivf.nCentroids
   }

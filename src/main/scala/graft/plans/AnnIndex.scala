@@ -199,9 +199,7 @@ object AnnIndexRegistry {
     val pqSibling =
       if (n == 0 || dim == 0) None
       else {
-        val minBytes = scala.util.Try(spark.conf.get(AnnIndexRule.PqMinBytesKey,
-          AnnIndexRule.DefaultPqMinBytes.toString).toLong)
-          .getOrElse(AnnIndexRule.DefaultPqMinBytes)
+        val minBytes = AnnIndexRule.pqMinBytes(spark.conf.get(_, _))
         val m = graft.ml.IvfGeometry.subspacesFor(dim)
         if (n * dim.toLong * 4L >= minBytes && dim % m == 0)
           Some(new graft.ml.IvfPqIndex(ivf.nCentroids, ivf.nProbe, m = m,
@@ -344,6 +342,16 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     * disables it — the same one-knob kill-switch shape as [[ConfKey]]. */
   val PqMinBytesKey = "spark.graft.ann.family.pqMinBytes"
   val DefaultPqMinBytes: Long = 1L << 30
+
+  /** The one lenient parse of [[PqMinBytesKey]] (a malformed value must
+    * never fail plan optimization or an index job — the pick is an
+    * optimization, not a semantic), shared by the rule and
+    * [[AnnIndexRegistry.indexJob]] so the job always builds exactly what
+    * the rule will serve. `get` abstracts over the two conf surfaces
+    * (SQLConf in the rule, session conf in the job). */
+  private[graft] def pqMinBytes(get: (String, String) => String): Long =
+    scala.util.Try(get(PqMinBytesKey, DefaultPqMinBytes.toString).toLong)
+      .getOrElse(DefaultPqMinBytes)
 
   /** Idempotent session install (the runtime path; GraftExtensions is
     * the static-conf path). */
@@ -508,12 +516,7 @@ object AnnIndexRule extends Rule[LogicalPlan] {
       else entry.pq.flatMap { fam =>
         val dim = entry.centroids.headOption.map(_._2.length).getOrElse(0)
         val embBytes = fam.corpusRows * dim.toLong * 4L
-        // lenient parse: a malformed conf value ("1g") must not crash
-        // optimization of every matching plan — the pick is an
-        // optimization, never a semantic, so fall back to the default
-        val minBytes = scala.util.Try(
-          conf.getConfString(PqMinBytesKey, DefaultPqMinBytes.toString).toLong)
-          .getOrElse(DefaultPqMinBytes)
+        val minBytes = pqMinBytes(conf.getConfString(_, _))
         if (embBytes < minBytes) None
         else pqCandidates(spark, fam, cells, queryVec, limitK,
           longId = idAttr.dataType == LongType,
@@ -530,9 +533,17 @@ object AnnIndexRule extends Rule[LogicalPlan] {
       if (n == entry.idCol) "id" else if (n == entry.embCol) "emb" else n
     val outAttrs = relOutput.filter(a => relRefs.contains(a) ||
       a.exprId == idAttr.exprId || a.exprId == embAttr.exprId)
+    // splice the OPTIMIZED subtree, not the analyzed one: when the
+    // session reads parquet through DSv2 (spark.sql.sources.useV1SourceList
+    // excludes it), the index scan analyzes to a bare DataSourceV2Relation,
+    // and the outer plan's pushdown phase — which converts those to
+    // planner-ready scan relations — has ALREADY run by the time this
+    // rule fires. Optimizing the subtree runs its own pushdown (this
+    // rule cannot re-match it: no sort/limit shape), so the spliced
+    // plan is executable under either reader
     val pruned = live
       .select(outAttrs.map(a => col(indexName(a.name)).as(a.name)): _*)
-      .queryExecution.analyzed
+      .queryExecution.optimizedPlan
     val byName = pruned.output.map(o => o.name -> o).toMap
     Some((rel, Project(outAttrs.map(a =>
       Alias(byName(a.name), a.name)(exprId = a.exprId)), pruned)))
@@ -606,7 +617,15 @@ object AnnIndexRule extends Rule[LogicalPlan] {
         case _ => None
       }
       case sr: DataSourceV2ScanRelation => sr.scan match {
-        case fs: FileScan => Some(fs.fileIndex.rootPaths)
+        // a post-pushdown scan may have CONSUMED predicates out of the
+        // logical plan (V2ScanRelationPushDown folds a partition filter
+        // into FileScan.partitionFilters and removes the Filter node) —
+        // the chain walker can no longer see them, so serving such a
+        // scan would swap in the UNFILTERED index and return rows the
+        // query filtered out. Only a pristine scan is servable.
+        case fs: FileScan
+            if fs.partitionFilters.isEmpty && fs.dataFilters.isEmpty =>
+          Some(fs.fileIndex.rootPaths)
         case _ => None
       }
       case _ => None

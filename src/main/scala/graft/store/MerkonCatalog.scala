@@ -186,9 +186,14 @@ class MerkonCatalog extends TableCatalog with SupportsNamespaces
       ident.namespace.sameElements(Array("system"))
     if (!ok) throw new NoSuchNamespaceException(ident.namespace)
     MerkonCatalog.procedure(ident.name.toLowerCase).getOrElse(
-      throw new RuntimeException(
-        s"procedure not found: ${ident.name} (have: " +
-          MerkonCatalog.procedureNames.mkString(", ") + ")"))
+      // the analysis-level error family the table path uses — tooling
+      // that distinguishes user errors from internal failures must see
+      // this as the former
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "UNRESOLVED_ROUTINE",
+        messageParameters = Map(
+          "routineName" -> ident.name,
+          "searchPath" -> MerkonCatalog.procedureNames.mkString("[", ", ", "]"))))
   }
 }
 
@@ -245,7 +250,7 @@ object MerkonCatalog {
       val spark = SparkSession.active
       val (src, idCol, embCol) = (input.getUTF8String(0).toString,
         input.getUTF8String(1).toString, input.getUTF8String(2).toString)
-      val contract = graft.ml.IvfGeometry.Contract(10, 0.95)
+      val contract = graft.ml.IvfGeometry.FlagshipContract
       val cal = graft.ml.IvfGeometry.calibrated(spark, src, idCol, embCol,
         contract)
       val entry = graft.plans.AnnIndexRegistry.indexJob(spark, src, idCol,
@@ -305,17 +310,29 @@ object MerkonCatalog {
   }
 
   /** `gc_index_cache(cache_root, older_than_ms)`: reclaim unreachable
-    * artifacts ([[graft.ml.IndexCache.gc]]); one row per removed dir. */
+    * artifacts ([[graft.ml.IndexCache.gc]]); one row per removed dir.
+    * An EMPTY `cache_root` means "the default roots" — both the IVF and
+    * the IVF-PQ sibling caches `build_index` publishes into; without
+    * this the pure-SQL lifecycle could never bound the sibling root,
+    * whose location is a Scala-API default the SQL user has no surface
+    * for. */
   private object GcIndexCacheProcedure extends SimpleProcedure(
     "gc_index_cache",
-    "Reclaim unreachable index artifacts from a shared cache root",
+    "Reclaim unreachable index artifacts from a shared cache root " +
+      "('' = the default IVF + IVF-PQ roots)",
     Array(
       ProcedureParameter.in("cache_root", StringType).build(),
       ProcedureParameter.in("older_than_ms", LongType).build()),
     StructType(Seq(StructField("removed_path", StringType)))) {
-    override protected def run(input: InternalRow): Seq[InternalRow] =
-      graft.ml.IndexCache.gc(input.getUTF8String(0).toString,
-        input.getLong(1)).map(p => InternalRow(utf8(p)))
+    override protected def run(input: InternalRow): Seq[InternalRow] = {
+      val root = input.getUTF8String(0).toString
+      val roots =
+        if (root.nonEmpty) Seq(root)
+        else Seq(sys.props("java.io.tmpdir") + "/graft-ivf",
+          sys.props("java.io.tmpdir") + "/graft-ivfpq")
+      roots.flatMap(r => graft.ml.IndexCache.gc(r, input.getLong(1)))
+        .map(p => InternalRow(utf8(p)))
+    }
   }
 
   private val all: Map[String, UnboundProcedure] = Seq(

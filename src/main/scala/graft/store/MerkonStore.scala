@@ -273,7 +273,7 @@ class MerkonStore(spark: SparkSession) {
     // deeper top-k than the width was calibrated to serve; explicit
     // params are the caller's own operating point (servedK = 0, width
     // used verbatim at any k)
-    val contract = graft.ml.IvfGeometry.Contract(10, 0.95)
+    val contract = graft.ml.IvfGeometry.FlagshipContract
     val ivf =
       if (nCentroids > 0) new graft.ml.IvfIndex(nCentroids, nProbe)
       else graft.ml.IvfGeometry.calibratedIvf(spark, dump, "key", "embedding",

@@ -345,6 +345,53 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally AnnIndexRegistry.clear()
   }
 
+  test("V2 scans serve when pristine; pushdown-consumed filters force the exact plan") {
+    // V2ScanRelationPushDown folds a partition predicate INTO the
+    // FileScan and removes the Filter node from the logical plan — the
+    // chain walker can no longer see it, so serving such a scan would
+    // swap in the UNFILTERED index and return rows the query filtered
+    // out. The guard: only a pristine scan (no consumed partition/data
+    // filters) is servable.
+    val dir = scratchDir("graft-v2-part")
+    corpus.withColumn("lab", col("label") % 4)
+      .write.mode("overwrite").partitionBy("lab").parquet(dir)
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 8)
+    try {
+      AnnIndexRegistry.register(spark, ivf, dir, "vec_id", "embedding",
+        nProbe = 8)
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      try {
+        val qv = queryVec(0L)
+        def v2flagship(filtered: Boolean): DataFrame = {
+          val base = spark.read.parquet(dir)
+          (if (filtered) base.filter(col("lab") === 1) else base)
+            .select(col("vec_id"), col("embedding"))
+            .withColumn("score", cosineSim(col("embedding"), lit(qv)))
+            .orderBy(col("score").desc, col("vec_id").asc)
+            .limit(10)
+        }
+        // the unfiltered V2 scan IS served (the guard must not over-block)
+        assert(v2flagship(filtered = false).queryExecution.executedPlan
+          .toString.contains("emb:array"),
+          "pristine V2 scan must be index-served")
+        // the filtered one stays EXACT and every row honors the predicate
+        val f = v2flagship(filtered = true)
+        assert(!f.queryExecution.executedPlan.toString.contains("emb:array"),
+          "a scan with consumed partition filters must never be served")
+        val served = f.select("vec_id").collect().map(_.getLong(0)).toSet
+        spark.conf.set(AnnIndexRule.ConfKey, "false")
+        val exact = try v2flagship(filtered = true).select("vec_id")
+            .collect().map(_.getLong(0)).toSet
+          finally spark.conf.unset(AnnIndexRule.ConfKey)
+        assert(served == exact, "filtered V2 flagship must stay exact")
+        val labs = spark.read.parquet(dir)
+          .filter(col("vec_id").isInCollection(served.toSeq))
+          .select("lab").distinct().collect().map(_.getInt(0)).toSet
+        assert(labs == Set(1), s"out-of-filter rows served: $labs")
+      } finally spark.conf.unset("spark.sql.sources.useV1SourceList")
+    } finally AnnIndexRegistry.clear()
+  }
+
   test("non-matching shapes keep their exact plan") {
     val ivf = new IvfIndex(nCentroids = 8, nProbe = 5)
     try {

@@ -198,11 +198,27 @@ class MerkonCatalogSpec extends AnyFunSuite with SparkTestBase {
       assert(spark.read.parquet(s"$indexPath/assigned")
         .filter(org.apache.spark.sql.functions.col("id") === 7L).isEmpty)
 
-      // cache GC from SQL: a live artifact is never reclaimed
+      // cache GC from SQL at a ZERO age bar: the just-built artifact is
+      // LIVE (manifest == current source) and must survive — a vacuous
+      // pass is impossible here, everything in the root is age-eligible
       val gcRows = spark.sql(
-        s"CALL merkon_tproc.system.gc_index_cache('${sys.props("java.io.tmpdir")}/graft-ivf', ${Long.MaxValue}L)")
-        .collect()
-      assert(gcRows.isEmpty, s"nothing should be reclaimable: ${gcRows.toSeq}")
+        s"CALL merkon_tproc.system.gc_index_cache('${sys.props("java.io.tmpdir")}/graft-ivf', 0L)")
+        .collect().map(_.getString(0))
+      assert(!gcRows.contains(indexPath),
+        s"gc reclaimed the LIVE artifact: $indexPath")
+      assert(new java.io.File(s"$indexPath/assigned/_SUCCESS").isFile)
+      // '' = both default roots; the live artifact still survives
+      assert(!spark.sql(
+          s"CALL merkon_tproc.system.gc_index_cache('', 0L)")
+        .collect().map(_.getString(0)).contains(indexPath))
+      // and a typo'd procedure name is an ANALYSIS error, not an opaque
+      // internal one
+      val err = intercept[Exception] {
+        spark.sql("CALL merkon_tproc.system.build_indx('x', 'y', 'z')")
+      }
+      assert(err.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+        err.getCause.isInstanceOf[org.apache.spark.sql.AnalysisException],
+        s"expected AnalysisException, got ${err.getClass}")
     } finally graft.plans.AnnIndexRegistry.clear()
   }
 
