@@ -34,6 +34,17 @@ package graft.ml
  */
 private[graft] object IndexCache {
 
+  /** THE default publish roots for the two ANN artifact families — one
+    * definition for the Scala index APIs, the store facade, the registry
+    * and the SQL `gc_index_cache('')` contract ("empty = the default
+    * roots"). Duplicated literals drifted once per call site before; a
+    * drift here silently un-bounds the sibling root GC exists to bound
+    * (ADVICE r14). */
+  private[graft] val DefaultIvfRoot: String =
+    sys.props("java.io.tmpdir") + "/graft-ivf"
+  private[graft] val DefaultIvfPqRoot: String =
+    sys.props("java.io.tmpdir") + "/graft-ivfpq"
+
   private val ManifestRel = "graft-manifest.txt"
 
   /** Manifest header recording WHICH source dir an artifact ingested —
@@ -76,7 +87,7 @@ private[graft] object IndexCache {
     * can key on WHAT the corpus holds, not just where it lives — a
     * corpus rewritten at the same path must never be served another
     * corpus's cached derivation. */
-  private[ml] def sourceFingerprint(sourcePath: String): String = {
+  private[graft] def sourceFingerprint(sourcePath: String): String = {
     val srcFiles = dataFiles(sourcePath)
     keyOf(sourcePath, srcFiles, entriesOf(srcFiles))
   }
@@ -179,14 +190,23 @@ private[graft] object IndexCache {
    * compaction, SCALE.md). Staging dirs get a stronger guard than
    * mtime — a long fit writes into NESTED subdirs, which never touches
    * the staging dir's own mtime — so a `.build-<pid>-…` dir is reaped
-   * only when its builder process is no longer alive. Returns the
-   * removed paths.
+   * only when its builder process is no longer alive. `keep` is the
+   * same-session registration guard (ADVICE r14): artifact paths a live
+   * [[graft.plans.AnnIndexRegistry]] entry still references are never
+   * reclaimed even when stale-by-manifest (a source rewritten in place
+   * while its registration survives) — reaping one would turn the next
+   * index-served query into a missing-path exception instead of a
+   * fallback. Callers in a registry-bearing session pass
+   * `AnnIndexRegistry.livePaths`. Returns the removed paths.
    */
-  def gc(cacheRoot: String, olderThanMs: Long = 3600000L): Seq[String] = {
+  def gc(cacheRoot: String, olderThanMs: Long = 3600000L,
+      keep: Set[String] = Set.empty): Seq[String] = {
     val now = System.currentTimeMillis()
+    val keepAbs = keep.map(p => new java.io.File(p).getAbsolutePath)
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
     def reap(d: java.io.File): Unit =
-      if (now - d.lastModified() >= olderThanMs) {
+      if (now - d.lastModified() >= olderThanMs &&
+          !keepAbs.contains(d.getAbsolutePath)) {
         deleteRecursively(d)
         removed += d.getPath
       }

@@ -151,9 +151,6 @@ object IvfGeometry {
       s"k$k-r${math.round(targetRecall * 1000)}-a$nAnchors-v2"
   }
 
-  /** A calibration result: the corpus-sized index plus the measured
-    * recall at the chosen width (spec observability — regressions surface
-    * with their magnitude, not just a flipped pass bit). */
   /** The store flagship's calibration contract (recall@10 ≥ 0.95 — the
     * reference's top-k query shape): ONE definition shared by the Scala
     * index job (`MerkonStore.buildIndex`) and the SQL CALL surface
@@ -162,6 +159,9 @@ object IvfGeometry {
     * they are documented to share. */
   val FlagshipContract: Contract = Contract(10, 0.95)
 
+  /** A calibration result: the corpus-sized index plus the measured
+    * recall at the chosen width (spec observability — regressions surface
+    * with their magnitude, not just a flipped pass bit). */
   final case class Calibrated(ivf: IvfIndex, measuredRecall: Double) {
     def probeFraction: Double = ivf.nProbe.toDouble / ivf.nCentroids
   }
@@ -185,7 +185,7 @@ object IvfGeometry {
     * resolves nProbe from the sidecar or calibrates it. */
   def calibrated(spark: SparkSession, sourcePath: String, idCol: String,
       embCol: String, contract: Contract,
-      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf"): Calibrated =
+      cacheRoot: String = IndexCache.DefaultIvfRoot): Calibrated =
     memo.getOrElseUpdate(spark,
       (sourcePath, IndexCache.sourceFingerprint(sourcePath), contract, cacheRoot))(
       resolve(spark, sourcePath, idCol, embCol, contract, cacheRoot))

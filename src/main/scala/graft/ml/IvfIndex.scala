@@ -280,7 +280,18 @@ object IvfIndex {
       minDeadFraction: Double = 0.0): Unit = {
     val built = load(spark, path)
     if (built.tombstones.isEmpty) return
-    if (built.tombstoneFraction < minDeadFraction) return
+    // gate on the RECLAIMABLE fraction (sidecar ids actually present in
+    // the cell table — the same semi-join statsRows reports as the
+    // cadence trigger signal), not the raw sidecar count: a sidecar can
+    // hold never-indexed ids (deletes of zero-norm or never-dumped rows),
+    // and the number an operator reads must be the number the gate
+    // applies (ADVICE r14).
+    if (minDeadFraction > 0.0) {
+      val total = built.assigned.count()
+      val reclaimable = built.assigned
+        .join(built.tombstones.get, Seq("id"), "left_semi").count()
+      if (total == 0 || reclaimable.toDouble / total < minDeadFraction) return
+    }
     val affected = built.assigned.join(built.tombstones.get, Seq("id"), "left_semi")
       .select("cell").distinct().collect().map(_.get(0))
     compactPartitions(spark, s"$path/assigned", "cell", affected,
@@ -355,7 +366,7 @@ object IvfIndex {
       sourcePath: String,
       idCol: String,
       embCol: String,
-      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf"): Built =
+      cacheRoot: String = IndexCache.DefaultIvfRoot): Built =
     load(spark, openOrBuildPath(spark, ivf, sourcePath, idCol, embCol, cacheRoot))
 
   /** [[openOrBuild]] but returning the PUBLISHED index directory — what
@@ -368,7 +379,7 @@ object IvfIndex {
       sourcePath: String,
       idCol: String,
       embCol: String,
-      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf"): String =
+      cacheRoot: String = IndexCache.DefaultIvfRoot): String =
     IndexCache.openOrBuildIncremental(sourcePath, ivf.fingerprint,
       cacheRoot, "assigned/_SUCCESS") { staging =>
       save(ivf.build(spark, spark.read.parquet(sourcePath), idCol, embCol), staging)

@@ -208,9 +208,14 @@ object IvfPqIndex {
       minDeadFraction: Double = 0.0): Unit = {
     val built = load(spark, path)
     val dead = built.tombstones.getOrElse(return)
+    // reclaimable (semi-join against the coded table) rather than raw
+    // sidecar count — the sidecar may hold never-indexed ids, and the
+    // gate must share statsRows' trigger-signal definition (ADVICE r14)
     if (minDeadFraction > 0.0) {
       val total = built.codedCell.count()
-      if (total == 0 || dead.count().toDouble / total < minDeadFraction) return
+      val reclaimable = built.codedCell.join(dead, Seq("id"), "left_semi")
+        .count()
+      if (total == 0 || reclaimable.toDouble / total < minDeadFraction) return
     }
     val affectedCells = built.codedCell.join(dead, Seq("id"), "left_semi")
       .select("cell").distinct().collect().map(_.get(0))
@@ -240,7 +245,7 @@ object IvfPqIndex {
       sourcePath: String,
       idCol: String,
       embCol: String,
-      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivfpq"): Built =
+      cacheRoot: String = IndexCache.DefaultIvfPqRoot): Built =
     load(spark, openOrBuildPath(spark, ivfpq, sourcePath, idCol, embCol,
       cacheRoot))
 
@@ -253,7 +258,7 @@ object IvfPqIndex {
       sourcePath: String,
       idCol: String,
       embCol: String,
-      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivfpq"): String =
+      cacheRoot: String = IndexCache.DefaultIvfPqRoot): String =
     IndexCache.openOrBuildIncremental(sourcePath, ivfpq.fingerprint,
       cacheRoot, "codedCell/_SUCCESS") { staging =>
       save(ivfpq.build(spark, spark.read.parquet(sourcePath), idCol, embCol),
@@ -284,7 +289,7 @@ object IvfPqIndex {
       sourcePath: String,
       idCol: String,
       embCol: String,
-      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivfpq"): String = {
+      cacheRoot: String = IndexCache.DefaultIvfPqRoot): String = {
     import org.apache.spark.sql.types.LongType
     if (spark.read.parquet(sourcePath).schema(idCol).dataType == LongType)
       return openOrBuildPath(spark, ivfpq, sourcePath, idCol, embCol, cacheRoot)

@@ -100,10 +100,10 @@ object AnnIndexRegistry {
    */
   def register(spark: SparkSession, ivf: IvfIndex, sourcePath: String,
       idCol: String, embCol: String, nProbe: Int,
-      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf",
+      cacheRoot: String = graft.ml.IndexCache.DefaultIvfRoot,
       payloadCols: Seq[String] = Seq.empty,
       ivfpq: Option[graft.ml.IvfPqIndex] = None,
-      pqCacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivfpq",
+      pqCacheRoot: String = graft.ml.IndexCache.DefaultIvfPqRoot,
       servedK: Int = 0)
       : Entry = {
     val path = IvfIndex.openOrBuildPath(spark, ivf, sourcePath, idCol, embCol,
@@ -301,6 +301,18 @@ object AnnIndexRegistry {
   def clear(): Unit = entries.synchronized { entries.clear() }
 
   def size: Int = entries.synchronized { entries.size() }
+
+  /** Every artifact path a live registration still references (IVF +
+    * IVF-PQ sibling) — the set [[graft.ml.IndexCache.gc]] callers pass as
+    * `keep` so a GC sweep can never reclaim a directory the next
+    * index-served query in this session would read (ADVICE r14: a
+    * stale-by-manifest artifact whose registration survives must fall
+    * back at serve time, not throw missing-path at scan time). */
+  def livePaths: Set[String] = entries.synchronized {
+    import scala.jdk.CollectionConverters._
+    entries.values().asScala
+      .flatMap(e => e.indexPath +: e.pq.map(_.indexPath).toSeq).toSet
+  }
 }
 
 /**

@@ -315,11 +315,17 @@ object MerkonCatalog {
     * the IVF-PQ sibling caches `build_index` publishes into; without
     * this the pure-SQL lifecycle could never bound the sibling root,
     * whose location is a Scala-API default the SQL user has no surface
-    * for. */
+    * for. Artifacts a live registration in THIS session still references
+    * are never reclaimed, even at `older_than_ms = 0` (ADVICE r14) —
+    * but a registration made by ANOTHER session is invisible here, so
+    * cross-session GC remains maintenance-window discipline. */
   private object GcIndexCacheProcedure extends SimpleProcedure(
     "gc_index_cache",
     "Reclaim unreachable index artifacts from a shared cache root " +
-      "('' = the default IVF + IVF-PQ roots)",
+      "('' = the default IVF + IVF-PQ roots). Artifacts referenced by a " +
+      "live registration in this session are kept; registrations held " +
+      "by OTHER sessions are not visible — run aggressive sweeps " +
+      "(older_than_ms = 0) only in a maintenance window",
     Array(
       ProcedureParameter.in("cache_root", StringType).build(),
       ProcedureParameter.in("older_than_ms", LongType).build()),
@@ -328,9 +334,10 @@ object MerkonCatalog {
       val root = input.getUTF8String(0).toString
       val roots =
         if (root.nonEmpty) Seq(root)
-        else Seq(sys.props("java.io.tmpdir") + "/graft-ivf",
-          sys.props("java.io.tmpdir") + "/graft-ivfpq")
-      roots.flatMap(r => graft.ml.IndexCache.gc(r, input.getLong(1)))
+        else Seq(graft.ml.IndexCache.DefaultIvfRoot,
+          graft.ml.IndexCache.DefaultIvfPqRoot)
+      val keep = graft.plans.AnnIndexRegistry.livePaths
+      roots.flatMap(r => graft.ml.IndexCache.gc(r, input.getLong(1), keep))
         .map(p => InternalRow(utf8(p)))
     }
   }

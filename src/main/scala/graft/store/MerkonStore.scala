@@ -209,15 +209,18 @@ class MerkonStore(spark: SparkSession) {
     * this is the maintenance job that keeps the roots from growing by
     * one corpus-scale directory per cycle). `olderThanMs` (default 1 h)
     * is the shared-root race guard: artifacts untouched for at least
-    * that long are eligible; live and append-base artifacts, and staging
-    * dirs of still-running builders, are never touched. Returns the
-    * removed paths. */
+    * that long are eligible; live and append-base artifacts, paths a
+    * live [[graft.plans.AnnIndexRegistry]] registration still
+    * references, and staging dirs of still-running builders, are never
+    * touched. Returns the removed paths. */
   def gcIndexCache(olderThanMs: Long = 3600000L,
-      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivf",
-      pqCacheRoot: String = sys.props("java.io.tmpdir") + "/graft-ivfpq")
-      : Seq[String] =
-    graft.ml.IndexCache.gc(cacheRoot, olderThanMs) ++
-      graft.ml.IndexCache.gc(pqCacheRoot, olderThanMs)
+      cacheRoot: String = graft.ml.IndexCache.DefaultIvfRoot,
+      pqCacheRoot: String = graft.ml.IndexCache.DefaultIvfPqRoot)
+      : Seq[String] = {
+    val keep = graft.plans.AnnIndexRegistry.livePaths
+    graft.ml.IndexCache.gc(cacheRoot, olderThanMs, keep) ++
+      graft.ml.IndexCache.gc(pqCacheRoot, olderThanMs, keep)
+  }
 
   /** A7 `RemoveItem` / B7 `RemoveAsync`. */
   def remove(name: String, key: String): Unit = removeBatch(name, Seq(key))

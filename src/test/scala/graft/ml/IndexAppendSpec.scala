@@ -448,8 +448,14 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
     mine.delete()                        // only published dirs
 
     // a CHANGED ingested file makes the artifact unreachable (openOrBuild
-    // would rebuild; growFrom would never append from it)
+    // would rebuild; growFrom would never append from it) — BUT a path a
+    // live registration still references is kept even then (ADVICE r14:
+    // reaping it would turn the next index-served query into a
+    // missing-path exception instead of a serve-time fallback)
     copyParquetFile(deltaHalf.limit(7), srcDir, "a.parquet")
+    assert(IndexCache.gc(root, 0, keep = Set(dir3)).isEmpty)
+    assert(new java.io.File(dir3).isDirectory,
+      "a kept (still-registered) artifact was reaped")
     assert(IndexCache.gc(root, 0).toSet == Set(dir3))
 
     // a pre-source-header manifest records no source: conservatively kept
