@@ -65,14 +65,18 @@ object AnnIndexRegistry {
     * carried in the index for FILTERED kNN plans (empty = only unfiltered
     * flagship plans are served), the top-k the registered probe width was
     * SIZED to serve (`servedK` — the k of the calibration contract's
-    * query shape; 0 = unknown/caller-owned width, no k-scaling), and —
-    * when the index job built one — the IVF-PQ sibling [[AnnIndexRule]]'s
-    * cost rule may serve large corpora from instead. */
+    * query shape; 0 = unknown/caller-owned width, no k-scaling), the
+    * content fingerprint of the source directory AT registration
+    * (`sourceFp` — what [[lookupFresh]] re-checks before serving; "" =
+    * legacy/unguarded entry), and — when the index job built one — the
+    * IVF-PQ sibling [[AnnIndexRule]]'s cost rule may serve large corpora
+    * from instead. */
   case class Entry(indexPath: String, idCol: String, embCol: String,
       nProbe: Int, centroids: Array[(Int, Array[Double])],
       payloadCols: Seq[String] = Seq.empty,
       pq: Option[PqFamily] = None,
-      servedK: Int = 0)
+      servedK: Int = 0,
+      sourceFp: String = "")
 
   /** Driver-state bound: each entry pins nCentroids × dim doubles of
     * routing table (~1.5 MiB at 256×768). Registrations are unbounded
@@ -82,9 +86,17 @@ object AnnIndexRegistry {
     * its exact scan (the rewrite is an optimization, never a semantic). */
   private[plans] val MaxEntries = 32
 
+  // when each entry's sourceFp was last re-verified against the live
+  // source dir (epoch ms) — the TTL cache behind lookupFresh. Guarded by
+  // entries' monitor; evicted/removed entries drop their timestamp too.
+  private val verifiedAt = scala.collection.mutable.Map.empty[String, Long]
+
   private val entries = new java.util.LinkedHashMap[String, Entry](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[String, Entry]): Boolean =
-      this.size() > MaxEntries
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Entry]): Boolean = {
+      val evict = this.size() > MaxEntries
+      if (evict) verifiedAt.remove(e.getKey)
+      evict
+    }
   }
 
   /** Scheme-insensitive path key ("file:/x" and "/x" are the same scan). */
@@ -108,9 +120,7 @@ object AnnIndexRegistry {
       : Entry = {
     val path = IvfIndex.openOrBuildPath(spark, ivf, sourcePath, idCol, embCol,
       cacheRoot)
-    val centroids = spark.read.parquet(s"$path/centroids").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
-      .sortBy(_._1)
+    val centroids = loadCentroids(spark, path)
     if (payloadCols.nonEmpty) augment(spark, path, sourcePath, idCol, payloadCols)
     // the optional second family: build (or open) the composite artifact
     // in the same index job and record what the cost rule needs — the
@@ -140,12 +150,28 @@ object AnnIndexRegistry {
       PqFamily(pqPath, q.m, q.kCentroids, cbs,
         spark.read.parquet(s"$path/assigned").count())
     }
+    // fingerprint AFTER the artifact build: a source that changed while
+    // the index job ran records the post-change state and the first
+    // serve-time re-check catches the drift (deregister + exact scan)
+    val fp = scala.util.Try(
+      graft.ml.IndexCache.sourceFingerprint(normalize(sourcePath)))
+      .getOrElse("")
     val entry = Entry(path, idCol, embCol, nProbe, centroids, payloadCols,
-      pqFam, servedK)
+      pqFam, servedK, fp)
     put(sourcePath, entry)
+    // persist the registration beside the artifact so a FRESH session's
+    // flagship rides the index without a re-CALL (rehydrate); best-effort
+    // — a read-only artifact root degrades to session-local registration
+    if (fp.nonEmpty) persistRegistration(normalize(sourcePath), entry)
     AnnIndexRule.install(spark)
     entry
   }
+
+  private def loadCentroids(spark: SparkSession,
+      indexPath: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(s"$indexPath/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
 
   /**
    * Materialize the metadata-CARRYING index table for filtered kNN: the
@@ -290,15 +316,209 @@ object AnnIndexRegistry {
     }
 
   private[plans] def put(sourcePath: String, entry: Entry): Unit =
-    entries.synchronized { entries.put(normalize(sourcePath), entry) }
+    entries.synchronized {
+      val key = normalize(sourcePath)
+      entries.put(key, entry)
+      verifiedAt(key) = System.currentTimeMillis()
+    }
 
   def lookup(path: String): Option[Entry] =
     entries.synchronized { Option(entries.get(normalize(path))) }
 
-  def deregister(sourcePath: String): Unit =
-    entries.synchronized { entries.remove(normalize(sourcePath)) }
+  /**
+   * [[lookup]] plus the serve-time staleness guard (VERDICT r14 ask #2):
+   * before an entry is served, its recorded source fingerprint is
+   * re-checked against the live directory — a corpus REWRITTEN IN PLACE
+   * without a re-register deregisters and falls back to the exact scan
+   * instead of silently serving the old corpus's rows. The re-check is a
+   * driver-side FS listing + head CRCs (the same
+   * [[graft.ml.IndexCache.sourceFingerprint]] the cache keys on),
+   * TTL-cached per entry (`ttlMs`; `spark.graft.ann.staleCheckMs` in the
+   * rule, 0 = re-check every serve) so steady-state plans stay
+   * listing-free. Legacy entries with no fingerprint ("" — e.g. a
+   * non-local source dir the local fingerprint cannot see) serve
+   * unguarded, preserving the documented MV-snapshot contract.
+   */
+  def lookupFresh(path: String, ttlMs: Long): Option[Entry] = {
+    val key = normalize(path)
+    val e = lookup(path).getOrElse(return None)
+    if (e.sourceFp.isEmpty) return Some(e)
+    val now = System.currentTimeMillis()
+    val fresh = entries.synchronized {
+      verifiedAt.get(key).exists(t => now - t >= 0 && now - t < ttlMs)
+    }
+    if (fresh) Some(e)
+    else if (scala.util.Try(graft.ml.IndexCache.sourceFingerprint(key))
+        .getOrElse("") == e.sourceFp) {
+      entries.synchronized { verifiedAt(key) = now }
+      Some(e)
+    } else {
+      deregister(path)
+      None
+    }
+  }
 
-  def clear(): Unit = entries.synchronized { entries.clear() }
+  // ---- persisted registrations (VERDICT r14 ask #4) ----
+  //
+  // The registry is driver-JVM state; without a durable record, a fresh
+  // SQL session must re-CALL build_index before its flagship rides the
+  // index. register() therefore drops a small line-based record INSIDE
+  // the published artifact dir (URL-encoded values; atomic tmp+move like
+  // the nprobe sidecar), and rehydrate() — called by the rule only after
+  // a plan has matched the full ANN flagship shape over an unregistered
+  // path — scans the default cache root for a record whose source AND
+  // content fingerprint match the live directory, rebuilding the Entry
+  // from the artifact's own tables. Staleness is structural: a record
+  // whose fingerprint no longer matches is simply skipped, and the GC
+  // reaps its artifact on the normal cadence.
+
+  private val RegistrationRel = "registration.txt"
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def persistRegistration(sourceKey: String, entry: Entry): Unit =
+    scala.util.Try {
+      val lines = Seq(
+        "v=1",
+        s"source=${enc(sourceKey)}",
+        s"idCol=${enc(entry.idCol)}",
+        s"embCol=${enc(entry.embCol)}",
+        s"nProbe=${entry.nProbe}",
+        s"servedK=${entry.servedK}",
+        s"sourceFp=${entry.sourceFp}",
+        s"payloadCols=${entry.payloadCols.map(enc).mkString(",")}") ++
+        entry.pq.toSeq.flatMap(f => Seq(
+          s"pqPath=${enc(f.indexPath)}",
+          s"pqM=${f.m}",
+          s"pqK=${f.kCentroids}",
+          s"pqRows=${f.corpusRows}"))
+      val dir = new java.io.File(entry.indexPath)
+      val tmp = java.io.File.createTempFile("registration", ".tmp", dir)
+      java.nio.file.Files.write(tmp.toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(dir, RegistrationRel).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  private final case class Reg(source: String, idCol: String, embCol: String,
+      nProbe: Int, servedK: Int, sourceFp: String, payloadCols: Seq[String],
+      pq: Option[(String, Int, Int, Long)])
+
+  private def readRegistration(artifactDir: java.io.File): Option[Reg] =
+    scala.util.Try {
+      val kv = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(artifactDir, RegistrationRel).toPath), "UTF-8")
+        .split("\n").filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+        .toMap
+      require(kv.get("v").contains("1"))
+      Reg(dec(kv("source")), dec(kv("idCol")), dec(kv("embCol")),
+        kv("nProbe").toInt, kv("servedK").toInt, kv("sourceFp"),
+        kv.get("payloadCols").filter(_.nonEmpty).toSeq
+          .flatMap(_.split(",").toSeq.map(dec)),
+        kv.get("pqPath").map(p =>
+          (dec(p), kv("pqM").toInt, kv("pqK").toInt, kv("pqRows").toLong)))
+    }.toOption
+
+  // negative-result TTL cache: a rehydration miss costs a cache-root
+  // listing + record reads, and plans over never-registered paths must
+  // not pay that per optimizer invocation. LRU-bounded (keys are user
+  // paths, unbounded input).
+  private val rehydrateMissAt = new java.util.LinkedHashMap[String, Long](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Long]): Boolean =
+      this.size() > 256
+  }
+  private[plans] val RehydrateMissTtlMs = 30000L
+
+  /** Rebuild a registration for `path` from a persisted record in the
+    * default cache root — served only when the record's content
+    * fingerprint matches the LIVE source directory (a stale record can
+    * never serve). None (and a TTL-cached miss) when no current record
+    * exists; the caller falls back to the exact scan. Registrations made
+    * against a custom cache root rehydrate only within their own session
+    * (the scan covers the default root). */
+  def rehydrate(path: String,
+      roots: Seq[String] = Seq(graft.ml.IndexCache.DefaultIvfRoot)): Option[Entry] = {
+    val key = normalize(path)
+    val now = System.currentTimeMillis()
+    entries.synchronized {
+      if (Option(rehydrateMissAt.get(key))
+          .exists(t => now - t >= 0 && now - t < RehydrateMissTtlMs))
+        return None
+    }
+    def miss: Option[Entry] = {
+      entries.synchronized { rehydrateMissAt.put(key, now) }
+      None
+    }
+    val currentFp = scala.util.Try(
+      graft.ml.IndexCache.sourceFingerprint(key)).getOrElse("")
+    if (currentFp.isEmpty) return miss
+    val candidates = roots.flatMap { root =>
+      Option(new java.io.File(root).listFiles()).toSeq.flatten
+        .filter(_.isDirectory)
+        .flatMap { d =>
+          val rec = new java.io.File(d, RegistrationRel)
+          if (!rec.isFile) None
+          else readRegistration(d)
+            .filter(r => r.source == key && r.sourceFp == currentFp)
+            .map(r => (d, rec.lastModified(), r))
+        }
+    }
+    // several current artifacts can exist for one source (different
+    // geometries registered by different consumers) — latest registration
+    // wins, matching the in-memory registry's last-put-wins semantics
+    candidates.sortBy(-_._2).headOption match {
+      case None => miss
+      case Some((dir, _, r)) => scala.util.Try {
+        require(new java.io.File(dir, "assigned/_SUCCESS").isFile,
+          s"incomplete artifact at $dir")
+        val spark = SparkSession.active
+        val pqFam = r.pq.flatMap { case (p, m, kc, rows) =>
+          if (!new java.io.File(s"$p/codedCell/_SUCCESS").isFile) None
+          else Some(PqFamily(p, m, kc,
+            spark.read.parquet(s"$p/codebooks").collect()
+              .map(row => (row.getInt(0), row.getInt(1)) ->
+                row.getSeq[Double](2).toArray).toMap,
+            rows))
+        }
+        val entry = Entry(dir.getPath, r.idCol, r.embCol, r.nProbe,
+          loadCentroids(spark, dir.getPath), r.payloadCols, pqFam,
+          r.servedK, r.sourceFp)
+        put(key, entry)
+        entry
+      }.toOption.orElse(miss)
+    }
+  }
+
+  /** Remove a registration — DURABLY: the in-memory entry goes, and so
+    * do any persisted records for this source in the default cache root,
+    * so [[rehydrate]] cannot silently resurrect a registration an
+    * operator explicitly revoked. (`clear()` stays session-local by
+    * design — it is the JVM-state reset, not a revocation.) */
+  def deregister(sourcePath: String): Unit = {
+    val key = entries.synchronized {
+      val k = normalize(sourcePath)
+      entries.remove(k)
+      verifiedAt.remove(k)
+      k
+    }
+    scala.util.Try {
+      Option(new java.io.File(graft.ml.IndexCache.DefaultIvfRoot).listFiles())
+        .toSeq.flatten.filter(_.isDirectory)
+        .foreach { d =>
+          if (readRegistration(d).exists(_.source == key))
+            new java.io.File(d, RegistrationRel).delete()
+        }
+    }
+  }
+
+  def clear(): Unit = entries.synchronized {
+    entries.clear()
+    verifiedAt.clear()
+  }
 
   def size: Int = entries.synchronized { entries.size() }
 
@@ -364,6 +584,21 @@ object AnnIndexRule extends Rule[LogicalPlan] {
   private[graft] def pqMinBytes(get: (String, String) => String): Long =
     scala.util.Try(get(PqMinBytesKey, DefaultPqMinBytes.toString).toLong)
       .getOrElse(DefaultPqMinBytes)
+
+  /** How long a registration's serve-time source re-check stays cached
+    * ([[AnnIndexRegistry.lookupFresh]]): within the TTL a matched plan
+    * serves without touching the filesystem; past it, one driver-side
+    * listing re-verifies the corpus is still the one the index ingested.
+    * 0 = re-verify on every serve (what the staleness specs set);
+    * raising it trades detection latency for listing-free steady state.
+    * Lenient parse — a malformed value must never fail optimization. */
+  val StaleCheckMsKey = "spark.graft.ann.staleCheckMs"
+  val DefaultStaleCheckMs = 10000L
+
+  private def staleCheckMs: Long =
+    scala.util.Try(
+      conf.getConfString(StaleCheckMsKey, DefaultStaleCheckMs.toString).toLong)
+      .getOrElse(DefaultStaleCheckMs)
 
   /** Idempotent session install (the runtime path; GraftExtensions is
     * the static-conf path). */
@@ -435,7 +670,6 @@ object AnnIndexRule extends Rule[LogicalPlan] {
       case _ => return None
     }
     val relOut = AttributeSet(relOutput)
-    val entry = AnnIndexRegistry.lookup(rootPath).getOrElse(return None)
 
     // the primary sort key must resolve to cosine(embAttr, literal) desc
     val head = order.headOption.getOrElse(return None)
@@ -448,6 +682,13 @@ object AnnIndexRule extends Rule[LogicalPlan] {
           if relOut.contains(a) => (a, literalVec(l).getOrElse(return None))
       case _ => return None
     }
+    // registry resolution happens only after the plan is structurally a
+    // literal-query ANN flagship: the staleness re-check (lookupFresh)
+    // and the rehydration cache-root scan must never run for the vast
+    // majority of limit/sort plans that could not be served anyway
+    val entry = AnnIndexRegistry.lookupFresh(rootPath, staleCheckMs)
+      .orElse(AnnIndexRegistry.rehydrate(rootPath))
+      .getOrElse(return None)
     if (embAttr.name != entry.embCol) return None
     // threshold-only shape: some conjunct below the sort must floor the
     // SAME cosine at a literal (>= or >) — the bound that makes an

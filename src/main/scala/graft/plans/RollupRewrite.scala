@@ -43,9 +43,17 @@ import org.apache.spark.sql.types.DecimalType
  */
 object RollupRegistry {
 
-  case class Entry(rollupPath: String, dims: Seq[String], measures: Seq[String])
+  /** `sourceSig` is the fact's data-file signature AT registration —
+    * what [[lookupFresh]] re-checks before the rule claims exactness
+    * over the pre-aggregated cells ("" = legacy/unguarded entry). */
+  case class Entry(rollupPath: String, dims: Seq[String],
+      measures: Seq[String], sourceSig: String = "")
 
   private val entries = scala.collection.mutable.Map.empty[String, Entry]
+
+  // last successful signature re-check per entry (epoch ms) — the TTL
+  // cache behind lookupFresh; guarded by entries' monitor
+  private val verifiedAt = scala.collection.mutable.Map.empty[String, Long]
 
   private def normalize(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
@@ -75,13 +83,14 @@ object RollupRegistry {
   def register(spark: SparkSession, sourcePath: String, dims: Seq[String],
       measures: Seq[String],
       cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-rollup"): Entry = {
+    val sig = sourceSignature(spark, sourcePath)
     // 256-bit digest, not a 32-bit hash: this key gates an EXACTNESS
     // claim — a collision would serve another registration's (or a stale
     // state's) cells as exact answers, and at 32 bits that is a
     // birthday-plausible event across long-lived cache roots.
     val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest((((normalize(sourcePath) +: dims) ++ measures :+
-        sourceSignature(spark, sourcePath)) mkString "|")
+      .digest((((normalize(sourcePath) +: dims) ++ measures :+ sig)
+        mkString "|")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
     val dest = s"$cacheRoot/rollup_$key"
@@ -101,8 +110,12 @@ object RollupRegistry {
             sum(col(m).cast(DecimalType(18, 3))).as(s"_sum_$m")): _*)
         .write.mode("overwrite").parquet(dest)
     }
-    val entry = Entry(dest, dims, measures)
-    entries.synchronized { entries.put(normalize(sourcePath), entry) }
+    val entry = Entry(dest, dims, measures, sig)
+    entries.synchronized {
+      val k = normalize(sourcePath)
+      entries.put(k, entry)
+      verifiedAt(k) = System.currentTimeMillis()
+    }
     RollupRewriteRule.install(spark)
     entry
   }
@@ -110,15 +123,59 @@ object RollupRegistry {
   def lookup(path: String): Option[Entry] =
     entries.synchronized { entries.get(normalize(path)) }
 
-  def deregister(sourcePath: String): Unit =
-    entries.synchronized { entries.remove(normalize(sourcePath)) }
+  /** [[lookup]] plus the serve-time staleness guard (VERDICT r14 ask #2,
+    * the [[AnnIndexRegistry.lookupFresh]] twin — MORE important here
+    * because this rule claims EXACTNESS): before a registration serves,
+    * its recorded fact signature is re-checked against the live
+    * directory, TTL-cached; a fact rewritten in place without
+    * re-registration deregisters and the aggregation keeps its exact
+    * fact scan instead of silently re-aggregating stale cells. */
+  def lookupFresh(path: String, ttlMs: Long): Option[Entry] = {
+    val key = normalize(path)
+    val e = lookup(path).getOrElse(return None)
+    if (e.sourceSig.isEmpty) return Some(e)
+    val now = System.currentTimeMillis()
+    val fresh = entries.synchronized {
+      verifiedAt.get(key).exists(t => now - t >= 0 && now - t < ttlMs)
+    }
+    if (fresh) Some(e)
+    else if (scala.util.Try(
+        sourceSignature(SparkSession.active, key)).getOrElse("") == e.sourceSig) {
+      entries.synchronized { verifiedAt(key) = now }
+      Some(e)
+    } else {
+      deregister(path)
+      None
+    }
+  }
 
-  def clear(): Unit = entries.synchronized { entries.clear() }
+  def deregister(sourcePath: String): Unit =
+    entries.synchronized {
+      val k = normalize(sourcePath)
+      entries.remove(k)
+      verifiedAt.remove(k)
+    }
+
+  def clear(): Unit = entries.synchronized {
+    entries.clear()
+    verifiedAt.clear()
+  }
 }
 
 object RollupRewriteRule extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.rollup.rewrite.enabled"
+
+  /** TTL for the serve-time fact-signature re-check
+    * ([[RollupRegistry.lookupFresh]]); 0 = re-verify every serve.
+    * Lenient parse — a malformed value must never fail optimization. */
+  val StaleCheckMsKey = "spark.graft.rollup.staleCheckMs"
+  val DefaultStaleCheckMs = 10000L
+
+  private def staleCheckMs: Long =
+    scala.util.Try(
+      conf.getConfString(StaleCheckMsKey, DefaultStaleCheckMs.toString).toLong)
+      .getOrElse(DefaultStaleCheckMs)
 
   /** Idempotent session install (the runtime path; GraftExtensions is
     * the static-conf path). */
@@ -152,7 +209,8 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
     }
     val roots = rel.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
     if (roots.size != 1) return None
-    RollupRegistry.lookup(roots.head.toString).map((conds, rel, _))
+    RollupRegistry.lookupFresh(roots.head.toString, staleCheckMs)
+      .map((conds, rel, _))
   }
 
   /** Filters must be deterministic AND touch dims only (then they remap

