@@ -692,4 +692,128 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
       } finally spark.conf.unset(graft.plans.AnnIndexRule.PqMinBytesKey)
     } finally graft.plans.AnnIndexRegistry.clear()
   }
+
+  test("buildIndex refresh is O(delta): insert-only waves append, deletes-only leave the dump, updates re-dump") {
+    // VERDICT r14 ask #1: the facade's mode("overwrite") snapshot dump
+    // re-keyed the content cache on EVERY refresh, so the banded-geometry
+    // append machinery was unreachable from the store API — the
+    // reference's per-mutation whole-DB rewrite (MerkonDatabase.cs:
+    // 149-162) surviving one layer up. The dump is now append-shaped.
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val st = newStore
+    val dumpRoot = scratchDir("graft-store-incdump")
+    try {
+      val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      def slice(lo: Int, hi: Int) =
+        corpus.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .select(concat(lit("k"), col("vec_id")).as("key"), col("embedding"))
+      val dump = s"$dumpRoot/${MerkonStore.pathSafe("vinc")}"
+      def dataFiles: Set[String] = new java.io.File(dump).listFiles().toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).map(_.getName).toSet
+      def entry = graft.plans.AnnIndexRegistry.lookup(dump).get
+      def centroidsOf(e: graft.plans.AnnIndexRegistry.Entry) =
+        e.centroids.map { case (c, a) => (c, a.toSeq) }.toSeq
+
+      st.upsertBatch("vinc", slice(0, 300))
+      st.buildIndex("vinc", nCentroids = 8, nProbe = 6, dir = dumpRoot)
+      val files1 = dataFiles
+      val e1 = entry
+      val cent1 = centroidsOf(e1)
+
+      // INSERT-ONLY wave -> the dump gains delta files ONLY (every
+      // previously-dumped file untouched) and the index job rides the
+      // frozen-centroid append: same centers, new artifact, all rows in
+      st.upsertBatch("vinc", slice(300, 360))
+      st.buildIndex("vinc", nCentroids = 8, nProbe = 6, dir = dumpRoot)
+      val files2 = dataFiles
+      assert(files1.subsetOf(files2) && files2.size > files1.size,
+        s"append-shaped refresh expected: before=${files1.size} after=${files2.size}")
+      val e2 = entry
+      assert(e2.indexPath != e1.indexPath, "grown corpus must publish a new artifact")
+      assert(centroidsOf(e2) == cent1,
+        "centroids changed on an insert-only refresh: the append path was not taken")
+      assert(spark.read.parquet(s"${e2.indexPath}/assigned").count() == 360)
+      val qv333 = corpus.filter(col("vec_id") === 333).select("embedding")
+        .head().getSeq[Float](0).toArray
+      assert(st.getNearestMatches("vinc", qv333, 1, useIndex = true)
+        .select("key").head().getString(0) == "k333")
+
+      // DELETES-ONLY cycle -> no dump write at all; the unchanged dump
+      // resolves to the SAME artifact, whose tombstone sidecar (written
+      // at removeBatch time) keeps the key dead on the indexed path
+      st.removeBatch("vinc", Seq("k333"))
+      st.buildIndex("vinc", nCentroids = 8, nProbe = 6, dir = dumpRoot)
+      assert(dataFiles == files2, "deletes-only refresh must not touch the dump")
+      val e3 = entry
+      assert(e3.indexPath == e2.indexPath, "deletes-only refresh must reuse the artifact")
+      val afterDel = st.getNearestMatches("vinc", qv333, 5, useIndex = true)
+        .select("key").collect().map(_.getString(0))
+      assert(afterDel.length == 5 && !afterDel.contains("k333"))
+
+      // UPDATE wave (a pending key already in the dump) -> full re-dump
+      // (a dump with two embeddings for one key could serve the stale
+      // one, and an id-tombstone would kill both) and the fresh index
+      // serves the UPDATED vector
+      val qv450 = corpus.filter(col("vec_id") === 450).select("embedding")
+        .head().getSeq[Float](0).toArray
+      st.upsertBatch("vinc", corpus.filter(col("vec_id") === 450)
+        .select(lit("k5").as("key"), col("embedding")))
+      st.buildIndex("vinc", nCentroids = 8, nProbe = 6, dir = dumpRoot)
+      val files4 = dataFiles
+      assert((files4 & files2).isEmpty, "update wave must re-dump in full")
+      assert(spark.read.parquet(dump).count() == 359) // 360 - k333, k5 updated in place
+      assert(st.getNearestMatches("vinc", qv450, 1, useIndex = true)
+        .select("key").head().getString(0) == "k5",
+        "updated embedding must serve from the refreshed index")
+    } finally graft.plans.AnnIndexRegistry.clear()
+  }
+
+  test("store refresh rides the geometry band: within-band growth appends, crossing rebuilds") {
+    // the DERIVED-geometry form of the O(delta) refresh: while ingest
+    // stays inside a centroidsFor band the derived cell count is
+    // unchanged, so upsert-then-buildIndex appends against frozen
+    // centroids (only the nProbe sidecar recalibrates); crossing the
+    // band re-derives a larger quantizer and rebuilds — the store-facade
+    // twin of GeometryGrowthSpec's ml-level contract
+    import org.apache.spark.sql.functions.{array, col, concat, lit, pmod, xxhash64}
+    val st = newStore
+    val dumpRoot = scratchDir("graft-store-band")
+    try {
+      assert(graft.ml.IvfGeometry.centroidsFor(1500) == 16)
+      assert(graft.ml.IvfGeometry.centroidsFor(2000) == 16)
+      assert(graft.ml.IvfGeometry.centroidsFor(3000) == 32)
+      def batch(from: Int, until: Int) = spark.range(from, until).select(
+        concat(lit("k"), col("id")).as("key"),
+        array((0 until 8).map(d =>
+          ((pmod(xxhash64(col("id") * (d + 1) + d), lit(1000)) / 500.0) - 1.0)
+            .cast("float")): _*).as("embedding"))
+      val dump = s"$dumpRoot/${MerkonStore.pathSafe("vband")}"
+      def entry = graft.plans.AnnIndexRegistry.lookup(dump).get
+      def centroidsOf(e: graft.plans.AnnIndexRegistry.Entry) =
+        e.centroids.map { case (c, a) => (c, a.toSeq) }.toSeq
+
+      st.upsertBatch("vband", batch(0, 1500))
+      st.buildIndex("vband", dir = dumpRoot) // derived geometry
+      val e1 = entry
+      assert(e1.centroids.length == 16)
+
+      // within-band growth: derived c unchanged -> frozen-centroid append
+      st.upsertBatch("vband", batch(1500, 2000))
+      st.buildIndex("vband", dir = dumpRoot)
+      val e2 = entry
+      assert(e2.centroids.length == 16)
+      assert(centroidsOf(e2) == centroidsOf(e1),
+        "within-band store refresh must ride the append path")
+      assert(spark.read.parquet(s"${e2.indexPath}/assigned").count() == 2000)
+
+      // band-crossing growth: c re-derives to 32 -> rebuild
+      st.upsertBatch("vband", batch(2000, 3000))
+      st.buildIndex("vband", dir = dumpRoot)
+      val e3 = entry
+      assert(e3.centroids.length == 32,
+        "band crossing must re-derive the quantizer")
+      assert(spark.read.parquet(s"${e3.indexPath}/assigned").count() == 3000)
+    } finally graft.plans.AnnIndexRegistry.clear()
+  }
 }
