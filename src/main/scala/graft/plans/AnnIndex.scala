@@ -236,6 +236,36 @@ object AnnIndexRegistry {
       ivfpq = pqSibling, servedK = servedK)
   }
 
+  /**
+   * Batch query-TABLE kNN through the registered index (VERDICT r14 ask
+   * #3) — the bulk-scoring shape an LLM pipeline runs nightly: N query
+   * vectors as a DataFrame (`q_id` LONG, `q_emb` ARRAY<FLOAT>) against a
+   * registered corpus. [[AnnIndexRule]] serves literal-query plans only
+   * (one vector known at plan time); a query TABLE routes MAP-SIDE
+   * instead — each query row fans out to its nProbe nearest cells with
+   * the few-KiB centroid table in the task closure — and candidates
+   * arrive through one EQUI-JOIN on `cell` against the cell-partitioned
+   * index table: the batch form of
+   * [[graft.streaming.VectorStreams.indexedKnn]], whose batch/stream
+   * parity and recall contract VectorStreamsSpec/AnnRecallSpec pin.
+   * Per query ~nProbe/nCentroids of the corpus is scored (exactly) and
+   * reduced by the bounded partial-agg top-k; across a large query table
+   * the union of probed cells approaches all cells, which is correct —
+   * the equi-join still shuffles each query only to its own cells,
+   * never |Q| × corpus. Tombstoned ids are filtered before scoring
+   * (full-k backfill). `nProbe` 0 = the registered width. Throws on an
+   * unregistered path — this is an index API, not a rewrite; callers
+   * own the fallback to the exact `knn_join` spelling.
+   */
+  def indexedKnnJoin(spark: SparkSession, sourcePath: String,
+      queries: DataFrame, k: Int, nProbe: Int = 0): DataFrame = {
+    val e = lookup(sourcePath).getOrElse(throw new IllegalArgumentException(
+      s"no registered index for '$sourcePath' — run the index job first"))
+    graft.streaming.VectorStreams.indexedKnn(queries,
+      IvfIndex.load(spark, e.indexPath),
+      if (nProbe > 0) nProbe else e.nProbe, k)
+  }
+
   /** Per-family index state of a registered corpus — the numbers the
     * compaction/GC cadence decisions read: (family, artifact path,
     * coarse geometry, PQ code shape when the family has one, live rows,

