@@ -1,6 +1,6 @@
 package graft.ml
 
-import graft.functions.VectorFunctions.{cosineSim, l2Norm}
+import graft.functions.VectorFunctions.{cosineSim, l2Distance, l2Norm}
 import graft.functions.TopKByScore
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
@@ -70,18 +70,8 @@ class IvfIndex(val nCentroids: Int = 16, val nProbe: Int = 4, val seed: Long = 4
    */
   def append(built: IvfIndex.Built, delta: DataFrame,
       idCol: String, embCol: String): IvfIndex.Built = {
-    val norm = l2Norm(col(embCol))
-    val p = IvfIndex.dedupDeltaIds(delta.filter(norm > 0)
-      .select(col(idCol).as("id"), col(embCol).as("emb"),
-        transform(col(embCol), x => (x / norm).cast("float")).as("unit")))
-    val assignedDelta = p.crossJoin(broadcast(built.centroids))
-      .select(col("id"), col("emb"),
-        col("cell"), graft.functions.VectorFunctions.l2Distance(
-          col("unit"), col("centroid")).as("dist"))
-      .groupBy(col("id"), col("emb"))
-      .agg(TopKByScore(1)(-col("dist"), col("cell").cast("long")).as("best"))
-      .select(col("id"), col("emb"),
-        element_at(col("best.id"), 1).cast("int").as("cell"))
+    val assignedDelta = IvfIndex.assignDelta(built.centroids, delta,
+      idCol, embCol)
     // LWW on id collisions: a delta row REPLACES an existing row with the
     // same id (anti-join the old side) — a blind union would leave the
     // stale vector in the index and let one id occupy two top-k slots.
@@ -169,6 +159,26 @@ class IvfIndex(val nCentroids: Int = 16, val nProbe: Int = 4, val seed: Long = 4
 }
 
 object IvfIndex {
+
+  /** The frozen-quantizer delta encode shared by the in-memory
+    * [[IvfIndex.append]] and the on-disk [[appendOnDisk]]: dedup the
+    * delta's ids, drop zero-norm rows, and assign each vector to its
+    * argmin-l2 cell against the FROZEN centroid table (KMeans' metric
+    * over the unit vector) — a map-side broadcast pass, no fit. */
+  private[ml] def assignDelta(centroids: DataFrame, delta: DataFrame,
+      idCol: String, embCol: String): DataFrame = {
+    val norm = l2Norm(col(embCol))
+    val p = dedupDeltaIds(delta.filter(norm > 0)
+      .select(col(idCol).as("id"), col(embCol).as("emb"),
+        transform(col(embCol), x => (x / norm).cast("float")).as("unit")))
+    p.crossJoin(broadcast(centroids))
+      .select(col("id"), col("emb"),
+        col("cell"), l2Distance(col("unit"), col("centroid")).as("dist"))
+      .groupBy(col("id"), col("emb"))
+      .agg(TopKByScore(1)(-col("dist"), col("cell").cast("long")).as("best"))
+      .select(col("id"), col("emb"),
+        element_at(col("best.id"), 1).cast("int").as("cell"))
+  }
 
   /** A delta carrying the same id twice (a document upserted twice in
     * one ingest batch) must contribute exactly ONE row, or the LWW
@@ -385,8 +395,92 @@ object IvfIndex {
       save(ivf.build(spark, spark.read.parquet(sourcePath), idCol, embCol), staging)
     } { (published, newFiles, staging) =>
       // source grew: encode ONLY the new files against the frozen
-      // centroids — no KMeans fit anywhere on this path
-      save(ivf.append(load(spark, published),
-        spark.read.parquet(newFiles: _*), idCol, embCol), staging)
+      // centroids — no KMeans fit anywhere on this path. The hardlink
+      // fast path also avoids rewriting the corpus-sized cell table
+      // (O(delta) files written); overlapping ids (LWW) fall back to
+      // the rewrite form below.
+      val delta = spark.read.parquet(newFiles: _*)
+      if (!appendOnDisk(spark, published, delta, idCol, embCol, staging))
+        save(ivf.append(load(spark, published), delta, idCol, embCol), staging)
     }
+
+  /**
+   * The O(delta) artifact refresh (r15): grow a PUBLISHED index into
+   * `staging` by HARDLINKING every existing data file (assigned cell
+   * dirs, centroid table, tombstone sidecar) and appending ONLY the
+   * delta's encoded rows as new files in their cell directories — no
+   * shuffle of existing rows, no corpus-sized write. Before this, the
+   * append path skipped the KMeans re-fit but still re-shuffled and
+   * re-wrote the whole cell table per refresh — an O(corpus) IO bill at
+   * ingest cadence. [[IvfIndex.append]]'s rewrite form stays the
+   * semantic fallback: links cannot express LWW row replacement, so the
+   * fast path applies IFF the delta's ids are disjoint from the
+   * published table AND its tombstones (the store's insert-only refresh
+   * shape — its update and re-add waves full-dump upstream). Returns
+   * false (staging removed) when the overlap probe fails or the
+   * filesystem refuses links; the caller rewrites. At cluster scale the
+   * same shape is a metadata-only manifest commit (new files
+   * registered, existing files reused); the local hardlink is that
+   * commit's single-node spelling — and deleting either artifact dir
+   * later only unlinks names, never bytes the sibling still reads.
+   * Old-artifact CONTRACT sidecars (nprobe calibration, registration
+   * record, cache manifest) are deliberately not linked: the grown
+   * artifact recalibrates and re-registers.
+   */
+  private[graft] def appendOnDisk(spark: SparkSession, published: String,
+      delta: DataFrame, idCol: String, embCol: String,
+      staging: String): Boolean = {
+    val centroids = spark.read.parquet(s"$published/centroids")
+    val d = assignDelta(centroids, delta, idCol, embCol).localCheckpoint()
+    val deltaIds = d.select("id")
+    val overlapsBase = spark.read.parquet(s"$published/assigned")
+      .select("id").join(deltaIds, Seq("id"), "left_semi")
+      .limit(1).count() > 0
+    if (overlapsBase) return false
+    val overlapsDead = loadOptional(spark, s"$published/tombstones")
+      .exists(_.select("id").join(deltaIds, Seq("id"), "left_semi")
+        .limit(1).count() > 0)
+    if (overlapsDead) return false
+    val stagingDir = new java.io.File(staging)
+    try {
+      Seq("assigned", "centroids", "tombstones").foreach { sub =>
+        val from = new java.io.File(published, sub)
+        if (from.isDirectory) {
+          val to = new java.io.File(stagingDir, sub)
+          linkTree(from, to)
+          // a fresh (unshared) success marker per linked table: the
+          // delta write job rewrites assigned/_SUCCESS in place, and a
+          // linked marker would share its inode with the still-served
+          // old artifact
+          java.nio.file.Files.write(
+            new java.io.File(to, "_SUCCESS").toPath, Array.emptyByteArray)
+        }
+      }
+    } catch {
+      case _: Exception =>
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del)); f.delete()
+        }
+        del(stagingDir)
+        return false
+    }
+    if (!d.isEmpty)
+      d.write.mode("append").partitionBy("cell").parquet(s"$staging/assigned")
+    true
+  }
+
+  /** Hardlink every VISIBLE file of `from` into `to`, recursing into
+    * partition subdirectories; `_`-markers and `.`-checksum sidecars are
+    * skipped (the new artifact writes its own — a linked marker/crc
+    * would share an inode with the old artifact's, and Hadoop's local
+    * FS rewrites both in place). */
+  private[ml] def linkTree(from: java.io.File, to: java.io.File): Unit = {
+    to.mkdirs()
+    Option(from.listFiles()).toSeq.flatten.foreach { f =>
+      if (f.isDirectory) linkTree(f, new java.io.File(to, f.getName))
+      else if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
+        java.nio.file.Files.createLink(
+          new java.io.File(to, f.getName).toPath, f.toPath)
+    }
+  }
 }

@@ -264,9 +264,91 @@ object IvfPqIndex {
       save(ivfpq.build(spark, spark.read.parquet(sourcePath), idCol, embCol),
         staging)
     } { (published, newFiles, staging) =>
-      save(ivfpq.append(load(spark, published),
-        spark.read.parquet(newFiles: _*), idCol, embCol), staging)
+      val delta = spark.read.parquet(newFiles: _*)
+      if (!appendOnDisk(spark, ivfpq, published, delta, idCol, embCol,
+          staging, idMapDelta = None))
+        save(ivfpq.append(load(spark, published), delta, idCol, embCol),
+          staging)
     }
+
+  /**
+   * The composite-index analog of [[IvfIndex.appendOnDisk]] (r15):
+   * grow a PUBLISHED IVF-PQ artifact into `staging` by hardlinking
+   * every existing data file (codedCell cell dirs, embById/idMap
+   * buckets, centroid + codebook tables, tombstones) and appending
+   * ONLY the delta's encoded rows — both quantizers frozen AND no
+   * corpus-sized rewrite of any table. Applies IFF the delta's ids are
+   * disjoint from the published code table, its tombstones, and the
+   * idMap when one exists (LWW replacement needs the rewrite form);
+   * false (staging removed) on overlap or a link-refusing filesystem.
+   * `idMapDelta` is the surrogate path's (bucket, sid, id) rows for
+   * the delta; None for long-keyed corpora.
+   */
+  private[graft] def appendOnDisk(spark: SparkSession, ivfpq: IvfPqIndex,
+      published: String, delta: DataFrame, idCol: String, embCol: String,
+      staging: String, idMapDelta: Option[DataFrame]): Boolean = {
+    import graft.functions.TopKByScore
+    val prepared = IvfIndex.dedupDeltaIds(
+      ivfpq.pq.prepare(delta, idCol, embCol)).localCheckpoint()
+    val deltaIds = prepared.select("id")
+    def overlaps(df: DataFrame, keyCol: String): Boolean =
+      df.select(col(keyCol).as("id")).join(deltaIds, Seq("id"), "left_semi")
+        .limit(1).count() > 0
+    if (overlaps(spark.read.parquet(s"$published/codedCell"), "id"))
+      return false
+    if (IvfIndex.loadOptional(spark, s"$published/tombstones")
+        .exists(overlaps(_, "id"))) return false
+    val hasIdMap = new java.io.File(s"$published/idMap/_SUCCESS").isFile
+    if (hasIdMap &&
+        overlaps(spark.read.parquet(s"$published/idMap"), "sid"))
+      return false
+    val stagingDir = new java.io.File(staging)
+    try {
+      val tables = Seq("codedCell", "embById", "centroids", "codebooks",
+        "tombstones") ++ (if (hasIdMap) Seq("idMap") else Nil)
+      tables.foreach { sub =>
+        val from = new java.io.File(published, sub)
+        if (from.isDirectory) {
+          val to = new java.io.File(stagingDir, sub)
+          IvfIndex.linkTree(from, to)
+          java.nio.file.Files.write(
+            new java.io.File(to, "_SUCCESS").toPath, Array.emptyByteArray)
+        }
+      }
+    } catch {
+      case _: Exception =>
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del)); f.delete()
+        }
+        del(stagingDir)
+        return false
+    }
+    if (!prepared.isEmpty) {
+      val codebooks = spark.read.parquet(s"$published/codebooks")
+      val centroids = spark.read.parquet(s"$published/centroids")
+      val codedDelta = ivfpq.pq.encodeWith(spark, prepared,
+        ivfpq.pq.codebookArray(codebooks)).localCheckpoint()
+      val cellDelta = prepared
+        .select(col("id"),
+          transform(col("unit"), x => x.cast("float")).as("unitf"))
+        .crossJoin(broadcast(centroids))
+        .select(col("id"), col("cell"),
+          l2Distance(col("unitf"), col("centroid")).as("dist"))
+        .groupBy(col("id"))
+        .agg(TopKByScore(1)(-col("dist"), col("cell").cast("long")).as("best"))
+        .select(col("id"), element_at(col("best.id"), 1).cast("int").as("cell"))
+      codedDelta.select(col("id"), col("codes"))
+        .join(cellDelta, "id")
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$staging/codedCell")
+      PqIndex.withBucket(codedDelta.select(col("id"), col("emb")))
+        .write.mode("append").partitionBy("bucket")
+        .parquet(s"$staging/embById")
+    }
+    idMapDelta.filter(_ => hasIdMap).foreach(
+      _.write.mode("append").partitionBy("bucket").parquet(s"$staging/idMap"))
+    true
+  }
 
   /**
    * [[openOrBuildPath]] for a corpus whose id column need not be LONG —
@@ -310,15 +392,20 @@ object IvfPqIndex {
         .parquet(s"$staging/idMap")
     } { (published, newFiles, staging) =>
       val delta = spark.read.parquet(newFiles: _*)
-      save(ivfpq.append(load(spark, published), surrogate(delta),
-        "sid", embCol), staging)
-      // LWW on re-upserted ids within the map, same as the index tables
-      val deltaMap = idMapOf(delta)
-      spark.read.parquet(s"$published/idMap")
-        .join(deltaMap.select("sid"), Seq("sid"), "left_anti")
-        .unionByName(deltaMap)
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$staging/idMap")
+      // O(delta) fast path for disjoint surrogate ids (incl. the idMap
+      // check); the rewrite form below stays the LWW fallback
+      if (!appendOnDisk(spark, ivfpq, published, surrogate(delta), "sid",
+          embCol, staging, idMapDelta = Some(idMapOf(delta)))) {
+        save(ivfpq.append(load(spark, published), surrogate(delta),
+          "sid", embCol), staging)
+        // LWW on re-upserted ids within the map, same as the index tables
+        val deltaMap = idMapOf(delta)
+        spark.read.parquet(s"$published/idMap")
+          .join(deltaMap.select("sid"), Seq("sid"), "left_anti")
+          .unionByName(deltaMap)
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$staging/idMap")
+      }
     }
   }
 }

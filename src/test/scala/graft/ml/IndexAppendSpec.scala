@@ -177,6 +177,85 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
     assert(rebuilt.assigned.count() == emb.count())
   }
 
+  test("openOrBuild's disjoint-id append HARDLINKS the published cell table (O(delta) files written)") {
+    // r15: the append path already skipped the KMeans re-fit, but still
+    // re-shuffled and re-wrote the whole cell table into the new
+    // artifact — O(corpus) IO per refresh. With a disjoint-id delta
+    // (the store's insert-only refresh shape) the grown artifact now
+    // REUSES the published artifact's files via hardlinks and writes
+    // only the delta's rows as new files.
+    val srcDir = new java.io.File(scratchDir("graft-link-src"))
+    val cacheRoot = scratchDir("graft-link-cache")
+    copyParquetFile(baseHalf, srcDir, "a.parquet")
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 3)
+    def publishedDirs = new java.io.File(cacheRoot).listFiles().toSeq
+      .filter(_.isDirectory).map(_.getPath).sorted
+    def dataFilesUnder(dir: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir, "assigned"))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getParentFile.getName + "/" + f.getName).toSet
+    }
+    IvfIndex.openOrBuildPath(spark, ivf, srcDir.getPath,
+      "vec_id", "embedding", cacheRoot)
+    val Seq(path1) = publishedDirs
+    val files1 = dataFilesUnder(path1)
+
+    copyParquetFile(deltaHalf, srcDir, "b.parquet")
+    val grownPath = IvfIndex.openOrBuildPath(spark, ivf, srcDir.getPath,
+      "vec_id", "embedding", cacheRoot)
+    assert(grownPath != path1)
+    val files2 = dataFilesUnder(grownPath)
+    // every published data file survives UNDER ITS OWN NAME (part-file
+    // names are job-unique, so name survival proves reuse, not rewrite)
+    assert(files1.subsetOf(files2),
+      s"published files were rewritten: missing ${(files1 -- files2).take(3)}")
+    assert(files2.size > files1.size, "delta files must be appended")
+    // and they are the SAME inodes — zero bytes copied
+    val sample = files1.head
+    def ino(root: String) = java.nio.file.Files.getAttribute(
+      new java.io.File(s"$root/assigned/$sample").toPath, "unix:ino")
+    assert(ino(path1) == ino(grownPath), "expected a hardlink, got a copy")
+    // the grown artifact is complete and searchable
+    val grown = IvfIndex.load(spark, grownPath)
+    assert(grown.assigned.count() == emb.count())
+    assert(ivf.search(grown, emb.filter(col("vec_id") === 480),
+        "vec_id", "embedding", 1).select("neighbor_id").head().getLong(0) == 480L)
+    assert(centroidSet(grown.centroids) ==
+      centroidSet(IvfIndex.load(spark, path1).centroids))
+  }
+
+  test("openOrBuild append falls back to the rewrite form on id overlap (LWW preserved)") {
+    // links cannot express LWW row replacement — a delta re-ingesting a
+    // published id must take IvfIndex.append's anti-join rewrite, or the
+    // stale vector would stay live beside the new one
+    val srcDir = new java.io.File(scratchDir("graft-lww-src"))
+    val cacheRoot = scratchDir("graft-lww-cache")
+    copyParquetFile(baseHalf, srcDir, "a.parquet")
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 8)
+    val first = IvfIndex.openOrBuild(spark, ivf, srcDir.getPath,
+      "vec_id", "embedding", cacheRoot)
+    val firstCentroids = centroidSet(first.centroids)
+    // delta: id 7 re-ingested with vector 450's embedding + new ids
+    val moved = emb.filter(col("vec_id") === 450)
+      .select(lit(7L).as("vec_id"), col("embedding"), col("label"))
+    copyParquetFile(
+      deltaHalf.select(col("vec_id"), col("embedding"), col("label"))
+        .unionByName(moved), srcDir, "b.parquet")
+    val grown = IvfIndex.openOrBuild(spark, ivf, srcDir.getPath,
+      "vec_id", "embedding", cacheRoot)
+    assert(grown.assigned.filter(col("id") === 7L).count() == 1,
+      "LWW must leave exactly one row for a re-ingested id")
+    assert(centroidSet(grown.centroids) == firstCentroids,
+      "the rewrite fallback must still append against frozen centroids")
+    val top2 = ivf.search(grown, emb.filter(col("vec_id") === 450),
+        "vec_id", "embedding", 2)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(top2 == Set(450L, 7L))
+  }
+
   test("append is LWW on id collisions: a delta row replaces the stale vector") {
     // re-ingesting an id must not leave two rows in the index (the stale
     // one could surface as a neighbor, and one id could fill two top-k

@@ -57,6 +57,21 @@ class IvfPqGrowthSpec extends AnyFunSuite with SparkTestBase {
       "coarse quantizer re-fit on within-band growth")
     assert(tableOf(path2, "codebooks") == codebooks1,
       "PQ codebooks re-fit on within-band growth")
+    // r15: the grown artifact REUSES the published files (hardlink
+    // append) — part names are job-unique, so name survival across the
+    // grow proves every table was extended, not rewritten
+    def dataFiles(path: String, table: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$path/$table"))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getParentFile.getName + "/" + f.getName).toSet
+    }
+    Seq("codedCell", "embById", "idMap").foreach { t =>
+      assert(dataFiles(path1, t).subsetOf(dataFiles(path2, t)),
+        s"$t was rewritten on within-band growth (O(delta) append not taken)")
+    }
     // the delta rows are coded, fetchable, and id-restorable
     assert(spark.read.parquet(s"$path2/codedCell").count() == 4500)
     assert(spark.read.parquet(s"$path2/embById").count() == 4500)
