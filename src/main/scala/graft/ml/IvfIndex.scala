@@ -441,40 +441,48 @@ object IvfIndex {
       .exists(_.select("id").join(deltaIds, Seq("id"), "left_semi")
         .limit(1).count() > 0)
     if (overlapsDead) return false
-    val stagingDir = new java.io.File(staging)
+    if (!linkArtifactTables(published, staging,
+        Seq("assigned", "centroids", "tombstones"))) return false
+    if (!d.isEmpty)
+      d.write.mode("append").partitionBy("cell").parquet(s"$staging/assigned")
+    true
+  }
+
+  /** The shared link phase of every family's [[appendOnDisk]]: hardlink
+    * each existing table dir of `published` into `staging` and write a
+    * FRESH (unshared) success marker per table — a linked marker would
+    * share its inode with the still-served old artifact, and the delta
+    * write job rewrites `_SUCCESS` in place. False (staging removed) on
+    * a link-refusing filesystem; the caller falls back to the rewrite
+    * form. */
+  private[ml] def linkArtifactTables(published: String, staging: String,
+      tables: Seq[String]): Boolean =
     try {
-      Seq("assigned", "centroids", "tombstones").foreach { sub =>
+      tables.foreach { sub =>
         val from = new java.io.File(published, sub)
         if (from.isDirectory) {
-          val to = new java.io.File(stagingDir, sub)
+          val to = new java.io.File(new java.io.File(staging), sub)
           linkTree(from, to)
-          // a fresh (unshared) success marker per linked table: the
-          // delta write job rewrites assigned/_SUCCESS in place, and a
-          // linked marker would share its inode with the still-served
-          // old artifact
           java.nio.file.Files.write(
             new java.io.File(to, "_SUCCESS").toPath, Array.emptyByteArray)
         }
       }
+      true
     } catch {
       case _: Exception =>
         def del(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(del)); f.delete()
         }
-        del(stagingDir)
-        return false
+        del(new java.io.File(staging))
+        false
     }
-    if (!d.isEmpty)
-      d.write.mode("append").partitionBy("cell").parquet(s"$staging/assigned")
-    true
-  }
 
   /** Hardlink every VISIBLE file of `from` into `to`, recursing into
     * partition subdirectories; `_`-markers and `.`-checksum sidecars are
     * skipped (the new artifact writes its own — a linked marker/crc
     * would share an inode with the old artifact's, and Hadoop's local
     * FS rewrites both in place). */
-  private[ml] def linkTree(from: java.io.File, to: java.io.File): Unit = {
+  private def linkTree(from: java.io.File, to: java.io.File): Unit = {
     to.mkdirs()
     Option(from.listFiles()).toSeq.flatten.foreach { f =>
       if (f.isDirectory) linkTree(f, new java.io.File(to, f.getName))

@@ -302,27 +302,9 @@ object IvfPqIndex {
     if (hasIdMap &&
         overlaps(spark.read.parquet(s"$published/idMap"), "sid"))
       return false
-    val stagingDir = new java.io.File(staging)
-    try {
-      val tables = Seq("codedCell", "embById", "centroids", "codebooks",
-        "tombstones") ++ (if (hasIdMap) Seq("idMap") else Nil)
-      tables.foreach { sub =>
-        val from = new java.io.File(published, sub)
-        if (from.isDirectory) {
-          val to = new java.io.File(stagingDir, sub)
-          IvfIndex.linkTree(from, to)
-          java.nio.file.Files.write(
-            new java.io.File(to, "_SUCCESS").toPath, Array.emptyByteArray)
-        }
-      }
-    } catch {
-      case _: Exception =>
-        def del(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(del)); f.delete()
-        }
-        del(stagingDir)
-        return false
-    }
+    if (!IvfIndex.linkArtifactTables(published, staging,
+        Seq("codedCell", "embById", "centroids", "codebooks", "tombstones") ++
+          (if (hasIdMap) Seq("idMap") else Nil))) return false
     if (!prepared.isEmpty) {
       val codebooks = spark.read.parquet(s"$published/codebooks")
       val centroids = spark.read.parquet(s"$published/centroids")

@@ -372,10 +372,47 @@ object PqIndex {
       save(pq.build(spark, spark.read.parquet(sourcePath), idCol, embCol), staging)
     } { (published, newFiles, staging) =>
       // source grew: encode ONLY the new files against the frozen
-      // codebooks — none of the m KMeans fits run on this path
-      save(pq.append(load(spark, published),
-        spark.read.parquet(newFiles: _*), idCol, embCol), staging)
+      // codebooks — none of the m KMeans fits run on this path; a
+      // disjoint-id delta also skips the corpus-sized table rewrite
+      // (hardlink append), overlaps take the LWW rewrite form
+      val delta = spark.read.parquet(newFiles: _*)
+      if (!appendOnDisk(spark, pq, published, delta, idCol, embCol, staging))
+        save(pq.append(load(spark, published), delta, idCol, embCol), staging)
     }
     load(spark, path)
+  }
+
+  /** The flat-PQ analog of [[IvfIndex.appendOnDisk]] (r15): hardlink the
+    * published code/fetch/codebook/tombstone files into `staging` and
+    * append ONLY the delta's encoded rows — O(delta) files written per
+    * refresh, both the 32×-compressed code table and the bucketed fetch
+    * table extended, never rewritten. Disjoint-id deltas only (LWW
+    * replacement falls back to the rewrite form); false on overlap or a
+    * link-refusing filesystem. */
+  private[graft] def appendOnDisk(spark: SparkSession, pq: PqIndex,
+      published: String, delta: DataFrame, idCol: String, embCol: String,
+      staging: String): Boolean = {
+    val prepared = IvfIndex.dedupDeltaIds(
+      pq.prepare(delta, idCol, embCol)).localCheckpoint()
+    val deltaIds = prepared.select("id")
+    if (spark.read.parquet(s"$published/coded").select("id")
+        .join(deltaIds, Seq("id"), "left_semi").limit(1).count() > 0)
+      return false
+    if (IvfIndex.loadOptional(spark, s"$published/tombstones")
+        .exists(_.select("id").join(deltaIds, Seq("id"), "left_semi")
+          .limit(1).count() > 0)) return false
+    if (!IvfIndex.linkArtifactTables(published, staging,
+        Seq("coded", "embById", "codebooks", "tombstones"))) return false
+    if (!prepared.isEmpty) {
+      val codedDelta = pq.encodeWith(spark, prepared,
+        pq.codebookArray(spark.read.parquet(s"$published/codebooks")))
+        .localCheckpoint()
+      codedDelta.select(col("id"), col("codes"))
+        .write.mode("append").parquet(s"$staging/coded")
+      withBucket(codedDelta.select(col("id"), col("emb")))
+        .write.mode("append").partitionBy("bucket")
+        .parquet(s"$staging/embById")
+    }
+    true
   }
 }

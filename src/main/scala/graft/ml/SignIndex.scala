@@ -128,10 +128,41 @@ object SignIndex {
       cacheRoot, "signs/_SUCCESS") { staging =>
       save(build(spark.read.parquet(sourcePath), idCol, embCol), staging)
     } { (published, newFiles, staging) =>
-      save(append(load(spark, published),
-        spark.read.parquet(newFiles: _*), idCol, embCol), staging)
+      val delta = spark.read.parquet(newFiles: _*)
+      if (!appendOnDisk(spark, published, delta, idCol, embCol, staging))
+        save(append(load(spark, published), delta, idCol, embCol), staging)
     }
     load(spark, path)
+  }
+
+  /** The sign-family analog of [[IvfIndex.appendOnDisk]] (r15): hardlink
+    * the published signature/fetch/tombstone files into `staging` and
+    * append ONLY the delta's packed rows — the 16-byte/row signs table
+    * and the bucketed fetch table extend instead of rewriting. Disjoint
+    * ids only; false on overlap (LWW rewrite fallback) or a
+    * link-refusing filesystem. */
+  private[graft] def appendOnDisk(spark: SparkSession, published: String,
+      delta: DataFrame, idCol: String, embCol: String,
+      staging: String): Boolean = {
+    val base = IvfIndex.dedupDeltaIds(
+      delta.select(col(idCol).cast("long").as("id"), col(embCol).as("emb")))
+      .localCheckpoint()
+    val deltaIds = base.select("id")
+    if (spark.read.parquet(s"$published/signs").select("id")
+        .join(deltaIds, Seq("id"), "left_semi").limit(1).count() > 0)
+      return false
+    if (IvfIndex.loadOptional(spark, s"$published/tombstones")
+        .exists(_.select("id").join(deltaIds, Seq("id"), "left_semi")
+          .limit(1).count() > 0)) return false
+    if (!IvfIndex.linkArtifactTables(published, staging,
+        Seq("signs", "embById", "tombstones"))) return false
+    if (!base.isEmpty) {
+      val d = build(base, "id", "emb")
+      d.signs.write.mode("append").parquet(s"$staging/signs")
+      d.embById.write.mode("append").partitionBy("bucket")
+        .parquet(s"$staging/embById")
+    }
+    true
   }
 
   /**

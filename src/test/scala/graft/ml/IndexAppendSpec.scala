@@ -227,6 +227,59 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
       centroidSet(IvfIndex.load(spark, path1).centroids))
   }
 
+  test("flat-family appends (PQ, sign) reuse published files too — O(delta) writes") {
+    // the r15 hardlink append covers every persisted family: the flat
+    // code/signature tables and their bucketed fetch tables EXTEND on a
+    // disjoint-id grow instead of rewriting (name survival across
+    // job-unique part names proves it)
+    def filesUnder(dir: String, table: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir, table))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getParentFile.getName + "/" + f.getName).toSet
+    }
+    def publishedDirs(root: String): Set[String] =
+      new java.io.File(root).listFiles().toSeq
+        .filter(_.isDirectory).map(_.getPath).toSet
+
+    // PQ (flat coded table + bucketed fetch)
+    val pqSrc = new java.io.File(scratchDir("graft-pqlink-src"))
+    val pqRoot = scratchDir("graft-pqlink-cache")
+    copyParquetFile(baseHalf, pqSrc, "a.parquet")
+    val pq = new PqIndex(m = 8, kCentroids = 16)
+    PqIndex.openOrBuild(spark, pq, pqSrc.getPath, "vec_id", "embedding", pqRoot)
+    val Seq(p1) = publishedDirs(pqRoot).toSeq
+    copyParquetFile(deltaHalf, pqSrc, "b.parquet")
+    val pqGrown = PqIndex.openOrBuild(spark, pq, pqSrc.getPath,
+      "vec_id", "embedding", pqRoot)
+    val p2 = (publishedDirs(pqRoot) - p1).head
+    Seq("coded", "embById").foreach(t =>
+      assert(filesUnder(p1, t).subsetOf(filesUnder(p2, t)),
+        s"pq $t was rewritten on a disjoint-id grow"))
+    assert(pqGrown.coded.count() == emb.count())
+    assert(pq.search(pqGrown, emb.filter(col("vec_id") === 470),
+        "vec_id", "embedding", 1)
+      .select("neighbor_id").head().getLong(0) == 470L)
+
+    // sign (flat 16-byte signature table + bucketed fetch)
+    val sgSrc = new java.io.File(scratchDir("graft-sglink-src"))
+    val sgRoot = scratchDir("graft-sglink-cache")
+    copyParquetFile(baseHalf, sgSrc, "a.parquet")
+    SignIndex.openOrBuild(spark, sgSrc.getPath, "vec_id", "embedding", sgRoot)
+    val Seq(s1) = publishedDirs(sgRoot).toSeq
+    copyParquetFile(deltaHalf, sgSrc, "b.parquet")
+    val sgGrown = SignIndex.openOrBuild(spark, sgSrc.getPath,
+      "vec_id", "embedding", sgRoot)
+    val s2 = (publishedDirs(sgRoot) - s1).head
+    Seq("signs", "embById").foreach(t =>
+      assert(filesUnder(s1, t).subsetOf(filesUnder(s2, t)),
+        s"sign $t was rewritten on a disjoint-id grow"))
+    assert(sgGrown.signs.count() == emb.count())
+    assert(sgGrown.signs.filter(col("id") === 470L).count() == 1)
+  }
+
   test("openOrBuild append falls back to the rewrite form on id overlap (LWW preserved)") {
     // links cannot express LWW row replacement — a delta re-ingesting a
     // published id must take IvfIndex.append's anti-join rewrite, or the
