@@ -70,16 +70,39 @@ private[graft] object IndexCache {
   /** Data files of a source dir, hidden files excluded: _SUCCESS / .crc
     * sidecars are invisible to Spark's parquet reader, so they must be
     * invisible to the fingerprint too — otherwise a rewritten _SUCCESS
-    * marker would mask a pure-append grow. */
+    * marker would mask a pure-append grow. RECURSIVE (r15 review): a
+    * hive/date-partitioned corpus keeps its parquet files in
+    * subdirectories, and a non-recursive listing made the fingerprint a
+    * constant ('path|n=0') — the staleness guard and rehydration
+    * validation were blind to in-place rewrites of exactly the layout a
+    * partitioned 100 TB corpus uses. Hidden (`_`/`.`-prefixed)
+    * subdirectories are skipped like hidden files. */
   private def dataFiles(sourcePath: String): Seq[java.io.File] = {
-    val dir = new java.io.File(sourcePath)
-    Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq(dir))
-      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .sortBy(_.getName)
+    val root = new java.io.File(sourcePath)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten
+          .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+          .flatMap(walk)
+      else Seq(f)
+    (if (root.isDirectory) walk(root) else Seq(root).filter(_.isFile))
+      .sortBy(_.getPath)
   }
 
-  private def entriesOf(srcFiles: Seq[java.io.File]): Seq[String] =
-    srcFiles.map(f => s"${f.getName}:${f.length}:${f.lastModified}:${headCrc(f)}")
+  /** Manifest/fingerprint entry lines. Keyed by the file's path RELATIVE
+    * to the source root (bare name for a flat dir — identical to the
+    * pre-r15 spelling, so existing flat-source manifests stay valid and
+    * appendable), disambiguating same-named files across partition
+    * subdirectories. */
+  private def entriesOf(srcFiles: Seq[java.io.File], sourcePath: String): Seq[String] = {
+    val root = new java.io.File(sourcePath).toPath
+    srcFiles.map { f =>
+      val rel =
+        if (f.toPath == root) f.getName
+        else root.relativize(f.toPath).toString
+      s"$rel:${f.length}:${f.lastModified}:${headCrc(f)}"
+    }
+  }
 
   /** Content fingerprint of a source directory — the same key the index
     * cache publishes under. Cheap (driver FS listing + head CRCs, no
@@ -89,7 +112,7 @@ private[graft] object IndexCache {
     * corpus's cached derivation. */
   private[graft] def sourceFingerprint(sourcePath: String): String = {
     val srcFiles = dataFiles(sourcePath)
-    keyOf(sourcePath, srcFiles, entriesOf(srcFiles))
+    keyOf(sourcePath, srcFiles, entriesOf(srcFiles, sourcePath))
   }
 
   private def keyOf(sourcePath: String, srcFiles: Seq[java.io.File],
@@ -102,7 +125,7 @@ private[graft] object IndexCache {
       cacheRoot: String, successRel: String)(buildInto: String => Unit)(
       appendInto: (String, Seq[String], String) => Unit): String = {
     val srcFiles = dataFiles(sourcePath)
-    val entries = entriesOf(srcFiles)
+    val entries = entriesOf(srcFiles, sourcePath)
     val key = keyOf(sourcePath, srcFiles, entries)
     val path = s"$cacheRoot/$key-$paramsFingerprint"
     val target = new java.io.File(path)
@@ -242,7 +265,7 @@ private[graft] object IndexCache {
       case ((source, _), group) =>
         val current: Option[Set[String]] =
           if (!new java.io.File(source).exists()) None
-          else Some(entriesOf(dataFiles(source)).toSet)
+          else Some(entriesOf(dataFiles(source), source).toSet)
         current match {
           case None => group.foreach(p => reap(p.dir))
           case Some(cur) =>

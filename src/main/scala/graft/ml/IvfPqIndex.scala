@@ -61,15 +61,7 @@ class IvfPqIndex(val nCentroids: Int = 8, val nProbe: Int = 5,
       .localCheckpoint()
     val codedDelta = pq.encodeWith(spark, prepared,
       pq.codebookArray(built.codebooks))
-    val cellDelta = prepared
-      .select(col("id"),
-        transform(col("unit"), x => x.cast("float")).as("unitf"))
-      .crossJoin(broadcast(built.centroids))
-      .select(col("id"), col("cell"),
-        l2Distance(col("unitf"), col("centroid")).as("dist"))
-      .groupBy(col("id"))
-      .agg(TopKByScore(1)(-col("dist"), col("cell").cast("long")).as("best"))
-      .select(col("id"), element_at(col("best.id"), 1).cast("int").as("cell"))
+    val cellDelta = IvfPqIndex.routeCells(prepared, built.centroids)
     val deltaCoded = codedDelta.select(col("id"), col("codes"))
       .join(cellDelta, "id")
     val deltaIds = deltaCoded.select("id")
@@ -284,10 +276,27 @@ object IvfPqIndex {
    * `idMapDelta` is the surrogate path's (bucket, sid, id) rows for
    * the delta; None for long-keyed corpora.
    */
+  /** Frozen-centroid cell routing of a prepared delta ((id, unit) rows)
+    * — the assignment metric and tie-break live HERE once, shared by the
+    * in-memory [[IvfPqIndex.append]] and the on-disk [[appendOnDisk]]
+    * (the composite twin of [[IvfIndex.assignDelta]]). */
+  private def routeCells(prepared: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    import graft.functions.TopKByScore
+    prepared
+      .select(col("id"),
+        transform(col("unit"), x => x.cast("float")).as("unitf"))
+      .crossJoin(broadcast(centroids))
+      .select(col("id"), col("cell"),
+        l2Distance(col("unitf"), col("centroid")).as("dist"))
+      .groupBy(col("id"))
+      .agg(TopKByScore(1)(-col("dist"), col("cell").cast("long")).as("best"))
+      .select(col("id"), element_at(col("best.id"), 1).cast("int").as("cell"))
+  }
+
   private[graft] def appendOnDisk(spark: SparkSession, ivfpq: IvfPqIndex,
       published: String, delta: DataFrame, idCol: String, embCol: String,
       staging: String, idMapDelta: Option[DataFrame]): Boolean = {
-    import graft.functions.TopKByScore
     val prepared = IvfIndex.dedupDeltaIds(
       ivfpq.pq.prepare(delta, idCol, embCol)).localCheckpoint()
     val deltaIds = prepared.select("id")
@@ -299,9 +308,21 @@ object IvfPqIndex {
     if (IvfIndex.loadOptional(spark, s"$published/tombstones")
         .exists(overlaps(_, "id"))) return false
     val hasIdMap = new java.io.File(s"$published/idMap/_SUCCESS").isFile
-    if (hasIdMap &&
-        overlaps(spark.read.parquet(s"$published/idMap"), "sid"))
-      return false
+    if (hasIdMap) {
+      // probe with ALL delta sids, not just the positive-norm ones
+      // `prepared` keeps: the idMap records every key (zero-norm rows
+      // included, matching the build), so a zero-norm re-upsert of an
+      // existing key would otherwise slip past and append a duplicate
+      // (bucket, sid, id) row — one id in two top-k slots after the
+      // restore join
+      val allDeltaSids = idMapDelta
+        .map(_.select(col("sid").as("id")))
+        .getOrElse(deltaIds)
+      val hit = spark.read.parquet(s"$published/idMap")
+        .select(col("sid").as("id"))
+        .join(allDeltaSids, Seq("id"), "left_semi").limit(1).count() > 0
+      if (hit) return false
+    }
     if (!IvfIndex.linkArtifactTables(published, staging,
         Seq("codedCell", "embById", "centroids", "codebooks", "tombstones") ++
           (if (hasIdMap) Seq("idMap") else Nil))) return false
@@ -310,15 +331,7 @@ object IvfPqIndex {
       val centroids = spark.read.parquet(s"$published/centroids")
       val codedDelta = ivfpq.pq.encodeWith(spark, prepared,
         ivfpq.pq.codebookArray(codebooks)).localCheckpoint()
-      val cellDelta = prepared
-        .select(col("id"),
-          transform(col("unit"), x => x.cast("float")).as("unitf"))
-        .crossJoin(broadcast(centroids))
-        .select(col("id"), col("cell"),
-          l2Distance(col("unitf"), col("centroid")).as("dist"))
-        .groupBy(col("id"))
-        .agg(TopKByScore(1)(-col("dist"), col("cell").cast("long")).as("best"))
-        .select(col("id"), element_at(col("best.id"), 1).cast("int").as("cell"))
+      val cellDelta = routeCells(prepared, centroids)
       codedDelta.select(col("id"), col("codes"))
         .join(cellDelta, "id")
         .write.mode("append").partitionBy("cell")

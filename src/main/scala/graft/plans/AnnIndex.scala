@@ -259,8 +259,18 @@ object AnnIndexRegistry {
    */
   def indexedKnnJoin(spark: SparkSession, sourcePath: String,
       queries: DataFrame, k: Int, nProbe: Int = 0): DataFrame = {
-    val e = lookup(sourcePath).getOrElse(throw new IllegalArgumentException(
-      s"no registered index for '$sourcePath' — run the index job first"))
+    // the SAME serve-time guards as the rewrite rule: a stale
+    // registration (in-place source rewrite) must not serve old rows
+    // through the batch API either, and a fresh session's persisted
+    // registration serves without a re-register
+    val ttl = scala.util.Try(spark.conf.get(AnnIndexRule.StaleCheckMsKey,
+      AnnIndexRule.DefaultStaleCheckMs.toString).toLong)
+      .getOrElse(AnnIndexRule.DefaultStaleCheckMs)
+    val e = lookupFresh(sourcePath, ttl).orElse(rehydrate(sourcePath))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no current registered index for '$sourcePath' — run the index " +
+          "job first (a registration whose source was rewritten in place " +
+          "is deregistered rather than served stale)"))
     graft.streaming.VectorStreams.indexedKnn(queries,
       IvfIndex.load(spark, e.indexPath),
       if (nProbe > 0) nProbe else e.nProbe, k)
@@ -377,14 +387,19 @@ object AnnIndexRegistry {
     val fresh = entries.synchronized {
       verifiedAt.get(key).exists(t => now - t >= 0 && now - t < ttlMs)
     }
-    if (fresh) Some(e)
-    else if (scala.util.Try(graft.ml.IndexCache.sourceFingerprint(key))
-        .getOrElse("") == e.sourceFp) {
-      entries.synchronized { verifiedAt(key) = now }
-      Some(e)
-    } else {
-      deregister(path)
-      None
+    if (fresh) return Some(e)
+    scala.util.Try(graft.ml.IndexCache.sourceFingerprint(key)) match {
+      case scala.util.Success(fp) if fp == e.sourceFp =>
+        entries.synchronized { verifiedAt(key) = now }
+        Some(e)
+      case scala.util.Success(_) =>
+        deregister(path)
+        None
+      // a fingerprint we could not COMPUTE (transient FS error, a
+      // concurrent overwrite's delete-then-write window) fails closed
+      // for THIS serve only — revoking durably on a cannot-know result
+      // would turn a hiccup into a permanent fallback-to-exact
+      case scala.util.Failure(_) => None
     }
   }
 

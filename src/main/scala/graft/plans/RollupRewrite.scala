@@ -138,14 +138,17 @@ object RollupRegistry {
     val fresh = entries.synchronized {
       verifiedAt.get(key).exists(t => now - t >= 0 && now - t < ttlMs)
     }
-    if (fresh) Some(e)
-    else if (scala.util.Try(
-        sourceSignature(SparkSession.active, key)).getOrElse("") == e.sourceSig) {
-      entries.synchronized { verifiedAt(key) = now }
-      Some(e)
-    } else {
-      deregister(path)
-      None
+    if (fresh) return Some(e)
+    scala.util.Try(sourceSignature(SparkSession.active, key)) match {
+      case scala.util.Success(sig) if sig == e.sourceSig =>
+        entries.synchronized { verifiedAt(key) = now }
+        Some(e)
+      case scala.util.Success(_) =>
+        deregister(path)
+        None
+      // cannot-compute (transient FS error) fails closed for this serve
+      // only — never a revocation on a cannot-know result
+      case scala.util.Failure(_) => None
     }
   }
 

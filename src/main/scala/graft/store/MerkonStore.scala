@@ -62,9 +62,20 @@ class MerkonStore(spark: SparkSession) {
   /** A3 `GetCollections`. */
   def getCollections: Seq[String] = collections.keys.toSeq
 
-  /** A6 `RemoveCollection`. */
+  /** A6 `RemoveCollection`. An indexed collection's registration is
+    * revoked (durably — the persisted record goes too) and its snapshot
+    * dump deleted, so the GC keep-guard stops protecting the orphaned
+    * artifacts and the next `gcIndexCache` sweep reclaims them; without
+    * this, collection churn in a long-lived session would pin one
+    * corpus-scale artifact pair per deleted collection (r15 review). */
   def deleteCollection(name: String): Boolean = {
-    indexedCollections.remove(name)
+    indexedCollections.remove(name).foreach { dump =>
+      graft.plans.AnnIndexRegistry.deregister(dump)
+      val p = new org.apache.hadoop.fs.Path(dump)
+      scala.util.Try(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true))
+    }
     recordedIndexes.remove(name)
     pendingDumpKeys.remove(name)
     collections.remove(name).isDefined
@@ -707,11 +718,19 @@ class MerkonStore(spark: SparkSession) {
   }
 
   /** Truncate the union-of-upserts plan lineage without moving data to the
-    * driver. The on-disk counterpart for a SAVED collection is
-    * [[compactSaved]] — together they are the A11 replacement story. */
+    * driver — including the indexed collection's pending-keys journal,
+    * which grows one union node per upsert batch between [[buildIndex]]
+    * runs just like the collection itself (r15 review: an upsert-heavy
+    * steady state must be able to bound BOTH lineages with the one
+    * documented maintenance call). The on-disk counterpart for a SAVED
+    * collection is [[compactSaved]] — together they are the A11
+    * replacement story. */
   def compact(name: String): Unit =
-    if (collections.contains(name))
+    if (collections.contains(name)) {
       collections(name) = collections(name).localCheckpoint()
+      pendingDumpKeys.get(name).foreach(df =>
+        pendingDumpKeys(name) = df.localCheckpoint())
+    }
 
   /** Targeted small-file compaction of a SAVED collection directory —
     * the store-facade A11 replacement (VERDICT r10 ask #6): where the

@@ -207,7 +207,12 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
     // every serve) and deregisters on drift — fallback, not stale rows.
     val dir = scratchDir("graft-stale-src")
     val srcPath = s"$dir/corpus"
-    corpus.filter(col("vec_id") < 400).write.parquet(srcPath)
+    // a PARTITIONED corpus (files in subdirectories) — the fingerprint
+    // must see nested data files or the guard is blind to exactly the
+    // layout a partitioned 100 TB corpus uses (r15 review)
+    corpus.filter(col("vec_id") < 400)
+      .withColumn("part", col("vec_id") % 4)
+      .write.partitionBy("part").parquet(srcPath)
     val ivf = new IvfIndex(nCentroids = 8, nProbe = 6)
     try {
       AnnIndexRegistry.register(spark, ivf, srcPath, "vec_id", "embedding",
@@ -218,7 +223,8 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
         .contains("emb:array"), "registered corpus must serve from the index")
       // rewrite the corpus in place — DIFFERENT rows, NO re-register
       corpus.filter(col("vec_id") >= 400)
-        .write.mode("overwrite").parquet(srcPath)
+        .withColumn("part", col("vec_id") % 4)
+        .write.mode("overwrite").partitionBy("part").parquet(srcPath)
       val df = flagshipOn(srcPath, qv, 5)
       assert(!df.queryExecution.executedPlan.toString.contains("emb:array"),
         "stale index served after an in-place corpus rewrite")
