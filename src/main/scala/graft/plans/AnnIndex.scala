@@ -360,6 +360,9 @@ object AnnIndexRegistry {
       val key = normalize(sourcePath)
       entries.put(key, entry)
       verifiedAt(key) = System.currentTimeMillis()
+      // a fresh registration invalidates a cached rehydration MISS (a
+      // pre-registration plan over the same path may have primed it)
+      rehydrateMissAt.remove(key)
     }
 
   def lookup(path: String): Option[Entry] =
@@ -563,6 +566,7 @@ object AnnIndexRegistry {
   def clear(): Unit = entries.synchronized {
     entries.clear()
     verifiedAt.clear()
+    rehydrateMissAt.clear()
   }
 
   def size: Int = entries.synchronized { entries.size() }

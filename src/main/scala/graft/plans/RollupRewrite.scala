@@ -80,9 +80,15 @@ object RollupRegistry {
     parts.sorted.mkString(",")
   }
 
+  /** The default rollup cache root — one definition shared by
+    * [[register]], [[rehydrate]]'s scan, and [[deregister]]'s durable
+    * revocation (the same single-sourcing discipline as
+    * [[graft.ml.IndexCache.DefaultIvfRoot]]). */
+  val DefaultCacheRoot: String = sys.props("java.io.tmpdir") + "/graft-rollup"
+
   def register(spark: SparkSession, sourcePath: String, dims: Seq[String],
       measures: Seq[String],
-      cacheRoot: String = sys.props("java.io.tmpdir") + "/graft-rollup"): Entry = {
+      cacheRoot: String = DefaultCacheRoot): Entry = {
     val sig = sourceSignature(spark, sourcePath)
     // 256-bit digest, not a 32-bit hash: this key gates an EXACTNESS
     // claim — a collision would serve another registration's (or a stale
@@ -115,9 +121,114 @@ object RollupRegistry {
       val k = normalize(sourcePath)
       entries.put(k, entry)
       verifiedAt(k) = System.currentTimeMillis()
+      // a fresh registration invalidates a cached rehydration MISS for
+      // the path (the register call's own build aggregation runs through
+      // the rule and primes the miss cache before any record exists)
+      rehydrateMissAt.remove(k)
     }
+    if (sig.nonEmpty) persistRegistration(spark, normalize(sourcePath), entry)
     RollupRewriteRule.install(spark)
     entry
+  }
+
+  // ---- persisted registrations (the ANN registry's r15 durability,
+  // applied to the rollup registry): a fresh session's dashboard
+  // GROUP BY rides a previously-built rollup without a re-register.
+  // The record lives INSIDE the rollup dir; rehydrate validates it
+  // against the LIVE fact signature, so a stale record can never serve
+  // (the same structural guarantee lookupFresh gives in-session).
+
+  // underscore-prefixed: the record lives INSIDE the rollup parquet dir,
+  // and anything unprefixed there would be read as a parquet data file
+  private val RegistrationRel = "_rollup_registration.txt"
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def persistRegistration(spark: SparkSession, sourceKey: String,
+      entry: Entry): Unit = scala.util.Try {
+    val lines = Seq(
+      "v=1",
+      s"source=${enc(sourceKey)}",
+      s"dims=${entry.dims.map(enc).mkString(",")}",
+      s"measures=${entry.measures.map(enc).mkString(",")}",
+      s"sourceSig=${enc(entry.sourceSig)}")
+    val p = new org.apache.hadoop.fs.Path(entry.rollupPath, RegistrationRel)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private final case class Reg(source: String, dims: Seq[String],
+      measures: Seq[String], sourceSig: String)
+
+  private def readRegistration(dir: java.io.File): Option[Reg] =
+    scala.util.Try {
+      val kv = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, RegistrationRel).toPath), "UTF-8")
+        .split("\n").filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+        .toMap
+      require(kv.get("v").contains("1"))
+      def list(k: String): Seq[String] =
+        kv.get(k).filter(_.nonEmpty).toSeq.flatMap(_.split(",").toSeq.map(dec))
+      Reg(dec(kv("source")), list("dims"), list("measures"),
+        dec(kv("sourceSig")))
+    }.toOption
+
+  // negative-result TTL cache: tryRewrite fires for every Aggregate over
+  // a single-root scan, and unregistered facts must not pay a cache-root
+  // listing per optimizer invocation
+  private val rehydrateMissAt = new java.util.LinkedHashMap[String, Long](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, Long]): Boolean =
+      this.size() > 256
+  }
+  private[plans] val RehydrateMissTtlMs = 30000L
+
+  /** Rebuild a registration for `path` from a persisted record in the
+    * default cache root — served only when the record's fact signature
+    * matches the LIVE directory. None (TTL-cached) otherwise; the
+    * aggregation keeps its exact fact scan. */
+  def rehydrate(path: String,
+      roots: Seq[String] = Seq(DefaultCacheRoot)): Option[Entry] = {
+    val key = normalize(path)
+    val now = System.currentTimeMillis()
+    entries.synchronized {
+      if (Option(rehydrateMissAt.get(key))
+          .exists(t => now - t >= 0 && now - t < RehydrateMissTtlMs))
+        return None
+    }
+    def miss: Option[Entry] = {
+      entries.synchronized { rehydrateMissAt.put(key, now) }
+      None
+    }
+    val currentSig = scala.util.Try(
+      sourceSignature(SparkSession.active, key)).getOrElse("")
+    if (currentSig.isEmpty) return miss
+    val candidates = roots.flatMap { root =>
+      Option(new java.io.File(root).listFiles()).toSeq.flatten
+        .filter(_.isDirectory)
+        .flatMap { d =>
+          val rec = new java.io.File(d, RegistrationRel)
+          if (!rec.isFile) None
+          else readRegistration(d)
+            .filter(r => r.source == key && r.sourceSig == currentSig)
+            .map(r => (d, rec.lastModified(), r))
+        }
+    }
+    candidates.sortBy(-_._2).headOption match {
+      case None => miss
+      case Some((dir, _, r)) =>
+        if (!new java.io.File(dir, "_SUCCESS").isFile) miss
+        else {
+          val entry = Entry(dir.getPath, r.dims, r.measures, r.sourceSig)
+          entries.synchronized {
+            entries.put(key, entry)
+            verifiedAt(key) = now
+          }
+          Some(entry)
+        }
+    }
   }
 
   def lookup(path: String): Option[Entry] =
@@ -152,16 +263,30 @@ object RollupRegistry {
     }
   }
 
-  def deregister(sourcePath: String): Unit =
-    entries.synchronized {
+  /** Remove a registration — DURABLY (persisted records for this source
+    * in the default root go too, so [[rehydrate]] cannot resurrect an
+    * explicit revocation); `clear()` stays session-local by design. */
+  def deregister(sourcePath: String): Unit = {
+    val key = entries.synchronized {
       val k = normalize(sourcePath)
       entries.remove(k)
       verifiedAt.remove(k)
+      k
     }
+    scala.util.Try {
+      Option(new java.io.File(DefaultCacheRoot).listFiles())
+        .toSeq.flatten.filter(_.isDirectory)
+        .foreach { d =>
+          if (readRegistration(d).exists(_.source == key))
+            new java.io.File(d, RegistrationRel).delete()
+        }
+    }
+  }
 
   def clear(): Unit = entries.synchronized {
     entries.clear()
     verifiedAt.clear()
+    rehydrateMissAt.clear()
   }
 }
 
@@ -213,6 +338,7 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
     val roots = rel.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
     if (roots.size != 1) return None
     RollupRegistry.lookupFresh(roots.head.toString, staleCheckMs)
+      .orElse(RollupRegistry.rehydrate(roots.head.toString))
       .map((conds, rel, _))
   }
 

@@ -199,6 +199,40 @@ class RollupRewriteSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("a fresh session rehydrates the persisted rollup registration; deregister revokes durably") {
+    // the ANN registry's r15 durability, applied here: register persists
+    // a record inside the rollup dir, a fresh session's matching
+    // GROUP BY rehydrates it (validated against the LIVE fact signature)
+    // instead of requiring a re-register; deregister deletes the record
+    // so an explicit revocation cannot resurrect
+    RollupRegistry.clear()
+    val dir = scratchDir("graft_rollup_rehydrate")
+    import spark.implicits._
+    Seq(("A", 1.0), ("A", 2.0), ("B", 3.0)).toDF("k", "m")
+      .write.mode("overwrite").parquet(dir)
+    def q = spark.read.parquet(dir).groupBy(col("k"))
+      .agg(sum(col("m").cast(DecimalType(18, 3))).cast("double").as("t"))
+    RollupRegistry.register(spark, dir, dims = Seq("k"), measures = Seq("m"))
+    try {
+      assert(planOf(q).contains("_sum_m"))
+      // "fresh session": JVM registry gone, the persisted record survives
+      RollupRegistry.clear()
+      assert(RollupRegistry.lookup(dir).isEmpty)
+      assert(planOf(q).contains("_sum_m"),
+        "matching aggregate must rehydrate the persisted registration")
+      assert(q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        == Map("A" -> 3.0, "B" -> 3.0))
+      assert(RollupRegistry.lookup(dir).isDefined)
+      // durable revocation
+      RollupRegistry.deregister(dir)
+      assert(!planOf(q).contains("_sum_m"),
+        "deregistered fact must keep its exact scan (record not revoked?)")
+    } finally {
+      RollupRegistry.deregister(dir)
+      RollupRegistry.clear()
+    }
+  }
+
   test("changed fact data at the same path rebuilds the rollup (no stale serve)") {
     RollupRegistry.clear()
     val dir = scratchDir("graft_rollup_stale")
