@@ -253,9 +253,16 @@ object AnnIndexRegistry {
    * the union of probed cells approaches all cells, which is correct —
    * the equi-join still shuffles each query only to its own cells,
    * never |Q| × corpus. Tombstoned ids are filtered before scoring
-   * (full-k backfill). `nProbe` 0 = the registered width. Throws on an
-   * unregistered path — this is an index API, not a rewrite; callers
-   * own the fallback to the exact `knn_join` spelling.
+   * (full-k backfill). `nProbe` 0 = the registered width. A non-long
+   * corpus id column (the reference store's STRING keys) rides a
+   * deterministic xxhash64 surrogate through the long-keyed bounded
+   * top-k aggregator — the same discipline as calibration and the
+   * IVF-PQ AnyId artifact — with the original ids restored by one
+   * equi-join on the surrogate afterwards (a 64-bit collision,
+   * ~n²/2⁶⁵, could at worst let one extra row into a top-k; it can
+   * never drop one). Throws on an unregistered path — this is an index
+   * API, not a rewrite; callers own the fallback to the exact
+   * `knn_join` spelling.
    */
   def indexedKnnJoin(spark: SparkSession, sourcePath: String,
       queries: DataFrame, k: Int, nProbe: Int = 0): DataFrame = {
@@ -271,9 +278,24 @@ object AnnIndexRegistry {
         s"no current registered index for '$sourcePath' — run the index " +
           "job first (a registration whose source was rewritten in place " +
           "is deregistered rather than served stale)"))
-    graft.streaming.VectorStreams.indexedKnn(queries,
-      IvfIndex.load(spark, e.indexPath),
-      if (nProbe > 0) nProbe else e.nProbe, k)
+    val built = IvfIndex.load(spark, e.indexPath)
+    val p = if (nProbe > 0) nProbe else e.nProbe
+    if (built.assigned.schema("id").dataType == LongType)
+      graft.streaming.VectorStreams.indexedKnn(queries, built, p, k)
+    else {
+      val surrogate = built.copy(
+        assigned = built.assigned.withColumn("id", xxhash64(col("id"))),
+        tombstones = built.tombstones.map(
+          _.withColumn("id", xxhash64(col("id")))))
+      // restore map from the cell table itself (ids are unique by the
+      // LWW invariant — no distinct needed); equi-join on the surrogate
+      val restore = built.assigned
+        .select(col("id").as("_orig"), xxhash64(col("id")).as("neighbor_id"))
+      graft.streaming.VectorStreams.indexedKnn(queries, surrogate, p, k)
+        .join(restore, Seq("neighbor_id"))
+        .select(col("q_id"), col("rank"), col("_orig").as("neighbor_id"),
+          col("cos"))
+    }
   }
 
   /** Per-family index state of a registered corpus — the numbers the

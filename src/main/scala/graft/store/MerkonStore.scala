@@ -461,6 +461,34 @@ class MerkonStore(spark: SparkSession) {
       .limit(limit)
   }
 
+  /**
+   * The batch form of B8 (capability extension — the reference API is
+   * call-per-query): top-k for EVERY row of a query TABLE (`q_id` LONG,
+   * `q_emb` ARRAY<FLOAT>) against an indexed collection, through the
+   * registered index — map-side centroid routing + one equi-join on
+   * cell ([[graft.plans.AnnIndexRegistry.indexedKnnJoin]]), the
+   * bulk-scoring shape a nightly pipeline runs instead of |Q| driver
+   * round-trips. Requires a prior [[buildIndex]]. Tombstoned keys are
+   * filtered inside the probe (full-k backfill); metadata and timestamp
+   * come from the LIVE collection by key, so a key deleted since the
+   * index job yields a shorter result, never a stale row. Returns
+   * (q_id, rank, score, key, record columns), ordered (q_id, rank).
+   */
+  def getNearestMatchesBatch(name: String, queries: DataFrame, k: Int,
+      withEmbeddings: Boolean = false): DataFrame = {
+    require(indexedCollections.contains(name),
+      s"collection '$name' has no index — run buildIndex first " +
+        "(the batch path is index-only; per-query exact search is " +
+        "getNearestMatches)")
+    val hits = graft.plans.AnnIndexRegistry.indexedKnnJoin(spark,
+      indexedCollections(name), queries, k)
+      .select(col("q_id"), col("rank"),
+        col("neighbor_id").as("key"), col("cos").as("score"))
+    project(purgeEmptyKeys(current(name)).join(hits, Seq("key")),
+        withEmbeddings)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** B9 `GetNearestMatchAsync` — top-1. */
   def getNearestMatch(
       name: String,

@@ -769,6 +769,42 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
     } finally graft.plans.AnnIndexRegistry.clear()
   }
 
+  test("getNearestMatchesBatch: query-table kNN through the store's index, delete-aware") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val st = newStore
+    try {
+      val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      st.upsertBatch("vbatch", corpus.select(
+        concat(lit("k"), col("vec_id")).as("key"), col("embedding")))
+      intercept[IllegalArgumentException] {
+        st.getNearestMatchesBatch("vbatch",
+          corpus.select(col("vec_id").as("q_id"),
+            col("embedding").as("q_emb")), 3)
+      }
+      st.buildIndex("vbatch", nCentroids = 8, nProbe = 8)
+      val queries = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val rows = st.getNearestMatchesBatch("vbatch", queries, 3)
+        .select("q_id", "rank", "key", "metadata", "score").collect()
+      assert(rows.length == 15, s"expected |Q|*k rows, got ${rows.length}")
+      // full probe (p = c = 8): every query's own key is its rank-1 hit,
+      // exact score 1.0
+      (0L until 5L).foreach { q =>
+        val top = rows.filter(r => r.getLong(0) == q && r.getInt(1) == 1)
+        assert(top.length == 1 && top.head.getString(2) == s"k$q")
+        assert(top.head.getDouble(4) > 0.999999)
+      }
+      // a removed key drops out with full-k backfill (the probe filters
+      // tombstones BEFORE top-k, so the result stays |Q|*k)
+      st.removeBatch("vbatch", Seq("k0"))
+      val after = st.getNearestMatchesBatch("vbatch", queries, 3)
+        .select("q_id", "key").collect()
+      assert(after.length == 15)
+      assert(!after.exists(_.getString(1) == "k0"),
+        "removed key surfaced through the batch probe")
+    } finally graft.plans.AnnIndexRegistry.clear()
+  }
+
   test("store refresh rides the geometry band: within-band growth appends, crossing rebuilds") {
     // the DERIVED-geometry form of the O(delta) refresh: while ingest
     // stays inside a centroidsFor band the derived cell count is
