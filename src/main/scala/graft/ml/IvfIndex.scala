@@ -398,8 +398,13 @@ object IvfIndex {
       // centroids — no KMeans fit anywhere on this path. The hardlink
       // fast path also avoids rewriting the corpus-sized cell table
       // (O(delta) files written); overlapping ids (LWW) fall back to
-      // the rewrite form below.
-      val delta = spark.read.parquet(newFiles: _*)
+      // the rewrite form below. basePath: newFiles are LEAF files, and a
+      // hive-partitioned corpus keeps its partition columns only in the
+      // directory structure — without the base path a partition-column
+      // id would vanish from the delta's schema and the grow path would
+      // throw where it used to full-rebuild (ADVICE r15).
+      val delta = spark.read.option("basePath", sourcePath)
+        .parquet(newFiles: _*)
       if (!appendOnDisk(spark, published, delta, idCol, embCol, staging))
         save(ivf.append(load(spark, published), delta, idCol, embCol), staging)
     }

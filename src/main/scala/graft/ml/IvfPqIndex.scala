@@ -256,7 +256,10 @@ object IvfPqIndex {
       save(ivfpq.build(spark, spark.read.parquet(sourcePath), idCol, embCol),
         staging)
     } { (published, newFiles, staging) =>
-      val delta = spark.read.parquet(newFiles: _*)
+      // basePath keeps hive partition columns visible in the leaf-file
+      // delta read (ADVICE r15; see IvfIndex.openOrBuildPath)
+      val delta = spark.read.option("basePath", sourcePath)
+        .parquet(newFiles: _*)
       if (!appendOnDisk(spark, ivfpq, published, delta, idCol, embCol,
           staging, idMapDelta = None))
         save(ivfpq.append(load(spark, published), delta, idCol, embCol),
@@ -372,11 +375,18 @@ object IvfPqIndex {
       return openOrBuildPath(spark, ivfpq, sourcePath, idCol, embCol, cacheRoot)
     def surrogate(df: DataFrame): DataFrame =
       df.select(xxhash64(col(idCol)).as("sid"), col(embCol))
+    // distinct: a delta carrying the same key twice (one ingest batch
+    // upserting a doc twice) must contribute ONE (bucket, sid, id) row —
+    // a duplicate would make the shortlist restore join emit one
+    // neighbor twice, the exact failure dedupDeltaIds prevents for the
+    // code tables (ADVICE r15). Rows for one key are fully identical
+    // (sid/bucket are functions of the id), so distinct is exact.
     def idMapOf(df: DataFrame): DataFrame =
       df.select(
         pmod(xxhash64(col(idCol)), lit(PqIndex.EmbBuckets)).cast("int")
           .as("bucket"),
         xxhash64(col(idCol)).as("sid"), col(idCol).as("id"))
+        .distinct()
     // "-sid" keeps a surrogate-keyed artifact from ever colliding with a
     // long-keyed one in the shared cache root
     IndexCache.openOrBuildIncremental(sourcePath, ivfpq.fingerprint + "-sid",
@@ -386,7 +396,10 @@ object IvfPqIndex {
       idMapOf(corpus).write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$staging/idMap")
     } { (published, newFiles, staging) =>
-      val delta = spark.read.parquet(newFiles: _*)
+      // basePath keeps hive partition columns visible in the leaf-file
+      // delta read (ADVICE r15; see IvfIndex.openOrBuildPath)
+      val delta = spark.read.option("basePath", sourcePath)
+        .parquet(newFiles: _*)
       // O(delta) fast path for disjoint surrogate ids (incl. the idMap
       // check); the rewrite form below stays the LWW fallback
       if (!appendOnDisk(spark, ivfpq, published, surrogate(delta), "sid",

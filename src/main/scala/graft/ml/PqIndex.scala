@@ -374,8 +374,11 @@ object PqIndex {
       // source grew: encode ONLY the new files against the frozen
       // codebooks — none of the m KMeans fits run on this path; a
       // disjoint-id delta also skips the corpus-sized table rewrite
-      // (hardlink append), overlaps take the LWW rewrite form
-      val delta = spark.read.parquet(newFiles: _*)
+      // (hardlink append), overlaps take the LWW rewrite form. basePath
+      // keeps hive partition columns visible in the leaf-file delta
+      // read (ADVICE r15; see IvfIndex.openOrBuildPath)
+      val delta = spark.read.option("basePath", sourcePath)
+        .parquet(newFiles: _*)
       if (!appendOnDisk(spark, pq, published, delta, idCol, embCol, staging))
         save(pq.append(load(spark, published), delta, idCol, embCol), staging)
     }

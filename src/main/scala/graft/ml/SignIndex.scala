@@ -128,7 +128,10 @@ object SignIndex {
       cacheRoot, "signs/_SUCCESS") { staging =>
       save(build(spark.read.parquet(sourcePath), idCol, embCol), staging)
     } { (published, newFiles, staging) =>
-      val delta = spark.read.parquet(newFiles: _*)
+      // basePath keeps hive partition columns visible in the leaf-file
+      // delta read (ADVICE r15; see IvfIndex.openOrBuildPath)
+      val delta = spark.read.option("basePath", sourcePath)
+        .parquet(newFiles: _*)
       if (!appendOnDisk(spark, published, delta, idCol, embCol, staging))
         save(append(load(spark, published), delta, idCol, embCol), staging)
     }

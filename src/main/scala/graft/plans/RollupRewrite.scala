@@ -153,10 +153,18 @@ object RollupRegistry {
       s"dims=${entry.dims.map(enc).mkString(",")}",
       s"measures=${entry.measures.map(enc).mkString(",")}",
       s"sourceSig=${enc(entry.sourceSig)}")
-    val p = new org.apache.hadoop.fs.Path(entry.rollupPath, RegistrationRel)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    // tmp-file + ATOMIC_MOVE, matching AnnIndexRegistry's sidecar
+    // discipline (ADVICE r15): a concurrent session rehydrating mid-write
+    // must never read a truncated record (a plain truncate-then-write
+    // fails safe — a 30s cached miss — but breaks the atomic contract)
+    val dir = new java.io.File(entry.rollupPath)
+    val tmp = java.io.File.createTempFile("registration", ".tmp", dir)
+    java.nio.file.Files.write(tmp.toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, RegistrationRel).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private final case class Reg(source: String, dims: Seq[String],

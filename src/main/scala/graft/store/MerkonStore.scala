@@ -78,6 +78,7 @@ class MerkonStore(spark: SparkSession) {
     }
     recordedIndexes.remove(name)
     pendingDumpKeys.remove(name)
+    dumpFingerprints.remove(name)
     collections.remove(name).isDefined
   }
 
@@ -264,6 +265,16 @@ class MerkonStore(spark: SparkSession) {
   // happened; the frame is reset to empty on every sync.
   private val pendingDumpKeys = mutable.Map.empty[String, DataFrame]
 
+  // Content fingerprint of each dump dir as of THIS store's last sync
+  // ([[graft.ml.IndexCache.sourceFingerprint]]): the incremental-dump
+  // gate requires it to match the live dir before appending, so a dump
+  // rewritten by ANOTHER store/process sharing the default dir +
+  // collection name forces a full re-dump instead of extending a
+  // foreign dump with this collection's rows (ADVICE r15 — the
+  // pre-r15 unconditional overwrite was self-healing; this restores
+  // that property without giving up the O(delta) path).
+  private val dumpFingerprints = mutable.Map.empty[String, String]
+
   private def emptyKeyFrame: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType(Seq(StructField("key", StringType))))
@@ -365,10 +376,24 @@ class MerkonStore(spark: SparkSession) {
   private def syncDump(name: String, dump: String, live: DataFrame): Unit = {
     val marker = new org.apache.hadoop.fs.Path(s"$dump/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the incremental gate requires the dump to be the one THIS store
+    // last synced — markers/journals alone cannot detect a dump dir
+    // rewritten by another store/process sharing the default dir and
+    // collection name, and appending to a foreign dump would serve
+    // another collection's rows (ADVICE r15). Fingerprint mismatch (or
+    // cannot-compute) degrades to the self-healing full re-dump.
     val incremental = indexedCollections.get(name).contains(dump) &&
-      pendingDumpKeys.contains(name) && fs.exists(marker)
+      pendingDumpKeys.contains(name) && fs.exists(marker) &&
+      dumpFingerprints.get(name).exists(recorded =>
+        scala.util.Try(graft.ml.IndexCache.sourceFingerprint(dump))
+          .toOption.contains(recorded))
+    def record(): Unit =
+      dumpFingerprints(name) =
+        scala.util.Try(graft.ml.IndexCache.sourceFingerprint(dump))
+          .getOrElse("")
     if (!incremental) {
       live.write.mode("overwrite").parquet(dump)
+      record()
       return
     }
     val pending = pendingDumpKeys(name).distinct().localCheckpoint()
@@ -378,13 +403,14 @@ class MerkonStore(spark: SparkSession) {
       .limit(1).count() > 0
     if (hasUpdates) {
       live.write.mode("overwrite").parquet(dump)
+      record()
       return
     }
     // insert-only wave: every live key missing from the dump is pending-
     // new by construction (the only mutation paths are the journaled
     // upsert and the delete, which never adds keys)
     val delta = live.join(dumpedKeys, Seq("key"), "left_anti").localCheckpoint()
-    if (!delta.isEmpty) delta.write.mode("append").parquet(dump)
+    if (!delta.isEmpty) { delta.write.mode("append").parquet(dump); record() }
   }
 
   /**
@@ -558,6 +584,7 @@ class MerkonStore(spark: SparkSession) {
     indexedCollections.clear()
     recordedIndexes.clear()
     pendingDumpKeys.clear()
+    dumpFingerprints.clear()
     val m = new org.apache.hadoop.fs.Path(s"$dir/_indexed")
     val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(m, "_SUCCESS")))

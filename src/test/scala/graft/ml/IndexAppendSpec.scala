@@ -227,6 +227,34 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
       centroidSet(IvfIndex.load(spark, path1).centroids))
   }
 
+  test("hive-partitioned source grows via append even when the id is a partition column (ADVICE r15)") {
+    // the r15 recursive fingerprint made partitioned corpora append-
+    // eligible; the delta read must keep partition columns visible
+    // (basePath) or a corpus partitioned BY its id column throws on the
+    // exact refresh path that used to fall back to a full rebuild
+    val srcDir = scratchDir("graft-part-src")
+    val cacheRoot = scratchDir("graft-part-cache")
+    val base = emb.filter(col("vec_id") < 60).select("vec_id", "embedding")
+    base.write.partitionBy("vec_id").mode("overwrite").parquet(srcDir)
+    val ivf = new IvfIndex(nCentroids = 4, nProbe = 2)
+    val first = IvfIndex.openOrBuild(spark, ivf, srcDir,
+      "vec_id", "embedding", cacheRoot)
+    val firstCentroids = centroidSet(first.centroids)
+    // grow: 20 new ids land as NEW partition dirs; every ingested file
+    // stays byte-identical, so the manifest-subset append fires
+    emb.filter(col("vec_id") >= 60 && col("vec_id") < 80)
+      .select("vec_id", "embedding")
+      .write.partitionBy("vec_id").mode("append").parquet(srcDir)
+    val grown = IvfIndex.openOrBuild(spark, ivf, srcDir,
+      "vec_id", "embedding", cacheRoot)
+    assert(grown.assigned.count() == 80)
+    assert(centroidSet(grown.centroids) == firstCentroids,
+      "partitioned growth re-fit the centroids (append path not taken)")
+    // the delta rows are assigned and live (id compares type-agnostically:
+    // partition inference reads the dir names back as INT)
+    assert(grown.live.filter(col("id") === 70).count() == 1)
+  }
+
   test("flat-family appends (PQ, sign) reuse published files too — O(delta) writes") {
     // the r15 hardlink append covers every persisted family: the flat
     // code/signature tables and their bucketed fetch tables EXTEND on a

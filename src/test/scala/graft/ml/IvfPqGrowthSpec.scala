@@ -107,4 +107,27 @@ class IvfPqGrowthSpec extends AnyFunSuite with SparkTestBase {
       } finally spark.conf.unset(graft.plans.AnnIndexRule.PqMinBytesKey)
     } finally graft.plans.AnnIndexRegistry.clear()
   }
+
+  test("a delta carrying one NEW key twice appends ONE idMap row (ADVICE r15)") {
+    val dir = scratchDir("graft-pqdupid-src")
+    val root = scratchDir("graft-pqdupid-idx")
+    val src = s"$dir/docs.parquet"
+    val q = new IvfPqIndex(nCentroids = 8, nProbe = 4, m = 8, kCentroids = 16)
+    batch(0, 1000).repartition(2).write.mode("overwrite").parquet(src)
+    IvfPqIndex.openOrBuildPathAnyId(spark, q, src, "doc_id", "embedding", root)
+    // one ingest batch upserting the SAME new document twice (two rows,
+    // one key): the code tables dedup via dedupDeltaIds; the idMap delta
+    // must too, or the restore join doubles this neighbor in every top-k
+    val dup = batch(1000, 1001)
+    dup.unionByName(dup).coalesce(1).write.mode("append").parquet(src)
+    val path2 = IvfPqIndex.openOrBuildPathAnyId(spark, q, src,
+      "doc_id", "embedding", root)
+    val idMap = spark.read.parquet(s"$path2/idMap")
+      .filter(col("id") === "doc-001000")
+    assert(idMap.count() == 1,
+      "duplicate (bucket, sid, id) idMap rows appended for one key")
+    assert(spark.read.parquet(s"$path2/codedCell")
+      .join(idMap.select(col("sid").as("id")), Seq("id"), "left_semi")
+      .count() == 1)
+  }
 }

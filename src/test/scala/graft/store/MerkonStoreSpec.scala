@@ -769,6 +769,41 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
     } finally graft.plans.AnnIndexRegistry.clear()
   }
 
+  test("a dump dir rewritten by a foreign process forces a full re-dump, never an append (ADVICE r15)") {
+    // the incremental gate's in-memory journal cannot see another
+    // store/process rewriting the shared dump dir under the same
+    // collection name; without the fingerprint check the next insert
+    // wave would EXTEND the foreign dump and the index would serve
+    // another collection's rows
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val st = newStore
+    val dumpRoot = scratchDir("graft-store-foreigndump")
+    try {
+      val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      def slice(lo: Int, hi: Int) =
+        corpus.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .select(concat(lit("k"), col("vec_id")).as("key"), col("embedding"))
+      val dump = s"$dumpRoot/${MerkonStore.pathSafe("vforeign")}"
+      st.upsertBatch("vforeign", slice(0, 100))
+      st.buildIndex("vforeign", nCentroids = 4, nProbe = 4, dir = dumpRoot)
+      // foreign rewrite: another process replaces the dump wholesale
+      // (marker and journal state still look append-eligible to st)
+      slice(500, 520)
+        .select(concat(lit("foreign-"), col("key")).as("key"), col("embedding"))
+        .write.mode("overwrite").parquet(dump)
+      st.upsertBatch("vforeign", slice(100, 110))
+      st.buildIndex("vforeign", nCentroids = 4, nProbe = 4, dir = dumpRoot)
+      val dumped = spark.read.parquet(dump).select("key").collect()
+        .map(_.getString(0)).toSet
+      assert(dumped.size == 110 && !dumped.exists(_.startsWith("foreign-")),
+        s"foreign dump extended instead of re-dumped: ${dumped.take(5)}")
+      val qv = corpus.filter(col("vec_id") === 105).select("embedding")
+        .head().getSeq[Float](0).toArray
+      assert(st.getNearestMatches("vforeign", qv, 1, useIndex = true)
+        .select("key").head().getString(0) == "k105")
+    } finally graft.plans.AnnIndexRegistry.clear()
+  }
+
   test("getNearestMatchesBatch: query-table kNN through the store's index, delete-aware") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val st = newStore
