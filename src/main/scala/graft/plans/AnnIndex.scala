@@ -263,9 +263,24 @@ object AnnIndexRegistry {
    * never drop one). Throws on an unregistered path — this is an index
    * API, not a rewrite; callers own the fallback to the exact
    * `knn_join` spelling.
+   *
+   * `allowedIds` (VERDICT r15 ask #3) restricts every query's top-k to
+   * an id allow-list — the metadata pre-filter contract every
+   * single-query family honors ([[graft.ml.IvfIndex.searchFiltered]]):
+   * the allow-list (the id projection of any metadata predicate)
+   * SEMI-JOINS the candidate side BEFORE scoring, so a selective
+   * predicate can never starve a query below k while allowed candidates
+   * exist in the probed cells, and no out-of-slice row can surface.
+   * "Top-k within language / license / source slice" is exactly the
+   * nightly bulk-scoring shape. Over-probe compensates the thinned
+   * cells: a filtered call with `nProbe` 0 probes 2× the registered
+   * width (capped at all cells) — the same dial the threshold rewrite
+   * uses; callers that know their selectivity pass an explicit width
+   * (the published filtered-ANN practice: probe ≈ p/selectivity).
    */
   def indexedKnnJoin(spark: SparkSession, sourcePath: String,
-      queries: DataFrame, k: Int, nProbe: Int = 0): DataFrame = {
+      queries: DataFrame, k: Int, nProbe: Int = 0,
+      allowedIds: Option[DataFrame] = None): DataFrame = {
     // the SAME serve-time guards as the rewrite rule: a stale
     // registration (in-place source rewrite) must not serve old rows
     // through the batch API either, and a fresh session's persisted
@@ -279,19 +294,29 @@ object AnnIndexRegistry {
           "job first (a registration whose source was rewritten in place " +
           "is deregistered rather than served stale)"))
     val built = IvfIndex.load(spark, e.indexPath)
-    val p = if (nProbe > 0) nProbe else e.nProbe
+    val p =
+      if (nProbe > 0) nProbe
+      else if (allowedIds.isDefined)
+        math.min(2 * e.nProbe, e.centroids.length)
+      else e.nProbe
+    def run(b: IvfIndex.Built, allow: Option[DataFrame]): DataFrame =
+      allow.fold(graft.streaming.VectorStreams.indexedKnn(queries, b, p, k))(
+        graft.streaming.VectorStreams.indexedKnnFiltered(queries, b, p, k, _))
     if (built.assigned.schema("id").dataType == LongType)
-      graft.streaming.VectorStreams.indexedKnn(queries, built, p, k)
+      run(built, allowedIds)
     else {
       val surrogate = built.copy(
         assigned = built.assigned.withColumn("id", xxhash64(col("id"))),
         tombstones = built.tombstones.map(
           _.withColumn("id", xxhash64(col("id")))))
       // restore map from the cell table itself (ids are unique by the
-      // LWW invariant — no distinct needed); equi-join on the surrogate
+      // LWW invariant — no distinct needed); equi-join on the surrogate.
+      // The allow-list rides the same surrogate mapping: the semi-join
+      // against the candidate side happens in the xxhash64 key domain.
       val restore = built.assigned
         .select(col("id").as("_orig"), xxhash64(col("id")).as("neighbor_id"))
-      graft.streaming.VectorStreams.indexedKnn(queries, surrogate, p, k)
+      run(surrogate,
+        allowedIds.map(_.toDF("id").select(xxhash64(col("id")).as("id"))))
         .join(restore, Seq("neighbor_id"))
         .select(col("q_id"), col("rank"), col("_orig").as("neighbor_id"),
           col("cos"))

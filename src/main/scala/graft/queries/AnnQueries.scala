@@ -372,6 +372,41 @@ object AnnQueries extends QueryPack {
       verdict(approx, exactTopKCached(s, dir, "full", emb, queriesOf(emb, 20), 20, 3))
     }),
 
+    // The FILTERED batch query-table kNN (VERDICT r15 ask #3): the same
+    // bulk-scoring shape restricted to a metadata slice (label % 4 = 1,
+    // ~25% of the corpus) — "top-k within language / license / source
+    // slice", the form a nightly pipeline actually runs. Pre-filter
+    // semantics through the registered index: the allow-list semi-joins
+    // the cell-pruned candidate side BEFORE any scoring
+    // (indexedKnnJoin's allowedIds -> VectorStreams.indexedKnnFiltered),
+    // so every surfaced neighbor satisfies the predicate by construction
+    // and a selective slice can never starve a query below k while
+    // allowed candidates sit in the probed cells. Probe width: the
+    // Filtered3 calibration (contract k = 3/0.25 — the same measured
+    // over-probe rule the single-query filtered family uses), passed
+    // explicitly as the known-selectivity operating point. `in_filter`
+    // rides every row; `pass` = recall >= 0.9 vs the exact FILTERED
+    // top-k AND all rows in-slice.
+    "ann_indexed_knn_join_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val allowed = emb.filter(col("label") % 4 === 1)
+        .select(col("vec_id").as("id"))
+      val ivf = geo(s, dir, Filtered3)
+      graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
+        "vec_id", "embedding", nProbe = ivf.nProbe, servedK = 3)
+      val approx = graft.plans.AnnIndexRegistry.indexedKnnJoin(s,
+          s"$dir/embeddings.parquet", queriesOf(emb, 20), k = 3,
+          nProbe = ivf.nProbe, allowedIds = Some(allowed))
+        .join(allowed.select(col("id").as("neighbor_id"),
+          lit(true).as("in_filter")), Seq("neighbor_id"), "left")
+        .withColumn("in_filter", coalesce(col("in_filter"), lit(false)))
+      val exact = exactTopKCached(s, dir, "label4eq1",
+        emb.filter(col("label") % 4 === 1), queriesOf(emb, 20), 20, 3)
+      verdict(approx, exact, extra = Seq("in_filter"),
+        alsoRequire = min(col("in_filter")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+    }),
+
     // The ANN rewrite RULE in action (graft.plans.AnnIndexRule — SURVEY
     // §4's deferred custom-optimizer item): each branch below is the
     // NAIVE flagship plan — scan, literal-query cosine, descending
@@ -739,6 +774,7 @@ object AnnQueries extends QueryPack {
     Map(
       "ann_knn_join" -> knnSkeleton(20, 3),
       "ann_indexed_knn_join" -> knnSkeleton(20, 3),
+      "ann_indexed_knn_join_filtered" -> knnSkeleton(20, 3, " true AS in_filter,"),
       "ann_ivf_knn" -> knnSkeleton(20, 3),
       "ann_pq_knn" -> knnSkeleton(20, 3),
       "ann_ivfpq_knn" -> knnSkeleton(20, 3),

@@ -499,19 +499,35 @@ class MerkonStore(spark: SparkSession) {
    * come from the LIVE collection by key, so a key deleted since the
    * index job yields a shorter result, never a stale row. Returns
    * (q_id, rank, score, key, record columns), ordered (q_id, rank).
+   *
+   * `predicate` (VERDICT r15 ask #3 — the batch form of
+   * [[getNearestMatches]]'s filtered search) restricts every query's
+   * top-k to records whose LIVE row satisfies an arbitrary Column
+   * predicate, with the same PRE-filter contract: the key allow-list
+   * semi-joins the candidate side BEFORE scoring
+   * ([[graft.plans.AnnIndexRegistry.indexedKnnJoin]]'s `allowedIds`),
+   * so a selective slice never starves the result below k while
+   * allowed candidates exist, and no out-of-slice row can surface —
+   * "top-k within language / license / source slice" for a whole
+   * query table at once. The probe over-probes 2× to compensate the
+   * thinned cells (the registered single-query dial).
    */
   def getNearestMatchesBatch(name: String, queries: DataFrame, k: Int,
-      withEmbeddings: Boolean = false): DataFrame = {
+      withEmbeddings: Boolean = false,
+      predicate: Option[Column] = None): DataFrame = {
     require(indexedCollections.contains(name),
       s"collection '$name' has no index — run buildIndex first " +
         "(the batch path is index-only; per-query exact search is " +
         "getNearestMatches)")
+    val allow = predicate.map(p =>
+      purgeEmptyKeys(current(name)).filter(p).select("key"))
     val hits = graft.plans.AnnIndexRegistry.indexedKnnJoin(spark,
-      indexedCollections(name), queries, k)
+      indexedCollections(name), queries, k, allowedIds = allow)
       .select(col("q_id"), col("rank"),
         col("neighbor_id").as("key"), col("cos").as("score"))
-    project(purgeEmptyKeys(current(name)).join(hits, Seq("key")),
-        withEmbeddings)
+    val live = predicate.fold(purgeEmptyKeys(current(name)))(p =>
+      purgeEmptyKeys(current(name)).filter(p))
+    project(live.join(hits, Seq("key")), withEmbeddings)
       .orderBy(col("q_id"), col("rank"))
   }
 

@@ -319,6 +319,48 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally AnnIndexRegistry.clear()
   }
 
+  test("indexedKnnJoin(allowedIds): pre-filter soundness, no starvation, no BNLJ, per-query agreement") {
+    // the FILTERED batch form (VERDICT r15 ask #3): the allow-list
+    // semi-joins the candidate side BEFORE scoring — every surfaced
+    // neighbor is in-slice by construction, and a ~25% slice still
+    // fills all k slots (pre-filter, never post-filter-and-truncate)
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 4)
+    try {
+      AnnIndexRegistry.register(spark, ivf, src, "vec_id", "embedding",
+        nProbe = 4)
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val allowed = corpus.filter(col("label") % 4 === 1)
+        .select(col("vec_id").as("id"))
+      val df = AnnIndexRegistry.indexedKnnJoin(spark, src, queries, k = 3,
+        allowedIds = Some(allowed))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan.take(3000))
+      assert(plan.contains("Join [cell#") || plan.contains("Join [cast(cell#"),
+        s"candidate join must be an equi-join on cell:\n${plan.take(3000)}")
+      val rows = df.collect()
+      // no starvation: every query fills k from the ~25% slice
+      assert(rows.length == 30, s"filtered batch starved: ${rows.length}/30")
+      // soundness: every neighbor satisfies the predicate
+      val allowSet = allowed.collect().map(_.getLong(0)).toSet
+      assert(rows.forall(r => allowSet.contains(r.getLong(2))),
+        "out-of-slice neighbor surfaced through the pre-filter")
+      // agreement with the single-query filtered contract at the SAME
+      // effective width (default filtered over-probe = 2x registered,
+      // capped at all cells -> 8 of 8 here)
+      val built = IvfIndex.load(spark,
+        AnnIndexRegistry.lookup(src).get.indexPath)
+      val expect = new IvfIndex(8, 8).searchFiltered(built,
+          corpus.filter(col("vec_id") < 10), "vec_id", "embedding", 3, allowed)
+        .select("q_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        == expect,
+        "filtered batch join must agree with per-query filtered search")
+    } finally AnnIndexRegistry.clear()
+  }
+
   /** [[filteredFlagship]] over an arbitrary corpus path. */
   private def filteredFlagshipOn(path: String, qv: Array[Float],
       k: Int): DataFrame =

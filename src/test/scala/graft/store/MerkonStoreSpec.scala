@@ -840,6 +840,32 @@ class MerkonStoreSpec extends AnyFunSuite with SparkTestBase {
     } finally graft.plans.AnnIndexRegistry.clear()
   }
 
+  test("getNearestMatchesBatch(predicate): in-slice only, never starved, string keys restored") {
+    // the FILTERED batch form (VERDICT r15 ask #3) through the store
+    // facade: the predicate's key allow-list pre-filters the candidate
+    // side, so a ~selective slice still fills k and no out-of-slice
+    // record ever surfaces — the batch twin of
+    // getNearestMatches(predicate)
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val st = newStore
+    try {
+      val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      st.upsertBatch("vfbatch", corpus.select(
+        concat(lit("k"), col("vec_id")).as("key"), col("embedding")))
+      st.buildIndex("vfbatch", nCentroids = 8, nProbe = 4)
+      val queries = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // slice = keys ending in an even digit (~half the collection) —
+      // the same predicate shape as the single-query filtered test
+      val pred = col("key").substr(-1, 1).isin("0", "2", "4", "6", "8")
+      val rows = st.getNearestMatchesBatch("vfbatch", queries, 3,
+        predicate = Some(pred)).select("q_id", "rank", "key").collect()
+      assert(rows.length == 15, s"filtered batch starved: ${rows.length}/15")
+      assert(rows.forall(r => "02468".contains(r.getString(2).last)),
+        "out-of-slice record surfaced through the filtered batch probe")
+    } finally graft.plans.AnnIndexRegistry.clear()
+  }
+
   test("store refresh rides the geometry band: within-band growth appends, crossing rebuilds") {
     // the DERIVED-geometry form of the O(delta) refresh: while ingest
     // stays inside a centroidsFor band the derived cell count is
