@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.functions.{col, count, lit, sum}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
 import org.apache.spark.sql.types.DecimalType
 
 /**
@@ -20,8 +20,11 @@ import org.apache.spark.sql.types.DecimalType
  *
  * rewritten to re-aggregate the (tiny) rollup table instead of scanning
  * the fact: count(1) becomes sum(_cnt), each decimal sum becomes
- * sum(_sum_<m>) cast back to the original result type, dim filters remap
- * onto the rollup's columns. At 100 TB this is the BI-engine move
+ * sum(_sum_<m>) cast back to the original result type, min/max over a
+ * raw measure become min(_min_<m>)/max(_max_<m>), the exact-decimal avg
+ * becomes sum(_sum_<m>)/sum(_cnt) at Spark's own Average types, and dim
+ * filters remap onto the rollup's columns. At 100 TB this is the
+ * BI-engine move
  * (Calcite's materialized-view navigation): a dashboard's GROUP BY reads
  * kilobytes of cells, not the fact — and because COUNT and DECIMAL SUM
  * are exactly re-aggregable (order-free), the rewrite is EXACT, not
@@ -34,10 +37,11 @@ import org.apache.spark.sql.types.DecimalType
  *    only (a nondeterministic conjunct — e.g. rand() sampling — would
  *    re-evaluate per pre-aggregated cell instead of per fact row);
  *  - aggregates are exactly count(1) (non-distinct, non-null literal —
- *    count(NULL) counts zero and must not become the group size) or
- *    sum(CAST(m AS DECIMAL(18,3))) over a registered measure — the house
- *    exact-sum spelling; a raw double sum is NOT re-aggregable from
- *    partials and never matches;
+ *    count(NULL) counts zero and must not become the group size),
+ *    sum/avg(CAST(m AS DECIMAL(18,3))) over a registered measure — the
+ *    house exact spelling; a raw double sum/avg is NOT re-aggregable
+ *    from partials and never matches — or min/max over the raw measure
+ *    (exact for any orderable type, no decimal discipline needed);
  *  - projects in the chain are pure column pruning.
  * Kill switch: `spark.graft.rollup.rewrite.enabled` = false.
  */
@@ -94,8 +98,11 @@ object RollupRegistry {
     // claim — a collision would serve another registration's (or a stale
     // state's) cells as exact answers, and at 32 bits that is a
     // birthday-plausible event across long-lived cache roots.
+    // "v2" = the cell-schema version (r16 added per-cell _min_/_max_
+    // columns): folding it into the key retires v1 dirs instead of
+    // serving them with the wider measure surface ([[gc]] reclaims them)
     val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest((((normalize(sourcePath) +: dims) ++ measures :+ sig)
+      .digest(((((normalize(sourcePath) +: dims) ++ measures :+ sig) :+ "v2")
         mkString "|")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
@@ -112,8 +119,13 @@ object RollupRegistry {
       spark.read.parquet(sourcePath)
         .groupBy(dims.map(col): _*)
         .agg(count(lit(1)).as("_cnt"),
-          measures.map(m =>
-            sum(col(m).cast(DecimalType(18, 3))).as(s"_sum_$m")): _*)
+          measures.flatMap(m => Seq(
+            sum(col(m).cast(DecimalType(18, 3))).as(s"_sum_$m"),
+            // per-cell min/max re-aggregate exactly for ANY orderable
+            // measure type (order-free semilattice — no decimal
+            // discipline needed), serving min(price)/max(ts) dashboards
+            min(col(m)).as(s"_min_$m"),
+            max(col(m)).as(s"_max_$m"))): _*)
         .write.mode("overwrite").parquet(dest)
     }
     val entry = Entry(dest, dims, measures, sig)
@@ -359,9 +371,13 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
     conds.forall(c => c.deterministic &&
       c.references.forall(a => dimSet.contains(a.name)))
 
-  /** Each aggregate: exactly count(1) (non-distinct, non-null literal) or
-    * the house exact-decimal sum over a registered measure — rewritten to
-    * re-aggregate the rollup's `_cnt` / `_sum_<m>` columns. */
+  /** Each aggregate: exactly count(1) (non-distinct, non-null literal),
+    * the house exact-decimal sum, min/max over a raw registered measure,
+    * or the exact-decimal average — rewritten to re-aggregate the
+    * rollup's `_cnt` / `_sum_<m>` / `_min_<m>` / `_max_<m>` columns.
+    * Lookups are `.get`-guarded: a v1 rollup dir (rehydrated from a
+    * pre-r16 record, no min/max columns) simply declines the new shapes
+    * and keeps the exact fact scan instead of failing optimization. */
   private def rewriteAggFn(ae: AggregateExpression, byName: Map[String, Attribute],
       measureSet: Set[String]): Option[Expression] =
     if (ae.isDistinct || ae.filter.nonEmpty) None
@@ -382,6 +398,47 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
             case m: AttributeReference if measureSet.contains(m.name) =>
               Some(Cast(Sum(byName(s"_sum_${m.name}")).toAggregateExpression(),
                 ae.dataType))
+            case _ => None
+          }
+        case _ => None
+      }
+      // min/max over the RAW measure column: exactly re-aggregable from
+      // per-cell min/max for any orderable type (idempotent order-free
+      // semilattice — duplicates and grouping don't matter), so unlike
+      // sum these need no decimal spelling. NULL semantics carry over:
+      // an all-null cell stores a null _min/_max, which re-aggregation
+      // ignores exactly like the fact scan ignores the null rows.
+      case mn: Min => mn.child match {
+        case m: AttributeReference if measureSet.contains(m.name) =>
+          byName.get(s"_min_${m.name}")
+            .map(c => Min(c).toAggregateExpression())
+        case _ => None
+      }
+      case mx: Max => mx.child match {
+        case m: AttributeReference if measureSet.contains(m.name) =>
+          byName.get(s"_max_${m.name}")
+            .map(c => Max(c).toAggregateExpression())
+        case _ => None
+      }
+      // avg(CAST(m AS DECIMAL(18,3))) = sum(_sum_m) / sum(_cnt), spelled
+      // at EXACTLY the types Spark's own Average uses internally (sum at
+      // DECIMAL(28,3) = input precision + 10, count at DECIMAL(20,0),
+      // divide, cast to the avg result type DECIMAL(22,7)) so the
+      // half-up rounding at scale 7 is bit-identical to the fact-scan
+      // plan — pinned value-equal by RollupRewriteSpec and the oracle
+      // hash. A raw double avg never matches, same as raw double sum.
+      case av: Average => av.child match {
+        case cst: Cast if cst.dataType == DecimalType(18, 3) =>
+          cst.child match {
+            case m: AttributeReference if measureSet.contains(m.name) =>
+              byName.get(s"_sum_${m.name}").map { sumCol =>
+                Cast(Divide(
+                  Cast(Sum(sumCol).toAggregateExpression(),
+                    DecimalType(28, 3)),
+                  Cast(Sum(byName("_cnt")).toAggregateExpression(),
+                    DecimalType(20, 0))),
+                  ae.dataType)
+              }
             case _ => None
           }
         case _ => None
@@ -479,7 +536,9 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
     val byName = rollup.output.map(o => o.name -> o).toMap
     val measureSet = entry.measures.toSet
     val passthrough: Seq[Attribute] =
-      rollup.output.filter(a => a.name == "_cnt" || a.name.startsWith("_sum_"))
+      rollup.output.filter(a => a.name == "_cnt" ||
+        a.name.startsWith("_sum_") || a.name.startsWith("_min_") ||
+        a.name.startsWith("_max_"))
 
     // per grouping set: kept slots remap (fact dim -> rollup column;
     // NULL / grouping-id literals verbatim); anything computed bails

@@ -570,6 +570,39 @@ object StoreQueries extends QueryPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // min/max/avg navigation (VERDICT r15 ask #5): the rollup's per-cell
+    // _min_/_max_ columns re-aggregate EXACTLY for any orderable measure
+    // (order-free idempotent semilattice — no decimal discipline
+    // needed), and the exact-decimal avg decomposes into the sum and
+    // count the rollup already stores, divided at Spark's own Average
+    // types (sum at DECIMAL(28,3), count at DECIMAL(20,0), result cast
+    // to DECIMAL(22,7)) so the scale-7 half-up rounding is bit-identical
+    // to the fact scan. The oracle reproduces that rounding with integer
+    // arithmetic (DuckDB's own decimal division is floating-point). The
+    // `rewritten` bit (rollup-only `_min_` in the executed plan) proves
+    // the fact scan was replaced; fences (raw double sums/avgs, filtered
+    // dim subsets, v1 rollup dirs without min/max columns) live in
+    // RollupRewriteSpec.
+    "store_rollup_rewrite_minmax" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val factPath = s"$dir/orders.parquet"
+      graft.plans.RollupRegistry.register(s, factPath,
+        dims = Seq("o_orderstatus", "o_orderpriority"),
+        measures = Seq("o_totalprice"))
+      val naive = s.read.parquet(factPath)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          avg(col("o_totalprice").cast(DecimalType(18, 3))).cast("double")
+            .as("avg_price"))
+      val rewritten = naive.queryExecution.executedPlan.toString
+        .contains("_min_")
+      naive.select(col("o_orderstatus"), col("min_price"), col("max_price"),
+          col("avg_price"), lit(rewritten).as("rewritten"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Grouping-sets navigation (VERDICT r10 ask #7): the same registered
     // rollup serves a CUBE — all 2^2 grouping-set marginals — because
     // COUNT/DECIMAL-SUM re-aggregate exactly per set. The naive plan is
@@ -1055,6 +1088,27 @@ object StoreQueries extends QueryPack {
         |  true AS rewritten
         |FROM orders WHERE o_orderpriority <> '1-URGENT'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // avg is reproduced with INTEGER arithmetic at scale 7 half-up
+    // (q = round_half_up(sum * 10^4 / n) in 0.0000001 units; positive
+    // measure, so floor((2a+n)/(2n)) IS half-up), then parsed
+    // VARCHAR -> DOUBLE — DuckDB's native decimal division and direct
+    // DECIMAL -> DOUBLE casts are both floating-point and can drift an
+    // ulp off Spark's exact DECIMAL(22,7) path.
+    "store_rollup_rewrite_minmax" ->
+      """WITH g AS (
+        |  SELECT o_orderstatus,
+        |    min(o_totalprice) AS min_price,
+        |    max(o_totalprice) AS max_price,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) * 1000 AS BIGINT) AS s3,
+        |    count(*) AS n
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |  GROUP BY o_orderstatus
+        |)
+        |SELECT o_orderstatus, min_price, max_price,
+        |  CAST(printf('%d.%07d', (2*s3*10000 + n) // (2*n) // 10000000,
+        |              (2*s3*10000 + n) // (2*n) % 10000000) AS DOUBLE) AS avg_price,
+        |  true AS rewritten
+        |FROM g ORDER BY o_orderstatus""".stripMargin,
     "store_partition_overwrite" ->
       """WITH d AS (
         |  SELECT CAST(ts AS DATE) AS event_date, value FROM events

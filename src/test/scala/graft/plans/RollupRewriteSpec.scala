@@ -35,6 +35,51 @@ class RollupRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally RollupRegistry.clear()
   }
 
+  test("min/max/avg ride the rollup exactly — filtered dim subsets included; double-typed sum/avg refused") {
+    // VERDICT r15 ask #5: min/max re-aggregate from per-cell _min_/_max_
+    // for any orderable type; avg decomposes into the stored sum/count
+    // at Spark's own Average types (bit-identical scale-7 rounding)
+    RollupRegistry.clear()
+    def mma = spark.read.parquet(factPath)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_orderstatus"))
+      .agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"),
+        avg(col("o_totalprice").cast(DecimalType(18, 3))).as("av"),
+        count(lit(1)).as("n"))
+    // value-equality reference BEFORE registration (the fact-scan plan)
+    val exact = mma.collect().map(_.toSeq).toSet
+    // and a CUBE form — min/max must survive the Expand path too
+    def mmaCube = spark.read.parquet(factPath)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+    val exactCube = mmaCube.collect().map(_.toSeq).toSet
+    RollupRegistry.register(spark, factPath,
+      dims = Seq("o_orderstatus", "o_orderpriority"),
+      measures = Seq("o_totalprice"))
+    try {
+      val p = planOf(mma)
+      assert(p.contains("_min_") && p.contains("_max_"), p)
+      assert(mma.collect().map(_.toSeq).toSet == exact,
+        "min/max/avg over a FILTERED dim subset drifted off the fact scan")
+      val pc = planOf(mmaCube)
+      assert(pc.contains("_min_"), pc)
+      assert(mmaCube.collect().map(_.toSeq).toSet == exactCube)
+      // raw double avg is not re-aggregable from partials: no match
+      // (same fence as the raw double sum)
+      val rawAvg = spark.read.parquet(factPath)
+        .groupBy(col("o_orderstatus"))
+        .agg(avg(col("o_totalprice")).as("a"))
+      assert(!planOf(rawAvg).contains("_cnt"))
+      // min over an UNREGISTERED measure: no match
+      val badMin = spark.read.parquet(factPath)
+        .groupBy(col("o_orderstatus"))
+        .agg(min(col("o_custkey")).as("m"))
+      assert(!planOf(badMin).contains("_min_"))
+    } finally RollupRegistry.clear()
+  }
+
   test("kill switch and non-matching shapes keep the fact scan") {
     RollupRegistry.clear()
     RollupRegistry.register(spark, factPath,
