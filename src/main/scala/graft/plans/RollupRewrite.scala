@@ -62,6 +62,19 @@ object RollupRegistry {
   private def normalize(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
+  /** The rollup dir key for (normalized fact path, dims, measures, fact
+    * signature). "v2" is the cell-schema version (r16 added per-cell
+    * _min_/_max_ columns): folding it in retires v1 dirs instead of
+    * serving them with the wider measure surface — [[gc]] recomputes
+    * this from each dir's record and reclaims name mismatches. */
+  private def cacheKey(sourceKey: String, dims: Seq[String],
+      measures: Seq[String], sig: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(((((sourceKey +: dims) ++ measures :+ sig) :+ "v2")
+        mkString "|")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
   /** The rollup job + registration: build (or reuse) the pre-aggregated
     * table for `sourcePath` over `dims`, with `_cnt` plus an exact
     * DECIMAL(28,3) `_sum_<m>` per measure, and register it so
@@ -98,14 +111,7 @@ object RollupRegistry {
     // claim — a collision would serve another registration's (or a stale
     // state's) cells as exact answers, and at 32 bits that is a
     // birthday-plausible event across long-lived cache roots.
-    // "v2" = the cell-schema version (r16 added per-cell _min_/_max_
-    // columns): folding it into the key retires v1 dirs instead of
-    // serving them with the wider measure surface ([[gc]] reclaims them)
-    val key = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(((((normalize(sourcePath) +: dims) ++ measures :+ sig) :+ "v2")
-        mkString "|")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+    val key = cacheKey(normalize(sourcePath), dims, measures, sig)
     val dest = s"$cacheRoot/rollup_$key"
     val done = new org.apache.hadoop.fs.Path(s"$dest/_SUCCESS")
     val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -113,9 +119,17 @@ object RollupRegistry {
       // the build aggregation is EXACTLY the shape the rule matches — if
       // an older rollup of this same path is still registered, the build
       // would be rewritten to re-aggregate the stale rollup instead of
-      // scanning the fact. Deregister first so the build always scans
-      // the source; the fresh entry is installed below.
-      deregister(sourcePath)
+      // scanning the fact. Drop the IN-MEMORY entry first so the build
+      // scans the source; the fresh entry is installed below. Persisted
+      // records of superseded dirs stay in place deliberately (r16):
+      // they are what [[gc]] reads to decide reclaimability, and a
+      // record can only rehydrate mid-build if its fact signature still
+      // matches the live dir — in which case its cells re-aggregate
+      // EXACTLY (that is the rewrite's own soundness argument), so the
+      // build being served from a current same-source rollup is a
+      // speedup, never a staleness hazard. `deregister` remains the
+      // user-facing durable revocation.
+      unregisterInMemory(sourcePath)
       spark.read.parquet(sourcePath)
         .groupBy(dims.map(col): _*)
         .agg(count(lit(1)).as("_cnt"),
@@ -283,16 +297,19 @@ object RollupRegistry {
     }
   }
 
-  /** Remove a registration — DURABLY (persisted records for this source
-    * in the default root go too, so [[rehydrate]] cannot resurrect an
-    * explicit revocation); `clear()` stays session-local by design. */
-  def deregister(sourcePath: String): Unit = {
-    val key = entries.synchronized {
+  private def unregisterInMemory(sourcePath: String): String =
+    entries.synchronized {
       val k = normalize(sourcePath)
       entries.remove(k)
       verifiedAt.remove(k)
       k
     }
+
+  /** Remove a registration — DURABLY (persisted records for this source
+    * in the default root go too, so [[rehydrate]] cannot resurrect an
+    * explicit revocation); `clear()` stays session-local by design. */
+  def deregister(sourcePath: String): Unit = {
+    val key = unregisterInMemory(sourcePath)
     scala.util.Try {
       Option(new java.io.File(DefaultCacheRoot).listFiles())
         .toSeq.flatten.filter(_.isDirectory)
@@ -307,6 +324,76 @@ object RollupRegistry {
     entries.clear()
     verifiedAt.clear()
     rehydrateMissAt.clear()
+  }
+
+  /** Every rollup dir a live registration still references — the set
+    * [[gc]] callers pass as `keep` so a sweep can never reclaim a dir
+    * the next rewritten aggregation in this session would read (the
+    * [[AnnIndexRegistry.livePaths]] twin). */
+  def livePaths: Set[String] = entries.synchronized {
+    entries.values.map(_.rollupPath).toSet
+  }
+
+  /**
+   * Reclaim superseded rollup dirs from a cache root — the lifecycle
+   * that bounds the root under fact-mutation cadence (VERDICT r15 ask
+   * #4, [[graft.ml.IndexCache.gc]]'s discipline applied here): every
+   * re-register after a fact change creates a NEW `rollup_<key>` dir
+   * and nothing else ever reclaimed the old ones, so the root grew by
+   * one dir per mutation cycle — and [[rehydrate]] lists the whole root
+   * per TTL-expired miss, making unbounded growth an optimizer-time
+   * cost. A dir is removed when its persisted registration can never
+   * serve again:
+   *
+   *  - its fact dir no longer exists, or the fact's live signature no
+   *    longer matches the record's (rehydrate would skip it; register
+   *    would build a fresh dir);
+   *  - its dir name no longer matches the key its own record derives
+   *    (a pre-r16 schema-version dir — same fact, same params, but a
+   *    cell schema [[register]] will never publish under this name
+   *    again);
+   *  - recordless dirs are conservatively KEPT (not ours to judge —
+   *    the same foreign-dir discipline as the index-cache GC).
+   *
+   * `olderThanMs` is the shared-root race guard (only dirs untouched
+   * that long are swept; another session may still hold a
+   * just-superseded path — maintenance-window discipline, as on the ANN
+   * side); `keep` pins paths live registrations in THIS session
+   * reference ([[livePaths]]). Returns the removed paths.
+   */
+  def gc(cacheRoot: String = DefaultCacheRoot, olderThanMs: Long = 3600000L,
+      keep: Set[String] = Set.empty): Seq[String] = {
+    val now = System.currentTimeMillis()
+    val keepAbs = keep.map(p => new java.io.File(p).getAbsolutePath)
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // live signature per fact dir, computed once per sweep; None = could
+    // not compute (transient FS error) — never grounds for reclamation
+    // on an EXISTING fact dir (the missing-dir case is checked apart)
+    val sigCache = scala.collection.mutable.Map.empty[String, Option[String]]
+    def liveSig(source: String): Option[String] =
+      sigCache.getOrElseUpdate(source,
+        scala.util.Try(sourceSignature(SparkSession.active, source)).toOption)
+    Option(new java.io.File(cacheRoot).listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("rollup_"))
+      .foreach { d =>
+        readRegistration(d).foreach { r =>
+          val expectedKey = cacheKey(r.source, r.dims, r.measures, r.sourceSig)
+          val stale =
+            !new java.io.File(r.source).exists() ||
+            liveSig(r.source).exists(_ != r.sourceSig) ||
+            d.getName != s"rollup_$expectedKey"
+          if (stale && now - d.lastModified() >= olderThanMs &&
+              !keepAbs.contains(d.getAbsolutePath)) {
+            def del(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(del))
+              f.delete()
+            }
+            del(d)
+            removed += d.getPath
+          }
+        }
+      }
+    removed.toSeq
   }
 }
 

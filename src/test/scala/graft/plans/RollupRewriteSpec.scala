@@ -300,4 +300,43 @@ class RollupRewriteSpec extends AnyFunSuite with SparkTestBase {
         == Map("A" -> 10.0, "C" -> 5.0))
     } finally RollupRegistry.clear()
   }
+
+  test("gc reclaims superseded rollup dirs; live registrations and recordless dirs survive (r15 ask #4)") {
+    RollupRegistry.clear()
+    val dir = scratchDir("graft_rollup_gc_fact")
+    val root = scratchDir("graft_rollup_gc_root")
+    import spark.implicits._
+    Seq(("A", 1.0), ("B", 3.0)).toDF("k", "m")
+      .write.mode("overwrite").parquet(dir)
+    val e1 = RollupRegistry.register(spark, dir,
+      dims = Seq("k"), measures = Seq("m"), cacheRoot = root)
+    try {
+      // supersede: grow the fact, re-register — a NEW dir appears and
+      // the old one keeps its (now signature-stale) record
+      Seq(("C", 5.0)).toDF("k", "m").write.mode("append").parquet(dir)
+      val e2 = RollupRegistry.register(spark, dir,
+        dims = Seq("k"), measures = Seq("m"), cacheRoot = root)
+      assert(e2.rollupPath != e1.rollupPath)
+      // a recordless dir in the root is not ours to judge — kept
+      val foreign = new java.io.File(root, "rollup_feedfeed")
+      foreign.mkdirs()
+      // age bar: dirs younger than olderThanMs survive even when stale
+      assert(RollupRegistry.gc(root, olderThanMs = 3600000L,
+        keep = RollupRegistry.livePaths).isEmpty)
+      val swept = RollupRegistry.gc(root, olderThanMs = 0L,
+        keep = RollupRegistry.livePaths)
+      assert(swept == Seq(e1.rollupPath),
+        s"expected exactly the superseded dir, got $swept")
+      assert(!new java.io.File(e1.rollupPath).exists())
+      assert(new java.io.File(s"${e2.rollupPath}/_SUCCESS").isFile,
+        "live registration's dir reclaimed")
+      assert(foreign.isDirectory, "recordless dir reclaimed")
+      // the live dir still serves after the sweep
+      def q = spark.read.parquet(dir).groupBy(col("k"))
+        .agg(count(lit(1)).as("n"))
+      assert(planOf(q).contains("_cnt"))
+      assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == Map("A" -> 1L, "B" -> 1L, "C" -> 1L))
+    } finally RollupRegistry.clear()
+  }
 }

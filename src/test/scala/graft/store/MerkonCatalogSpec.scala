@@ -135,7 +135,7 @@ class MerkonCatalogSpec extends AnyFunSuite with SparkTestBase {
       val nameIdx = shown.columns.indexOf("procedure_name")
       val listed = shown.collect().map(_.getString(nameIdx)).toSet
       assert(listed == Set("build_index", "compact_index", "gc_index_cache",
-        "index_stats"), s"got $listed")
+        "gc_rollup_cache", "index_stats"), s"got $listed")
 
       // the index JOB from pure SQL
       val built = spark.sql(
@@ -223,6 +223,27 @@ class MerkonCatalogSpec extends AnyFunSuite with SparkTestBase {
       assert(!spark.sql(
           s"CALL merkon_tproc.system.gc_index_cache('', 0L)")
         .collect().map(_.getString(0)).contains(indexPath))
+      // rollup lifecycle from SQL (r16): register a rollup, supersede it
+      // by growing the fact, and CALL gc_rollup_cache — the superseded
+      // dir is reclaimed, the live one survives a zero age bar
+      val factDir = s"$root/fact"
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .write.parquet(factDir)
+      val oldEntry = graft.plans.RollupRegistry.register(spark, factDir,
+        dims = Seq("o_orderstatus"), measures = Seq("o_totalprice"))
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .limit(10).write.mode("append").parquet(factDir)
+      val liveEntry = graft.plans.RollupRegistry.register(spark, factDir,
+        dims = Seq("o_orderstatus"), measures = Seq("o_totalprice"))
+      val swept = spark.sql(
+        s"CALL merkon_tproc.system.gc_rollup_cache('', 0L)")
+        .collect().map(_.getString(0)).toSet
+      assert(swept.contains(oldEntry.rollupPath),
+        s"superseded rollup dir not reclaimed: $swept")
+      assert(!swept.contains(liveEntry.rollupPath))
+      assert(new java.io.File(s"${liveEntry.rollupPath}/_SUCCESS").isFile)
+      graft.plans.RollupRegistry.deregister(factDir)
+
       // and a typo'd procedure name is an ANALYSIS error, not an opaque
       // internal one
       val err = intercept[Exception] {
