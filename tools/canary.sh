@@ -36,12 +36,15 @@ JAVA_OPTS=(
 )
 # one per family: TPC-H aggs/joins, grouping sets (an r12 mover), dedup,
 # text, curation, events, search, graph (the r10/r12 noise-saga query —
-# its settled cost is the canary's own canary), multimodal, exact kNN
+# its settled cost is the canary's own canary), multimodal, exact kNN;
+# r16 adds the two non-canaried r15 in-run movers (q_rollup_pricing 16x,
+# embedding_covariance 7x — both normal isolated) so the next spike on
+# them adjudicates from the sidecar alone (VERDICT r15 ask #2)
 QUERIES=(
   q1_pricing_summary q5_nation_revenue q18_large_orders q_grouping_sets
   dedup_jaccard_topk text_quality_score corpus_ngram_contamination
   events_funnel search_bm25_topk graph_pagerank multimodal_image_ahash
-  knn_join
+  knn_join q_rollup_pricing embedding_covariance
 )
 TMP=$(mktemp -d)
 trap 'rm -rf "$TMP"' EXIT
