@@ -253,7 +253,11 @@ object AnnIndexRegistry {
    * the union of probed cells approaches all cells, which is correct —
    * the equi-join still shuffles each query only to its own cells,
    * never |Q| × corpus. Tombstoned ids are filtered before scoring
-   * (full-k backfill). `nProbe` 0 = the registered width. A non-long
+   * (full-k backfill). `nProbe` 0 = the registered width, scaled by the
+   * same dials the rewrite rule applies: ceil(p · k/servedK) for a k
+   * deeper than the registered calibration contract (r16 — a single
+   * calibrated cell cannot even fill a deeper top-k), capped at all
+   * cells. A non-long
    * corpus id column (the reference store's STRING keys) rides a
    * deterministic xxhash64 surrogate through the long-keyed bounded
    * top-k aggregator — the same discipline as calibration and the
@@ -294,11 +298,18 @@ object AnnIndexRegistry {
           "job first (a registration whose source was rewritten in place " +
           "is deregistered rather than served stale)"))
     val built = IvfIndex.load(spark, e.indexPath)
+    // the rewrite's probe dials, applied to the batch path too: a
+    // filtered call doubles the width (thinned cells), and a k deeper
+    // than the registered calibration contract (servedK) over-probes
+    // proportionally — one calibrated cell of ~N/c rows cannot even
+    // FILL a deeper top-k. Explicit nProbe = the caller's own width.
     val p =
       if (nProbe > 0) nProbe
-      else if (allowedIds.isDefined)
-        math.min(2 * e.nProbe, e.centroids.length)
-      else e.nProbe
+      else {
+        val base = if (allowedIds.isDefined) 2.0 * e.nProbe else e.nProbe.toDouble
+        val k2k = if (e.servedK > 0 && k > e.servedK) k.toDouble / e.servedK else 1.0
+        math.min(e.centroids.length, math.ceil(base * k2k).toInt)
+      }
     def run(b: IvfIndex.Built, allow: Option[DataFrame]): DataFrame =
       allow.fold(graft.streaming.VectorStreams.indexedKnn(queries, b, p, k))(
         graft.streaming.VectorStreams.indexedKnnFiltered(queries, b, p, k, _))

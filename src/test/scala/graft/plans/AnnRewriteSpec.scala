@@ -361,6 +361,29 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally AnnIndexRegistry.clear()
   }
 
+  test("indexedKnnJoin over-probes proportionally for k deeper than servedK (r16)") {
+    // the rewrite's k-transfer dial on the batch path: a width
+    // calibrated for servedK=3 probes ONE ~100-row cell — it cannot
+    // even fill k=150 — so the registered-width call must scale
+    // ceil(p * k/servedK), capped at all cells
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 1)
+    try {
+      AnnIndexRegistry.register(spark, ivf, src, "vec_id", "embedding",
+        nProbe = 1, servedK = 3)
+      val queries = corpus.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val deep = AnnIndexRegistry.indexedKnnJoin(spark, src, queries, k = 150)
+      assert(deep.count() == 300,
+        "deep-k batch join starved on the calibrated width (no over-probe)")
+      // the caller's own width is still honored verbatim: one probed
+      // cell holds ~1/8 of the corpus and cannot fill k=150
+      val verbatim = AnnIndexRegistry.indexedKnnJoin(spark, src, queries,
+        k = 150, nProbe = 1)
+      assert(verbatim.count() < 300,
+        "explicit nProbe must not be silently scaled")
+    } finally AnnIndexRegistry.clear()
+  }
+
   /** [[filteredFlagship]] over an arbitrary corpus path. */
   private def filteredFlagshipOn(path: String, qv: Array[Float],
       k: Int): DataFrame =
