@@ -231,7 +231,10 @@ private[graft] object IndexCache {
       if (now - d.lastModified() >= olderThanMs &&
           !keepAbs.contains(d.getAbsolutePath)) {
         deleteRecursively(d)
-        removed += d.getPath
+        // a partially-failed delete must not report as reclaimed (the
+        // dir also goes recordless-from-manifest — kept forever — so
+        // the operator needs the honest signal)
+        if (!d.exists()) removed += d.getPath
       }
     val dirs = Option(new java.io.File(cacheRoot).listFiles()).toSeq.flatten
       .filter(_.isDirectory)

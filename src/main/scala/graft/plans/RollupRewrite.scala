@@ -63,14 +63,15 @@ object RollupRegistry {
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
   /** The rollup dir key for (normalized fact path, dims, measures, fact
-    * signature). "v2" is the cell-schema version (r16 added per-cell
-    * _min_/_max_ columns): folding it in retires v1 dirs instead of
-    * serving them with the wider measure surface — [[gc]] recomputes
-    * this from each dir's record and reclaims name mismatches. */
+    * signature). "v3" is the cell-schema version (r16 added per-cell
+    * _min_/_max_ and non-null _cntm_ columns): folding it in retires
+    * older-schema dirs instead of serving them with the wider measure
+    * surface — [[gc]] recomputes this from each dir's record and
+    * reclaims name mismatches. */
   private def cacheKey(sourceKey: String, dims: Seq[String],
       measures: Seq[String], sig: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
-      .digest(((((sourceKey +: dims) ++ measures :+ sig) :+ "v2")
+      .digest(((((sourceKey +: dims) ++ measures :+ sig) :+ "v3")
         mkString "|")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
@@ -92,9 +93,17 @@ object RollupRegistry {
     * partitioned fact reaches), while the fingerprint walk is
     * ~30 µs/file (0.32 s at 10k, 0.52 s at 20k) AND catches same-size
     * in-place rewrites the mtime-only signature missed. Numbers in
-    * SCALE.md ("Staleness-guard pricing"). */
+    * SCALE.md ("Staleness-guard pricing"). NON-LOCAL paths (hdfs://,
+    * s3a://, …) return "" — the unguarded-legacy marker: the java.io
+    * walk cannot see them, and hashing its empty listing would make the
+    * guard permanently satisfied (stale cells serving as "exact") and
+    * [[gc]] treat a live remote fact as nonexistent (r16 review). Such
+    * registrations serve under the documented MV-snapshot contract,
+    * session-local, exactly like the ANN side's unguarded entries. */
   private def sourceSignature(spark: SparkSession, sourcePath: String): String =
-    graft.ml.IndexCache.sourceFingerprint(normalize(sourcePath))
+    if (Option(new org.apache.hadoop.fs.Path(sourcePath).toUri.getScheme)
+        .exists(_ != "file")) ""
+    else graft.ml.IndexCache.sourceFingerprint(normalize(sourcePath))
 
   /** The default rollup cache root — one definition shared by
     * [[register]], [[rehydrate]]'s scan, and [[deregister]]'s durable
@@ -114,7 +123,11 @@ object RollupRegistry {
     val dest = s"$cacheRoot/rollup_$key"
     val done = new org.apache.hadoop.fs.Path(s"$dest/_SUCCESS")
     val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) {
+    // an UNGUARDED source (sig "" — non-local path the local walk cannot
+    // fingerprint) contributes no staleness state to the key, so a
+    // cached dir under that key could be arbitrarily stale: an explicit
+    // register always rebuilds it (register IS the refresh job there)
+    if (sig.isEmpty || !fs.exists(done)) {
       // the build aggregation is EXACTLY the shape the rule matches — if
       // an older rollup of this same path is still registered, the build
       // would be rewritten to re-aggregate the stale rollup instead of
@@ -134,6 +147,10 @@ object RollupRegistry {
         .agg(count(lit(1)).as("_cnt"),
           measures.flatMap(m => Seq(
             sum(col(m).cast(DecimalType(18, 3))).as(s"_sum_$m"),
+            // per-measure NON-NULL count: avg divides by count(m), not
+            // count(*) — a nullable measure would otherwise re-aggregate
+            // to a silently smaller average (r16 review)
+            count(col(m)).as(s"_cntm_$m"),
             // per-cell min/max re-aggregate exactly for ANY orderable
             // measure type (order-free semilattice — no decimal
             // discipline needed), serving min(price)/max(ts) dashboards
@@ -181,9 +198,13 @@ object RollupRegistry {
     // tmp-file + ATOMIC_MOVE, matching AnnIndexRegistry's sidecar
     // discipline (ADVICE r15): a concurrent session rehydrating mid-write
     // must never read a truncated record (a plain truncate-then-write
-    // fails safe — a 30s cached miss — but breaks the atomic contract)
+    // fails safe — a 30s cached miss — but breaks the atomic contract).
+    // The tmp name MUST be underscore-prefixed: it lives inside the
+    // rollup PARQUET dir, and an unprefixed leftover (crash between
+    // create and move) would be read as a data file, failing every
+    // later scan of the rollup (r16 review).
     val dir = new java.io.File(entry.rollupPath)
-    val tmp = java.io.File.createTempFile("registration", ".tmp", dir)
+    val tmp = java.io.File.createTempFile("_registration", ".tmp", dir)
     java.nio.file.Files.write(tmp.toPath,
       lines.mkString("\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp.toPath,
@@ -388,7 +409,10 @@ object RollupRegistry {
               f.delete()
             }
             del(d)
-            removed += d.getPath
+            // report reclaimed only when the dir is actually gone — a
+            // partially-failed delete (open handle, permission) must
+            // not read as reclaimed in the procedure output (r16 review)
+            if (!d.exists()) removed += d.getPath
           }
         }
       }
@@ -506,25 +530,30 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
             .map(c => Max(c).toAggregateExpression())
         case _ => None
       }
-      // avg(CAST(m AS DECIMAL(18,3))) = sum(_sum_m) / sum(_cnt), spelled
-      // at EXACTLY the types Spark's own Average uses internally (sum at
+      // avg(CAST(m AS DECIMAL(18,3))) = sum(_sum_m) / sum(_cntm_m) —
+      // the divisor is the measure's NON-NULL count (Spark's Average
+      // ignores nulls; dividing by the group size would silently shrink
+      // the average of a nullable measure) — spelled at EXACTLY the
+      // types Spark's own Average uses internally (sum at
       // DECIMAL(28,3) = input precision + 10, count at DECIMAL(20,0),
       // divide, cast to the avg result type DECIMAL(22,7)) so the
       // half-up rounding at scale 7 is bit-identical to the fact-scan
-      // plan — pinned value-equal by RollupRewriteSpec and the oracle
-      // hash. A raw double avg never matches, same as raw double sum.
+      // plan — pinned value-equal by RollupRewriteSpec (incl. a
+      // null-bearing measure) and the oracle hash. A raw double avg
+      // never matches, same as raw double sum.
       case av: Average => av.child match {
         case cst: Cast if cst.dataType == DecimalType(18, 3) =>
           cst.child match {
             case m: AttributeReference if measureSet.contains(m.name) =>
-              byName.get(s"_sum_${m.name}").map { sumCol =>
-                Cast(Divide(
-                  Cast(Sum(sumCol).toAggregateExpression(),
-                    DecimalType(28, 3)),
-                  Cast(Sum(byName("_cnt")).toAggregateExpression(),
-                    DecimalType(20, 0))),
-                  ae.dataType)
-              }
+              for {
+                sumCol <- byName.get(s"_sum_${m.name}")
+                cntCol <- byName.get(s"_cntm_${m.name}")
+              } yield Cast(Divide(
+                Cast(Sum(sumCol).toAggregateExpression(),
+                  DecimalType(28, 3)),
+                Cast(Sum(cntCol).toAggregateExpression(),
+                  DecimalType(20, 0))),
+                ae.dataType)
             case _ => None
           }
         case _ => None
@@ -623,8 +652,8 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
     val measureSet = entry.measures.toSet
     val passthrough: Seq[Attribute] =
       rollup.output.filter(a => a.name == "_cnt" ||
-        a.name.startsWith("_sum_") || a.name.startsWith("_min_") ||
-        a.name.startsWith("_max_"))
+        a.name.startsWith("_sum_") || a.name.startsWith("_cntm_") ||
+        a.name.startsWith("_min_") || a.name.startsWith("_max_"))
 
     // per grouping set: kept slots remap (fact dim -> rollup column;
     // NULL / grouping-id literals verbatim); anything computed bails

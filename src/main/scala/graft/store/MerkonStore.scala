@@ -519,14 +519,15 @@ class MerkonStore(spark: SparkSession) {
       s"collection '$name' has no index — run buildIndex first " +
         "(the batch path is index-only; per-query exact search is " +
         "getNearestMatches)")
-    val allow = predicate.map(p =>
-      purgeEmptyKeys(current(name)).filter(p).select("key"))
+    // one filtered frame serves both sides: the allow-list that
+    // pre-filters the probe and the record fetch after it
+    val live = predicate.fold(purgeEmptyKeys(current(name)))(
+      purgeEmptyKeys(current(name)).filter)
+    val allow = predicate.map(_ => live.select("key"))
     val hits = graft.plans.AnnIndexRegistry.indexedKnnJoin(spark,
       indexedCollections(name), queries, k, allowedIds = allow)
       .select(col("q_id"), col("rank"),
         col("neighbor_id").as("key"), col("cos").as("score"))
-    val live = predicate.fold(purgeEmptyKeys(current(name)))(p =>
-      purgeEmptyKeys(current(name)).filter(p))
     project(live.join(hits, Seq("key")), withEmbeddings)
       .orderBy(col("q_id"), col("rank"))
   }

@@ -80,6 +80,29 @@ class RollupRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally RollupRegistry.clear()
   }
 
+  test("avg over a NULL-bearing measure divides by the non-null count (r16 review)") {
+    // Spark's Average ignores nulls; a rewrite dividing by the group
+    // size (_cnt) would silently shrink the average — the rollup stores
+    // the per-measure non-null count (_cntm_<m>) for exactly this
+    RollupRegistry.clear()
+    val dir = scratchDir("graft_rollup_nullavg")
+    import spark.implicits._
+    Seq(("A", Some(1.0)), ("A", None), ("A", Some(3.0)), ("A", None),
+        ("B", Some(5.0)), ("B", None))
+      .toDF("k", "m").write.mode("overwrite").parquet(dir)
+    def q = spark.read.parquet(dir).groupBy(col("k"))
+      .agg(avg(col("m").cast(DecimalType(18, 3))).as("a"),
+        min(col("m")).as("mn"), count(lit(1)).as("n"))
+    val exact = q.collect().map(_.toSeq).toSet // avg(A)=2.0 over 2, not 4
+    RollupRegistry.register(spark, dir, dims = Seq("k"), measures = Seq("m"))
+    try {
+      val p = planOf(q)
+      assert(p.contains("_cntm_m"), p)
+      assert(q.collect().map(_.toSeq).toSet == exact,
+        "null-bearing avg drifted off the fact scan (divided by _cnt?)")
+    } finally RollupRegistry.clear()
+  }
+
   test("kill switch and non-matching shapes keep the fact scan") {
     RollupRegistry.clear()
     RollupRegistry.register(spark, factPath,
