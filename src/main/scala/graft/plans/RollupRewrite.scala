@@ -42,6 +42,10 @@ import org.apache.spark.sql.types.DecimalType
  *    house exact spelling; a raw double sum/avg is NOT re-aggregable
  *    from partials and never matches — or min/max over the raw measure
  *    (exact for any orderable type, no decimal discipline needed);
+ *    output expressions may wrap those aggregates in any DETERMINISTIC
+ *    scalar computation (sum/count, max - min, count·k, casts) — the
+ *    aggregates re-aggregate value-identically and the scalar structure
+ *    is preserved verbatim, so the wrapper evaluates identically;
  *  - projects in the chain are pure column pruning.
  * Kill switch: `spark.graft.rollup.rewrite.enabled` = false.
  */
@@ -561,6 +565,34 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Rewrite a whole OUTPUT expression tree (r16): any DETERMINISTIC
+    * scalar computation over rewritable aggregates and mapped
+    * attributes — `sum(dec)/count(1)`, `count(1) * 100`,
+    * `max(m) - min(m)`, the house outer `.cast("double")` — rewrites by
+    * replacing each embedded [[AggregateExpression]] via
+    * [[rewriteAggFn]] and each attribute via `attr` (grouping-dim remap
+    * in the flat shape; Expand-attr passthrough in grouping sets),
+    * leaving the scalar structure verbatim. Sound because the embedded
+    * aggregates re-aggregate to VALUE-identical results and a
+    * deterministic scalar of identical inputs is identical; a
+    * nondeterministic wrapper (rand() jitter) evaluates per output row
+    * on both plans but must not ride an "exact" rewrite — declined.
+    * Any unmapped attribute or non-rewritable aggregate declines the
+    * whole plan (None). */
+  private def rewriteOutputExpr(e: Expression, byName: Map[String, Attribute],
+      measureSet: Set[String],
+      attr: AttributeReference => Option[Expression]): Option[Expression] =
+    e match {
+      case ae: AggregateExpression => rewriteAggFn(ae, byName, measureSet)
+      case a: AttributeReference => attr(a)
+      case _ if e.children.isEmpty => if (e.deterministic) Some(e) else None
+      case _ =>
+        if (!e.deterministic) return None
+        val kids = e.children.map(rewriteOutputExpr(_, byName, measureSet, attr))
+        if (kids.exists(_.isEmpty)) None
+        else Some(e.withNewChildren(kids.map(_.get)))
+    }
+
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val (conds, rel, entry) = walkToFact(agg.child).getOrElse(return None)
     val dimSet = entry.dims.toSet
@@ -578,20 +610,18 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
     val byName = rollup.output.map(o => o.name -> o).toMap
     val measureSet = entry.measures.toSet
 
-    // each output: a grouping dim, count(1), or the exact decimal sum --
-    // optionally under an outer Cast (the house `.cast("double")` spelling)
+    // each output: a grouping dim, or any deterministic scalar
+    // expression over rewritable aggregates and grouping dims
+    // ([[rewriteOutputExpr]] — covers the bare-agg and outer-Cast house
+    // spellings plus dashboard arithmetic like sum/count, max - min)
+    val dimRemap: AttributeReference => Option[Expression] = a =>
+      if (groupAttrs.exists(_.exprId == a.exprId)) byName.get(a.name) else None
     val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: AttributeReference if groupAttrs.exists(_.exprId == a.exprId) =>
         Alias(byName(a.name), a.name)(exprId = a.exprId)
-      case al @ Alias(ae: AggregateExpression, name) =>
-        Alias(rewriteAggFn(ae, byName, measureSet).getOrElse(return None),
-          name)(exprId = al.exprId)
-      case al @ Alias(outer: Cast, name) => outer.child match {
-        case ae: AggregateExpression =>
-          Alias(Cast(rewriteAggFn(ae, byName, measureSet).getOrElse(return None),
-            outer.dataType), name)(exprId = al.exprId)
-        case _ => return None
-      }
+      case al @ Alias(expr, name) =>
+        Alias(rewriteOutputExpr(expr, byName, measureSet, dimRemap)
+          .getOrElse(return None), name)(exprId = al.exprId)
       case _ => return None
     }
     val filtered = conds
@@ -669,18 +699,17 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
     }
     val newOutput: Seq[Attribute] = passthrough ++ keptIdx.map(_._1)
 
+    // outputs rewrite like the flat shape ([[rewriteOutputExpr]]), with
+    // the Expand-created attrs (kept dim copies + spark_grouping_id)
+    // passing through VERBATIM — they are reused in the new Expand.
+    // Never an un-rewritten aggregate: its value over cells could
+    // differ from its value over fact rows.
+    val keepRemap: AttributeReference => Option[Expression] = a =>
+      if (keepSet.contains(a)) Some(a) else None
     val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
-      case al @ Alias(ae: AggregateExpression, name) =>
-        Alias(rewriteAggFn(ae, byName, measureSet).getOrElse(return None),
-          name)(exprId = al.exprId)
-      case al @ Alias(outer: Cast, name)
-          if outer.child.isInstanceOf[AggregateExpression] =>
-        Alias(Cast(rewriteAggFn(outer.child.asInstanceOf[AggregateExpression],
-            byName, measureSet).getOrElse(return None),
-          outer.dataType), name)(exprId = al.exprId)
-      // grouping dims / grouping_id()-style outputs: reused attrs, so
-      // they pass through — but never an un-rewritten aggregate, whose
-      // value over cells could differ from its value over fact rows
+      case al @ Alias(expr, name) =>
+        Alias(rewriteOutputExpr(expr, byName, measureSet, keepRemap)
+          .getOrElse(return None), name)(exprId = al.exprId)
       case ne if ne.references.subsetOf(keepSet) &&
           !ne.exists(_.isInstanceOf[AggregateExpression]) => ne
       case _ => return None

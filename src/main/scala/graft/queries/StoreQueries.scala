@@ -603,6 +603,36 @@ object StoreQueries extends QueryPack {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // EXPRESSION navigation (r16): outputs wrapping the rewritable
+    // aggregates in deterministic scalar arithmetic — sum/count,
+    // count·k, max - min, the shapes real dashboards compute — rewrite
+    // by replacing the embedded aggregates and keeping the scalar
+    // structure verbatim (value-exact: the aggregates re-aggregate
+    // identically and double arithmetic over identical operands is
+    // deterministic). Nondeterministic wrappers decline
+    // (RollupRewriteSpec).
+    "store_rollup_rewrite_expr" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val factPath = s"$dir/orders.parquet"
+      graft.plans.RollupRegistry.register(s, factPath,
+        dims = Seq("o_orderstatus", "o_orderpriority"),
+        measures = Seq("o_totalprice"))
+      val naive = s.read.parquet(factPath)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          (sum(col("o_totalprice").cast(DecimalType(18, 3))).cast("double") /
+            count(lit(1))).as("avg_unit"),
+          (count(lit(1)) * 2).as("n2"),
+          (max(col("o_totalprice")) - min(col("o_totalprice")))
+            .as("price_range"))
+      val rewritten = naive.queryExecution.executedPlan.toString
+        .contains("_min_")
+      naive.select(col("o_orderstatus"), col("avg_unit"), col("n2"),
+          col("price_range"), lit(rewritten).as("rewritten"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Grouping-sets navigation (VERDICT r10 ask #7): the same registered
     // rollup serves a CUBE — all 2^2 grouping-set marginals — because
     // COUNT/DECIMAL-SUM re-aggregate exactly per set. The naive plan is
@@ -1085,6 +1115,18 @@ object StoreQueries extends QueryPack {
     "store_rollup_rewrite" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS total,
+        |  true AS rewritten
+        |FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // double arithmetic over exactly-equal operands (the VARCHAR-parsed
+    // exact decimal sum, raw doubles, counts) is correctly rounded and
+    // identical on both engines — no integer trickery needed here
+    "store_rollup_rewrite_expr" ->
+      """SELECT o_orderstatus,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE)
+        |    / count(*) AS avg_unit,
+        |  count(*) * 2 AS n2,
+        |  max(o_totalprice) - min(o_totalprice) AS price_range,
         |  true AS rewritten
         |FROM orders WHERE o_orderpriority <> '1-URGENT'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

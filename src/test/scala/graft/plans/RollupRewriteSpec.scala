@@ -80,6 +80,55 @@ class RollupRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally RollupRegistry.clear()
   }
 
+  test("scalar expressions over rewritable aggregates ride the rollup; nondeterministic wrappers decline (r16)") {
+    // dashboard arithmetic — sum/count, count*k, max - min — rewrites by
+    // replacing the embedded aggregates and keeping the scalar structure
+    // verbatim; value-exact because the aggregates re-aggregate exactly
+    RollupRegistry.clear()
+    def exprQ = spark.read.parquet(factPath)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        (sum(col("o_totalprice").cast(DecimalType(18, 3))).cast("double") /
+          count(lit(1))).as("avg_unit"),
+        (count(lit(1)) * 2).as("n2"),
+        (max(col("o_totalprice")) - min(col("o_totalprice"))).as("range"))
+    val exact = exprQ.collect().map(_.toSeq).toSet
+    RollupRegistry.register(spark, factPath,
+      dims = Seq("o_orderstatus", "o_orderpriority"),
+      measures = Seq("o_totalprice"))
+    try {
+      val p = planOf(exprQ)
+      assert(p.contains("_cnt") && p.contains("_min_"), p)
+      assert(exprQ.collect().map(_.toSeq).toSet == exact,
+        "expression outputs drifted off the fact scan")
+      // the CUBE path takes expression outputs too
+      def cubeExpr = spark.read.parquet(factPath)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg((max(col("o_totalprice")) - min(col("o_totalprice"))).as("r"))
+      val exactCube = {
+        spark.conf.set(RollupRewriteRule.ConfKey, "false")
+        try cubeExpr.collect().map(_.toSeq).toSet
+        finally spark.conf.set(RollupRewriteRule.ConfKey, "true")
+      }
+      assert(planOf(cubeExpr).contains("_min_"))
+      assert(cubeExpr.collect().map(_.toSeq).toSet == exactCube)
+      // a NONDETERMINISTIC wrapper must decline — it may not ride an
+      // "exact" rewrite even though the embedded aggregate could
+      val jittered = spark.read.parquet(factPath)
+        .groupBy(col("o_orderstatus"))
+        .agg((count(lit(1)) + (rand(7) * 0)).as("n"))
+      assert(!planOf(jittered).contains("_cnt"))
+      // DISTINCT navigation falls out: a dims-only distinct is an
+      // aggregate with no functions, served from the rollup's cells
+      val dist = spark.read.parquet(factPath)
+        .select("o_orderstatus").distinct()
+      assert(planOf(dist).contains("graft-rollup"), planOf(dist))
+      assert(dist.collect().map(_.getString(0)).sorted.toSeq ==
+        Seq("F", "O", "P"))
+    } finally RollupRegistry.clear()
+  }
+
   test("avg over a NULL-bearing measure divides by the non-null count (r16 review)") {
     // Spark's Average ignores nulls; a rewrite dividing by the group
     // size (_cnt) would silently shrink the average — the rollup stores
@@ -150,11 +199,15 @@ class RollupRewriteSpec extends AnyFunSuite with SparkTestBase {
         .agg(count(lit(1)).as("n"))
       assert(planOf(emptySel).contains("_cnt"), planOf(emptySel)) // it rewrites...
       assert(emptySel.collect().head.getLong(0) == 0L)            // ...and is exact
-      // count(NULL) counts zero rows — must NOT become the group size
+      // count(NULL) counts zero rows — must NOT become the group size.
+      // Spark folds count(lit(null)) to 0 before the rule fires, so the
+      // remaining plan (distinct groups + literal 0) may legitimately
+      // ride the rollup's cells (r16 expression outputs) — the VALUE is
+      // the fence; rewriteAggFn itself still declines a null-literal
+      // Count in any unfolded spelling
       val countNull = spark.read.parquet(factPath)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(null)).as("n"))
-      assert(!planOf(countNull).contains("_cnt"), planOf(countNull))
       assert(countNull.collect().forall(_.getLong(1) == 0L))
       // nondeterministic reference-free conjunct (sampling): evaluating
       // it per rollup CELL instead of per fact row changes semantics —
