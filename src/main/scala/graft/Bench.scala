@@ -71,11 +71,25 @@ object Bench {
       gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
       t
     }
-    def timed(name: String): (Double, Double) = {
+    // Second attribution axis (VERDICT r16 ask #4): JVM process CPU time
+    // consumed inside each timed run. local[N] executors are THREADS of
+    // this JVM, so process CPU ≈ the executor task-time sum — and CPU
+    // consumed is a property of the PLAN, while wall time is a property
+    // of the box. A wall-time spike with flat gc_sec AND flat cpu_sec
+    // self-identifies as box contention (another process stealing
+    // cycles: same work, stretched wall); cpu_sec growing with the wall
+    // means the plan really does more work. Decision rule in SCALE.md.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def cpuNanos: Long = math.max(0L, osBean.getProcessCpuTime)
+    final case class Run(wall: Double, gc: Double, cpu: Double)
+    def timed(name: String): Run = {
       val g0 = gcMillis
+      val c0 = cpuNanos
       val t0 = System.nanoTime()
       force(name)
-      ((System.nanoTime() - t0) / 1e9, (gcMillis - g0) / 1e3)
+      Run((System.nanoTime() - t0) / 1e9, (gcMillis - g0) / 1e3,
+        (cpuNanos - c0) / 1e9)
     }
     val results = names.map { name =>
       // drop cross-query cached state so query i+1 doesn't pay for (or
@@ -84,9 +98,9 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       val a = timed(name); val b = timed(name)
-      val best = if (math.abs(a._1 - b._1) / math.min(a._1, b._1) > 0.25)
-        Seq(a, b, timed(name)).minBy(_._1)
-      else Seq(a, b).minBy(_._1)
+      val best = if (math.abs(a.wall - b.wall) / math.min(a.wall, b.wall) > 0.25)
+        Seq(a, b, timed(name)).minBy(_.wall)
+      else Seq(a, b).minBy(_.wall)
       name -> best
     }
     // Session caches (near-dup pair table, exact top-k / exact-pair
@@ -96,13 +110,17 @@ object Bench {
     // sidecar sums to the TRUE session cost (VERDICT r11 ask #3).
     val shared = graft.util.SharedBuilds.snapshot.toSeq.sortBy(_._1)
       .map { case (n, sec) => s"_shared_build:$n" -> sec }
-    val times = results.map { case (n, (sec, _)) => n -> sec } ++ shared
+    val times = results.map { case (n, r) => n -> r.wall } ++ shared
     val qs = times.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // GC seconds observed INSIDE each winning timed run: the sidecar's
-    // own evidence for adjudicating a spike (gc_sec ~ the inflation =>
-    // JVM pressure; gc_sec ~ 0 => look at the plan)
-    val gcs = results.map { case (k, (_, gc)) => s"\"" + k + "\":" + gc }
+    // GC + CPU seconds observed INSIDE each winning timed run: the
+    // sidecar's own evidence for adjudicating a spike (gc_sec ~ the
+    // inflation => JVM pressure; gc_sec ~ 0 + cpu_sec flat vs baseline
+    // => box contention; cpu_sec grew with the wall => plan change —
+    // the three-outcome rule in SCALE.md)
+    val gcs = results.map { case (k, r) => s"\"" + k + "\":" + r.gc }
+      .mkString("{", ",", "}")
+    val cpus2 = results.map { case (k, r) => s"\"" + k + "\":" + r.cpu }
       .mkString("{", ",", "}")
     val total = times.map(_._2).sum
     // the driver's stdout tail can front-truncate the one-line JSON (r4 judge
@@ -114,7 +132,7 @@ object Bench {
     val sidecar = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse(if (only.isEmpty) Some("BENCH_QUERIES.json") else None)
     sidecar.foreach(p => java.nio.file.Files.write(java.nio.file.Paths.get(p),
-      s"""{"sf":"$sfDir","total_sec":$total,"queries":$qs,"gc_sec":$gcs}"""
+      s"""{"sf":"$sfDir","total_sec":$total,"queries":$qs,"gc_sec":$gcs,"cpu_sec":$cpus2}"""
         .getBytes("UTF-8")))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

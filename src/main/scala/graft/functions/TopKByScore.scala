@@ -26,6 +26,10 @@ case class Hit(score: Double, id: Long)
 class TopKByScore(k: Int) extends Aggregator[(Double, Long), Seq[Hit], Seq[Hit]] {
   require(k > 0, s"k must be positive, got $k")
 
+  /** The bound, readable by [[graft.plans.AnnIndexRule]]'s batch-kNN
+    * matcher (the aggregator instance is all the logical plan carries). */
+  private[graft] def kValue: Int = k
+
   private def lt(a: Hit, b: Hit): Boolean =
     a.score > b.score || (a.score == b.score && a.id < b.id)
 

@@ -152,17 +152,22 @@ object AnnIndexRegistry {
     }
     // fingerprint AFTER the artifact build: a source that changed while
     // the index job ran records the post-change state and the first
-    // serve-time re-check catches the drift (deregister + exact scan)
-    val fp = scala.util.Try(
-      graft.ml.IndexCache.sourceFingerprint(normalize(sourcePath)))
-      .getOrElse("")
+    // serve-time re-check catches the drift (deregister + exact scan).
+    // Locality-aware (r17): a remote-scheme corpus records the bounded
+    // Hadoop-listing signature instead of the blind local walk's
+    // constant hash — the staleness guard now holds on object storage
+    val fp = graft.ml.IndexCache.sourceSignature(
+      spark.sparkContext.hadoopConfiguration, sourcePath)
     val entry = Entry(path, idCol, embCol, nProbe, centroids, payloadCols,
       pqFam, servedK, fp)
     put(sourcePath, entry)
     // persist the registration beside the artifact so a FRESH session's
     // flagship rides the index without a re-CALL (rehydrate); best-effort
     // — a read-only artifact root degrades to session-local registration
-    if (fp.nonEmpty) persistRegistration(normalize(sourcePath), entry)
+    // the record stores the ORIGINAL (scheme-qualified) source path so
+    // rehydration/GC resolve the same FileSystem the registration did;
+    // scheme-less local spellings are unchanged (normalize = identity)
+    if (fp.nonEmpty) persistRegistration(sourcePath, entry)
     AnnIndexRule.install(spark)
     entry
   }
@@ -449,7 +454,10 @@ object AnnIndexRegistry {
       verifiedAt.get(key).exists(t => now - t >= 0 && now - t < ttlMs)
     }
     if (fresh) return Some(e)
-    scala.util.Try(graft.ml.IndexCache.sourceFingerprint(key)) match {
+    // re-check over the path AS PASSED — the rule passes the scan's own
+    // root string, so a remote corpus re-signs through its own FileSystem
+    scala.util.Try(graft.ml.IndexCache.sourceSignature(
+      SparkSession.active.sparkContext.hadoopConfiguration, path)) match {
       case scala.util.Success(fp) if fp == e.sourceFp =>
         entries.synchronized { verifiedAt(key) = now }
         Some(e)
@@ -559,8 +567,12 @@ object AnnIndexRegistry {
       entries.synchronized { rehydrateMissAt.put(key, now) }
       None
     }
-    val currentFp = scala.util.Try(
-      graft.ml.IndexCache.sourceFingerprint(key)).getOrElse("")
+    // signature over the path AS PASSED (scheme-qualified for a remote
+    // corpus — the same string register signed); records match on the
+    // normalized form so pre-r17 stripped-path records stay valid
+    val currentFp = scala.util.Try(graft.ml.IndexCache.sourceSignature(
+      SparkSession.active.sparkContext.hadoopConfiguration, path))
+      .getOrElse("")
     if (currentFp.isEmpty) return miss
     val candidates = roots.flatMap { root =>
       Option(new java.io.File(root).listFiles()).toSeq.flatten
@@ -569,7 +581,7 @@ object AnnIndexRegistry {
           val rec = new java.io.File(d, RegistrationRel)
           if (!rec.isFile) None
           else readRegistration(d)
-            .filter(r => r.source == key && r.sourceFp == currentFp)
+            .filter(r => normalize(r.source) == key && r.sourceFp == currentFp)
             .map(r => (d, rec.lastModified(), r))
         }
     }
@@ -615,7 +627,7 @@ object AnnIndexRegistry {
       Option(new java.io.File(graft.ml.IndexCache.DefaultIvfRoot).listFiles())
         .toSeq.flatten.filter(_.isDirectory)
         .foreach { d =>
-          if (readRegistration(d).exists(_.source == key))
+          if (readRegistration(d).exists(r => normalize(r.source) == key))
             new java.io.File(d, RegistrationRel).delete()
         }
     }
@@ -733,6 +745,13 @@ object AnnIndexRule extends Rule[LogicalPlan] {
         rewrite(s, thresholdOnly = true, limitK = 0).map { case (rel, replacement) =>
           s.transformUp { case r if r eq rel => replacement }
         }.getOrElse(s)
+      // batch query-TABLE kNN (r16 ask #6): the naive bulk-scoring plan
+      // — corpus × queries cross join, BARE cosine score, bounded
+      // TopKByScore per query — served from the registered index via the
+      // map-side centroid routing + ONE cell equi-join, exactly the
+      // spelling [[AnnIndexRegistry.indexedKnnJoin]] offers as an API
+      case agg: Aggregate =>
+        rewriteKnnJoin(agg).getOrElse(agg)
     }
 
   /** Match Project*(Sort(Project/Filter*(relation))) under the limit (or
@@ -907,6 +926,197 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     val byName = pruned.output.map(o => o.name -> o).toMap
     Some((rel, Project(outAttrs.map(a =>
       Alias(byName(a.name), a.name)(exprId = a.exprId)), pruned)))
+  }
+
+  /**
+   * The batch-kNN-join rewrite (VERDICT r16 ask #6): recognize the NAIVE
+   * bulk-scoring plan
+   *
+   *   Aggregate(q_key, TopKByScore(k)(cosine(corpusEmb, queryEmb),
+   *     corpusId), Project*(Join(no condition, corpus, queries)))
+   *
+   * over a REGISTERED corpus and swap the cross join's candidate set for
+   * the cell-routed one: each query row fans out map-side to its nProbe
+   * nearest cells (few-KiB centroid table in the task closure) and
+   * candidates arrive through ONE equi-join on `cell` against the
+   * cell-partitioned index table
+   * ([[graft.streaming.VectorStreams.candidateRows]] — the same plan the
+   * [[AnnIndexRegistry.indexedKnnJoin]] API builds). The aggregate and
+   * every expression above the join are untouched: the original score
+   * expression re-computes exactly over the narrowed set, so the swap
+   * changes RECALL (the ≥ 0.9 AnnRecallSpec contract), never scores —
+   * at 100 TB, |Q| × nProbe cells scored instead of |Q| × corpus.
+   *
+   * Soundness gates (anything else keeps the exact plan):
+   *  - one grouping attribute (LONG), owned by the query side; exactly
+   *    one aggregate — the TopKByScore over (BARE cosine, corpus id
+   *    attribute). The bare-cosine requirement is the same intent signal
+   *    the flagship match uses: the house EXACT spellings score through
+   *    `round6`, so they can never match (`knn_join` stays the oracle-
+   *    exact baseline; `ann_indexed_knn_join` spells the bare form);
+   *  - only Projects between the aggregate and a condition-less
+   *    inner/cross Join (a Filter could reference score or payload —
+   *    declined), neither side streaming;
+   *  - the corpus side walks through pure Projects to one registered
+   *    scan touching only the registered id (LONG) and embedding
+   *    columns; the query side is OPAQUE (evaluated as-is — any filter/
+   *    subquery producing the query table rides along), contributing
+   *    only the grouping key and an ARRAY<FLOAT> embedding;
+   *  - probe width: the registered nProbe, over-probed ceil(p·k/servedK)
+   *    for a k deeper than the registered calibration — the same dials
+   *    as the API path.
+   */
+  private def rewriteKnnJoin(agg: Aggregate): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    import org.apache.spark.sql.execution.aggregate.ScalaAggregator
+    // -- structural gates, cheapest first (this case sees EVERY Aggregate
+    // in every plan: nothing below may touch the registry or a FS)
+    val qKey = agg.groupingExpressions match {
+      case Seq(a: AttributeReference) if a.dataType == LongType => a
+      case _ => return None
+    }
+    // every output is a DETERMINISTIC expression whose embedded
+    // aggregates are ALL TopKByScore (the optimizer pushes struct-field
+    // extraction INTO the aggregate list — `topkbyscore(...).id AS
+    // _extract_id` — so the aggregate may arrive wrapped, and a consumer
+    // reading both .id and .score arrives as TWO copies of the same
+    // aggregate) and whose attribute references OUTSIDE those aggregates
+    // are the grouping key only. The wrappers stay above the candidate
+    // swap untouched, so they evaluate identically over the narrowed set.
+    val topks = scala.collection.mutable.ArrayBuffer
+      .empty[ScalaAggregator[_, _, _]]
+    agg.aggregateExpressions.foreach { ne =>
+      if (!ne.deterministic) return None
+      def scan(e: Expression): Boolean = e match {
+        case AggregateExpression(sa: ScalaAggregator[_, _, _], _, false, None, _)
+            if sa.agg.isInstanceOf[graft.functions.TopKByScore] &&
+              sa.children.size == 2 =>
+          topks += sa; true
+        case _: AggregateExpression => false
+        case a: AttributeReference => a.exprId == qKey.exprId
+        case other => other.children.forall(scan)
+      }
+      if (!scan(ne)) return None
+    }
+    if (topks.isEmpty) return None
+    val sa = topks.head
+    val k = topks.map(_.agg.asInstanceOf[graft.functions.TopKByScore].kValue).max
+    // walk Projects down to the condition-less join, collecting aliases
+    var aliases = Map.empty[ExprId, Expression]
+    var refs = AttributeSet(agg.references.toSeq)
+    var cur = agg.child
+    var join: Join = null
+    while (join == null) cur match {
+      case p @ Project(list, c) =>
+        aliases ++= list.collect { case al: Alias => al.exprId -> al.child }
+        refs ++= p.references; cur = c
+      case j: Join if j.condition.isEmpty &&
+          (j.joinType == org.apache.spark.sql.catalyst.plans.Inner ||
+            j.joinType == org.apache.spark.sql.catalyst.plans.Cross) &&
+          !j.left.isStreaming && !j.right.isStreaming => join = j
+      case _ => return None
+    }
+    // the score must resolve to a BARE cosine over one attribute from
+    // each side; the id to a corpus-side attribute
+    val (corpusEmb, queryEmb) =
+      resolveThrough(sa.children.head, aliases) match {
+        case CosineSimilarity(a: AttributeReference, b: AttributeReference) =>
+          if (join.left.outputSet.contains(a) == join.left.outputSet.contains(b))
+            return None
+          (a, b)
+        case _ => return None
+      }
+    val corpusId = resolveThrough(sa.children(1), aliases) match {
+      case a: AttributeReference if a.dataType == LongType => a
+      case _ => return None
+    }
+    // every TopKByScore in the output list must rank the SAME
+    // (score, id) pair — duplicated copies from field extraction do;
+    // a second top-k over a different score would need its own routing
+    if (!topks.forall(t =>
+        resolveThrough(t.children.head, aliases)
+          .semanticEquals(resolveThrough(sa.children.head, aliases)) &&
+        resolveThrough(t.children(1), aliases)
+          .semanticEquals(corpusId))) return None
+    // orient: the corpus side owns (emb, id); the query side owns
+    // (grouping key, query emb)
+    val corpusLeft = join.left.outputSet.contains(corpusEmb)
+    val (corpusPlan, queryPlan) =
+      if (corpusLeft) (join.left, join.right) else (join.right, join.left)
+    if (!corpusPlan.outputSet.contains(corpusId) ||
+      !queryPlan.outputSet.contains(qKey) ||
+      !queryPlan.outputSet.contains(queryEmb) ||
+      corpusEmb.exprId == queryEmb.exprId) return None
+    if (!queryEmb.dataType.isInstanceOf[ArrayType] ||
+      queryEmb.dataType.asInstanceOf[ArrayType].elementType != FloatType)
+      return None
+    // nothing above the join may reference any OTHER join output
+    val allowed = Set(qKey.exprId, queryEmb.exprId, corpusId.exprId,
+      corpusEmb.exprId)
+    if (!refs.filter(join.outputSet.contains)
+        .forall(a => allowed.contains(a.exprId))) return None
+    // corpus side: pure Projects down to one registered scan, touching
+    // only the registered id/emb columns
+    var cAliases = Map.empty[ExprId, Expression]
+    var cRefs = AttributeSet(Seq(corpusEmb, corpusId))
+    cur = corpusPlan
+    var rel: LogicalPlan = null
+    var relOutput: Seq[Attribute] = null
+    var rootPath: String = null
+    while (rel == null) cur match {
+      case p @ Project(list, c) =>
+        cAliases ++= list.collect { case al: Alias => al.exprId -> al.child }
+        cRefs ++= p.references; cur = c
+      case leaf if scanRoot(leaf).isDefined =>
+        val (out, root) = scanRoot(leaf).get
+        rel = leaf; relOutput = out; rootPath = root
+      case _ => return None
+    }
+    val relEmb = resolveThrough(corpusEmb, cAliases) match {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    val relId = resolveThrough(corpusId, cAliases) match {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    val relOut = AttributeSet(relOutput)
+    if (!cRefs.filter(relOut.contains).forall(a =>
+        a.exprId == relEmb.exprId || a.exprId == relId.exprId)) return None
+    // -- structural match complete; registry resolution only now
+    val entry = AnnIndexRegistry.lookupFresh(rootPath, staleCheckMs)
+      .orElse(AnnIndexRegistry.rehydrate(rootPath))
+      .getOrElse(return None)
+    if (relEmb.name != entry.embCol || relId.name != entry.idCol) return None
+    val spark = SparkSession.active
+    val built = scala.util.Try(IvfIndex.load(spark, entry.indexPath))
+      .getOrElse(return None)
+    // non-long corpus keys serve through the API's surrogate mapping,
+    // not the rule (the naive spelling's TopKByScore is long-keyed
+    // already, so a matched plan is long-keyed by construction)
+    if (built.assigned.schema("id").dataType != LongType) return None
+    val k2k =
+      if (entry.servedK > 0 && k > entry.servedK) k.toDouble / entry.servedK
+      else 1.0
+    val p = math.min(entry.centroids.length,
+      math.ceil(entry.nProbe * k2k).toInt)
+    // the replacement: query side evaluated AS-IS under canonical names,
+    // routed map-side, one equi-join on cell — then the four attrs the
+    // plan above references, bound back onto their original exprIds
+    val qPlan = Project(Seq(
+      Alias(qKey, "q_id")(), Alias(queryEmb, "q_emb")()), queryPlan)
+    val qdf = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, qPlan)
+    val cand = graft.streaming.VectorStreams.candidateRows(qdf, built, p)
+    // optimize the subtree now (same reasoning as the flagship splice:
+    // the outer plan's pushdown phase has already run)
+    val pruned = cand.queryExecution.optimizedPlan
+    val orig = Map("q_id" -> qKey, "q_emb" -> queryEmb,
+      "id" -> corpusId, "emb" -> corpusEmb)
+    val projList = pruned.output.map { o =>
+      val a = orig(o.name)
+      Alias(o, a.name)(exprId = a.exprId)
+    }
+    Some(agg.transformUp { case j if j eq join => Project(projList, pruned) })
   }
 
   /**

@@ -67,15 +67,21 @@ object RollupRegistry {
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
   /** The rollup dir key for (normalized fact path, dims, measures, fact
-    * signature). "v3" is the cell-schema version (r16 added per-cell
-    * _min_/_max_ and non-null _cntm_ columns): folding it in retires
-    * older-schema dirs instead of serving them with the wider measure
-    * surface — [[gc]] recomputes this from each dir's record and
-    * reclaims name mismatches. */
+    * signature). The trailing token is the cell-schema VERSION (r16 "v3"
+    * added per-cell _min_/_max_ and non-null _cntm_ columns; r17 "v4"
+    * changed _cntm_ to count the measure's DECIMAL(18,3) cast — ADVICE
+    * r16: Spark's `Average` counts non-null values of its CAST child, so
+    * a NaN/Infinity/overflowing double that casts to null must be
+    * excluded from the divisor exactly as the fact-scan average excludes
+    * it): folding it in retires older-schema dirs instead of serving
+    * them with drifted semantics — [[gc]] recomputes this from each
+    * dir's record and reclaims name mismatches. */
+  private val CellSchemaVersion = "v4"
+
   private def cacheKey(sourceKey: String, dims: Seq[String],
       measures: Seq[String], sig: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
-      .digest(((((sourceKey +: dims) ++ measures :+ sig) :+ "v3")
+      .digest(((((sourceKey +: dims) ++ measures :+ sig) :+ CellSchemaVersion)
         mkString "|")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
@@ -88,26 +94,27 @@ object RollupRegistry {
     * changed/appended fact at the same path builds a FRESH rollup
     * instead of silently serving stale aggregates while the rule claims
     * exactness — and re-checked per TTL expiry by [[lookupFresh]].
-    * Delegates to [[graft.ml.IndexCache.sourceFingerprint]] (the ANN
-    * guard's recursive java.io walk + 64 KiB head-CRCs), replacing the
-    * pre-r16 Hadoop `listFiles(recursive)` pass: measured on this box,
-    * the Hadoop lister costs ~5 ms/file through RawLocalFileSystem's
-    * per-file stat (45 s at a 10k-file fact dir, 133 s at 20k — an
-    * optimizer-time wall per TTL expiry at exactly the file counts a
-    * partitioned fact reaches), while the fingerprint walk is
-    * ~30 µs/file (0.32 s at 10k, 0.52 s at 20k) AND catches same-size
-    * in-place rewrites the mtime-only signature missed. Numbers in
-    * SCALE.md ("Staleness-guard pricing"). NON-LOCAL paths (hdfs://,
-    * s3a://, …) return "" — the unguarded-legacy marker: the java.io
-    * walk cannot see them, and hashing its empty listing would make the
-    * guard permanently satisfied (stale cells serving as "exact") and
-    * [[gc]] treat a live remote fact as nonexistent (r16 review). Such
-    * registrations serve under the documented MV-snapshot contract,
-    * session-local, exactly like the ANN side's unguarded entries. */
+    * Delegates to [[graft.ml.IndexCache.sourceSignature]] (r17), which
+    * resolves LOCALITY through the path's Hadoop FileSystem — the way
+    * the Spark read resolves it, so a scheme-less path on a remote
+    * `fs.defaultFS` is guarded by the remote listing rather than by a
+    * java.io walk over an empty local dir (ADVICE r16: that constant
+    * hash left the guard permanently satisfied and [[gc]] treating the
+    * live fact as missing). Local paths keep the ~30 µs/file
+    * fingerprint walk (length + mtime + 64 KiB head-CRC, same format as
+    * pre-r17 so persisted registrations stay valid — the pre-r16 Hadoop
+    * `listFiles` pass cost ~5 ms/file, a 45 s optimizer wall at 10k
+    * files, SCALE.md "Staleness-guard pricing"); remote schemes get ONE
+    * bounded recursive listing (relpath + length + mtime per file, no
+    * per-file reads over the network — object stores batch ~1000
+    * entries/RPC), so at 100 TB the serve-time staleness story holds on
+    * exactly the storage the fact lives on. "" (the unguarded-legacy
+    * marker: register always rebuilds, serves session-local under the
+    * documented MV-snapshot contract) only when the signature cannot be
+    * computed at all or the source holds zero data files. */
   private def sourceSignature(spark: SparkSession, sourcePath: String): String =
-    if (Option(new org.apache.hadoop.fs.Path(sourcePath).toUri.getScheme)
-        .exists(_ != "file")) ""
-    else graft.ml.IndexCache.sourceFingerprint(normalize(sourcePath))
+    graft.ml.IndexCache.sourceSignature(
+      spark.sparkContext.hadoopConfiguration, sourcePath)
 
   /** The default rollup cache root — one definition shared by
     * [[register]], [[rehydrate]]'s scan, and [[deregister]]'s durable
@@ -131,6 +138,7 @@ object RollupRegistry {
     // fingerprint) contributes no staleness state to the key, so a
     // cached dir under that key could be arbitrarily stale: an explicit
     // register always rebuilds it (register IS the refresh job there)
+    val entry = Entry(dest, dims, measures, sig)
     if (sig.isEmpty || !fs.exists(done)) {
       // the build aggregation is EXACTLY the shape the rule matches — if
       // an older rollup of this same path is still registered, the build
@@ -146,23 +154,8 @@ object RollupRegistry {
       // speedup, never a staleness hazard. `deregister` remains the
       // user-facing durable revocation.
       unregisterInMemory(sourcePath)
-      spark.read.parquet(sourcePath)
-        .groupBy(dims.map(col): _*)
-        .agg(count(lit(1)).as("_cnt"),
-          measures.flatMap(m => Seq(
-            sum(col(m).cast(DecimalType(18, 3))).as(s"_sum_$m"),
-            // per-measure NON-NULL count: avg divides by count(m), not
-            // count(*) — a nullable measure would otherwise re-aggregate
-            // to a silently smaller average (r16 review)
-            count(col(m)).as(s"_cntm_$m"),
-            // per-cell min/max re-aggregate exactly for ANY orderable
-            // measure type (order-free semilattice — no decimal
-            // discipline needed), serving min(price)/max(ts) dashboards
-            min(col(m)).as(s"_min_$m"),
-            max(col(m)).as(s"_max_$m"))): _*)
-        .write.mode("overwrite").parquet(dest)
-    }
-    val entry = Entry(dest, dims, measures, sig)
+      buildCells(spark, sourcePath, dims, measures, cacheRoot, dest, entry)
+    } else lastBuildKindVar = "cached"
     entries.synchronized {
       val k = normalize(sourcePath)
       entries.put(k, entry)
@@ -172,9 +165,175 @@ object RollupRegistry {
       // the rule and primes the miss cache before any record exists)
       rehydrateMissAt.remove(k)
     }
-    if (sig.nonEmpty) persistRegistration(spark, normalize(sourcePath), entry)
+    // normally redundant (the staging publish carries the record inside
+    // the dir) but self-healing for pre-r17 dirs or a record deleted by
+    // hand — idempotent REPLACE_EXISTING write. The record stores the
+    // ORIGINAL (scheme-qualified) source path: [[gc]]'s liveness check
+    // and a later register's delta probe must resolve the same
+    // FileSystem the registration did, not the default FS under the
+    // stripped path (scheme-less local spellings are unchanged —
+    // normalize is identity there)
+    if (sig.nonEmpty) persistRegistration(spark, sourcePath, entry)
     RollupRewriteRule.install(spark)
     entry
+  }
+
+  /** How the LAST [[register]] call produced its cells — "full" (fact
+    * rescan), "incremental" (delta-files-only aggregate merged into an
+    * existing rollup's cells), or "cached" (current dir reused, no
+    * build). Observability for specs, the oracle query, and the
+    * `rollup_stats` procedure; not part of the serve path. */
+  @volatile private var lastBuildKindVar: String = "full"
+  def lastBuildKind: String = lastBuildKindVar
+
+  // manifest of the exact fact files a rollup's cells ingested (the
+  // fingerprint's own per-file entry lines) — what a later register
+  // reads to classify the fact's change as insert-only vs update/delete.
+  // Underscore-prefixed: lives inside the cells' parquet dir.
+  private val ManifestRel = "_rollup_manifest.txt"
+
+  private def readManifest(dir: java.io.File): Option[Set[String]] =
+    scala.util.Try {
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, ManifestRel).toPath), "UTF-8")
+        .split("\n").filter(_.nonEmpty).toSet
+    }.toOption
+
+  /** The one aggregation that defines the cell schema (CellSchemaVersion
+    * "v4"): `_cnt` group size, per measure the exact DECIMAL(28,3)
+    * `_sum_`, the `_cntm_` divisor for avg — counting the measure's
+    * DECIMAL(18,3) CAST, matching Spark's `Average` null semantics
+    * exactly (a NaN/Infinity/overflowing double casts to null and is
+    * excluded from the fact-scan average, so it must be excluded from
+    * the divisor too; ADVICE r16) — and the `_min_`/`_max_`
+    * semilattice pair over the raw measure. */
+  private def aggregateCells(fact: org.apache.spark.sql.DataFrame,
+      dims: Seq[String], measures: Seq[String]): org.apache.spark.sql.DataFrame =
+    fact.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("_cnt"),
+        measures.flatMap(m => Seq(
+          sum(col(m).cast(DecimalType(18, 3))).as(s"_sum_$m"),
+          count(col(m).cast(DecimalType(18, 3))).as(s"_cntm_$m"),
+          min(col(m)).as(s"_min_$m"),
+          max(col(m)).as(s"_max_$m"))): _*)
+
+  /**
+   * Produce and PUBLISH the cells for a registration — the r17 build
+   * path closing two VERDICT asks at once:
+   *
+   *  - **O(delta) refresh** (ask #1): when a complete current-schema
+   *    rollup for the same (fact, dims, measures) exists whose recorded
+   *    file manifest is a strict subset of the live fact's files (the
+   *    insert-only mutation wave — exactly [[graft.ml.IndexCache]]'s
+   *    `growFrom` probe), the delta files ALONE are aggregated and
+   *    merged into the existing cells: `_cnt`/`_sum_`/`_cntm_` add,
+   *    `_min_`/`_max_` semilattice-merge — the `store_mv_incremental`
+   *    fold, value-equal to a from-scratch build because every cell
+   *    column is an order-free commutative monoid (pinned by
+   *    RollupRewriteSpec + the `store_rollup_refresh_incremental`
+   *    oracle hash). A delete/update wave (some ingested entry changed
+   *    or gone) keeps the full rebuild: min/max cannot retract. At a
+   *    daily-appending 100 TB fact this turns the per-mutation refresh
+   *    bill from a full rescan into |delta files| + |cells|.
+   *  - **staging publish** (ask #5): cells, manifest, and the
+   *    registration record are written to a process-unique
+   *    `.build-<pid>-…` staging dir and atomically renamed into place
+   *    ([[graft.ml.IndexCache.publish]], with its lost-race
+   *    discipline), so a published dir ALWAYS carries its record —
+   *    no crash window between cell write and registration — and [[gc]]
+   *    can reap crashed builders' staging dirs by dead-pid without ever
+   *    judging recordless published dirs (those stay foreign, kept).
+   */
+  private def buildCells(spark: SparkSession, sourcePath: String,
+      dims: Seq[String], measures: Seq[String], cacheRoot: String,
+      dest: String, entry: Entry): Unit = {
+    val staging = new java.io.File(
+      s"$dest.build-${java.lang.ProcessHandle.current().pid()}-${System.nanoTime()}")
+    try {
+      val src = normalize(sourcePath)
+      // delta classification runs on LOCAL-format signatures only (the
+      // manifest records the local walk's entries); a remote fact's
+      // register is the full-rebuild refresh job, as documented
+      val curEntries: Seq[(String, String)] =
+        if (entry.sourceSig.startsWith("h1:") || entry.sourceSig.isEmpty) Seq.empty
+        else scala.util.Try(graft.ml.IndexCache.sourceEntries(src))
+          .getOrElse(Seq.empty)
+      val curSet = curEntries.map(_._1).toSet
+      val base = Option(new java.io.File(cacheRoot).listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith("rollup_") &&
+          !d.getName.contains(".build-"))
+        .flatMap { d =>
+          for {
+            r <- readRegistration(d)
+            if normalize(r.source) == src && r.dims == dims &&
+              r.measures == measures
+            // same cell-schema version only: the dir publishes under the
+            // key its own record derives with TODAY's version constant
+            if d.getName == s"rollup_${cacheKey(normalize(r.source),
+              r.dims, r.measures, r.sourceSig)}"
+            if new java.io.File(d, "_SUCCESS").isFile
+            ingested <- readManifest(d)
+            if ingested.nonEmpty && ingested.subsetOf(curSet) &&
+              ingested.size < curSet.size
+          } yield (d, ingested)
+        }.sortBy(-_._2.size).headOption
+      val cells = base match {
+        case Some((old, ingested)) =>
+          lastBuildKindVar = "incremental"
+          val deltaPaths = curEntries.filterNot(e => ingested(e._1)).map(_._2)
+          // basePath keeps hive-partition dim columns in the delta read
+          val delta = aggregateCells(
+            spark.read.option("basePath", sourcePath).parquet(deltaPaths: _*),
+            dims, measures)
+          // the partial-merge fold: every cell column re-aggregates from
+          // partials exactly (counts/sums add — `_sum_` back-cast to its
+          // DECIMAL(28,3) cell type, overflow behaving as the fact
+          // scan's own Sum would — min/max idempotent-merge; nulls skip
+          // on both sides exactly as the fact scan skips null rows)
+          spark.read.parquet(old.getPath).unionByName(delta)
+            .groupBy(dims.map(col): _*)
+            .agg(sum(col("_cnt")).as("_cnt"),
+              measures.flatMap(m => Seq(
+                sum(col(s"_sum_$m")).cast(DecimalType(28, 3)).as(s"_sum_$m"),
+                sum(col(s"_cntm_$m")).as(s"_cntm_$m"),
+                min(col(s"_min_$m")).as(s"_min_$m"),
+                max(col(s"_max_$m")).as(s"_max_$m"))): _*)
+        case None =>
+          lastBuildKindVar = "full"
+          aggregateCells(spark.read.parquet(sourcePath), dims, measures)
+      }
+      cells.write.mode("overwrite").parquet(staging.getPath)
+      if (curSet.nonEmpty)
+        java.nio.file.Files.write(
+          new java.io.File(staging, ManifestRel).toPath,
+          curEntries.map(_._1).mkString("\n").getBytes("UTF-8"))
+      if (entry.sourceSig.nonEmpty) {
+        // record INSIDE the staging dir, published atomically with the
+        // cells — rollupPath in the record is implicit (the dir itself)
+        writeRegistrationInto(staging, src, entry)
+      }
+    } catch {
+      case t: Throwable =>
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del)); f.delete()
+        }
+        del(staging)
+        throw t
+    }
+    // buildCells only runs when dest is absent, incomplete, or an
+    // UNGUARDED (sig "") dir whose register-time contract is "always
+    // rebuild" — in every case the fresh build supersedes whatever sits
+    // at dest, so clear it before the atomic rename (publish's
+    // lost-race path would otherwise serve the stale complete dir and
+    // discard the rebuild)
+    val target = new java.io.File(dest)
+    if (target.exists()) {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del)); f.delete()
+      }
+      del(target)
+    }
+    graft.ml.IndexCache.publish(staging, target, "_SUCCESS")
   }
 
   // ---- persisted registrations (the ANN registry's r15 durability,
@@ -188,11 +347,23 @@ object RollupRegistry {
   // and anything unprefixed there would be read as a parquet data file
   private val RegistrationRel = "_rollup_registration.txt"
 
+  // a durably-revoked registration's record, renamed aside by
+  // [[deregister]]: invisible to [[rehydrate]]/[[statsRows]] (revocation
+  // holds across sessions) but proof to [[gc]] that the dir is OURS and
+  // reclaimable at the age bar — without it every deregister leaked one
+  // foreign-looking dir into the shared root
+  private val RevokedRel = "_rollup_registration.revoked"
+
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
   private def persistRegistration(spark: SparkSession, sourceKey: String,
       entry: Entry): Unit = scala.util.Try {
+    writeRegistrationInto(new java.io.File(entry.rollupPath), sourceKey, entry)
+  }
+
+  private def writeRegistrationInto(dir: java.io.File, sourceKey: String,
+      entry: Entry): Unit = {
     val lines = Seq(
       "v=1",
       s"source=${enc(sourceKey)}",
@@ -207,7 +378,6 @@ object RollupRegistry {
     // rollup PARQUET dir, and an unprefixed leftover (crash between
     // create and move) would be read as a data file, failing every
     // later scan of the rollup (r16 review).
-    val dir = new java.io.File(entry.rollupPath)
     val tmp = java.io.File.createTempFile("_registration", ".tmp", dir)
     java.nio.file.Files.write(tmp.toPath,
       lines.mkString("\n").getBytes("UTF-8"))
@@ -215,6 +385,10 @@ object RollupRegistry {
       new java.io.File(dir, RegistrationRel).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // a re-registered dir is live again: a lingering revoked marker from
+    // an earlier deregister would hand the dir to gc despite the fresh
+    // record (the live record wins, but the marker is now stale noise)
+    new java.io.File(dir, RevokedRel).delete()
   }
 
   private final case class Reg(source: String, dims: Seq[String],
@@ -260,8 +434,11 @@ object RollupRegistry {
       entries.synchronized { rehydrateMissAt.put(key, now) }
       None
     }
+    // signature over the path AS PASSED (scheme-qualified for remote
+    // facts — the same string register signed); records match on the
+    // normalized form so pre-r17 stripped-path records stay valid
     val currentSig = scala.util.Try(
-      sourceSignature(SparkSession.active, key)).getOrElse("")
+      sourceSignature(SparkSession.active, path)).getOrElse("")
     if (currentSig.isEmpty) return miss
     val candidates = roots.flatMap { root =>
       Option(new java.io.File(root).listFiles()).toSeq.flatten
@@ -270,7 +447,7 @@ object RollupRegistry {
           val rec = new java.io.File(d, RegistrationRel)
           if (!rec.isFile) None
           else readRegistration(d)
-            .filter(r => r.source == key && r.sourceSig == currentSig)
+            .filter(r => normalize(r.source) == key && r.sourceSig == currentSig)
             .map(r => (d, rec.lastModified(), r))
         }
     }
@@ -308,7 +485,9 @@ object RollupRegistry {
       verifiedAt.get(key).exists(t => now - t >= 0 && now - t < ttlMs)
     }
     if (fresh) return Some(e)
-    scala.util.Try(sourceSignature(SparkSession.active, key)) match {
+    // re-check over the path AS PASSED — the rule passes the scan's own
+    // root string, so a remote fact re-signs through its own FileSystem
+    scala.util.Try(sourceSignature(SparkSession.active, path)) match {
       case scala.util.Success(sig) if sig == e.sourceSig =>
         entries.synchronized { verifiedAt(key) = now }
         Some(e)
@@ -331,15 +510,26 @@ object RollupRegistry {
 
   /** Remove a registration — DURABLY (persisted records for this source
     * in the default root go too, so [[rehydrate]] cannot resurrect an
-    * explicit revocation); `clear()` stays session-local by design. */
+    * explicit revocation); `clear()` stays session-local by design.
+    * The record is RENAMED to [[RevokedRel]], not deleted (r17): a
+    * deleted record turned the cells dir into a foreign recordless dir
+    * [[gc]] keeps forever — every deregister leaked one dir into the
+    * shared root (observed: 96 of 98 dirs in a three-round-old cache
+    * root were exactly these orphans). The marker keeps revocation
+    * durable (rehydrate reads only the live name) while telling gc the
+    * dir is OURS and reclaimable at the age bar. */
   def deregister(sourcePath: String): Unit = {
     val key = unregisterInMemory(sourcePath)
     scala.util.Try {
       Option(new java.io.File(DefaultCacheRoot).listFiles())
         .toSeq.flatten.filter(_.isDirectory)
         .foreach { d =>
-          if (readRegistration(d).exists(_.source == key))
-            new java.io.File(d, RegistrationRel).delete()
+          if (readRegistration(d).exists(r => normalize(r.source) == key)) {
+            val rec = new java.io.File(d, RegistrationRel)
+            val revoked = new java.io.File(d, RevokedRel)
+            revoked.delete()
+            if (!rec.renameTo(revoked)) rec.delete()
+          }
         }
     }
   }
@@ -348,6 +538,30 @@ object RollupRegistry {
     entries.clear()
     verifiedAt.clear()
     rehydrateMissAt.clear()
+  }
+
+  /** The `rollup_stats` procedure's row source (the
+    * [[AnnIndexRegistry.statsRows]] twin): for a registered fact path —
+    * rehydrating a persisted registration first, so a fresh SQL session
+    * can inspect without a re-CALL — one row of (rollup dir, dims,
+    * measures, cell count, cell bytes, guarded, last build kind). Cell
+    * count/bytes come from the dir's parquet footers + file lengths
+    * (driver-side metadata, no job); `guarded` = the registration
+    * carries a fact signature the serve-time staleness check re-verifies
+    * (an unguarded "" entry serves under the MV-snapshot contract). */
+  def statsRows(spark: SparkSession, sourcePath: String)
+      : Seq[(String, String, String, Long, Long, Boolean)] = {
+    val e = lookup(sourcePath)
+      .orElse(rehydrate(sourcePath, Seq(DefaultCacheRoot)))
+      .getOrElse(return Seq.empty)
+    val dir = new java.io.File(e.rollupPath)
+    val files = Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val bytes = files.map(_.length()).sum
+    val cells = scala.util.Try(
+      spark.read.parquet(e.rollupPath).count()).getOrElse(-1L)
+    Seq((e.rollupPath, e.dims.mkString(","), e.measures.mkString(","),
+      cells, bytes, e.sourceSig.nonEmpty))
   }
 
   /** Every rollup dir a live registration still references — the set
@@ -391,33 +605,77 @@ object RollupRegistry {
     val keepAbs = keep.map(p => new java.io.File(p).getAbsolutePath)
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
     // live signature per fact dir, computed once per sweep; None = could
-    // not compute (transient FS error) — never grounds for reclamation
-    // on an EXISTING fact dir (the missing-dir case is checked apart)
+    // not compute (transient FS error) — never grounds for reclamation.
+    // The resolver (r17) returns Some("") for a MISSING or emptied fact
+    // dir — local or remote, resolved through the path's Hadoop FS —
+    // which mismatches every persisted record (records only exist under
+    // non-empty signatures), so a vanished fact reclaims without a
+    // locality-blind java.io exists() probe (ADVICE r16: that probe
+    // read a live REMOTE fact as missing and reclaimed its dirs).
     val sigCache = scala.collection.mutable.Map.empty[String, Option[String]]
     def liveSig(source: String): Option[String] =
       sigCache.getOrElseUpdate(source,
-        scala.util.Try(sourceSignature(SparkSession.active, source)).toOption)
-    Option(new java.io.File(cacheRoot).listFiles()).toSeq.flatten
-      .filter(d => d.isDirectory && d.getName.startsWith("rollup_"))
-      .foreach { d =>
-        readRegistration(d).foreach { r =>
-          val expectedKey = cacheKey(r.source, r.dims, r.measures, r.sourceSig)
-          val stale =
-            !new java.io.File(r.source).exists() ||
-            liveSig(r.source).exists(_ != r.sourceSig) ||
-            d.getName != s"rollup_$expectedKey"
-          if (stale && now - d.lastModified() >= olderThanMs &&
-              !keepAbs.contains(d.getAbsolutePath)) {
-            def del(f: java.io.File): Unit = {
-              Option(f.listFiles()).foreach(_.foreach(del))
-              f.delete()
-            }
-            del(d)
-            // report reclaimed only when the dir is actually gone — a
-            // partially-failed delete (open handle, permission) must
-            // not read as reclaimed in the procedure output (r16 review)
-            if (!d.exists()) removed += d.getPath
+        scala.util.Try(sourceSignature(SparkSession.active, source)).toOption
+          .filter(_.nonEmpty)
+          .orElse(
+            // "" is ambiguous between "gone" and "cannot compute": only
+            // a positive Hadoop-FS absence check turns it into the
+            // reclaim-grounds sentinel; otherwise keep (fail-safe)
+            scala.util.Try {
+              val p = new org.apache.hadoop.fs.Path(source)
+              val fs = p.getFileSystem(SparkSession.active
+                .sparkContext.hadoopConfiguration)
+              if (!fs.exists(fs.makeQualified(p))) Some("") else None
+            }.toOption.flatten))
+    val (staging, published) =
+      Option(new java.io.File(cacheRoot).listFiles()).toSeq.flatten
+        .filter(d => d.isDirectory && d.getName.startsWith("rollup_"))
+        .partition(_.getName.contains(".build-"))
+    // a crashed builder's staging leftover (r17: cells+record publish by
+    // atomic rename, so an unpublished `.build-` dir can never serve) —
+    // reaped when its builder process is dead, exactly the
+    // [[graft.ml.IndexCache.gc]] discipline; a LIVE builder's staging
+    // dir is never touched regardless of age
+    staging.foreach { d =>
+      val pid = d.getName.split("\\.build-").lift(1)
+        .flatMap(_.split("-").headOption)
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+      if (!pid.exists(p => java.lang.ProcessHandle.of(p).isPresent())) {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del)); f.delete()
+        }
+        del(d)
+        if (!d.exists()) removed += d.getPath
+      }
+    }
+    published.foreach { d =>
+        def reap(): Unit = {
+          def del(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(del))
+            f.delete()
           }
+          del(d)
+          // report reclaimed only when the dir is actually gone — a
+          // partially-failed delete (open handle, permission) must
+          // not read as reclaimed in the procedure output (r16 review)
+          if (!d.exists()) removed += d.getPath
+        }
+        val ageOk = now - d.lastModified() >= olderThanMs &&
+          !keepAbs.contains(d.getAbsolutePath)
+        readRegistration(d) match {
+          case Some(r) =>
+            val expectedKey =
+              cacheKey(normalize(r.source), r.dims, r.measures, r.sourceSig)
+            val stale =
+              liveSig(r.source).exists(_ != r.sourceSig) ||
+              d.getName != s"rollup_$expectedKey"
+            if (stale && ageOk) reap()
+          case None =>
+            // no live record but a revoked marker: a deregistered dir —
+            // ours by construction, never serveable again (rehydrate
+            // reads only the live name) — reclaimable at the age bar.
+            // Truly recordless dirs stay foreign, kept.
+            if (new java.io.File(d, RevokedRel).isFile && ageOk) reap()
         }
       }
     removed.toSeq

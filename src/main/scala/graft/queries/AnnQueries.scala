@@ -60,8 +60,18 @@ object AnnQueries extends QueryPack {
   private def exactTopKCached(s: SparkSession, dir: String, sliceTag: String,
       corpus: => DataFrame, queriesDf: => DataFrame, nQueries: Int,
       k: Int): DataFrame =
-    exactTopKCache.getOrElseUpdate(s, (dir, sliceTag, nQueries, k))(
-      exactTopK(corpus, queriesDf, k).localCheckpoint())
+    exactTopKCache.getOrElseUpdate(s, (dir, sliceTag, nQueries, k)) {
+      // the exact frame IS the recall baseline: its bare-cosine crossJoin
+      // + TopKByScore spelling is exactly what the batch-kNN rewrite
+      // (r17) matches, so materialize it under the kill switch — a
+      // baseline served from the index would verify the index against
+      // itself
+      val key = graft.plans.AnnIndexRule.ConfKey
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "false")
+      try exactTopK(corpus, queriesDf, k).localCheckpoint()
+      finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+    }
 
   /** Deterministic verdict rows for a kNN result: the (q_id, rank)
     * skeleton — |Q|×k cardinality is the driver-checked contract — plus
@@ -352,24 +362,38 @@ object AnnQueries extends QueryPack {
     }),
 
     // Batch query-TABLE kNN through the persisted index (VERDICT r14
-    // ask #3): N query vectors arrive as a TABLE, so the literal-query
-    // rewrite can't see them — routing happens MAP-SIDE (the few-KiB
-    // centroid table in the task closure) and candidates arrive through
-    // one equi-join on cell against the cell-partitioned index table,
-    // the bulk-scoring shape a nightly LLM pipeline runs
-    // (AnnIndexRegistry.indexedKnnJoin = the batch form of
-    // VectorStreams.indexedKnn; stream/batch parity pinned by
-    // VectorStreamsSpec, the cell-equi-join plan shape by
-    // AnnRewriteSpec). Tombstone-aware, exact scoring, bounded
-    // partial-agg top-k; `pass` = recall >= 0.9 vs the exact top-k.
+    // ask #3; REWRITE-served since r17, ask #6): N query vectors arrive
+    // as a TABLE, so the literal-query flagship rewrite can't see them.
+    // The query below is the NAIVE bulk-scoring plan — corpus × queries
+    // cross join, bare cosine, bounded TopKByScore per query, no index
+    // call anywhere — and AnnIndexRule's batch matcher swaps the cross
+    // join's candidate set for the cell-routed one at optimization time
+    // (map-side centroid routing, ONE equi-join on cell against the
+    // cell-partitioned index table — the same plan the
+    // AnnIndexRegistry.indexedKnnJoin API builds; naive fallback +
+    // recall pinned by AnnRewriteSpec). `idx_served` is read off the
+    // executed plan (the index table spells its vector column `emb`), so
+    // a rewrite that stops firing flips a hash-checked value. `pass` =
+    // recall >= 0.9 vs the exact top-k.
     "ann_indexed_knn_join" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val ivf = geo(s, dir, Knn3)
       graft.plans.AnnIndexRegistry.register(s, ivf, s"$dir/embeddings.parquet",
         "vec_id", "embedding", nProbe = ivf.nProbe, servedK = 3)
-      val approx = graft.plans.AnnIndexRegistry.indexedKnnJoin(s,
-        s"$dir/embeddings.parquet", queriesOf(emb, 20), k = 3)
-      verdict(approx, exactTopKCached(s, dir, "full", emb, queriesOf(emb, 20), 20, 3))
+      val naive = emb.crossJoin(broadcast(queriesOf(emb, 20)))
+        .select(col("q_id"), col("vec_id"),
+          graft.functions.VectorFunctions.cosineSim(
+            col("embedding"), col("q_emb")).as("cos"))
+        .groupBy(col("q_id"))
+        .agg(graft.functions.TopKByScore(3)(col("cos"), col("vec_id")).as("hits"))
+        .select(col("q_id"), posexplode(col("hits")))
+        .select(col("q_id"), (col("pos") + 1).as("rank"),
+          col("col.id").as("neighbor_id"))
+      val served = naive.queryExecution.executedPlan.toString
+        .contains("emb:array")
+      verdict(naive.withColumn("idx_served", lit(served)),
+        exactTopKCached(s, dir, "full", emb, queriesOf(emb, 20), 20, 3),
+        extra = Seq("idx_served"))
     }),
 
     // The FILTERED batch query-table kNN (VERDICT r15 ask #3): the same
@@ -773,7 +797,7 @@ object AnnQueries extends QueryPack {
          |ORDER BY q_id, "rank"""".stripMargin
     Map(
       "ann_knn_join" -> knnSkeleton(20, 3),
-      "ann_indexed_knn_join" -> knnSkeleton(20, 3),
+      "ann_indexed_knn_join" -> knnSkeleton(20, 3, " true AS idx_served,"),
       "ann_indexed_knn_join_filtered" -> knnSkeleton(20, 3, " true AS in_filter,"),
       "ann_ivf_knn" -> knnSkeleton(20, 3),
       "ann_pq_knn" -> knnSkeleton(20, 3),

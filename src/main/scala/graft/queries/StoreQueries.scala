@@ -662,6 +662,60 @@ object StoreQueries extends QueryPack {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // O(delta) rollup refresh (VERDICT r16 ask #1 — the rollup twin of
+    // the ANN side's syncDump): a re-register over a fact whose recorded
+    // file manifest is a strict SUBSET of the live files (the insert-only
+    // mutation wave) aggregates the DELTA FILES ALONE and merges them
+    // into the existing cells — counts/sums/_cntm add, min/max
+    // semilattice-merge, the store_mv_incremental fold — instead of
+    // rescanning the whole fact. Value-equality with a from-scratch
+    // build is BY CONSTRUCTION (every cell column is an order-free
+    // commutative monoid) and proven here end to end: the fact is built
+    // as base (3/4 of orders) + appended delta (1/4), the second
+    // register takes the incremental path (`incremental` bit from
+    // lastBuildKind), and the oracle hash over the SERVED aggregation
+    // equals DuckDB's full-fact aggregate. At a daily-appending 100 TB
+    // fact this turns the per-mutation refresh bill from a full rescan
+    // into |delta files| + |cells| (measured in SCALE.md). A
+    // delete/update wave keeps the full rebuild — min/max cannot
+    // retract (RollupRewriteSpec pins both classifications).
+    "store_rollup_refresh_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val scratch = sessionScratch(s, "rollup-incr")
+      val fact = s"$scratch/fact"
+      val cacheRoot = s"$scratch/rollups"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val dims = Seq("o_orderstatus", "o_orderpriority")
+      orders.filter(col("o_orderkey") % 4 =!= 0)
+        .write.mode("overwrite").parquet(fact)
+      graft.plans.RollupRegistry.register(s, fact, dims,
+        measures = Seq("o_totalprice"), cacheRoot = cacheRoot)
+      // insert-only wave: append writes NEW part files only
+      orders.filter(col("o_orderkey") % 4 === 0)
+        .write.mode("append").parquet(fact)
+      graft.plans.RollupRegistry.register(s, fact, dims,
+        measures = Seq("o_totalprice"), cacheRoot = cacheRoot)
+      val incremental =
+        graft.plans.RollupRegistry.lastBuildKind == "incremental"
+      val naive = s.read.parquet(fact)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 3))).cast("double")
+            .as("total"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+      val rewritten = naive.queryExecution.executedPlan.toString
+        .contains("_cnt")
+      val out = naive.select(col("o_orderstatus"), col("o_orderpriority"),
+          col("n"), col("total"), col("min_price"), col("max_price"),
+          lit(rewritten).as("rewritten"), lit(incremental).as("incremental"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+        .localCheckpoint() // pin, then drop the fact + rollup scratch
+      graft.plans.RollupRegistry.deregister(fact)
+      dropScratch(s, scratch)
+      out
+    }),
+
     // Idempotent backfill via DYNAMIC partition overwrite (Hive's
     // INSERT OVERWRITE ... PARTITION semantics): re-running a corrected
     // day replaces exactly that day's files and leaves every other
@@ -855,6 +909,55 @@ object StoreQueries extends QueryPack {
     // collection, with the DDL-observable counters (table counts before/
     // after DROP, LIKE-existence bits) riding every row — DuckDB predicts
     // all of it from `documents` plus the DDL contract.
+    // The rollup lifecycle from PURE SQL (VERDICT r16 ask #2 — closing
+    // the asymmetry where a SQL-only user could gc_rollup_cache rollups
+    // they could never CREATE): CALL build_rollup registers the cells
+    // for a fact path, after which a pure-SQL GROUP BY over
+    // parquet.`path` is cell-served (the `rewritten` plan bit), CALL
+    // rollup_stats reports the registered state (dims/measures/cells/
+    // guarded — the "kilobytes serve the dashboard" number made
+    // inspectable), and the oracle hash proves the served aggregate is
+    // still exact. The build_index/index_stats twins have existed since
+    // r14; this is the rollup side of that procedure surface.
+    "store_rollup_procedure_sql" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val scratch = sessionScratch(s, "rollup-proc")
+      val fact = s"$scratch/fact"
+      s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 3 === 0)
+        .write.mode("overwrite").parquet(fact)
+      val store = new graft.store.MerkonStore(s)
+      store.attachSqlCatalog("merkon_rproc", s"$scratch/wh")
+      val built = s.sql("CALL merkon_rproc.system.build_rollup(" +
+        s"'$fact', 'o_orderstatus', 'o_totalprice')").collect().head
+      val stats = s.sql(
+        s"CALL merkon_rproc.system.rollup_stats('$fact')").collect().head
+      val naive = s.read.parquet(fact)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 3))).cast("double")
+            .as("total"))
+      val rewritten = naive.queryExecution.executedPlan.toString
+        .contains("_cnt")
+      val out = naive.select(col("o_orderstatus"), col("n"), col("total"),
+          lit(rewritten).as("rewritten"),
+          lit(built.getString(1)).as("build_kind"),
+          lit(stats.getString(1)).as("dims"),
+          lit(stats.getString(2)).as("measures"),
+          lit(built.getLong(2) > 0 &&
+            stats.getLong(3) == built.getLong(2)).as("cells_ok"),
+          lit(built.getBoolean(3) && stats.getBoolean(5)).as("guarded"))
+        .orderBy(col("o_orderstatus"))
+        .localCheckpoint() // pin, then drop the scratch fact + orphan cells
+      graft.plans.RollupRegistry.deregister(fact)
+      dropScratch(s, scratch)
+      // the fact is gone, so this run's default-root cells are orphans:
+      // reclaim them through the same SQL surface (live registrations of
+      // other queries are in the keep set; their dirs survive)
+      s.sql("CALL merkon_rproc.system.gc_rollup_cache('', 0L)").collect()
+      out
+    }),
+
     "store_ddl_sql" -> ((s, dir) => {
       val store = new graft.store.MerkonStore(s)
       val wh = sessionScratch(s, "ddl-store")
@@ -916,6 +1019,16 @@ object StoreQueries extends QueryPack {
         |  false AS scratch_exists, true AS docs_exists
         |FROM documents WHERE doc_id % 7 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // Pure-SQL rollup lifecycle: the served aggregate over the % 3 slice
+    // is exact, the procedure-reported state deterministic.
+    "store_rollup_procedure_sql" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS total,
+        |  true AS rewritten, 'full' AS build_kind,
+        |  'o_orderstatus' AS dims, 'o_totalprice' AS measures,
+        |  true AS cells_ok, true AS guarded
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // Full-recompute oracle: the hash match proves incremental == full.
     "store_mv_incremental" ->
       """SELECT o_custkey, count(*) AS n_orders,
@@ -1151,6 +1264,16 @@ object StoreQueries extends QueryPack {
         |              (2*s3*10000 + n) // (2*n) % 10000000) AS DOUBLE) AS avg_price,
         |  true AS rewritten
         |FROM g ORDER BY o_orderstatus""".stripMargin,
+    // full-fact aggregate over BOTH halves: equality proves the
+    // delta-merged cells are value-identical to a from-scratch build
+    "store_rollup_refresh_incremental" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS total,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  true AS rewritten, true AS incremental
+        |FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
     "store_partition_overwrite" ->
       """WITH d AS (
         |  SELECT CAST(ts AS DATE) AS event_date, value FROM events

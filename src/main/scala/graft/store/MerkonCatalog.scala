@@ -371,9 +371,74 @@ object MerkonCatalog {
     }
   }
 
+  /** `build_rollup(source_path, dims, measures)`: the rollup job from
+    * pure SQL — the `build_index` twin closing the r16 lifecycle
+    * asymmetry (a SQL-only user could `gc_rollup_cache` rollups they
+    * could never CREATE). `dims`/`measures` are comma-separated column
+    * lists (DSv2 procedure parameters are scalars). After the CALL, a
+    * matching GROUP BY over the same path — catalog table or
+    * `parquet.\`path\`` — serves from the cells via
+    * [[graft.plans.RollupRewriteRule]]; an insert-only fact delta since
+    * the previous build takes the O(delta) merge (`build_kind =
+    * "incremental"`), an unchanged fact reuses the dir ("cached"). */
+  private object BuildRollupProcedure extends SimpleProcedure(
+    "build_rollup",
+    "Build + register the pre-aggregated rollup for a parquet fact " +
+      "path; dims/measures are comma-separated column lists",
+    Array(
+      ProcedureParameter.in("source_path", StringType).build(),
+      ProcedureParameter.in("dims", StringType).build(),
+      ProcedureParameter.in("measures", StringType).build()),
+    StructType(Seq(
+      StructField("rollup_path", StringType),
+      StructField("build_kind", StringType),
+      StructField("cells", LongType),
+      StructField("guarded", BooleanType)))) {
+    override protected def run(input: InternalRow): Seq[InternalRow] = {
+      val spark = SparkSession.active
+      val src = input.getUTF8String(0).toString
+      def cols(i: Int): Seq[String] = input.getUTF8String(i).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val entry = graft.plans.RollupRegistry.register(spark, src,
+        dims = cols(1), measures = cols(2))
+      val cells = spark.read.parquet(entry.rollupPath).count()
+      Seq(InternalRow(utf8(entry.rollupPath),
+        utf8(graft.plans.RollupRegistry.lastBuildKind), cells,
+        entry.sourceSig.nonEmpty))
+    }
+  }
+
+  /** `rollup_stats(source_path)`: the registered rollup's state
+    * ([[graft.plans.RollupRegistry.statsRows]]) — dir, dim/measure
+    * lists, cell count + bytes (the "kilobytes serve the dashboard"
+    * number made inspectable), staleness-guarded flag. Rehydrates a
+    * persisted registration first, so a fresh SQL session can inspect
+    * without re-CALLing build_rollup; zero rows = nothing registered. */
+  private object RollupStatsProcedure extends SimpleProcedure(
+    "rollup_stats",
+    "Registered rollup state for a fact path (dir, dims, measures, " +
+      "cells, bytes, staleness-guarded)",
+    Array(ProcedureParameter.in("source_path", StringType).build()),
+    StructType(Seq(
+      StructField("rollup_path", StringType),
+      StructField("dims", StringType),
+      StructField("measures", StringType),
+      StructField("cells", LongType),
+      StructField("bytes", LongType),
+      StructField("guarded", BooleanType)))) {
+    override protected def run(input: InternalRow): Seq[InternalRow] =
+      graft.plans.RollupRegistry.statsRows(SparkSession.active,
+        input.getUTF8String(0).toString).map {
+        case (path, dims, measures, cells, bytes, guarded) =>
+          InternalRow(utf8(path), utf8(dims), utf8(measures), cells,
+            bytes, guarded)
+      }
+  }
+
   private val all: Map[String, UnboundProcedure] = Seq(
-    BuildIndexProcedure, CompactIndexProcedure, GcIndexCacheProcedure,
-    GcRollupCacheProcedure, IndexStatsProcedure)
+    BuildIndexProcedure, BuildRollupProcedure, CompactIndexProcedure,
+    GcIndexCacheProcedure, GcRollupCacheProcedure, IndexStatsProcedure,
+    RollupStatsProcedure)
     .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   private[store] def procedureNames: Seq[String] = all.keys.toSeq.sorted

@@ -229,6 +229,18 @@ object VectorStreams {
       built.live.join(allow, Seq("id"), "left_semi"))
   }
 
+  /** The candidate half of [[indexedKnnCore]] WITHOUT the top-k — what
+    * [[graft.plans.AnnIndexRule]]'s batch-kNN rewrite splices UNDER a
+    * matched naive plan's own TopKByScore aggregate: one row per
+    * (query, probed-cell candidate) carrying both embeddings, so the
+    * plan's original score expression re-computes exactly over the
+    * narrowed set (the candidate swap is the whole difference). */
+  private[graft] def candidateRows(queries: DataFrame, built: IvfIndex.Built,
+      nProbe: Int): DataFrame =
+    route(queries, built, nProbe)
+      .join(built.live, Seq("cell"))
+      .select(col("q_id"), col("q_emb"), col("id"), col("emb"))
+
   private def indexedKnnCore(queries: DataFrame, built: IvfIndex.Built,
       nProbe: Int, k: Int, candidates: DataFrame): DataFrame = {
     val scored = route(queries, built, nProbe)

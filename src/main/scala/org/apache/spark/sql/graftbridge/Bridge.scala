@@ -18,4 +18,14 @@ object Bridge {
 
   /** Unwrap a classic Column to its Catalyst expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap an analyzed logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — what lets an optimizer rule hand a matched
+    * SUBTREE to the Dataset API (e.g. the batch-kNN rewrite routing a
+    * query-side plan through the typed centroid fan-out). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -361,6 +361,68 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally AnnIndexRegistry.clear()
   }
 
+  test("naive batch kNN-join plan is served from the rewrite rule; fences decline (r16 ask #6)") {
+    // the batch twin of the flagship rewrite: the NAIVE bulk-scoring plan
+    // (cross join + bare cosine + TopKByScore) over a registered corpus
+    // is swapped onto the cell-routed candidate set — no API call in the
+    // query. Bare cosine is the intent signal: the house EXACT spellings
+    // (knn_join, exactTopK) score through round6 and must never match.
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 4)
+    def naive(wrap: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+        : DataFrame =
+      corpus.crossJoin(broadcast(corpus.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))))
+        .select(col("q_id"), col("vec_id"),
+          wrap(cosineSim(col("embedding"), col("q_emb"))).as("cos"))
+        .groupBy(col("q_id"))
+        .agg(graft.functions.TopKByScore(3)(col("cos"), col("vec_id")).as("hits"))
+        .select(col("q_id"), posexplode(col("hits")))
+        .select(col("q_id"), (col("pos") + 1).as("rank"),
+          col("col.id").as("neighbor_id"), col("col.score").as("cos"))
+    try {
+      // durable revocation first: an earlier test's PERSISTED registration
+      // for this same corpus would otherwise rehydrate into the
+      // "unregistered" baseline below
+      AnnIndexRegistry.deregister(src)
+      AnnIndexRegistry.clear()
+      // unregistered: the naive plan stays exact
+      assert(!naive(identity).queryExecution.executedPlan.toString
+        .contains("emb:array"), "unregistered corpus must keep the exact plan")
+      val exact = naive(identity).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      AnnIndexRegistry.register(spark, ivf, src, "vec_id", "embedding",
+        nProbe = 4, servedK = 3)
+      val served = naive(identity)
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("emb:array"),
+        s"registered naive batch plan must ride the index:\n${plan.take(3000)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"rewritten batch plan still cross-joins:\n${plan.take(3000)}")
+      val rows = served.collect()
+      assert(rows.length == 30, s"served batch join returned ${rows.length}/30")
+      val recall = rows.map(r => (r.getLong(0), r.getLong(2)))
+        .count(exact.contains).toDouble / 30
+      assert(recall >= 0.9, s"batch rewrite recall $recall < 0.9")
+      // agreement with the API path at the same registered width
+      val api = AnnIndexRegistry.indexedKnnJoin(spark, src,
+          corpus.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+          k = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        == api, "rewrite-served batch join must agree with indexedKnnJoin")
+      // fences: the round6 spelling (house exact form) keeps its plan,
+      // and the kill switch restores the exact plan for the bare form
+      assert(!naive(c => round(c, 6)).queryExecution.executedPlan.toString
+        .contains("emb:array"), "round6 exact spelling must never match")
+      spark.conf.set(AnnIndexRule.ConfKey, "false")
+      try assert(!naive(identity).queryExecution.executedPlan.toString
+        .contains("emb:array"), "kill switch must restore the exact plan")
+      finally spark.conf.unset(AnnIndexRule.ConfKey)
+    } finally AnnIndexRegistry.clear()
+  }
+
   test("indexedKnnJoin over-probes proportionally for k deeper than servedK (r16)") {
     // the rewrite's k-transfer dial on the batch path: a width
     // calibrated for servedK=3 probes ONE ~100-row cell — it cannot

@@ -333,7 +333,8 @@ class RollupRewriteSpec extends AnyFunSuite with SparkTestBase {
       .write.mode("overwrite").parquet(dir)
     def q = spark.read.parquet(dir).groupBy(col("k"))
       .agg(sum(col("m").cast(DecimalType(18, 3))).cast("double").as("t"))
-    RollupRegistry.register(spark, dir, dims = Seq("k"), measures = Seq("m"))
+    val entry =
+      RollupRegistry.register(spark, dir, dims = Seq("k"), measures = Seq("m"))
     try {
       assert(planOf(q).contains("_sum_m"))
       // "fresh session": JVM registry gone, the persisted record survives
@@ -348,6 +349,17 @@ class RollupRewriteSpec extends AnyFunSuite with SparkTestBase {
       RollupRegistry.deregister(dir)
       assert(!planOf(q).contains("_sum_m"),
         "deregistered fact must keep its exact scan (record not revoked?)")
+      // r17: revocation renames the record to the REVOKED marker instead
+      // of deleting it — the dir stays OURS for gc (a deleted record made
+      // every deregistered dir a foreign orphan the sweep kept forever)
+      val d = new java.io.File(entry.rollupPath)
+      assert(!new java.io.File(d, "_rollup_registration.txt").isFile)
+      assert(new java.io.File(d, "_rollup_registration.revoked").isFile,
+        "deregister must leave the revoked marker")
+      val swept = RollupRegistry.gc(olderThanMs = 0L)
+      assert(swept.contains(entry.rollupPath),
+        s"gc must reclaim the revoked dir, got $swept")
+      assert(!d.exists())
     } finally {
       RollupRegistry.deregister(dir)
       RollupRegistry.clear()
@@ -414,5 +426,133 @@ class RollupRewriteSpec extends AnyFunSuite with SparkTestBase {
       assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         == Map("A" -> 1L, "B" -> 1L, "C" -> 1L))
     } finally RollupRegistry.clear()
+  }
+
+  test("insert-only refresh is O(delta): delta-merged cells value-equal a from-scratch build (r16 ask #1)") {
+    RollupRegistry.clear()
+    val dir = scratchDir("graft_rollup_incr_fact")
+    val root = scratchDir("graft_rollup_incr_root")
+    import spark.implicits._
+    // nulls in the measure (the _cntm_/_min_/_max_ null-skip fold) and a
+    // dim that only appears in the delta (cells born by the merge)
+    Seq(("A", Some(1.5)), ("A", None), ("B", Some(3.0)))
+      .toDF("k", "m").write.mode("overwrite").parquet(dir)
+    RollupRegistry.register(spark, dir,
+      dims = Seq("k"), measures = Seq("m"), cacheRoot = root)
+    assert(RollupRegistry.lastBuildKind == "full")
+    try {
+      // insert-only wave: APPEND adds files, never touches existing ones
+      Seq(("A", Some(10.0)), ("C", None), ("C", Some(-2.0)))
+        .toDF("k", "m").write.mode("append").parquet(dir)
+      val e2 = RollupRegistry.register(spark, dir,
+        dims = Seq("k"), measures = Seq("m"), cacheRoot = root)
+      assert(RollupRegistry.lastBuildKind == "incremental",
+        "an appended fact must take the delta-merge path")
+      val merged = spark.read.parquet(e2.rollupPath)
+        .collect().map(_.toSeq).toSet
+      // from-scratch reference: wipe the root so no delta base exists
+      RollupRegistry.clear()
+      Option(new java.io.File(root).listFiles()).foreach(_.foreach { d =>
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del)); f.delete()
+        }
+        del(d)
+      })
+      val eFull = RollupRegistry.register(spark, dir,
+        dims = Seq("k"), measures = Seq("m"), cacheRoot = root)
+      assert(RollupRegistry.lastBuildKind == "full")
+      val scratch = spark.read.parquet(eFull.rollupPath)
+        .collect().map(_.toSeq).toSet
+      assert(merged == scratch,
+        s"delta-merged cells drifted off the from-scratch build:\n$merged\nvs\n$scratch")
+      // and the merged cells SERVE exactly: count/sum/min/max/avg vs the
+      // fact scan (rule off)
+      def q = spark.read.parquet(dir).groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("m").cast(DecimalType(18, 3))).cast("double").as("t"),
+          min(col("m")).as("mn"), max(col("m")).as("mx"),
+          avg(col("m").cast(DecimalType(18, 3))).as("av"))
+      val served = q.collect().map(_.toSeq).toSet
+      spark.conf.set(RollupRewriteRule.ConfKey, "false")
+      val exact =
+        try q.collect().map(_.toSeq).toSet
+        finally spark.conf.unset(RollupRewriteRule.ConfKey)
+      assert(served == exact)
+      // an UPDATE wave (existing file rewritten) must refuse the merge:
+      // min/max cannot retract — full rebuild
+      Seq(("A", Some(0.25)), ("B", Some(99.0)))
+        .toDF("k", "m").write.mode("overwrite").parquet(dir)
+      RollupRegistry.register(spark, dir,
+        dims = Seq("k"), measures = Seq("m"), cacheRoot = root)
+      assert(RollupRegistry.lastBuildKind == "full",
+        "an overwritten fact must NOT delta-merge")
+      assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        == Map("A" -> 1L, "B" -> 1L))
+    } finally RollupRegistry.clear()
+  }
+
+  test("remote-scheme facts are staleness-guarded via the bounded listing; gc keeps the live remote fact (r16 ask #3 + ADVICE)") {
+    // the pre-r17 guard signed any non-file scheme "" (unguarded) and
+    // gc's java.io exists() probe read a live remote fact as missing;
+    // the locality-aware resolver signs through the path's own
+    // FileSystem — exercised here with a RawLocal-backed test scheme
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[graft.util.GraftTestFs].getName)
+    RollupRegistry.clear()
+    val local = scratchDir("graft_rollup_remote_fact")
+    val root = scratchDir("graft_rollup_remote_root")
+    val remote = s"graftfs:$local"
+    import spark.implicits._
+    Seq(("A", 1.0), ("A", 2.0), ("B", 3.0)).toDF("k", "m")
+      .write.mode("overwrite").parquet(remote)
+    val e = RollupRegistry.register(spark, remote,
+      dims = Seq("k"), measures = Seq("m"), cacheRoot = root)
+    spark.conf.set(RollupRewriteRule.StaleCheckMsKey, "0")
+    try {
+      assert(e.sourceSig.startsWith("h1:"),
+        s"remote scheme must carry the listing signature, got '${e.sourceSig}'")
+      def q = spark.read.parquet(remote).groupBy(col("k"))
+        .agg(sum(col("m").cast(DecimalType(18, 3))).cast("double").as("t"))
+      assert(planOf(q).contains("_sum_m"),
+        "guarded remote registration must serve the rewrite")
+      assert(q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        == Map("A" -> 3.0, "B" -> 3.0))
+      // gc with the fact LIVE and unchanged: nothing reclaimable — the
+      // ADVICE scenario was exactly this dir being swept as "missing"
+      assert(RollupRegistry.gc(root, olderThanMs = 0L,
+        keep = Set.empty).isEmpty,
+        "gc reclaimed a live remote fact's current rollup")
+      // remote fact changes (append through the scheme): serve-time
+      // re-check deregisters, the aggregation keeps its exact scan
+      Seq(("C", 9.0)).toDF("k", "m").write.mode("append").parquet(remote)
+      assert(!planOf(q).contains("_sum_m"),
+        "stale remote cells served after the fact changed")
+      assert(q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        == Map("A" -> 3.0, "B" -> 3.0, "C" -> 9.0))
+      // …and NOW the superseded dir is reclaimable
+      assert(RollupRegistry.gc(root, olderThanMs = 0L, keep = Set.empty)
+        == Seq(e.rollupPath))
+    } finally {
+      spark.conf.unset(RollupRewriteRule.StaleCheckMsKey)
+      RollupRegistry.clear()
+    }
+  }
+
+  test("gc reaps a crashed builder's staging dir by dead pid; a live builder's survives (r16 ask #5)") {
+    val root = scratchDir("graft_rollup_staging_root")
+    // dead-pid staging leftover (pid 2 is never a JVM on this box —
+    // kthreadd — and ProcessHandle.of sees only reachable processes)
+    val crashed = new java.io.File(root, "rollup_deadbeef.build-999999999-42")
+    crashed.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(crashed, "part-0.parquet").toPath, Array[Byte](1))
+    // live-pid staging dir: never touched
+    val alive = new java.io.File(root,
+      s"rollup_cafebabe.build-${ProcessHandle.current().pid()}-7")
+    alive.mkdirs()
+    val swept = RollupRegistry.gc(root, olderThanMs = 3600000L)
+    assert(swept == Seq(crashed.getPath), s"got $swept")
+    assert(!crashed.exists())
+    assert(alive.isDirectory, "live builder's staging dir reclaimed")
   }
 }

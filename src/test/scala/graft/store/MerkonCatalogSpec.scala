@@ -134,8 +134,9 @@ class MerkonCatalogSpec extends AnyFunSuite with SparkTestBase {
       val shown = spark.sql("SHOW PROCEDURES IN merkon_tproc")
       val nameIdx = shown.columns.indexOf("procedure_name")
       val listed = shown.collect().map(_.getString(nameIdx)).toSet
-      assert(listed == Set("build_index", "compact_index", "gc_index_cache",
-        "gc_rollup_cache", "index_stats"), s"got $listed")
+      assert(listed == Set("build_index", "build_rollup", "compact_index",
+        "gc_index_cache", "gc_rollup_cache", "index_stats",
+        "rollup_stats"), s"got $listed")
 
       // the index JOB from pure SQL
       val built = spark.sql(
@@ -229,12 +230,35 @@ class MerkonCatalogSpec extends AnyFunSuite with SparkTestBase {
       val factDir = s"$root/fact"
       spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
         .write.parquet(factDir)
-      val oldEntry = graft.plans.RollupRegistry.register(spark, factDir,
-        dims = Seq("o_orderstatus"), measures = Seq("o_totalprice"))
+      // pure-SQL CREATE (r16 ask #2: build_rollup closes the asymmetry
+      // where SQL could only gc rollups, never make them)
+      val rbuilt = spark.sql("CALL merkon_tproc.system.build_rollup(" +
+        s"'$factDir', 'o_orderstatus', 'o_totalprice')").collect().head
+      assert(rbuilt.getString(1) == "full" && rbuilt.getLong(2) > 0 &&
+        rbuilt.getBoolean(3), s"got $rbuilt")
+      val oldEntry = graft.plans.RollupRegistry.lookup(factDir).get
+      assert(oldEntry.rollupPath == rbuilt.getString(0))
+      // …after which a pure-SQL GROUP BY over the fact path rewrites
+      val sqlAgg = spark.sql("SELECT o_orderstatus, " +
+        "SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS t " +
+        s"FROM parquet.`$factDir` GROUP BY o_orderstatus")
+      assert(sqlAgg.queryExecution.optimizedPlan.toString.contains("_sum_"),
+        "CALL build_rollup must make the SQL aggregation cell-served")
+      assert(sqlAgg.collect().length > 0)
+      // rollup_stats from the same session: one row, guarded, cells > 0
+      val rstat = spark.sql(
+        s"CALL merkon_tproc.system.rollup_stats('$factDir')").collect()
+      assert(rstat.length == 1 && rstat.head.getString(0) ==
+        oldEntry.rollupPath && rstat.head.getLong(3) == rbuilt.getLong(2) &&
+        rstat.head.getLong(4) > 0 && rstat.head.getBoolean(5),
+        s"got ${rstat.toSeq}")
       spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
         .limit(10).write.mode("append").parquet(factDir)
-      val liveEntry = graft.plans.RollupRegistry.register(spark, factDir,
-        dims = Seq("o_orderstatus"), measures = Seq("o_totalprice"))
+      // second CALL after an append: the O(delta) merge path from SQL
+      val rebuilt = spark.sql("CALL merkon_tproc.system.build_rollup(" +
+        s"'$factDir', 'o_orderstatus', 'o_totalprice')").collect().head
+      assert(rebuilt.getString(1) == "incremental", s"got $rebuilt")
+      val liveEntry = graft.plans.RollupRegistry.lookup(factDir).get
       val swept = spark.sql(
         s"CALL merkon_tproc.system.gc_rollup_cache('', 0L)")
         .collect().map(_.getString(0)).toSet
