@@ -346,18 +346,39 @@ private[graft] object IndexCache {
     def paramsOf(d: java.io.File): String = d.getName.drop(33)
     pubs.groupBy(p => (p.source, paramsOf(p.dir))).foreach {
       case ((source, _), group) =>
-        val current: Option[Set[String]] =
-          if (!new java.io.File(source).exists()) None
-          else Some(entriesOf(dataFiles(source), source).toSet)
-        current match {
-          case None => group.foreach(p => reap(p.dir))
-          case Some(cur) =>
-            val (reachable, stale) = group.partition(_.ingested.subsetOf(cur))
-            stale.foreach(p => reap(p.dir))
-            val (live, subsets) = reachable.partition(_.ingested == cur)
-            if (live.nonEmpty) subsets.foreach(p => reap(p.dir))
-            else subsets.sortBy(-_.ingested.size).drop(1)
-              .foreach(p => reap(p.dir))
+        // source liveness through the path's Hadoop FileSystem, not a
+        // blind java.io probe (r17, the rollup-gc ADVICE twin): a LIVE
+        // corpus on a remote scheme — or a scheme-less path resolving
+        // through a remote fs.defaultFS — must never read as "missing",
+        // and its artifacts can't be judged by the LOCAL manifest walk
+        // either (an empty local listing would mark every manifest
+        // stale). Missing (0) → reap the group; local live (1) → the
+        // manifest subset logic; remote-and-present or unresolvable
+        // (2) → keep the whole group (fail-safe: cannot judge).
+        val state: Int = scala.util.Try {
+          val p = new org.apache.hadoop.fs.Path(source)
+          val conf = scala.util.Try(org.apache.spark.sql.SparkSession
+              .active.sparkContext.hadoopConfiguration)
+            .getOrElse(new org.apache.hadoop.conf.Configuration())
+          val fs = p.getFileSystem(conf)
+          if (!fs.exists(fs.makeQualified(p))) 0
+          else if (fs.getScheme == "file") 1
+          else 2
+        }.getOrElse(2)
+        if (state != 2) {
+          val current: Option[Set[String]] =
+            if (state == 0) None
+            else Some(entriesOf(dataFiles(source), source).toSet)
+          current match {
+            case None => group.foreach(p => reap(p.dir))
+            case Some(cur) =>
+              val (reachable, stale) = group.partition(_.ingested.subsetOf(cur))
+              stale.foreach(p => reap(p.dir))
+              val (live, subsets) = reachable.partition(_.ingested == cur)
+              if (live.nonEmpty) subsets.foreach(p => reap(p.dir))
+              else subsets.sortBy(-_.ingested.size).drop(1)
+                .foreach(p => reap(p.dir))
+          }
         }
     }
     removed.toSeq

@@ -57,7 +57,18 @@ object RollupRegistry {
   case class Entry(rollupPath: String, dims: Seq[String],
       measures: Seq[String], sourceSig: String = "")
 
-  private val entries = scala.collection.mutable.Map.empty[String, Entry]
+  // MULTIPLE rollups per fact (r17): a real BI deployment registers
+  // several dim sets over one fact table (daily dashboard on (status),
+  // drill-down on (status, priority), …) and the rule picks the best
+  // match per query — the Calcite materialized-view-navigation shape.
+  // The list is keyed by normalized fact path; entry identity within it
+  // is the (dims, measures) SHAPE: re-registering a shape replaces only
+  // that shape's entry.
+  private val entries = scala.collection.mutable.Map.empty[String, List[Entry]]
+
+  private def sameShape(a: Entry, dims: Seq[String],
+      measures: Seq[String]): Boolean =
+    a.dims == dims && a.measures == measures
 
   // last successful signature re-check per entry (epoch ms) — the TTL
   // cache behind lookupFresh; guarded by entries' monitor
@@ -152,13 +163,26 @@ object RollupRegistry {
       // EXACTLY (that is the rewrite's own soundness argument), so the
       // build being served from a current same-source rollup is a
       // speedup, never a staleness hazard. `deregister` remains the
-      // user-facing durable revocation.
-      unregisterInMemory(sourcePath)
+      // user-facing durable revocation. Shape-scoped (r17 multi-rollup):
+      // OTHER shapes registered over this fact stay serving — the build
+      // aggregation itself can never be served from them, because its
+      // `_cntm_` term (count over a cast) is not a rewritable aggregate.
+      unregisterShapeInMemory(sourcePath, dims, measures)
       buildCells(spark, sourcePath, dims, measures, cacheRoot, dest, entry)
     } else lastBuildKindVar = "cached"
     entries.synchronized {
       val k = normalize(sourcePath)
-      entries.put(k, entry)
+      val rest = entries.getOrElse(k, Nil)
+        .filterNot(e => sameShape(e, dims, measures))
+      // sibling shapes recorded at an OLDER fact state are stale the
+      // moment this registration observes the new state: keep them in
+      // the list and the per-path verifiedAt stamp below would serve
+      // them as "fresh" for a TTL — revoke them instead (their own
+      // re-register is the refresh job)
+      val (current, staleSibs) = rest.partition(e =>
+        e.sourceSig == sig || e.sourceSig.isEmpty)
+      staleSibs.foreach(revokeRecord)
+      entries.put(k, entry :: current)
       verifiedAt(k) = System.currentTimeMillis()
       // a fresh registration invalidates a cached rehydration MISS for
       // the path (the register call's own build aggregation runs through
@@ -417,22 +441,23 @@ object RollupRegistry {
   }
   private[plans] val RehydrateMissTtlMs = 30000L
 
-  /** Rebuild a registration for `path` from a persisted record in the
-    * default cache root — served only when the record's fact signature
-    * matches the LIVE directory. None (TTL-cached) otherwise; the
-    * aggregation keeps its exact fact scan. */
-  def rehydrate(path: String,
-      roots: Seq[String] = Seq(DefaultCacheRoot)): Option[Entry] = {
+  /** Rebuild registrations for `path` from persisted records in the
+    * default cache root — served only when a record's fact signature
+    * matches the LIVE directory. ALL matching shapes rehydrate (newest
+    * record per (dims, measures)); empty (TTL-cached miss) otherwise —
+    * the aggregation keeps its exact fact scan. */
+  def rehydrateAll(path: String,
+      roots: Seq[String] = Seq(DefaultCacheRoot)): Seq[Entry] = {
     val key = normalize(path)
     val now = System.currentTimeMillis()
     entries.synchronized {
       if (Option(rehydrateMissAt.get(key))
           .exists(t => now - t >= 0 && now - t < RehydrateMissTtlMs))
-        return None
+        return Nil
     }
-    def miss: Option[Entry] = {
+    def miss: Seq[Entry] = {
       entries.synchronized { rehydrateMissAt.put(key, now) }
-      None
+      Nil
     }
     // signature over the path AS PASSED (scheme-qualified for remote
     // facts — the same string register signed); records match on the
@@ -451,54 +476,90 @@ object RollupRegistry {
             .map(r => (d, rec.lastModified(), r))
         }
     }
-    candidates.sortBy(-_._2).headOption match {
-      case None => miss
-      case Some((dir, _, r)) =>
-        if (!new java.io.File(dir, "_SUCCESS").isFile) miss
-        else {
-          val entry = Entry(dir.getPath, r.dims, r.measures, r.sourceSig)
-          entries.synchronized {
-            entries.put(key, entry)
-            verifiedAt(key) = now
-          }
-          Some(entry)
-        }
+    // newest complete record per SHAPE — every registered dim set over
+    // this fact comes back, not just one
+    val rehydrated = candidates
+      .groupBy { case (_, _, r) => (r.dims, r.measures) }
+      .values.toSeq
+      .flatMap(_.sortBy(-_._2).headOption)
+      .filter { case (dir, _, _) => new java.io.File(dir, "_SUCCESS").isFile }
+      .map { case (dir, _, r) =>
+        Entry(dir.getPath, r.dims, r.measures, r.sourceSig)
+      }
+    if (rehydrated.isEmpty) miss
+    else {
+      entries.synchronized {
+        entries.put(key, rehydrated.toList)
+        verifiedAt(key) = now
+      }
+      rehydrated
     }
   }
 
-  def lookup(path: String): Option[Entry] =
-    entries.synchronized { entries.get(normalize(path)) }
+  /** Single-entry [[rehydrateAll]] (compat): the newest shape. */
+  def rehydrate(path: String,
+      roots: Seq[String] = Seq(DefaultCacheRoot)): Option[Entry] =
+    rehydrateAll(path, roots).headOption
 
-  /** [[lookup]] plus the serve-time staleness guard (VERDICT r14 ask #2,
-    * the [[AnnIndexRegistry.lookupFresh]] twin — MORE important here
-    * because this rule claims EXACTNESS): before a registration serves,
-    * its recorded fact signature is re-checked against the live
-    * directory, TTL-cached; a fact rewritten in place without
-    * re-registration deregisters and the aggregation keeps its exact
-    * fact scan instead of silently re-aggregating stale cells. */
-  def lookupFresh(path: String, ttlMs: Long): Option[Entry] = {
+  def lookupAll(path: String): Seq[Entry] =
+    entries.synchronized { entries.getOrElse(normalize(path), Nil) }
+
+  def lookup(path: String): Option[Entry] = lookupAll(path).headOption
+
+  /** [[lookupAll]] plus the serve-time staleness guard (VERDICT r14 ask
+    * #2, the [[AnnIndexRegistry.lookupFresh]] twin — MORE important here
+    * because this rule claims EXACTNESS): before registrations serve,
+    * their recorded fact signature is re-checked against the live
+    * directory, TTL-cached per path (one fact, one signature — all
+    * current shapes share it); a fact rewritten in place without
+    * re-registration revokes the stale shapes and the aggregation keeps
+    * its exact fact scan instead of silently re-aggregating stale
+    * cells. Unguarded ("" sig) entries always serve, under the
+    * documented MV-snapshot contract. */
+  def lookupAllFresh(path: String, ttlMs: Long): Seq[Entry] = {
     val key = normalize(path)
-    val e = lookup(path).getOrElse(return None)
-    if (e.sourceSig.isEmpty) return Some(e)
+    val all = lookupAll(path)
+    if (all.isEmpty) return Nil
+    val (guarded, unguarded) = all.partition(_.sourceSig.nonEmpty)
+    if (guarded.isEmpty) return unguarded
     val now = System.currentTimeMillis()
     val fresh = entries.synchronized {
       verifiedAt.get(key).exists(t => now - t >= 0 && now - t < ttlMs)
     }
-    if (fresh) return Some(e)
+    if (fresh) return all
     // re-check over the path AS PASSED — the rule passes the scan's own
     // root string, so a remote fact re-signs through its own FileSystem
     scala.util.Try(sourceSignature(SparkSession.active, path)) match {
-      case scala.util.Success(sig) if sig == e.sourceSig =>
-        entries.synchronized { verifiedAt(key) = now }
-        Some(e)
-      case scala.util.Success(_) =>
-        deregister(path)
-        None
+      case scala.util.Success(sig) =>
+        val (current, stale) = guarded.partition(_.sourceSig == sig)
+        if (stale.nonEmpty) entries.synchronized {
+          stale.foreach(revokeRecord)
+          val rest = entries.getOrElse(key, Nil).filterNot(e =>
+            stale.exists(s => sameShape(e, s.dims, s.measures)))
+          if (rest.isEmpty) { entries.remove(key); verifiedAt.remove(key) }
+          else entries.put(key, rest)
+        }
+        if (current.nonEmpty) entries.synchronized { verifiedAt(key) = now }
+        current ++ unguarded
       // cannot-compute (transient FS error) fails closed for this serve
       // only — never a revocation on a cannot-know result
-      case scala.util.Failure(_) => None
+      case scala.util.Failure(_) => unguarded
     }
   }
+
+  /** Single-entry [[lookupAllFresh]] (compat). */
+  def lookupFresh(path: String, ttlMs: Long): Option[Entry] =
+    lookupAllFresh(path, ttlMs).headOption
+
+  private def unregisterShapeInMemory(sourcePath: String, dims: Seq[String],
+      measures: Seq[String]): Unit =
+    entries.synchronized {
+      val k = normalize(sourcePath)
+      val rest = entries.getOrElse(k, Nil)
+        .filterNot(e => sameShape(e, dims, measures))
+      if (rest.isEmpty) { entries.remove(k); verifiedAt.remove(k) }
+      else entries.put(k, rest)
+    }
 
   private def unregisterInMemory(sourcePath: String): String =
     entries.synchronized {
@@ -507,6 +568,19 @@ object RollupRegistry {
       verifiedAt.remove(k)
       k
     }
+
+  /** Rename one entry's persisted record to the revoked marker (the
+    * durable shape-scoped revocation [[lookupAllFresh]] and [[register]]
+    * use for stale siblings); best-effort. */
+  private def revokeRecord(e: Entry): Unit = scala.util.Try {
+    val d = new java.io.File(e.rollupPath)
+    val rec = new java.io.File(d, RegistrationRel)
+    if (rec.isFile) {
+      val revoked = new java.io.File(d, RevokedRel)
+      revoked.delete()
+      if (!rec.renameTo(revoked)) rec.delete()
+    }
+  }
 
   /** Remove a registration — DURABLY (persisted records for this source
     * in the default root go too, so [[rehydrate]] cannot resurrect an
@@ -551,17 +625,21 @@ object RollupRegistry {
     * (an unguarded "" entry serves under the MV-snapshot contract). */
   def statsRows(spark: SparkSession, sourcePath: String)
       : Seq[(String, String, String, Long, Long, Boolean)] = {
-    val e = lookup(sourcePath)
-      .orElse(rehydrate(sourcePath, Seq(DefaultCacheRoot)))
-      .getOrElse(return Seq.empty)
-    val dir = new java.io.File(e.rollupPath)
-    val files = Option(dir.listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    val bytes = files.map(_.length()).sum
-    val cells = scala.util.Try(
-      spark.read.parquet(e.rollupPath).count()).getOrElse(-1L)
-    Seq((e.rollupPath, e.dims.mkString(","), e.measures.mkString(","),
-      cells, bytes, e.sourceSig.nonEmpty))
+    val all = {
+      val live = lookupAll(sourcePath)
+      if (live.nonEmpty) live
+      else rehydrateAll(sourcePath, Seq(DefaultCacheRoot))
+    }
+    all.sortBy(e => (e.dims.size, e.dims.mkString(","))).map { e =>
+      val dir = new java.io.File(e.rollupPath)
+      val files = Option(dir.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val bytes = files.map(_.length()).sum
+      val cells = scala.util.Try(
+        spark.read.parquet(e.rollupPath).count()).getOrElse(-1L)
+      (e.rollupPath, e.dims.mkString(","), e.measures.mkString(","),
+        cells, bytes, e.sourceSig.nonEmpty)
+    }
   }
 
   /** Every rollup dir a live registration still references — the set
@@ -569,7 +647,7 @@ object RollupRegistry {
     * the next rewritten aggregation in this session would read (the
     * [[AnnIndexRegistry.livePaths]] twin). */
   def livePaths: Set[String] = entries.synchronized {
-    entries.values.map(_.rollupPath).toSet
+    entries.values.flatten.map(_.rollupPath).toSet
   }
 
   /**
@@ -712,9 +790,13 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
     }
 
   /** Walk a pruning-Project / Filter chain to a single registered fact
-    * relation; returns (filter conjuncts, fact relation, registration). */
+    * relation; returns (filter conjuncts, fact relation, registrations).
+    * ALL current registrations for the fact come back (r17 multi-rollup),
+    * ordered fewest-dims-first — the most aggregated rollup that can
+    * serve a query has the fewest cells, so the first candidate that
+    * matches is the cheapest (the Calcite MV-navigation pick). */
   private def walkToFact(start: LogicalPlan)
-      : Option[(Seq[Expression], LogicalRelation, RollupRegistry.Entry)] = {
+      : Option[(Seq[Expression], LogicalRelation, Seq[RollupRegistry.Entry])] = {
     var conds = Seq.empty[Expression]
     var cur = start
     var rel: LogicalRelation = null
@@ -729,9 +811,14 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
     }
     val roots = rel.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
     if (roots.size != 1) return None
-    RollupRegistry.lookupFresh(roots.head.toString, staleCheckMs)
-      .orElse(RollupRegistry.rehydrate(roots.head.toString))
-      .map((conds, rel, _))
+    val found = {
+      val fresh = RollupRegistry.lookupAllFresh(roots.head.toString, staleCheckMs)
+      if (fresh.nonEmpty) fresh
+      else RollupRegistry.rehydrateAll(roots.head.toString)
+    }
+    if (found.isEmpty) None
+    else Some((conds, rel,
+      found.sortBy(e => (e.dims.size, e.dims.mkString(",")))))
   }
 
   /** Filters must be deterministic AND touch dims only (then they remap
@@ -852,7 +939,14 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
     }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (conds, rel, entry) = walkToFact(agg.child).getOrElse(return None)
+    val (conds, rel, candidates) = walkToFact(agg.child).getOrElse(return None)
+    // fewest-dims-first: the first registered shape that can serve this
+    // aggregation is the most aggregated (smallest cells) one
+    candidates.view.flatMap(tryRewriteWith(agg, conds, rel, _)).headOption
+  }
+
+  private def tryRewriteWith(agg: Aggregate, conds: Seq[Expression],
+      rel: LogicalRelation, entry: RollupRegistry.Entry): Option[LogicalPlan] = {
     val dimSet = entry.dims.toSet
 
     // grouping keys: plain dim attributes of the fact relation
@@ -920,7 +1014,14 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
       case e: Expand => e
       case _ => return None
     }
-    val (conds, _, entry) = walkToFact(expand.child).getOrElse(return None)
+    val (conds, _, candidates) = walkToFact(expand.child).getOrElse(return None)
+    candidates.view
+      .flatMap(tryRewriteGroupingSetsWith(agg, expand, conds, _)).headOption
+  }
+
+  private def tryRewriteGroupingSetsWith(agg: Aggregate, expand: Expand,
+      conds: Seq[Expression], entry: RollupRegistry.Entry)
+      : Option[LogicalPlan] = {
     val dimSet = entry.dims.toSet
     if (!condsRemappable(conds, dimSet)) return None
 

@@ -662,6 +662,47 @@ object StoreQueries extends QueryPack {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // MULTIPLE rollups per fact (r17): a real BI deployment registers
+    // several dim sets over one fact (dashboard on one dim, drill-down
+    // on two) and the rule picks the best match per query — the Calcite
+    // materialized-view-navigation shape. Both registrations below
+    // coexist (the pre-r17 registry held ONE entry per path; a second
+    // register replaced the first); the by-status query can only be
+    // served by the two-dim shape, the by-priority query matches both
+    // and must ride the one-dim shape (fewest dims = fewest cells —
+    // `narrow_served` reads the executed scan's schema: the one-dim
+    // cells carry no o_orderstatus column). Exactness per shape is the
+    // same count/decimal-sum argument as ever; the oracle hash proves
+    // both served aggregates.
+    "store_rollup_rewrite_multi" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val factPath = s"$dir/orders.parquet"
+      graft.plans.RollupRegistry.register(s, factPath,
+        dims = Seq("o_orderstatus", "o_orderpriority"),
+        measures = Seq("o_totalprice"))
+      graft.plans.RollupRegistry.register(s, factPath,
+        dims = Seq("o_orderpriority"), measures = Seq("o_totalprice"))
+      def agg(d: String) = s.read.parquet(factPath)
+        .groupBy(col(d))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 3))).cast("double")
+            .as("total"))
+      val byStatus = agg("o_orderstatus")
+      val byPriority = agg("o_orderpriority")
+      val wideServed = byStatus.queryExecution.executedPlan.toString
+        .contains("_cnt")
+      val pPlan = byPriority.queryExecution.executedPlan.toString
+      val narrowServed = pPlan.contains("_cnt") &&
+        !pPlan.contains("o_orderstatus")
+      byStatus.select(lit("by_status").as("q"),
+          col("o_orderstatus").as("key"), col("n"), col("total"),
+          lit(wideServed).as("rewritten"), lit(narrowServed).as("narrow_served"))
+        .unionByName(byPriority.select(lit("by_priority").as("q"),
+          col("o_orderpriority").as("key"), col("n"), col("total"),
+          lit(narrowServed).as("rewritten"), lit(narrowServed).as("narrow_served")))
+        .orderBy(col("q"), col("key"))
+    }),
+
     // O(delta) rollup refresh (VERDICT r16 ask #1 — the rollup twin of
     // the ANN side's syncDump): a re-register over a fact whose recorded
     // file manifest is a strict SUBSET of the live files (the insert-only
@@ -1264,6 +1305,20 @@ object StoreQueries extends QueryPack {
         |              (2*s3*10000 + n) // (2*n) % 10000000) AS DOUBLE) AS avg_price,
         |  true AS rewritten
         |FROM g ORDER BY o_orderstatus""".stripMargin,
+    // two aggregates, one per registered shape — the hash proves both
+    // shape-served results exact
+    "store_rollup_rewrite_multi" ->
+      """SELECT q, key, n, total, true AS rewritten, true AS narrow_served
+        |FROM (
+        |  SELECT 'by_status' AS q, o_orderstatus AS key, count(*) AS n,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS total
+        |  FROM orders GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT 'by_priority' AS q, o_orderpriority AS key, count(*) AS n,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) AS VARCHAR) AS DOUBLE) AS total
+        |  FROM orders GROUP BY o_orderpriority
+        |)
+        |ORDER BY q, key""".stripMargin,
     // full-fact aggregate over BOTH halves: equality proves the
     // delta-merged cells are value-identical to a from-scratch build
     "store_rollup_refresh_incremental" ->

@@ -635,6 +635,36 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
     assert(legacy.isDirectory, "header-less artifact must still be kept")
   }
 
+  test("gc resolves source liveness through the path's FileSystem: live remote kept, missing remote reaped (r17)") {
+    // the rollup-gc ADVICE twin: the pre-r17 sweep probed the source with
+    // java.io (a LIVE remote corpus read as missing → artifacts reaped)
+    // and judged manifests by the LOCAL walk (empty for remote → all
+    // stale). Now: positively-absent sources reap, present-but-remote
+    // sources keep the whole group (a local walk cannot judge them).
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[graft.util.GraftTestFs].getName)
+    val root = scratchDir("graft-gc-remote-cache")
+    val liveSrc = new java.io.File(scratchDir("graft-gc-remote-src"))
+    liveSrc.mkdirs()
+    java.nio.file.Files.write(new java.io.File(liveSrc, "a.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    def publish(key: Char, source: String): java.io.File = {
+      val d = new java.io.File(root, key.toString * 32 + "-p1")
+      d.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(d, "graft-manifest.txt").toPath,
+        s"source=$source\na.parquet:3:1:0".getBytes("UTF-8"))
+      d
+    }
+    val liveRemote = publish('a', s"graftfs:${liveSrc.getPath}")
+    val deadRemote = publish('b', s"graftfs:${liveSrc.getPath}-nope")
+    val swept = IndexCache.gc(root, 0).toSet
+    assert(swept == Set(deadRemote.getPath),
+      s"expected only the missing-remote artifact reaped, got $swept")
+    assert(liveRemote.isDirectory,
+      "a LIVE remote corpus's artifact was reaped by the local-walk judge")
+  }
+
   test("openOrBuild recovers from a stale PARTIAL index dir at the key path") {
     // simulate a builder that died after creating the target dir but
     // before completing the index: the success marker is missing, so the

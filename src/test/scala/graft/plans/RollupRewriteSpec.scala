@@ -428,6 +428,68 @@ class RollupRewriteSpec extends AnyFunSuite with SparkTestBase {
     } finally RollupRegistry.clear()
   }
 
+  test("multiple rollups per fact: both serve, the most aggregated matching shape wins; stale siblings revoke (r17)") {
+    RollupRegistry.clear()
+    val dir = scratchDir("graft_rollup_multi_fact")
+    import spark.implicits._
+    Seq(("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 3.0), ("B", "y", 4.0),
+      ("B", "y", 6.0)).toDF("k1", "k2", "m")
+      .write.mode("overwrite").parquet(dir)
+    def q(d: String) = spark.read.parquet(dir).groupBy(col(d))
+      .agg(count(lit(1)).as("n"),
+        sum(col("m").cast(DecimalType(18, 3))).cast("double").as("t"))
+    try {
+      RollupRegistry.register(spark, dir, dims = Seq("k1", "k2"),
+        measures = Seq("m"))
+      RollupRegistry.register(spark, dir, dims = Seq("k2"),
+        measures = Seq("m"))
+      assert(RollupRegistry.lookupAll(dir).size == 2,
+        "the second shape must not replace the first")
+      // GROUP BY k1: only the wide shape can serve (k1 not in narrow)
+      val p1 = planOf(q("k1"))
+      assert(p1.contains("_sum_m") && p1.contains("k1#"), p1)
+      assert(q("k1").collect().map(r => r.getString(0) -> r.getDouble(2))
+        .toMap == Map("A" -> 3.0, "B" -> 13.0))
+      // GROUP BY k2: both match; the NARROW shape (fewest dims, fewest
+      // cells) must win — its relation carries no k1 column
+      val p2 = planOf(q("k2"))
+      assert(p2.contains("_sum_m") && !p2.contains("k1#"),
+        s"groupBy(k2) must serve from the k2-only rollup:\n$p2")
+      assert(q("k2").collect().map(r => r.getString(0) -> r.getDouble(2))
+        .toMap == Map("x" -> 4.0, "y" -> 12.0))
+      // CUBE over k2 rides the narrow shape through the Expand too
+      val pc = planOf(spark.read.parquet(dir).cube(col("k2"))
+        .agg(count(lit(1)).as("n")))
+      assert(pc.contains("_cnt") && !pc.contains("k1#"), pc)
+      // a fresh session rehydrates BOTH shapes from their records
+      RollupRegistry.clear()
+      assert(planOf(q("k1")).contains("_sum_m"),
+        "wide shape must rehydrate")
+      assert(RollupRegistry.lookupAll(dir).size == 2,
+        "rehydration must restore every registered shape")
+      // fact changes; re-registering ONE shape revokes the stale sibling
+      Seq(("C", "x", 9.0)).toDF("k1", "k2", "m")
+        .write.mode("append").parquet(dir)
+      RollupRegistry.register(spark, dir, dims = Seq("k2"),
+        measures = Seq("m"))
+      val left = RollupRegistry.lookupAll(dir)
+      assert(left.map(_.dims) == Seq(Seq("k2")),
+        s"stale wide sibling must be revoked, got ${left.map(_.dims)}")
+      assert(!planOf(q("k1")).contains("_sum_m"),
+        "revoked stale shape must not serve")
+      assert(q("k1").collect().map(r => r.getString(0) -> r.getDouble(2))
+        .toMap == Map("A" -> 3.0, "B" -> 13.0, "C" -> 9.0))
+      assert(planOf(q("k2")).contains("_sum_m"),
+        "the re-registered shape serves the appended fact")
+      assert(q("k2").collect().map(r => r.getString(0) -> r.getDouble(2))
+        .toMap == Map("x" -> 13.0, "y" -> 12.0))
+    } finally {
+      RollupRegistry.deregister(dir)
+      RollupRegistry.gc(olderThanMs = 0L)
+      RollupRegistry.clear()
+    }
+  }
+
   test("insert-only refresh is O(delta): delta-merged cells value-equal a from-scratch build (r16 ask #1)") {
     RollupRegistry.clear()
     val dir = scratchDir("graft_rollup_incr_fact")
