@@ -197,16 +197,78 @@ private[graft] object IndexCache {
 
   private def keyOf(sourcePath: String, srcFiles: Seq[java.io.File],
       entries: Seq[String]): String =
+    keyOfEntries(sourcePath, srcFiles.size, entries)
+
+  private def keyOfEntries(sourcePath: String, n: Int,
+      entries: Seq[String]): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest((s"$sourcePath|n=${srcFiles.size}" +: entries).mkString("|").getBytes("UTF-8"))
+      .digest((s"$sourcePath|n=$n" +: entries).mkString("|").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
+
+  /** Resolve whether `sourcePath` is served by the local filesystem —
+    * through its Hadoop FileSystem, the way a Spark read resolves it.
+    * Unresolvable (no scheme handler, no active session conf) counts as
+    * local: that preserves the pre-r17 behavior for every plain path. */
+  private def isRemote(sourcePath: String): Boolean = scala.util.Try {
+    val p = new org.apache.hadoop.fs.Path(sourcePath)
+    val conf = scala.util.Try(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    p.getFileSystem(conf).getScheme != "file"
+  }.getOrElse(false)
+
+  /** (entry lines, readable file paths) for a REMOTE source: one bounded
+    * recursive listing — `relpath:len:mtime`, THREE fields, so a
+    * remote-built manifest can never subset-match a local one
+    * (`entriesOf` spells four fields, the head-CRC last) — paired with
+    * fully-qualified URIs Spark reads directly. (Nil, Nil) when the
+    * listing fails or the source is empty: the caller's key degrades to
+    * the path-only constant exactly like an empty local dir, and
+    * [[gc]]'s remote judge treats an empty listing as cannot-judge. */
+  private def remoteListing(sourcePath: String): (Seq[String], Seq[String]) =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(sourcePath)
+      val conf = scala.util.Try(org.apache.spark.sql.SparkSession.active
+          .sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(conf)
+      val q = fs.makeQualified(p)
+      if (!fs.exists(q)) (Seq.empty[String], Seq.empty[String])
+      else {
+        val rootUri = q.toUri
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val it = fs.listFiles(q, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = rootUri.relativize(st.getPath.toUri).getPath
+          val hidden = rel.split("/")
+            .exists(c => c.startsWith("_") || c.startsWith("."))
+          if (!hidden && st.isFile)
+            buf += ((s"$rel:${st.getLen}:${st.getModificationTime}",
+              st.getPath.toString))
+        }
+        val sorted = buf.sortBy(_._1).toSeq
+        (sorted.map(_._1), sorted.map(_._2))
+      }
+    }.getOrElse((Seq.empty, Seq.empty))
 
   def openOrBuildIncremental(sourcePath: String, paramsFingerprint: String,
       cacheRoot: String, successRel: String)(buildInto: String => Unit)(
       appendInto: (String, Seq[String], String) => Unit): String = {
-    val srcFiles = dataFiles(sourcePath)
-    val entries = entriesOf(srcFiles, sourcePath)
-    val key = keyOf(sourcePath, srcFiles, entries)
+    // locality-aware content key (r17): a REMOTE corpus keys/manifests on
+    // the bounded listing instead of the blind local walk — which listed
+    // NOTHING, collapsing every state of the corpus onto one degenerate
+    // key, so a changed remote corpus silently reused its stale artifact
+    // (and the h1 registration signature, recorded fresh, would then
+    // vouch for it). Local paths are byte-identical to pre-r17: existing
+    // caches stay valid.
+    val (entries, filePaths) =
+      if (isRemote(sourcePath)) remoteListing(sourcePath)
+      else {
+        val srcFiles = dataFiles(sourcePath)
+        (entriesOf(srcFiles, sourcePath), srcFiles.map(_.getPath))
+      }
+    val key = keyOfEntries(sourcePath, entries.size, entries)
     val path = s"$cacheRoot/$key-$paramsFingerprint"
     val target = new java.io.File(path)
     if (!new java.io.File(target, successRel).isFile) {
@@ -216,8 +278,8 @@ private[graft] object IndexCache {
       // shared cache root (nor can it ever be served — only a rename
       // publishes)
       try {
-        if (!growFrom(paramsFingerprint, cacheRoot, successRel, entries, srcFiles,
-            appendInto, staging))
+        if (!growFrom(paramsFingerprint, cacheRoot, successRel, entries,
+            filePaths, appendInto, staging))
           buildInto(staging.getPath)
         // manifest LAST, after the index content is complete
         java.nio.file.Files.write(new java.io.File(staging, ManifestRel).toPath,
@@ -232,12 +294,12 @@ private[graft] object IndexCache {
     * strict subset of the current source files and append the new files
     * onto it; false if none qualifies (caller does a full build). */
   private def growFrom(paramsFingerprint: String, cacheRoot: String,
-      successRel: String, entries: Seq[String], srcFiles: Seq[java.io.File],
+      successRel: String, entries: Seq[String], filePaths: Seq[String],
       appendInto: (String, Seq[String], String) => Unit,
       staging: java.io.File): Boolean = {
     if (appendInto == null) return false
     val current = entries.toSet
-    val byEntry = srcFiles.zip(entries).map { case (f, e) => e -> f }.toMap
+    val byEntry = entries.zip(filePaths).toMap
     val candidates = Option(new java.io.File(cacheRoot).listFiles()).toSeq.flatten
       .filter(d => d.isDirectory && d.getName.endsWith(s"-$paramsFingerprint"))
       .filter(d => new java.io.File(d, successRel).isFile)
@@ -258,7 +320,7 @@ private[graft] object IndexCache {
       }
     candidates.sortBy(-_._2.size).headOption match {
       case Some((published, ingested)) =>
-        val newFiles = entries.filterNot(ingested).map(byEntry(_).getPath)
+        val newFiles = entries.filterNot(ingested).map(byEntry)
         appendInto(published.getPath, newFiles, staging.getPath)
         true
       case None => false
@@ -351,10 +413,13 @@ private[graft] object IndexCache {
         // corpus on a remote scheme — or a scheme-less path resolving
         // through a remote fs.defaultFS — must never read as "missing",
         // and its artifacts can't be judged by the LOCAL manifest walk
-        // either (an empty local listing would mark every manifest
-        // stale). Missing (0) → reap the group; local live (1) → the
-        // manifest subset logic; remote-and-present or unresolvable
-        // (2) → keep the whole group (fail-safe: cannot judge).
+        // (an empty local listing would mark every manifest stale).
+        // Missing (0) → reap the group; local live (1) → the local
+        // manifest subset logic; remote-and-present (2) → the SAME
+        // subset logic over the bounded remote listing (remote-built
+        // manifests record the three-field listing entries), except an
+        // empty/failed listing is cannot-judge → keep (fail-safe, also
+        // covers unresolvable schemes).
         val state: Int = scala.util.Try {
           val p = new org.apache.hadoop.fs.Path(source)
           val conf = scala.util.Try(org.apache.spark.sql.SparkSession
@@ -365,20 +430,22 @@ private[graft] object IndexCache {
           else if (fs.getScheme == "file") 1
           else 2
         }.getOrElse(2)
-        if (state != 2) {
-          val current: Option[Set[String]] =
-            if (state == 0) None
-            else Some(entriesOf(dataFiles(source), source).toSet)
-          current match {
-            case None => group.foreach(p => reap(p.dir))
-            case Some(cur) =>
-              val (reachable, stale) = group.partition(_.ingested.subsetOf(cur))
-              stale.foreach(p => reap(p.dir))
-              val (live, subsets) = reachable.partition(_.ingested == cur)
-              if (live.nonEmpty) subsets.foreach(p => reap(p.dir))
-              else subsets.sortBy(-_.ingested.size).drop(1)
-                .foreach(p => reap(p.dir))
-          }
+        val judged: Option[Option[Set[String]]] = state match {
+          case 0 => Some(None)
+          case 1 => Some(Some(entriesOf(dataFiles(source), source).toSet))
+          case _ =>
+            val cur = remoteListing(source)._1
+            if (cur.isEmpty) None else Some(Some(cur.toSet))
+        }
+        judged.foreach {
+          case None => group.foreach(p => reap(p.dir))
+          case Some(cur) =>
+            val (reachable, stale) = group.partition(_.ingested.subsetOf(cur))
+            stale.foreach(p => reap(p.dir))
+            val (live, subsets) = reachable.partition(_.ingested == cur)
+            if (live.nonEmpty) subsets.foreach(p => reap(p.dir))
+            else subsets.sortBy(-_.ingested.size).drop(1)
+              .foreach(p => reap(p.dir))
         }
     }
     removed.toSeq

@@ -186,8 +186,15 @@ object IvfGeometry {
   def calibrated(spark: SparkSession, sourcePath: String, idCol: String,
       embCol: String, contract: Contract,
       cacheRoot: String = IndexCache.DefaultIvfRoot): Calibrated =
+    // locality-aware content key (r17): a remote-scheme corpus keys on
+    // the bounded-listing signature — the local walk listed nothing
+    // there, so every state of a remote corpus shared one memo entry and
+    // a rewritten corpus could be served the old geometry. Local paths
+    // key on the identical fingerprint string as before.
     memo.getOrElseUpdate(spark,
-      (sourcePath, IndexCache.sourceFingerprint(sourcePath), contract, cacheRoot))(
+      (sourcePath, IndexCache.sourceSignature(
+        spark.sparkContext.hadoopConfiguration, sourcePath), contract,
+        cacheRoot))(
       resolve(spark, sourcePath, idCol, embCol, contract, cacheRoot))
 
   /** [[calibrated]] returning just the index. */

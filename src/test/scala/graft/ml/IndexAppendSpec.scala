@@ -635,34 +635,91 @@ class IndexAppendSpec extends AnyFunSuite with SparkTestBase {
     assert(legacy.isDirectory, "header-less artifact must still be kept")
   }
 
-  test("gc resolves source liveness through the path's FileSystem: live remote kept, missing remote reaped (r17)") {
+  test("gc resolves source liveness through the path's FileSystem: current remote kept, stale/missing remote reaped (r17)") {
     // the rollup-gc ADVICE twin: the pre-r17 sweep probed the source with
     // java.io (a LIVE remote corpus read as missing → artifacts reaped)
     // and judged manifests by the LOCAL walk (empty for remote → all
-    // stale). Now: positively-absent sources reap, present-but-remote
-    // sources keep the whole group (a local walk cannot judge them).
+    // stale). Now a remote group is judged by the bounded remote listing
+    // — the same three-field entries remote-built manifests record.
     spark.sparkContext.hadoopConfiguration
       .set("fs.graftfs.impl", classOf[graft.util.GraftTestFs].getName)
     val root = scratchDir("graft-gc-remote-cache")
     val liveSrc = new java.io.File(scratchDir("graft-gc-remote-src"))
     liveSrc.mkdirs()
-    java.nio.file.Files.write(new java.io.File(liveSrc, "a.parquet").toPath,
-      Array[Byte](1, 2, 3))
-    def publish(key: Char, source: String): java.io.File = {
+    val dataFile = new java.io.File(liveSrc, "a.parquet")
+    java.nio.file.Files.write(dataFile.toPath, Array[Byte](1, 2, 3))
+    def publish(key: Char, source: String, entry: String): java.io.File = {
       val d = new java.io.File(root, key.toString * 32 + "-p1")
       d.mkdirs()
       java.nio.file.Files.write(
         new java.io.File(d, "graft-manifest.txt").toPath,
-        s"source=$source\na.parquet:3:1:0".getBytes("UTF-8"))
+        s"source=$source\n$entry".getBytes("UTF-8"))
       d
     }
-    val liveRemote = publish('a', s"graftfs:${liveSrc.getPath}")
-    val deadRemote = publish('b', s"graftfs:${liveSrc.getPath}-nope")
+    val src = s"graftfs:${liveSrc.getPath}"
+    // manifest matches the live listing (relpath:len:mtime) → current
+    val current = publish('a', src,
+      s"a.parquet:3:${dataFile.lastModified}")
+    // manifest records a file state the listing no longer shows → stale
+    val staleRemote = publish('b', src, "a.parquet:3:1")
+    // the source itself is gone → whole group reaped
+    val deadRemote = publish('c', s"$src-nope", "a.parquet:3:1")
     val swept = IndexCache.gc(root, 0).toSet
-    assert(swept == Set(deadRemote.getPath),
-      s"expected only the missing-remote artifact reaped, got $swept")
-    assert(liveRemote.isDirectory,
-      "a LIVE remote corpus's artifact was reaped by the local-walk judge")
+    assert(swept == Set(staleRemote.getPath, deadRemote.getPath),
+      s"expected the stale + missing remote artifacts reaped, got $swept")
+    assert(current.isDirectory,
+      "a CURRENT remote corpus artifact was reaped")
+  }
+
+  test("openOrBuildIncremental over a remote scheme: listing-keyed cache reuse, append on grow, rebuild on change (r17)") {
+    // the pre-r17 content key came from the LOCAL walk — empty for a
+    // remote source, so every state of the corpus collapsed onto one
+    // degenerate key and a changed corpus silently reused its stale
+    // artifact (while the h1 registration signature, recorded fresh,
+    // vouched for it). The key now derives from the bounded listing.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[graft.util.GraftTestFs].getName)
+    val root = scratchDir("graft-remote-oob-cache")
+    val srcDir = new java.io.File(scratchDir("graft-remote-oob-src"))
+    srcDir.mkdirs()
+    val src = s"graftfs:${srcDir.getPath}"
+    var builds = 0
+    var appends = 0
+    var appendedFiles: Seq[String] = Nil
+    def open(): String = IndexCache.openOrBuildIncremental(
+      src, "p1", root, "x/_SUCCESS") { st =>
+      builds += 1
+      val d = new java.io.File(st, "x"); d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, "_SUCCESS").toPath,
+        Array.emptyByteArray)
+    } { (_, newFiles, st) =>
+      appends += 1; appendedFiles = newFiles
+      val d = new java.io.File(st, "x"); d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, "_SUCCESS").toPath,
+        Array.emptyByteArray)
+    }
+    java.nio.file.Files.write(new java.io.File(srcDir, "a.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    val dir1 = open()
+    assert(builds == 1)
+    // unchanged source → same key, no rebuild
+    assert(open() == dir1 && builds == 1 && appends == 0)
+    // source GREW (new file) → a NEW key and the append path, with the
+    // new file handed over as a fully-qualified remote URI
+    java.nio.file.Files.write(new java.io.File(srcDir, "b.parquet").toPath,
+      Array[Byte](4, 5))
+    val dir2 = open()
+    assert(dir2 != dir1, "grown remote source must publish under a new key")
+    assert(builds == 1 && appends == 1, s"builds=$builds appends=$appends")
+    assert(appendedFiles.size == 1 &&
+      appendedFiles.head.startsWith("graftfs:") &&
+      appendedFiles.head.endsWith("b.parquet"), appendedFiles.toString)
+    // an ingested file CHANGED (length) → full rebuild, not append
+    java.nio.file.Files.write(new java.io.File(srcDir, "a.parquet").toPath,
+      Array[Byte](9))
+    val dir3 = open()
+    assert(dir3 != dir2 && builds == 2 && appends == 1,
+      s"changed remote source must rebuild: builds=$builds appends=$appends")
   }
 
   test("openOrBuild recovers from a stale PARTIAL index dir at the key path") {

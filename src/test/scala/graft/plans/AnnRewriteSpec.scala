@@ -199,6 +199,50 @@ class AnnRewriteSpec extends AnyFunSuite with SparkTestBase {
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
 
+  test("remote-scheme corpus registers with the listing signature; rewrite serves; change falls back (r17)") {
+    // the ANN twin of the rollup remote-guard spec: the pre-r17 guard
+    // signed any non-file scheme "" (unguarded), so a remote corpus
+    // served session-local with no staleness story; the locality-aware
+    // resolver signs through the path's own FileSystem and the whole
+    // lifecycle — index job, content-keyed cache, registration,
+    // serve-time re-check — runs over the scheme.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[graft.util.GraftTestFs].getName)
+    val local = scratchDir("graft_ann_remote_src")
+    corpus.write.mode("overwrite").parquet(local)
+    val remote = s"graftfs:$local"
+    val ivf = new IvfIndex(nCentroids = 8, nProbe = 8) // full probe: exact
+    try {
+      AnnIndexRegistry.clear()
+      val e = AnnIndexRegistry.register(spark, ivf, remote,
+        "vec_id", "embedding", nProbe = 8)
+      assert(e.sourceFp.startsWith("h1:"),
+        s"remote corpus must carry the listing signature, got '${e.sourceFp}'")
+      spark.conf.set(AnnIndexRule.StaleCheckMsKey, "0")
+      val qv = queryVec(3L)
+      val served = flagshipOn(remote, qv, 10)
+      assert(served.queryExecution.executedPlan.toString.contains("emb:array"),
+        "guarded remote registration must serve the rewrite")
+      // full-probe serve is EXACT — same rows as the unregistered scan
+      val ids = served.collect().map(_.getLong(0)).toSeq
+      spark.conf.set(AnnIndexRule.ConfKey, "false")
+      val exact =
+        try flagshipOn(remote, qv, 10).collect().map(_.getLong(0)).toSeq
+        finally spark.conf.unset(AnnIndexRule.ConfKey)
+      assert(ids == exact, s"remote-served rows drifted: $ids vs $exact")
+      // the remote corpus changes: serve-time re-check deregisters and
+      // the flagship falls back to the exact scan over the NEW corpus
+      corpus.limit(5).withColumn("vec_id", col("vec_id") + 100000L)
+        .write.mode("append").parquet(remote)
+      assert(!flagshipOn(remote, qv, 10).queryExecution.executedPlan
+        .toString.contains("emb:array"),
+        "stale remote index served after the corpus changed")
+    } finally {
+      spark.conf.unset(AnnIndexRule.StaleCheckMsKey)
+      AnnIndexRegistry.clear()
+    }
+  }
+
   test("in-place corpus rewrite WITHOUT re-register falls back to the exact scan (staleness guard)") {
     // the r14 stale-serve hazard (VERDICT ask #2): the registry keyed on
     // path only, so a corpus rewritten in place without a re-register
