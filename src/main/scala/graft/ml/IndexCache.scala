@@ -195,6 +195,16 @@ private[graft] object IndexCache {
     entriesOf(srcFiles, sourcePath).zip(srcFiles.map(_.getPath))
   }
 
+  /** Locality-resolved [[sourceEntries]] (r17): remote-scheme sources
+    * yield the bounded listing's three-field entries paired with
+    * fully-qualified URIs a Spark read accepts directly — so the rollup
+    * O(delta) refresh classifies insert-only waves on object storage
+    * too, not just local facts. */
+  private[graft] def sourceEntriesResolved(sourcePath: String)
+      : Seq[(String, String)] =
+    if (isRemote(sourcePath)) { val (e, p) = remoteListing(sourcePath); e.zip(p) }
+    else sourceEntries(new org.apache.hadoop.fs.Path(sourcePath).toUri.getPath)
+
   private def keyOf(sourcePath: String, srcFiles: Seq[java.io.File],
       entries: Seq[String]): String =
     keyOfEntries(sourcePath, srcFiles.size, entries)

@@ -275,12 +275,15 @@ object RollupRegistry {
       s"$dest.build-${java.lang.ProcessHandle.current().pid()}-${System.nanoTime()}")
     try {
       val src = normalize(sourcePath)
-      // delta classification runs on LOCAL-format signatures only (the
-      // manifest records the local walk's entries); a remote fact's
-      // register is the full-rebuild refresh job, as documented
+      // delta classification is locality-resolved (r17): local facts
+      // compare the fingerprint walk's entries, remote facts the bounded
+      // listing's — so an insert-only wave on object storage takes the
+      // O(delta) merge too (the manifest records whichever format its
+      // source resolves to; formats never cross-match)
       val curEntries: Seq[(String, String)] =
-        if (entry.sourceSig.startsWith("h1:") || entry.sourceSig.isEmpty) Seq.empty
-        else scala.util.Try(graft.ml.IndexCache.sourceEntries(src))
+        if (entry.sourceSig.isEmpty) Seq.empty
+        else scala.util.Try(
+          graft.ml.IndexCache.sourceEntriesResolved(sourcePath))
           .getOrElse(Seq.empty)
       val curSet = curEntries.map(_._1).toSet
       val base = Option(new java.io.File(cacheRoot).listFiles()).toSeq.flatten
@@ -288,7 +291,13 @@ object RollupRegistry {
           !d.getName.contains(".build-"))
         .flatMap { d =>
           for {
-            r <- readRegistration(d)
+            // REVOKED records qualify as a delta base too: revocation
+            // (serve-time staleness, explicit deregister) only bars
+            // SERVING — the refresh flow is exactly stale → revoked →
+            // next register delta-merges from those cells, and the
+            // manifest-subset proof below is value-based, independent
+            // of serve eligibility
+            r <- readRegistration(d).orElse(readRevokedRegistration(d))
             if normalize(r.source) == src && r.dims == dims &&
               r.measures == measures
             // same cell-schema version only: the dir publishes under the
@@ -419,9 +428,16 @@ object RollupRegistry {
       measures: Seq[String], sourceSig: String)
 
   private def readRegistration(dir: java.io.File): Option[Reg] =
+    readRecordFile(new java.io.File(dir, RegistrationRel))
+
+  /** A revoked dir's record ([[RevokedRel]]) — readable ONLY by the
+    * delta-base probe; rehydration and serving read the live name. */
+  private def readRevokedRegistration(dir: java.io.File): Option[Reg] =
+    readRecordFile(new java.io.File(dir, RevokedRel))
+
+  private def readRecordFile(f: java.io.File): Option[Reg] =
     scala.util.Try {
-      val kv = new String(java.nio.file.Files.readAllBytes(
-        new java.io.File(dir, RegistrationRel).toPath), "UTF-8")
+      val kv = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         .split("\n").filter(_.contains("="))
         .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
         .toMap

@@ -591,7 +591,18 @@ class RollupRewriteSpec extends AnyFunSuite with SparkTestBase {
         "stale remote cells served after the fact changed")
       assert(q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
         == Map("A" -> 3.0, "B" -> 3.0, "C" -> 9.0))
-      // …and NOW the superseded dir is reclaimable
+      // the refresh re-register takes the O(delta) merge over the SCHEME
+      // (r17: the manifest records the remote listing's entries, so an
+      // insert-only wave on object storage classifies as delta too)
+      RollupRegistry.register(spark, remote,
+        dims = Seq("k"), measures = Seq("m"), cacheRoot = root)
+      assert(RollupRegistry.lastBuildKind == "incremental",
+        "an appended remote fact must take the delta-merge path")
+      assert(planOf(q).contains("_sum_m"))
+      assert(q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        == Map("A" -> 3.0, "B" -> 3.0, "C" -> 9.0))
+      // …and NOW the superseded dir is reclaimable (the refreshed dir is
+      // current and survives the zero age bar)
       assert(RollupRegistry.gc(root, olderThanMs = 0L, keep = Set.empty)
         == Seq(e.rollupPath))
     } finally {
