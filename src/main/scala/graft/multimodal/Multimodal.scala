@@ -449,10 +449,32 @@ object MediaCodecs {
  *  - decode runs in `mapPartitions` so per-partition setup (a real codec
  *    context, a model session) is paid once per task, not per row —
  *    the same batch shape Arrow/pandas UDFs give Python pipelines;
- *  - media tables are partitioned by modality: codec work is uniform
- *    within a partition, and a cluster can size executors per modality.
+ *  - codec stages are spread across the session's full parallelism BY
+ *    MEDIA ID before any encode/decode map (r17 optimization): the
+ *    documents scan is byte-small (1-2 input splits) and a
+ *    modality-keyed repartition has <= 3 distinct keys, so both the
+ *    encode map and every downstream decode ran on <= 3 of the 32
+ *    cores — guide §2.5's "synthetic partitioning keys with too few
+ *    distinct values", measured as the whole multimodal family
+ *    serializing on one task per modality. media_id is unique, so the
+ *    hash spread is even at any scale.
  */
 object MultimodalOps {
+
+  /** Spread the pre-encode media frame across the session's cores by
+    * media_id before per-row codec work. Unconditional: a partition-count
+    * guard lies here (a byte-small parquet reports one split per core
+    * but every ROW sits in the single non-empty split), and what crosses
+    * this shuffle is the metadata row — the payload bytes are GENERATED
+    * after it — so the spread costs ~KB/row while the codec work it
+    * parallelizes is the family's entire budget. */
+  private def spreadById(df: DataFrame): DataFrame =
+    // explicit partition count: a keyed repartition WITHOUT one is fair
+    // game for AQE's coalescing (the pre-encode rows are ~KB, so the
+    // advisory size folds the exchange to one partition and the codec
+    // stage serializes again); a user-specified count is respected
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      col("media_id"))
 
   /** The metadata half of the media derivation: pure columnar arithmetic
     * (modality/format routing, dimensions), no codec work — consumable by
@@ -483,7 +505,7 @@ object MultimodalOps {
     // after mapPartitions cannot push through the opaque typed map, so a
     // frames-only consumer would otherwise pay PNG/WAV encode for every
     // image/audio row it immediately drops
-    onlyModality.fold(base)(m => base.filter(col("modality") === m))
+    spreadById(onlyModality.fold(base)(m => base.filter(col("modality") === m)))
       .as[MediaRow]
       .mapPartitions { rows =>
         // encoder state is per-partition; each modality pays only its own
@@ -501,8 +523,6 @@ object MultimodalOps {
         }
       }
       .toDF()
-      // modality-partitioned layout: uniform codec work per partition
-      .repartition(col("modality"))
   }
 
   /** Batch feature extraction over the binary column. */
@@ -614,7 +634,7 @@ object MultimodalOps {
   def videoFrameHashCatalog(docs: DataFrame, maxFrames: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    mediaMeta(docs).filter(col("modality") === "video").as[MediaRow]
+    spreadById(mediaMeta(docs).filter(col("modality") === "video")).as[MediaRow]
       .mapPartitions { rows =>
         rows.map(r => r.copy(content = MediaCodecs.encodeGif(
           r.media_id, r.width, r.height, math.min(r.n_frames, maxFrames))))
@@ -632,7 +652,7 @@ object MultimodalOps {
   def videoFrameCatalog(docs: DataFrame, maxFrames: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    mediaMeta(docs).filter(col("modality") === "video").as[MediaRow]
+    spreadById(mediaMeta(docs).filter(col("modality") === "video")).as[MediaRow]
       .mapPartitions { rows =>
         rows.map(r => r.copy(content = MediaCodecs.encodeGif(
           r.media_id, r.width, r.height, math.min(r.n_frames, maxFrames))))
@@ -688,7 +708,7 @@ object MultimodalOps {
       build: (MediaRow, Int, Int, java.awt.image.BufferedImage) => T): Dataset[T] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    mediaMeta(docs).filter(col("modality") === "video").as[MediaRow]
+    spreadById(mediaMeta(docs).filter(col("modality") === "video")).as[MediaRow]
       .mapPartitions { rows =>
         rows.map(r => r.copy(content = MediaCodecs.encodeGif(
           r.media_id, r.width, r.height, math.min(r.n_frames, maxFrames))))
