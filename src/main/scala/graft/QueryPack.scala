@@ -43,16 +43,27 @@ trait QueryPack {
 
   /**
    * Spread a CPU-heavy derivation (regex split, per-token hashing) across
-   * all cores when the scan planned fewer partitions than the cluster has
-   * slots — byte-small parquet plans 1-2 tasks and starves the cluster.
-   * A no-op when the scan is already parallel: at real scale file splits
-   * parallelize the read and the extra full shuffle would be pure waste.
+   * all cores — byte-small parquet starves the cluster without it.
+   *
+   * r17 rewrite: the old partition-COUNT guard (`getNumPartitions >=
+   * slots` => no-op) was satisfied vacuously — Spark splits even a
+   * byte-small single-row-group parquet into `minPartitionNum` splits,
+   * of which all but one are EMPTY, so the guard read 32 planned
+   * partitions while every row sat in one task. And the keyed
+   * repartition it fell back to had no explicit count, so AQE's
+   * coalescing (1 MB `minPartitionSize` floor) folded the ~100 KB
+   * exchange straight back to one partition. Both halves measured on
+   * the multimodal family (the identical shape): 25.5 s -> 15.2 s from
+   * an unconditional keyed repartition with a PINNED count (AQE
+   * respects user-specified counts). What crosses this shuffle is the
+   * pre-derivation row (KBs), while the derivation it parallelizes is
+   * the query's entire budget; at real scale the input arrives
+   * well-partitioned AND the derivation feeds a keyed shuffle anyway,
+   * so the spread stays proportionally negligible.
    */
-  protected def spread(s: SparkSession, df: DataFrame, key: String): DataFrame = {
-    val slots = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= slots) df
-    else df.repartition(org.apache.spark.sql.functions.col(key))
-  }
+  protected def spread(s: SparkSession, df: DataFrame, key: String): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col(key))
 
   /**
    * Engine-portable 6-dp rounding: floor(x*1e6 + 0.5)/1e6 in pure IEEE

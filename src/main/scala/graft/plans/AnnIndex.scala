@@ -968,7 +968,6 @@ object AnnIndexRule extends Rule[LogicalPlan] {
    */
   private def rewriteKnnJoin(agg: Aggregate): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
-    import org.apache.spark.sql.execution.aggregate.ScalaAggregator
     // -- structural gates, cheapest first (this case sees EVERY Aggregate
     // in every plan: nothing below may touch the registry or a FS)
     val qKey = agg.groupingExpressions match {
@@ -976,22 +975,22 @@ object AnnIndexRule extends Rule[LogicalPlan] {
       case _ => return None
     }
     // every output is a DETERMINISTIC expression whose embedded
-    // aggregates are ALL TopKByScore (the optimizer pushes struct-field
-    // extraction INTO the aggregate list — `topkbyscore(...).id AS
-    // _extract_id` — so the aggregate may arrive wrapped, and a consumer
-    // reading both .id and .score arrives as TWO copies of the same
-    // aggregate) and whose attribute references OUTSIDE those aggregates
-    // are the grouping key only. The wrappers stay above the candidate
-    // swap untouched, so they evaluate identically over the narrowed set.
+    // aggregates are ALL TopKByScoreAgg (the optimizer pushes struct-
+    // field extraction INTO the aggregate list — `topk_by_score(...).id
+    // AS _extract_id` — so the aggregate may arrive wrapped, and a
+    // consumer reading both .id and .score arrives as TWO copies of the
+    // same aggregate) and whose attribute references OUTSIDE those
+    // aggregates are the grouping key only. The wrappers stay above the
+    // candidate swap untouched, so they evaluate identically over the
+    // narrowed set.
     val topks = scala.collection.mutable.ArrayBuffer
-      .empty[ScalaAggregator[_, _, _]]
+      .empty[graft.functions.TopKByScoreAgg]
     agg.aggregateExpressions.foreach { ne =>
       if (!ne.deterministic) return None
       def scan(e: Expression): Boolean = e match {
-        case AggregateExpression(sa: ScalaAggregator[_, _, _], _, false, None, _)
-            if sa.agg.isInstanceOf[graft.functions.TopKByScore] &&
-              sa.children.size == 2 =>
-          topks += sa; true
+        case AggregateExpression(t: graft.functions.TopKByScoreAgg, _,
+            false, None, _) if !t.skipNulls =>
+          topks += t; true
         case _: AggregateExpression => false
         case a: AttributeReference => a.exprId == qKey.exprId
         case other => other.children.forall(scan)
@@ -1000,7 +999,7 @@ object AnnIndexRule extends Rule[LogicalPlan] {
     }
     if (topks.isEmpty) return None
     val sa = topks.head
-    val k = topks.map(_.agg.asInstanceOf[graft.functions.TopKByScore].kValue).max
+    val k = topks.map(_.kValue).max
     // walk Projects down to the condition-less join, collecting aliases
     var aliases = Map.empty[ExprId, Expression]
     var refs = AttributeSet(agg.references.toSeq)

@@ -566,11 +566,21 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           substring(col("text"), 1, 80).as("p"),
           floor(col("n_chars") / Band).as("bk"))
+      // pin BOTH sides' partitioning on the join keys (r17): the band
+      // join's own exchange is ~100 KB, so AQE's min-partition-size
+      // floor folded it to one partition and the candidate prefix-DP —
+      // this query's entire budget, ~257k bounded DPs at sf0.1 — ran
+      // single-core. User-pinned counts are exempt from coalescing, and
+      // matching (keys, count) on both sides means the join adds NO
+      // further exchange, so the DP inherits the full-width layout.
+      val slots = s.sparkContext.defaultParallelism
       val a = docs.select(col("doc_id").as("a_id"), col("lang"),
         col("n_chars").as("a_n"), col("p").as("a_p"),
         explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("jb"))
+        .repartition(slots, col("lang"), col("jb"))
       val b = docs.select(col("doc_id").as("b_id"), col("lang"),
         col("n_chars").as("b_n"), col("p").as("b_p"), col("bk").as("jb"))
+        .repartition(slots, col("lang"), col("jb"))
       val cand = a.join(b, Seq("lang", "jb"))
         .filter(col("a_id") < col("b_id") &&
           abs(col("a_n") - col("b_n")) <= Band)

@@ -61,23 +61,36 @@ object SimilarityQueries extends QueryPack {
     def scored = fr.crossJoin(broadcast(en))
       .select(col("f_id"), col("f_lang"), col("e_id"),
         round6(cosineSim(col("f_emb"), col("e_emb"))).as("cos"))
-    // mean of the 4 strongest scores per side, DECIMAL-exact (a 4-row
-    // double sum is still summation-order-dependent across engines)
-    def nbrMean(key: String, other: String, out: String): DataFrame =
-      scored.groupBy(col(key))
-        .agg(TopKByScore(4)(col("cos"), col(other)).as("h"))
-        .select(col(key), explode(col("h.score")).as("cs"))
+    // mean of the 4 strongest scores for one side of a top-k frame,
+    // DECIMAL-exact (a 4-row double sum is still summation-order-
+    // dependent across engines)
+    def nbrMeanOf(hits: DataFrame, key: String, out: String): DataFrame =
+      hits
+        .select(col(key), explode(slice(col("h.score"), 1, 4)).as("cs"))
         .groupBy(col(key))
         .agg(round6(sum(col("cs").cast(DecimalType(27, 9))).cast("double") /
           count(lit(1))).as(out))
-    val cand = scored.groupBy(col("f_id"), col("f_lang"))
+    // ONE f-side scoring pass (r17 optimization): the pre-r17 spelling
+    // re-derived `scored` for each consumer — cand twice (best + the
+    // final score join) and each nbrMean once, four |fr|x|en| cosine
+    // passes for one frame. The f-side top-16 aggregate is linear-sized
+    // (N_f rows x 16 hits), so checkpoint IT and serve cand AND mf from
+    // it: TopKByScore's output is totally ordered by (score desc, id
+    // asc), so slice(h, 1, 4) of the top-16 IS the top-4 — bit-identical
+    // mean. The e-side mean still needs its own pass (per-e top-4 over
+    // all f is not derivable from a per-f frame): 2 passes total.
+    val candAgg = scored.groupBy(col("f_id"), col("f_lang"))
       .agg(TopKByScore(16)(col("cos"), col("e_id")).as("h"))
+      .localCheckpoint()
+    val cand = candAgg
       .select(col("f_id"), col("f_lang"), explode(col("h")).as("c"))
       .select(col("f_id"), col("f_lang"), col("c.id").as("e_id"),
         col("c.score").as("cos"))
+    val meSide = scored.groupBy(col("e_id"))
+      .agg(TopKByScore(4)(col("cos"), col("f_id")).as("h"))
     val best = cand
-      .join(nbrMean("f_id", "e_id", "mf"), "f_id")
-      .join(nbrMean("e_id", "f_id", "me"), "e_id")
+      .join(nbrMeanOf(candAgg, "f_id", "mf"), "f_id")
+      .join(nbrMeanOf(meSide, "e_id", "me"), "e_id")
       .withColumn("margin", round6(col("cos") /
         when((col("mf") + col("me")) =!= 0, (col("mf") + col("me")) / 2)))
       .groupBy(col("f_id"), col("f_lang"))

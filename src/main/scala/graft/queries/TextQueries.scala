@@ -50,8 +50,15 @@ object TextQueries extends QueryPack {
   // split + per-token hashing) is CPU-bound, so a byte-sized scan
   // partitioning (1-2 tasks) starves the cluster; spread() repartitions
   // BEFORE the heavy projections only when the scan is under-parallel.
+  // r17: NO spread here — these per-doc token statistics are light
+  // (one split + integer arithmetic per row); the r17 unconditional
+  // spread measured +0.6-1.4 s PER QUERY across the family (exchange +
+  // 32-task scheduling overhead exceeding the map work it parallelized),
+  // while the single-partition plan ran them in 0.3-0.6 s. The heavy
+  // tokenize consumers (dedup shingling, curation n-grams) keep their
+  // own spread at their own call sites.
   private def docs(s: SparkSession, dir: String): DataFrame =
-    withToks(spread(s, t(s, dir, "documents"), "doc_id"))
+    withToks(t(s, dir, "documents"))
 
   override def queries: Map[String, Q] = Map(
     // Per-document token statistics.

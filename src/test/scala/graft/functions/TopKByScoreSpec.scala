@@ -29,6 +29,49 @@ class TopKByScoreSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("native TopKByScoreAgg == reference udaf over a distributed stream") {
+    import org.apache.spark.sql.functions._
+    // ids collide across groups, scores tie heavily — the tie-break and
+    // merge order are what this pins; 8 partitions force real merges
+    val df = spark.range(0, 5000)
+      .select((col("id") % 13).as("g"),
+        ((col("id") * 37 % 50) / 50.0).as("score"), col("id"))
+      .repartition(8)
+    for (k <- Seq(1, 3, 16, 192)) {
+      val native = df.groupBy("g")
+        .agg(TopKByScore(k)(col("score"), col("id")).as("h"))
+        .select(col("g"), posexplode(col("h")))
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getStruct(2).getDouble(0), r.getStruct(2).getLong(1))).toSet
+      val ref = df.groupBy("g")
+        .agg(TopKByScore.referenceUdaf(k)(col("score"), col("id")).as("h"))
+        .select(col("g"), posexplode(col("h")))
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getStruct(2).getDouble(0), r.getStruct(2).getLong(1))).toSet
+      assert(native == ref, s"k=$k")
+    }
+  }
+
+  test("native nullSkipping matches reference on null-bearing scores") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 500)
+      .select((col("id") % 3).as("g"),
+        when(col("id") % 5 === 0, (col("id") % 40) / 40.0).as("score"),
+        col("id"))
+      .repartition(4)
+    val native = df.groupBy("g")
+      .agg(TopKByScore.nullSkipping(4)(col("score"), col("id")).as("h"))
+      .select(col("g"), explode(col("h")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getStruct(1).getDouble(0),
+        r.getStruct(1).getLong(1))).toSet
+    val ref = df.groupBy("g")
+      .agg(TopKByScore.referenceNullSkippingUdaf(4)(col("score"), col("id")).as("h"))
+      .select(col("g"), explode(col("h")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getStruct(1).getDouble(0),
+        r.getStruct(1).getLong(1))).toSet
+    assert(native == ref)
+  }
+
   test("distributed agg matches a local sort at any partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
