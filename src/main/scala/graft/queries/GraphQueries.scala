@@ -286,9 +286,24 @@ object GraphQueries extends QueryPack {
     * 6.6M rows vs the dense 17.4M of the COMPLETE co-occurrence graph,
     * where per-pair partial aggregation stops compressing because nearly
     * all supplier pairs co-occur. */
+  /** One co-supply kNN edge table per (session, dir, k) — the graph
+    * analog of DedupQueries' shared near-dup pair table: BOTH consumers
+    * (`graph_knn_triangles`, `graph_link_predict`) run over the
+    * identical 6.6M-pair build, which re-ran per query before r17. At
+    * 100 TB this IS the design: the similarity graph is a persisted
+    * artifact of the graph-index job, not a per-query scan. Build cost
+    * surfaces as `_shared_build:cosupply_edges`. */
+  private val coSupplyCache =
+    new graft.util.SessionCache[(String, Int), org.apache.spark.sql.DataFrame](
+      buildName = Some("cosupply_edges"))
+
   private def coSupplyKnnEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): org.apache.spark.sql.DataFrame =
+    coSupplyCache.getOrElseUpdate(s, (dir, k))(
+      buildCoSupplyKnnEdges(s, dir, k))
+
+  private def buildCoSupplyKnnEdges(s: org.apache.spark.sql.SparkSession,
       dir: String, k: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val psAll = t(s, dir, "lineitem")
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
       .distinct()
@@ -308,10 +323,14 @@ object GraphQueries extends QueryPack {
         col("x.pk") === col("y.pk") && col("x.sk") =!= col("y.sk"))
       .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))
       .agg(count(lit(1)).as("n_shared"))
-    val byStrength = Window.partitionBy("u")
-      .orderBy(col("n_shared").desc, col("v"))
-    co.withColumn("rk", row_number().over(byStrength))
-      .filter(col("rk") <= k)
+    // per-u strongest-k via the bounded partial-agg top-k (r17): the
+    // row_number window shuffled and SORTED every co-occurring pair;
+    // TopKByScore's (score desc, id asc) total order is exactly the
+    // (n_shared desc, v) ranking, and a count cast to double is exact
+    co.groupBy(col("u"))
+      .agg(graft.functions.TopKByScore(k)(
+        col("n_shared").cast("double"), col("v")).as("h"))
+      .select(col("u"), explode(col("h.id")).as("v"))
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .distinct().localCheckpoint()
