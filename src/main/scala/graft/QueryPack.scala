@@ -62,8 +62,7 @@ trait QueryPack {
    * so the spread stays proportionally negligible.
    */
   protected def spread(s: SparkSession, df: DataFrame, key: String): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism,
-      org.apache.spark.sql.functions.col(key))
+    graft.util.Spread.byKey(df, key)
 
   /**
    * Engine-portable 6-dp rounding: floor(x*1e6 + 0.5)/1e6 in pure IEEE

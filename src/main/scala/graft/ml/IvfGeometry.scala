@@ -275,8 +275,8 @@ object IvfGeometry {
     // store's collections carry STRING keys (the reference's shape) —
     // recall is id-representation-agnostic, and a 64-bit collision
     // (~n²/2⁶⁵) would only perturb one anchor's measured recall.
-    val searchable = corpus
-      .filter(graft.functions.VectorFunctions.l2Norm(col(embCol)) > 0)
+    val searchable = graft.util.Spread.byKey(corpus
+      .filter(graft.functions.VectorFunctions.l2Norm(col(embCol)) > 0), idCol)
       .withColumn("__gid", xxhash64(col(idCol)))
     val builtS = IvfIndex.Built(
       built.assigned.withColumn("id", xxhash64(col("id"))),

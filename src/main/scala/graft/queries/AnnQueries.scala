@@ -37,7 +37,9 @@ object AnnQueries extends QueryPack {
     * corpus×|Q|). Returns (q_id, neighbor_id). */
   private def exactTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val qd = queries.select(col("q_id"), col("q_emb"))
-    corpus.crossJoin(broadcast(qd))
+    // spread the STREAMED side (r17): the byte-small corpus scan runs
+    // every row in one task, serializing the |corpus|x|Q| scoring pass
+    graft.util.Spread.byKey(corpus, "vec_id").crossJoin(broadcast(qd))
       .select(col("q_id"), col("vec_id"),
         graft.functions.VectorFunctions.cosineSim(col("embedding"), col("q_emb")).as("cos"))
       .groupBy(col("q_id"))
@@ -136,7 +138,9 @@ object AnnQueries extends QueryPack {
     * skeleton shared by ann_cosine_pairs / ann_semantic_dedup (same
     * spelling as the fenced dedup_embedding_pairs_bruteforce). */
   private def exactPairs(emb: DataFrame, minCos: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("emb_a"))
+    // spread the streamed side of the O(N²/2) scoring pass (r17)
+    val a = graft.util.Spread.byKey(emb, "vec_id")
+      .select(col("vec_id").as("a_id"), col("embedding").as("emb_a"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("emb_b"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),

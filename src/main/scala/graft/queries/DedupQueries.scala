@@ -628,7 +628,7 @@ object DedupQueries extends QueryPack {
       val emb = t(s, dir, "embeddings")
       val seeds = emb.filter(col("vec_id") < NSeeds)
         .select(col("vec_id").as("seed_id"), col("embedding").as("seed_emb"))
-      val assigned = emb
+      val assigned = spread(s, emb, "vec_id")
         .select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(seeds))
         .select(col("vec_id"),
@@ -664,7 +664,9 @@ object DedupQueries extends QueryPack {
     // by ann_cosine_pairs. The _bruteforce suffix is the fence.
     "dedup_embedding_pairs_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("emb_a"))
+      // spread the streamed side of the fenced O(N²/2) baseline (r17)
+      val a = spread(s, e, "vec_id")
+        .select(col("vec_id").as("a_id"), col("embedding").as("emb_a"))
       val b = e.select(col("vec_id").as("b_id"), col("embedding").as("emb_b"))
       a.join(b, col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),

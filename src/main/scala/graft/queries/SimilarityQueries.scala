@@ -48,9 +48,13 @@ object SimilarityQueries extends QueryPack {
   private[graft] def bitextMineExact(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id").as("doc_id"), col("embedding"))
-    // linear-sized, consumed by all three passes — checkpoint once
-    val byLang = emb
-      .join(t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+    // linear-sized, consumed by both scoring passes — checkpoint once,
+    // SPREAD first (r17): the lang join's tiny exchange gets AQE-folded
+    // to 1-2 partitions and localCheckpoint PINS that layout, so both
+    // |fr|x|en| cosine passes ran near-single-core
+    val byLang = graft.util.Spread
+      .byKey(emb.join(t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id"), "doc_id")
       .localCheckpoint()
     val en = byLang.filter(col("lang") === "en")
       .select(col("doc_id").as("e_id"), col("embedding").as("e_emb"))
@@ -297,8 +301,10 @@ object SimilarityQueries extends QueryPack {
     // (matches / neighbors), so the rows hash bit-for-bit.
     "embedding_knn_label_purity" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-        col("label").as("a_label"))
+      // spread the streamed anchor side of the N² scoring pass (r17)
+      val a = spread(s, emb, "vec_id")
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+          col("label").as("a_label"))
       val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
       val topk = a.join(b, col("a_id") =!= col("b_id"))
         .select(col("a_id"), col("a_label"),
@@ -337,7 +343,7 @@ object SimilarityQueries extends QueryPack {
       val a = emb.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
           col("embedding").as("a_emb"))
-      val scored = emb.crossJoin(broadcast(a))
+      val scored = spread(s, emb, "vec_id").crossJoin(broadcast(a))
         .filter(col("label") =!= col("a_label"))
         .select(col("anchor_id"), col("vec_id"),
           round6(cosineSim(col("embedding"), col("a_emb"))).as("score"))
