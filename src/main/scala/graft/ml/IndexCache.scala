@@ -47,6 +47,38 @@ private[graft] object IndexCache {
 
   private val ManifestRel = "graft-manifest.txt"
 
+  /** Exact row count of a parquet source (file or directory, any Hadoop
+    * scheme) summed from the file FOOTERS on the driver — no Spark job.
+    * r17: the geometry memo's warm open paid a scheduled count() job per
+    * (corpus, contract) entry for a number the footers already hold.
+    * None when the source has no readable parquet footprint (caller
+    * falls back to a real count). */
+  private[graft] def rowCountFromFooters(
+      conf: org.apache.hadoop.conf.Configuration,
+      sourcePath: String): Option[Long] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(sourcePath)
+      val fs = p.getFileSystem(conf)
+      val files = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.FileStatus]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f
+      }
+      if (files.isEmpty) None
+      else {
+        var n = 0L
+        files.foreach { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(f, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try n += r.getRecordCount finally r.close()
+        }
+        Some(n)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Manifest header recording WHICH source dir an artifact ingested —
     * what [[gc]] needs to decide reachability (the dir-name key is a
     * one-way hash of the source path). Entry lines follow the header. */

@@ -205,23 +205,20 @@ object IvfGeometry {
   private def resolve(spark: SparkSession, sourcePath: String, idCol: String,
       embCol: String, contract: Contract, cacheRoot: String): Calibrated = {
     val corpus = spark.read.parquet(sourcePath)
-    // fail fast (before any KMeans fit or probe sweep, and before a
-    // NaN-recall sidecar could be persisted) when NOTHING is searchable —
-    // zero-norm vectors are structurally excluded from the index. The
-    // guard is a limit-1 probe, not a full count: it terminates at the
-    // first searchable row, so a warm open stays metadata-cheap.
-    require(corpus
-        .filter(graft.functions.VectorFunctions.l2Norm(col(embCol)) > 0)
-        .limit(1).count() > 0,
-      s"cannot calibrate IVF geometry over '$sourcePath': corpus has no " +
-        "searchable (non-zero-norm) vectors")
-    // size c from the TOTAL row count — answered from parquet row-group
-    // statistics (no column read on a warm open), and the SAME number
-    // every other centroidsFor consumer and the DuckDB oracle's
-    // count(*) closed form derive, so the geometry agrees across paths
-    // even when zero-norm rows exist (they only ever OVERSHOOT c by at
-    // most one band, never change which index answers a query)
-    val c = centroidsFor(corpus.count())
+    // size c from the TOTAL row count — the SAME number every other
+    // centroidsFor consumer and the DuckDB oracle's count(*) closed
+    // form derive, so the geometry agrees across paths even when
+    // zero-norm rows exist (they only ever OVERSHOOT c by at most one
+    // band, never change which index answers a query). r17: answered
+    // from the parquet FOOTERS on the driver — a warm open previously
+    // paid a scheduled Spark job here (and another for the zero-norm
+    // probe below) per (corpus, contract) memo entry, ~0.5 s × 7
+    // entries of pure job overhead per bench session; the footer walk
+    // is the exact row count with no job. corpus.count() remains the
+    // fallback for sources whose footers we cannot read.
+    val c = centroidsFor(IndexCache.rowCountFromFooters(
+        spark.sparkContext.hadoopConfiguration, sourcePath)
+      .getOrElse(corpus.count()))
     val indexPath = IvfIndex.openOrBuildPath(spark, new IvfIndex(c, 1),
       sourcePath, idCol, embCol, cacheRoot)
     val sidecar = new java.io.File(indexPath, s"nprobe-${contract.fingerprint}")
@@ -242,6 +239,9 @@ object IvfGeometry {
           Calibrated(new IvfIndex(c, p), r)
       }
     fromSidecar.getOrElse {
+      // zero-norm fail-fast lives in IvfIndex.build (the cold branch);
+      // a valid fingerprint-fresh sidecar proves the corpus calibrated
+      // before, so the warm open stays job-free (r17)
       val out = calibrate(spark, IvfIndex.load(spark, indexPath), corpus,
         idCol, embCol, c, contract)
       // publish atomically: a concurrent calibrator computes the same
@@ -316,27 +316,38 @@ object IvfGeometry {
       .select(col("q_id"), explode(col("hits.id")).as("neighbor_id"))
       .localCheckpoint()
     val exactCount = exact.count().toDouble
-    def recallAt(p: Int): Double = {
-      val approx = new IvfIndex(c, p).search(builtS, anchors, "__gid", embCol,
-          contract.k)
-        .select(col("q_id"), col("neighbor_id"))
-      exact.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
-        .count() / exactCount
-    }
-    // doubling until pass, then binary search (lo fails, hi passes)
-    var hi = 1
-    var lo = 0 // last width MEASURED to fail (0 = none)
-    var hiRecall = recallAt(hi)
-    while (hiRecall < contract.targetRecall && hi < c) {
-      lo = hi
-      hi = math.min(c, hi * 2)
-      hiRecall = recallAt(hi)
-    }
-    while (hi - lo > 1) {
-      val mid = lo + (hi - lo) / 2
-      val r = recallAt(mid)
-      if (r >= contract.targetRecall) { hi = mid; hiRecall = r }
-      else lo = mid
+    // ONE-pass sweep (r17, replacing the O(log c) probed searches —
+    // each a full route+join+semi-join job): an exact top-k neighbor n
+    // of anchor q is returned by a width-p search IFF rank(q, cell(n))
+    // <= p. (<=: ranks 1..p are exactly the probed cells, and n —
+    // globally top-k by the (cos desc, id asc) total order — survives
+    // the top-k cut of ANY candidate subset containing it, because
+    // fewer than k candidates beat it anywhere. =>: an unprobed cell's
+    // rows are never candidates.) So recall(p) is the cumulative
+    // histogram of per-pair cell ranks — every width measured from one
+    // routing pass, bit-identical to recallAt(p) of the search path,
+    // and the per-width monotonicity the old binary search ASSUMED is
+    // now true by construction.
+    val ranks = new IvfIndex(c, c).cellRanks(builtS, anchors, "__gid",
+      embCol, c)
+    val neighborCells = builtS.live
+      .select(col("id").as("neighbor_id"), col("cell"))
+    val hist = exact
+      .join(neighborCells, Seq("neighbor_id"))
+      .join(ranks, Seq("q_id", "cell"))
+      .groupBy(col("cell_rank")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Number](0).intValue -> r.getLong(1)).toMap
+    var cum = 0L
+    var hi = c
+    var hiRecall = 0.0
+    var p = 1
+    var found = false
+    while (p <= c) {
+      cum += hist.getOrElse(p, 0L)
+      val r = cum / exactCount
+      if (!found && r >= contract.targetRecall) { hi = p; hiRecall = r; found = true }
+      if (p == c && !found) { hi = c; hiRecall = r } // tombstoned-away
+      p += 1
     }
     Calibrated(new IvfIndex(c, hi), hiRecall)
   }

@@ -41,6 +41,13 @@ class IvfIndex(val nCentroids: Int = 16, val nProbe: Int = 4, val seed: Long = 4
 
   def build(spark: SparkSession, corpus: DataFrame, idCol: String, embCol: String): IvfIndex.Built = {
     val prepared = prepare(corpus, idCol, embCol)
+    // fail fast with the actual cause before KMeans meets an empty
+    // training set ("Nothing has been added to this summarizer"): a
+    // corpus of only zero-norm vectors has nothing searchable. Cold
+    // builds only — warm opens never reach here (r17).
+    require(prepared.limit(1).count() > 0,
+      "cannot build an IVF index: corpus has no searchable " +
+        "(non-zero-norm) vectors")
     val model = new KMeans()
       .setK(nCentroids).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("cell")
@@ -130,6 +137,26 @@ class IvfIndex(val nCentroids: Int = 16, val nProbe: Int = 4, val seed: Long = 4
     val allow = allowed.toDF("id").select(col("id"))
     searchCore(built, queries, idCol, embCol, k,
       live => live.join(allow, Seq("id"), "left_semi"))
+  }
+
+  /** Every cell's rank in each query's probe order — the ONE-pass
+    * calibration primitive (r17): rank r means "probed at any width
+    * >= r". Spelled with the identical routing expression and
+    * (cell_score desc, cell asc) total order as [[searchCore]], and
+    * TopK's prefix property (top-p contains top-(p-1), TopKProps) makes
+    * rank <= p exactly "this cell is probed at width p". */
+  def cellRanks(built: IvfIndex.Built, queries: DataFrame, idCol: String,
+      embCol: String, nCells: Int): DataFrame = {
+    val q = prepare(queries, idCol, embCol)
+      .select(col("id").as("q_id"), col("emb").as("q_emb"))
+    q.crossJoin(broadcast(built.centroids))
+      .select(col("q_id"), col("q_emb"), col("cell"),
+        cosineSim(col("q_emb"), col("centroid")).as("cell_score"))
+      .groupBy(col("q_id"), col("q_emb"))
+      .agg(TopKByScore(nCells)(col("cell_score"), col("cell").cast("long")).as("cells"))
+      .select(col("q_id"), posexplode(col("cells.id")).as(Seq("p0", "cell")))
+      .select(col("q_id"), col("cell").cast("int").as("cell"),
+        (col("p0") + 1).as("cell_rank"))
   }
 
   private def searchCore(built: IvfIndex.Built, queries: DataFrame,
