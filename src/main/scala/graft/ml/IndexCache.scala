@@ -64,7 +64,13 @@ private[graft] object IndexCache {
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".parquet")) files += f
+        val name = f.getPath.getName
+        // mirror the scan's hidden-file convention (underscore/dot
+        // prefixes — _SUCCESS, staging temporaries): counting a file
+        // Spark's reader excludes would silently diverge c from
+        // corpus.count() (r18, ADVICE)
+        if (f.isFile && name.endsWith(".parquet") &&
+          !name.startsWith("_") && !name.startsWith(".")) files += f
       }
       if (files.isEmpty) None
       else {

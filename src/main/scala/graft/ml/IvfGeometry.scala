@@ -243,7 +243,7 @@ object IvfGeometry {
       // a valid fingerprint-fresh sidecar proves the corpus calibrated
       // before, so the warm open stays job-free (r17)
       val out = calibrate(spark, IvfIndex.load(spark, indexPath), corpus,
-        idCol, embCol, c, contract)
+        idCol, embCol, c, contract, indexPath)
       // publish atomically: a concurrent calibrator computes the same
       // deterministic answer, so either writer's file serves both
       val tmp = java.io.File.createTempFile("nprobe", ".tmp",
@@ -257,14 +257,89 @@ object IvfGeometry {
     }
   }
 
-  /** Minimal nProbe meeting the contract, by doubling sweep + binary
-    * search on the monotone recall-vs-probe curve: O(log c) probed
-    * searches over the fixed anchor sample. At p == c the probe is
-    * exhaustive (recall 1.0), so the search always terminates with a
-    * passing width. */
+  /** The joint (exact_rank, cell_rank) pair histogram over the anchor
+    * sample at a deep rank cap — the ONE artifact every contract on the
+    * same index derives its calibration from (r18). `counts((r, cr))` =
+    * number of (anchor, neighbor) pairs where the neighbor sits at exact
+    * rank r (1-based, the (cos desc, id asc) total order) and its cell
+    * at probe rank cr; cr = 0 marks pairs whose neighbor never matched a
+    * probed cell (tombstoned-away — they count toward the denominator,
+    * never the numerator, exactly as the per-contract histogram did). */
+  private final case class JointHist(kCap: Int, counts: Map[(Int, Int), Long])
+
+  /** One histogram per (index dir, anchor-rule, rank cap) and session:
+    * the bench session calibrates SEVEN contracts against the embeddings
+    * corpus (k = 3/4/6/10/12/32/40), and before r18 each paid its own
+    * exact-top-k cross join + routing pass + histogram job — ~6 s × 7 of
+    * identical work on a cold index (the driver's fresh-container runs
+    * measured `_shared_build:ann_geometry` at 19-46 s). The contracts
+    * share the anchor rule (same nAnchors => same deterministic sample),
+    * and recall@k(p) is a prefix sum of the joint histogram (top-k is a
+    * PREFIX of top-kCap under the total order — TopKProps' prefix
+    * property), so one pass serves them all bit-identically and each
+    * additional contract is driver-side arithmetic. No `buildName` here:
+    * the build runs inside the outer memo's resolve, whose timer already
+    * reports it to SharedBuilds — a second record would double-count. */
+  private val histMemo =
+    new graft.util.SessionCache[(String, Int, Int), JointHist]()
+
+  /** Rank cap for a contract's k: one shared 64-deep histogram covers
+    * every registered contract (max k = 40); a deeper k rounds up to the
+    * next power of two so rare deep contracts share among themselves. */
+  private def capFor(k: Int): Int = {
+    var cap = 64
+    while (cap < k) cap *= 2
+    cap
+  }
+
+  /** Minimal nProbe meeting the contract: a prefix-sum walk over the
+    * memoized joint histogram — recall(p) = |pairs with exact_rank <= k
+    * and 1 <= cell_rank <= p| / |pairs with exact_rank <= k|, monotone in
+    * p by construction. At p == c the probe is exhaustive, so the walk
+    * always terminates with a passing width (or the tombstoned-away
+    * fallback at p == c, as before). */
   private def calibrate(spark: SparkSession, built: IvfIndex.Built,
       corpus: DataFrame, idCol: String, embCol: String, c: Int,
-      contract: Contract): Calibrated = {
+      contract: Contract, indexPath: String): Calibrated = {
+    val jh = histMemo.getOrElseUpdate(spark,
+      (indexPath, contract.nAnchors, capFor(contract.k)))(
+      buildJointHist(spark, built, corpus, idCol, embCol, c,
+        contract.nAnchors, capFor(contract.k)))
+    val k = contract.k
+    // toSeq first: collecting (cr, n) pairs straight off the Map would
+    // REBUILD a map and silently overwrite same-cr entries from
+    // different exact ranks instead of summing them
+    val pairs = jh.counts.toSeq
+    val exactCount = pairs.collect {
+      case ((r, _), n) if r <= k => n
+    }.sum.toDouble
+    require(exactCount > 0, "cannot calibrate IVF geometry: corpus has " +
+      "no searchable (non-zero-norm) vectors")
+    // per-probe-width increments for THIS k (cr = 0 = never-probed pairs
+    // stay out of every numerator)
+    val byCr = pairs.collect {
+      case ((r, cr), n) if r <= k && cr >= 1 => (cr, n)
+    }.groupBy(_._1).map { case (cr, xs) => cr -> xs.map(_._2).sum }
+    var cum = 0L
+    var hi = c
+    var hiRecall = 0.0
+    var p = 1
+    var found = false
+    while (p <= c) {
+      cum += byCr.getOrElse(p, 0L)
+      val r = cum / exactCount
+      if (!found && r >= contract.targetRecall) { hi = p; hiRecall = r; found = true }
+      if (p == c && !found) { hi = c; hiRecall = r } // tombstoned-away
+      p += 1
+    }
+    Calibrated(new IvfIndex(c, hi), hiRecall)
+  }
+
+  /** ONE exact pass + ONE routing pass building [[JointHist]]: the r17
+    * one-pass-per-contract sweep generalized across contracts (r18). */
+  private def buildJointHist(spark: SparkSession, built: IvfIndex.Built,
+      corpus: DataFrame, idCol: String, embCol: String, c: Int,
+      nAnchors: Int, kCap: Int): JointHist = {
     // zero-norm vectors are structurally excluded from the index
     // (IvfIndex.prepare drops them) and their cosine is NaN — an exact
     // oracle that kept one would poison its top-k buffer and cap
@@ -292,19 +367,23 @@ object IvfGeometry {
     // of the id space out of the sample.
     val n = searchable.count()
     // an empty (or all-zero-norm) corpus has no exact oracle rows, so
-    // recallAt would divide by zero and the sweep would burn O(log c)
-    // probes to persist a NaN sidecar — fail fast with the actual cause
+    // every recall would divide by zero and the sweep would persist a
+    // NaN sidecar — fail fast with the actual cause
     require(n > 0, "cannot calibrate IVF geometry: corpus has no " +
       "searchable (non-zero-norm) vectors")
-    val stride = math.max(1L, n / contract.nAnchors)
+    val stride = math.max(1L, n / nAnchors)
     val anchors = searchable
       .filter(pmod(hash(col(idCol)), lit(stride)) === 0)
-      .orderBy(col(idCol)).limit(contract.nAnchors)
+      .orderBy(col(idCol)).limit(nAnchors)
       .localCheckpoint()
     // anchors broadcast: the probe side is the corpus scan, never a
     // cartesian (QueriesSmokeSpec's no-CartesianProduct invariant holds
     // inside calibration too). Neighbor side is the searchable corpus —
     // the zero-norm exclusion above applies to BOTH sides of the oracle.
+    // posexplode: position + 1 IS the neighbor's exact rank under the
+    // (cos desc, id asc) total order (TopKByScore emits sorted), and a
+    // contract's depth-k exact set is rows with exact_rank <= k — the
+    // prefix property that lets one kCap-deep pass serve every contract.
     val exact = searchable
       .select(col("__gid").as("n_id"), col(embCol).as("n_emb"))
       .crossJoin(broadcast(anchors
@@ -312,43 +391,40 @@ object IvfGeometry {
       .select(col("q_id"), col("n_id"),
         cosineSim(col("q_emb"), col("n_emb")).as("cos"))
       .groupBy(col("q_id"))
-      .agg(TopKByScore(contract.k)(col("cos"), col("n_id")).as("hits"))
-      .select(col("q_id"), explode(col("hits.id")).as("neighbor_id"))
-      .localCheckpoint()
-    val exactCount = exact.count().toDouble
-    // ONE-pass sweep (r17, replacing the O(log c) probed searches —
-    // each a full route+join+semi-join job): an exact top-k neighbor n
-    // of anchor q is returned by a width-p search IFF rank(q, cell(n))
-    // <= p. (<=: ranks 1..p are exactly the probed cells, and n —
-    // globally top-k by the (cos desc, id asc) total order — survives
-    // the top-k cut of ANY candidate subset containing it, because
-    // fewer than k candidates beat it anywhere. =>: an unprobed cell's
-    // rows are never candidates.) So recall(p) is the cumulative
-    // histogram of per-pair cell ranks — every width measured from one
-    // routing pass, bit-identical to recallAt(p) of the search path,
-    // and the per-width monotonicity the old binary search ASSUMED is
-    // now true by construction.
+      .agg(TopKByScore(kCap)(col("cos"), col("n_id")).as("hits"))
+      .select(col("q_id"), posexplode(col("hits.id")).as(Seq("r0", "neighbor_id")))
+      .select(col("q_id"), (col("r0") + 1).as("exact_rank"), col("neighbor_id"))
+    // no localCheckpoint on `exact` (r18): the joint histogram is its
+    // ONLY consumer now — the old per-contract sweep re-read it per
+    // recallAt probe, this pipeline reads it exactly once
+    // ONE-pass sweep (r17): an exact neighbor n of anchor q is returned
+    // by a width-p search IFF rank(q, cell(n)) <= p. (<=: ranks 1..p are
+    // exactly the probed cells, and n — globally top-k by the total
+    // order — survives the top-k cut of ANY candidate subset containing
+    // it. =>: an unprobed cell's rows are never candidates.) So
+    // recall@k(p) is a prefix sum of the (exact_rank, cell_rank) pair
+    // histogram, bit-identical to recallAt(p) of the search path.
+    // LEFT joins + per-pair MIN cell_rank (r18, ADVICE): a duplicated id
+    // in the cell table (append/LWW races, surrogate collision) would
+    // multiply inner-join rows and inflate recall above truth; the min
+    // is "found via the earliest probed cell holding it" — identical on
+    // healthy data, sound under duplication — and unmatched pairs land
+    // in the cr = 0 bucket so they still count toward the denominator.
     val ranks = new IvfIndex(c, c).cellRanks(builtS, anchors, "__gid",
       embCol, c)
     val neighborCells = builtS.live
       .select(col("id").as("neighbor_id"), col("cell"))
-    val hist = exact
-      .join(neighborCells, Seq("neighbor_id"))
-      .join(ranks, Seq("q_id", "cell"))
-      .groupBy(col("cell_rank")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getAs[Number](0).intValue -> r.getLong(1)).toMap
-    var cum = 0L
-    var hi = c
-    var hiRecall = 0.0
-    var p = 1
-    var found = false
-    while (p <= c) {
-      cum += hist.getOrElse(p, 0L)
-      val r = cum / exactCount
-      if (!found && r >= contract.targetRecall) { hi = p; hiRecall = r; found = true }
-      if (p == c && !found) { hi = c; hiRecall = r } // tombstoned-away
-      p += 1
-    }
-    Calibrated(new IvfIndex(c, hi), hiRecall)
+    val counts = exact
+      .join(neighborCells, Seq("neighbor_id"), "left")
+      .join(ranks, Seq("q_id", "cell"), "left")
+      .groupBy(col("q_id"), col("exact_rank"), col("neighbor_id"))
+      .agg(min(col("cell_rank")).as("cr"))
+      .groupBy(col("exact_rank"), coalesce(col("cr"), lit(0)).as("cr"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[Number](0).intValue, r.getAs[Number](1).intValue) ->
+        r.getLong(2))
+      .toMap
+    JointHist(kCap, counts)
   }
 }
