@@ -61,7 +61,7 @@ trait QueryPack {
    * well-partitioned AND the derivation feeds a keyed shuffle anyway,
    * so the spread stays proportionally negligible.
    */
-  protected def spread(s: SparkSession, df: DataFrame, key: String): DataFrame =
+  protected def spread(df: DataFrame, key: String): DataFrame =
     graft.util.Spread.byKey(df, key)
 
   /**

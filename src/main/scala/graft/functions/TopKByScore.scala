@@ -48,7 +48,15 @@ class TopKByScore(k: Int) extends Aggregator[(Double, Long), Seq[Hit], Seq[Hit]]
   override def zero: Seq[Hit] = Vector.empty
 
   override def reduce(buf: Seq[Hit], in: (Double, Long)): Seq[Hit] =
-    insert(buf, Hit(in._1, in._2))
+    // NaN scores contribute nothing (r18, ADVICE): under the all-false
+    // comparisons of the (score desc, id asc) order a NaN hit would
+    // PREPEND to a non-full buffer and shadow later buf.last evictions
+    // here, while the heap left it at an arbitrary position — two
+    // divergent wrong answers. cosineSim of a zero-norm vector is the
+    // realistic source; every query path filters those, so this is a
+    // robustness pin (spec-pinned in TopKByScoreSpec), not a
+    // behavior change for any declared query.
+    if (in._1.isNaN) buf else insert(buf, Hit(in._1, in._2))
 
   override def merge(a: Seq[Hit], b: Seq[Hit]): Seq[Hit] = {
     // merge two sorted bounded buffers (classic merge step, then cap)
@@ -130,7 +138,11 @@ final class TopKHeap(val k: Int) {
   }
 
   def insert(s: Double, id: Long): Unit =
-    if (n < k) {
+    // NaN never enters the heap (r18, ADVICE): all-false comparisons
+    // would park it wherever it lands and break the sift invariants —
+    // see TopKByScore.reduce for the shared skip-NaN contract
+    if (s != s) ()
+    else if (n < k) {
       var i = n
       scores(i) = s; ids(i) = id; n += 1
       var p = (i - 1) >> 1

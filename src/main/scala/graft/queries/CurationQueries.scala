@@ -31,7 +31,7 @@ object CurationQueries extends QueryPack {
     * `search_hashed_cosine`. */
   private def hashedFeatures(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    spread(s, t(s, dir, "documents"), "doc_id")
+    spread(t(s, dir, "documents"), "doc_id")
       .select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
@@ -199,7 +199,7 @@ object CurationQueries extends QueryPack {
     // is partial-agg (each partition pre-counts its tokens), and the
     // top-k is TakeOrdered, never a full sort.
     "corpus_vocab_topk" -> ((s, dir) =>
-      spread(s, t(s, dir, "documents"), "doc_id")
+      spread(t(s, dir, "documents"), "doc_id")
         .select(explode(split(trim(col("text")), "\\s+")).as("token"))
         .filter(length(col("token")) > 0)
         .groupBy(col("token"))
@@ -224,7 +224,7 @@ object CurationQueries extends QueryPack {
             when(j >= 1 && j <= size(tk) && j =!= i,
               concat_ws(" ", element_at(tk, i), element_at(tk, j)))),
           x => x.isNotNull)))
-      spread(s, t(s, dir, "documents"), "doc_id")
+      spread(t(s, dir, "documents"), "doc_id")
         .withColumn("toks", split(trim(col("text")), "\\s+"))
         .filter(size(col("toks")) >= 2)
         .select(explode(pairs).as("pair"))
@@ -243,7 +243,7 @@ object CurationQueries extends QueryPack {
     // the pagerank discipline applied to a sampling table.
     "corpus_negative_sampling" -> ((s, dir) => {
       import org.apache.spark.sql.types.DecimalType
-      val top = spread(s, t(s, dir, "documents"), "doc_id")
+      val top = spread(t(s, dir, "documents"), "doc_id")
         .select(explode(split(trim(col("text")), "\\s+")).as("token"))
         .filter(length(col("token")) > 0)
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
@@ -309,7 +309,7 @@ object CurationQueries extends QueryPack {
         transform(sequence(lit(1), size(tk) - 1),
           i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
         .otherwise(array().cast("array<string>"))
-      spread(s, t(s, dir, "documents"), "doc_id")
+      spread(t(s, dir, "documents"), "doc_id")
         .withColumn("toks", split(trim(col("text")), "\\s+"))
         .select(explode(pairs).as("bigram"))
         .groupBy(col("bigram"))
@@ -336,7 +336,7 @@ object CurationQueries extends QueryPack {
     "corpus_keyphrases" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val stops = Seq("the", "a", "fast", "slow", "small", "big")
-      val tokd = spread(s, t(s, dir, "documents"), "doc_id")
+      val tokd = spread(t(s, dir, "documents"), "doc_id")
         .withColumn("toks", split(trim(col("text")), "\\s+"))
         .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
         .filter(length(col("term")) > 0)
@@ -383,7 +383,7 @@ object CurationQueries extends QueryPack {
         transform(sequence(lit(1), size(tk) - 1),
           i => struct(element_at(tk, i).as("w1"), element_at(tk, i + 1).as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-      val toksDf = spread(s, t(s, dir, "documents"), "doc_id")
+      val toksDf = spread(t(s, dir, "documents"), "doc_id")
         .withColumn("toks", split(trim(col("text")), "\\s+"))
         .select(col("doc_id"), col("toks"))
         .localCheckpoint() // unigram AND bigram sides read it

@@ -102,7 +102,7 @@ object DedupQueries extends QueryPack {
     // consumed three times (band melt + both verification sides), and at
     // 100 TB it would be a persisted table built by the index job —
     // localCheckpoint is the single-job analog of that design.
-    val sh = spread(s, corpus, "doc_id")
+    val sh = spread(corpus, "doc_id")
       .withColumn("toks", toksOf(col("txt")))
       .select(col("doc_id"), shinglesFromToks(col("toks")).as("shingles"))
       .localCheckpoint()
@@ -177,7 +177,7 @@ object DedupQueries extends QueryPack {
         .unionByName(d.filter(col("doc_id") < 50)
           .select((col("doc_id") + 100000).as("doc_id"),
             concat_ws(" ", slice(tk, lit(2), greatest(size(tk) - 1, lit(0)))).as("txt")))
-      def sig(df: DataFrame) = spread(s, df, "doc_id")
+      def sig(df: DataFrame) = spread(df, "doc_id")
         .withColumn("toks", toksOf(col("txt")))
         .select(col("doc_id"), shinglesFromToks(col("toks")).as("shingles"))
         .localCheckpoint()
@@ -298,7 +298,7 @@ object DedupQueries extends QueryPack {
             concat_ws(" ", slice(tk, lit(6), lit(20))).as("txt")))
       // distinct 8-grams per doc; consumed by the df agg AND both join
       // sides -> materialize once (the persisted gram table at scale)
-      val grams = spread(s, corpus, "doc_id")
+      val grams = spread(corpus, "doc_id")
         .withColumn("toks", toksOf(col("txt")))
         .filter(size(col("toks")) >= 8)
         .select(col("doc_id"), explode(array_distinct(transform(
@@ -338,7 +338,7 @@ object DedupQueries extends QueryPack {
         .unionByName(d.filter(size(tk) >= 25 && col("doc_id") < 60)
           .select((col("doc_id") + 200000).as("doc_id"),
             concat_ws(" ", slice(tk, lit(6), lit(20))).as("txt")))
-      val grams = spread(s, corpus, "doc_id")
+      val grams = spread(corpus, "doc_id")
         .withColumn("toks", toksOf(col("txt")))
         .filter(size(col("toks")) >= 8)
         .select(col("doc_id"), explode(array_distinct(transform(
@@ -394,7 +394,7 @@ object DedupQueries extends QueryPack {
           .select((col("doc_id") + 200000).as("doc_id"),
             concat_ws(" ", slice(tk, lit(6), lit(20))).as("txt")))
       // POSITIONAL 8-grams — position matters, so no array_distinct
-      val grams = spread(s, corpus, "doc_id")
+      val grams = spread(corpus, "doc_id")
         .withColumn("toks", toksOf(col("txt")))
         .filter(size(col("toks")) >= 8)
         .select(col("doc_id"), posexplode(transform(
@@ -430,7 +430,7 @@ object DedupQueries extends QueryPack {
     // 16-bit SimHash per document from token-md5 nibble MSBs (majority
     // vote per bit position, token multiplicity preserved).
     "dedup_simhash" -> ((s, dir) =>
-      spread(s, t(s, dir, "documents"), "doc_id")
+      spread(t(s, dir, "documents"), "doc_id")
         .withColumn("toks", toksOf(col("text")))
         .withColumn("h", transform(col("toks"), tk => md5(tk.cast("binary"))))
         .withColumn("nt", size(col("h")))
@@ -476,7 +476,7 @@ object DedupQueries extends QueryPack {
         when(col(s"$pfx$p") * 2 > col("nt"), lit(1L << (32 - p)))
           .otherwise(lit(0L))).reduce(_ + _)
       // simhash table consumed 3x (band melt + both verify sides)
-      val sh = spread(s, nearDupCorpus(s, dir), "doc_id")
+      val sh = spread(nearDupCorpus(s, dir), "doc_id")
         .select(col("doc_id"), explode(toksOf(col("txt"))).as("tk"))
         .select(col("doc_id"), md5(col("tk").cast("binary")).as("m"))
         .select(col("doc_id"),
@@ -517,7 +517,7 @@ object DedupQueries extends QueryPack {
     // similar same-lang docs (blocked pairwise + bounded top-k aggregate).
     "dedup_jaccard_topk" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val sh = spread(s, d, "doc_id")
+      val sh = spread(d, "doc_id")
         .withColumn("toks", toksOf(col("text")))
         .select(col("doc_id"), col("lang"), shinglesFromToks(col("toks")).as("shingles"))
         .localCheckpoint()
@@ -562,7 +562,7 @@ object DedupQueries extends QueryPack {
     //    costs 2.2x the DP of the tight t=20 bound.
     "dedup_fuzzy_levenshtein" -> ((s, dir) => {
       val Band = 20
-      val docs = spread(s, t(s, dir, "documents"), "doc_id")
+      val docs = spread(t(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           substring(col("text"), 1, 80).as("p"),
           floor(col("n_chars") / Band).as("bk"))
@@ -628,7 +628,7 @@ object DedupQueries extends QueryPack {
       val emb = t(s, dir, "embeddings")
       val seeds = emb.filter(col("vec_id") < NSeeds)
         .select(col("vec_id").as("seed_id"), col("embedding").as("seed_emb"))
-      val assigned = spread(s, emb, "vec_id")
+      val assigned = spread(emb, "vec_id")
         .select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(seeds))
         .select(col("vec_id"),
@@ -665,7 +665,7 @@ object DedupQueries extends QueryPack {
     "dedup_embedding_pairs_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       // spread the streamed side of the fenced O(N²/2) baseline (r17)
-      val a = spread(s, e, "vec_id")
+      val a = spread(e, "vec_id")
         .select(col("vec_id").as("a_id"), col("embedding").as("emb_a"))
       val b = e.select(col("vec_id").as("b_id"), col("embedding").as("emb_b"))
       a.join(b, col("a_id") < col("b_id"))

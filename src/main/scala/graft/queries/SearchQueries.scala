@@ -49,7 +49,7 @@ object SearchQueries extends QueryPack {
   private def toks: Column = col("toks")
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    spread(s, t(s, dir, "documents"), "doc_id")
+    spread(t(s, dir, "documents"), "doc_id")
       .withColumn("toks", split(trim(col("text")), "\\s+"))
 
   /**

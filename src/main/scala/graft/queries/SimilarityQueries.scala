@@ -302,7 +302,7 @@ object SimilarityQueries extends QueryPack {
     "embedding_knn_label_purity" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       // spread the streamed anchor side of the N² scoring pass (r17)
-      val a = spread(s, emb, "vec_id")
+      val a = spread(emb, "vec_id")
         .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
           col("label").as("a_label"))
       val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
@@ -343,7 +343,7 @@ object SimilarityQueries extends QueryPack {
       val a = emb.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
           col("embedding").as("a_emb"))
-      val scored = spread(s, emb, "vec_id").crossJoin(broadcast(a))
+      val scored = spread(emb, "vec_id").crossJoin(broadcast(a))
         .filter(col("label") =!= col("a_label"))
         .select(col("anchor_id"), col("vec_id"),
           round6(cosineSim(col("embedding"), col("a_emb"))).as("score"))
@@ -518,7 +518,7 @@ object SimilarityQueries extends QueryPack {
     // per-row cosine reuses the codegen'd kernel; the per-label mean
     // goes through exact DECIMAL (label_centroid rule).
     "embedding_cluster_quality" -> ((s, dir) => {
-      val emb = spread(s, t(s, dir, "embeddings"), "vec_id")
+      val emb = spread(t(s, dir, "embeddings"), "vec_id")
       val cen = emb
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("label"), col("dim"))
@@ -563,7 +563,7 @@ object SimilarityQueries extends QueryPack {
     "embedding_covariance" -> ((s, dir) => {
       // spread BEFORE the D² explode: the byte-small scan plans 1-2
       // tasks and would run the whole 8M-row derivation on one core
-      val emb = spread(s, t(s, dir, "embeddings"), "vec_id")
+      val emb = spread(t(s, dir, "embeddings"), "vec_id")
       val ex = emb.select(col("embedding"),
         posexplode(col("embedding")).as(Seq("i", "xi")))
       val pairs = ex
@@ -598,7 +598,7 @@ object SimilarityQueries extends QueryPack {
     // (deterministic fixpoint of x ↦ normalize(Cx)) is what is pinned.
     "embedding_pca_power" -> ((s, dir) => {
       val Iters = 12
-      val emb = spread(s, t(s, dir, "embeddings"), "vec_id")
+      val emb = spread(t(s, dir, "embeddings"), "vec_id")
       val ex = emb.select(col("embedding"),
         posexplode(col("embedding")).as(Seq("i", "xi")))
       val cov = ex

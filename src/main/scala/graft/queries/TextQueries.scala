@@ -102,7 +102,7 @@ object TextQueries extends QueryPack {
       // transform(sequence, i -> substring(t, i, 1)) spelling is O(n²)
       // per doc (UTF8 substring re-scans bytes up to i every call) and
       // benched 5.8s vs sub-second for this
-      val chars = spread(s, t(s, dir, "documents"), "doc_id")
+      val chars = spread(t(s, dir, "documents"), "doc_id")
         .select(col("doc_id"),
           explode(split(trim(col("text")), "")).as("ch"))
         .filter(length(col("ch")) > 0)

@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions.col
  * well-partitioned and the spread's relative cost stays negligible.
  */
 object Spread {
-  def byKey(df: DataFrame, key: String): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+  def byKey(df: DataFrame, key: String): DataFrame = {
+    // max(input partitions, slots) — never a CAP (r18, ADVICE): on the
+    // byte-small fixtures the planned scan has <= slots (mostly empty)
+    // partitions and this pins the full width exactly as before, while
+    // an already-well-partitioned input at real scale keeps its
+    // parallelism instead of being folded down to defaultParallelism.
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(math.max(df.rdd.getNumPartitions, slots), col(key))
+  }
 }

@@ -72,6 +72,34 @@ class TopKByScoreSpec extends AnyFunSuite with SparkTestBase {
     assert(native == ref)
   }
 
+  test("NaN scores contribute nothing, and native == reference on NaN-bearing data") {
+    import org.apache.spark.sql.functions._
+    // reference Aggregator: NaN rows skipped even while the buffer is
+    // not yet full (the pre-r18 insert PREPENDED them and let them
+    // shadow later buf.last evictions)
+    val agg = new TopKByScore(3)
+    val got = Seq(0.2 -> 1L, Double.NaN -> 2L, 0.9 -> 3L, Double.NaN -> 4L,
+      0.5 -> 5L).foldLeft(agg.zero)(agg.reduce)
+    assert(got == Seq(Hit(0.9, 3L), Hit(0.5, 5L), Hit(0.2, 1L)))
+    // native heap path agrees on a distributed NaN-bearing stream
+    // (cosine of a zero-norm vector is the realistic source)
+    val df = spark.range(0, 500)
+      .select((col("id") % 7).as("g"),
+        when(col("id") % 11 === 0, lit(Double.NaN))
+          .otherwise((col("id") * 37 % 50) / 50.0).as("score"), col("id"))
+    def rows(c: org.apache.spark.sql.DataFrame) =
+      c.select(col("g"), posexplode(col("h")))
+        .select(col("g"), col("pos"), col("col.score"), col("col.id"))
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    val native = rows(df.groupBy("g")
+      .agg(TopKByScore(4)(col("score"), col("id")).as("h")))
+    val ref = rows(df.groupBy("g")
+      .agg(TopKByScore.referenceUdaf(4)(col("score"), col("id")).as("h")))
+    assert(native == ref)
+    assert(!native.exists(_._3.isNaN))
+  }
+
   test("distributed agg matches a local sort at any partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

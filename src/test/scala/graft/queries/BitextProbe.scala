@@ -2,15 +2,17 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-/** Scratch timing probe for the bitext_exact shared build (r17 opt round). */
+/** Timing probe for the bitext_exact shared build — env-configurable like
+  * PlanDump (SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS; r18, ADVICE). */
 object BitextProbe {
   def main(args: Array[String]): Unit = {
-    val s = org.apache.spark.sql.SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = org.apache.spark.sql.SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     def noop(df: org.apache.spark.sql.DataFrame) =
       df.write.format("noop").mode("overwrite").save()
     def time(tag: String)(f: => Unit): Unit = {
