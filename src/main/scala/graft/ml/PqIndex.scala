@@ -70,14 +70,36 @@ class PqIndex(m: Int = 8, kCentroids: Int = 16, seed: Long = 42L) {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val d = dim / m
     // m independent per-subspace quantizers (the expensive part; index
-    // job only)
-    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { sub =>
-      val slices = prepared.toDF()
-        .select(array_to_vector(slice(col("unit"), sub * d + 1, d)).as("features"))
-      new KMeans().setK(kCentroids).setSeed(seed + sub)
-        .setFeaturesCol("features").setPredictionCol("c")
-        .fit(slices).clusterCenters.map(_.toArray)
-    }.toArray
+    // job only). CONCURRENT fits (r18, guide-§2.6 overlap): each fit is
+    // a chain of tiny near-single-task Spark jobs (kmeans|| init + Lloyd
+    // rounds) whose cost is almost pure scheduling latency on the cached
+    // input, and the m fits are fully independent (own seed, own slice
+    // columns, shared read-only `prepared`), so submitting them from a
+    // bounded thread pool overlaps the per-job latency — the scheduler
+    // back-fills idle slots. Results are bit-identical to the sequential
+    // loop: concurrency changes WHEN each deterministic fit runs, never
+    // what it computes. Measured on a cold cache: the PQ/IVF-PQ build
+    // queries drop ~2x (see OPTIMIZATION_r18.md).
+    val fitPool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(m, 8))
+    val codebooks: Array[Array[Array[Double]]] =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(fitPool)
+        val fits = (0 until m).map { sub =>
+          scala.concurrent.Future {
+            val slices = prepared.toDF()
+              .select(array_to_vector(slice(col("unit"), sub * d + 1, d))
+                .as("features"))
+            new KMeans().setK(kCentroids).setSeed(seed + sub)
+              .setFeaturesCol("features").setPredictionCol("c")
+              .fit(slices).clusterCenters.map(_.toArray)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fits),
+          scala.concurrent.duration.Duration.Inf).toArray
+      } finally fitPool.shutdown()
     // materialize the encode once: it feeds BOTH the code table and the
     // embedding fetch table (save() runs two independent write jobs, and
     // without the checkpoint each would re-run the full scan + m-subspace
